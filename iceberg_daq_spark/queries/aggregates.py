@@ -1,0 +1,195 @@
+"""Q12-Q17: aggregation family (SURVEY section 2B).
+
+Reference parallels: A23 (event-list agg: distinct+sort+count+min+max,
+createMetadatafiles_iceberg_dropbox.sh:161-176), A28 (run/event
+numbering).  All aggregations here are hash aggregates with map-side
+partial aggregation - one shuffle on the group keys, no collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_daq_spark.registry import register
+from iceberg_daq_spark.tables import load
+
+
+@register(
+    "q12_hash_agg_measures",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(CAST(sum(l_quantity) AS DOUBLE), 2)      AS sum_qty,
+           round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_base_price,
+           round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS sum_disc_price,
+           round(CAST(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DOUBLE), 2) AS sum_charge,
+           round(CAST(avg(l_quantity) AS DOUBLE), 2)      AS avg_qty,
+           round(CAST(avg(l_extendedprice) AS DOUBLE), 2) AS avg_price,
+           round(CAST(avg(l_discount) AS DOUBLE), 2)      AS avg_disc,
+           CAST(count(*) AS BIGINT)                       AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: multi-measure hash aggregate (the flagship query)."""
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 2).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q13_distinct_agg",
+    oracle="""
+    SELECT l_partkey,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+           CAST(count(*) AS BIGINT) AS n_lineitems
+    FROM lineitem
+    GROUP BY l_partkey
+    ORDER BY l_partkey
+    """,
+)
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregate per part (A23's sort -u analog)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.count("*").alias("n_lineitems"),
+        )
+        .orderBy("l_partkey")
+    )
+
+
+@register(
+    "q14_rollup_grouping",
+    oracle="""
+    SELECT n.n_name, o.o_orderpriority,
+           CAST(GROUPING(n.n_name, o.o_orderpriority) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(CAST(sum(o.o_totalprice) AS DOUBLE), 2) AS total_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY ROLLUP (n.n_name, o.o_orderpriority)
+    ORDER BY gid, n_name NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup with grouping id over (nation, order priority)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .rollup("n_name", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("gid", F.col("n_name").asc_nulls_first(), F.col("o_orderpriority").asc_nulls_first())
+    )
+
+
+@register(
+    "q15_minmax_firstlast",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT)  AS event_count,
+           CAST(min(event_id) AS BIGINT) AS min_event,
+           CAST(max(event_id) AS BIGINT) AS max_event,
+           CAST(min(ts) AS TIMESTAMP) AS start_time,
+           CAST(max(ts) AS TIMESTAMP) AS end_time,
+           CAST(first(event_id ORDER BY ts, event_id) AS BIGINT) AS first_event,
+           CAST(last(event_id ORDER BY ts, event_id) AS BIGINT) AS last_event
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream min/max/first/last event numbers and time bounds.
+
+    Mirrors A23/A28 (event_count/first_event_number/last_event_number/
+    start_time/end_time fields of the file-metadata docs,
+    createMetadatafiles_iceberg_dropbox.sh:173-174,153-158).
+    first/last are by (ts, event_id) ordering - min_by/max_by over a
+    deterministic composite key.
+    """
+    e = load(spark, sf_dir, "events")
+    order_key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count("*").alias("event_count"),
+            F.min("event_id").alias("min_event"),
+            F.max("event_id").alias("max_event"),
+            F.min("ts").alias("start_time"),
+            F.max("ts").alias("end_time"),
+            F.min_by("event_id", order_key).alias("first_event"),
+            F.max_by("event_id", order_key).alias("last_event"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register("q16_approx_count_distinct", oracle=None)
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL) vs exact - tolerance-checked, no hash
+    oracle (flagged non-hash in SURVEY 2B).  Emits both so the test can
+    assert relative error < 5%."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q17_collect_sorted_list",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_events,
+           array_to_string(list_sort(list(DISTINCT event_id)), ',') AS event_list
+    FROM events
+    WHERE value > 35
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-collect-sort-join: the A23/A30 event-list aggregation
+    (`sort -u -n` + comma join, createMetadatafiles...sh:169-176)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("value") > 35)
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("event_id").alias("n_events"),
+            F.array_join(F.sort_array(F.collect_set("event_id")), ",").alias("event_list"),
+        )
+        .orderBy("event_type")
+    )

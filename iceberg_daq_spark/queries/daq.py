@@ -1,0 +1,179 @@
+"""Q31-Q34: DAQ-domain pipelines re-expressed over the synthetic tables.
+
+These mirror the reference's three real workloads (SURVEY section 3):
+metadata ETL (Q31/Q32), the TP->TA trigger reduction (Q33), and the
+dromap/config compiler (Q34).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_daq_spark.operators.checksum import with_checksum
+from iceberg_daq_spark.operators.dromap import compile_dromap, dromap_values_sql
+from iceberg_daq_spark.registry import register
+from iceberg_daq_spark.tables import load
+
+# Run-number floor for "main" mode (run/run_iceberg_daq.sh:116).
+RUN_FLOOR = 16091
+
+
+@register(
+    "q31_metadata_docs",
+    oracle=f"""
+    WITH named AS (
+      SELECT *,
+             {RUN_FLOOR} + user_id AS run,
+             CASE WHEN user_id % 5 = 0 THEN 'iceberghd_tp' ELSE 'iceberghd_raw' END AS prefix
+      FROM events
+    )
+    SELECT concat(prefix, '_run', lpad(CAST(run AS VARCHAR), 6, '0'), '_0000.hdf5') AS file_name,
+           CAST(run AS BIGINT) AS run,
+           CAST(run * 100000 + 1 AS BIGINT) AS subrun,
+           CASE WHEN prefix LIKE '%_tp' THEN 'trigprim' ELSE 'raw' END AS data_tier,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS event_count,
+           CAST(min(event_id) AS BIGINT) AS first_event,
+           CAST(max(event_id) AS BIGINT) AS last_event,
+           round(epoch_ms(min(ts)) / 1000.0, 3) AS start_time,
+           round(epoch_ms(max(ts)) / 1000.0, 3) AS end_time,
+           array_to_string(list_sort(list(DISTINCT event_id)), ',') AS event_list
+    FROM named
+    GROUP BY file_name, run, prefix
+    ORDER BY run
+    """,
+)
+def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-catalog metadata pipeline (A23/A28/A30/A34-A37).
+
+    Groups the event stream into per-run pseudo-files and produces the
+    reference's metadata-doc fields (createMetadatafiles_iceberg_
+    dropbox.sh:179-208): run number and subrun = run*100000+1 (:132),
+    distinct sorted event list + count/min/max (:161-176), start/end
+    times as epoch seconds from ms (:153-158), and the data-tier tag
+    from the filename prefix (:184-188).
+    """
+    e = load(spark, sf_dir, "events")
+    named = e.withColumn("run", F.lit(RUN_FLOOR) + F.col("user_id")).withColumn(
+        "prefix",
+        F.when(F.col("user_id") % 5 == 0, "iceberghd_tp").otherwise("iceberghd_raw"),
+    )
+    return (
+        named.groupBy("run", "prefix")
+        .agg(
+            F.countDistinct("event_id").alias("event_count"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+            F.round(F.unix_millis(F.min("ts")) / 1000.0, 3).alias("start_time"),
+            F.round(F.unix_millis(F.max("ts")) / 1000.0, 3).alias("end_time"),
+            F.array_join(F.sort_array(F.collect_set("event_id")), ",").alias("event_list"),
+        )
+        .select(
+            F.concat(
+                F.col("prefix"),
+                F.lit("_run"),
+                F.lpad(F.col("run").cast("string"), 6, "0"),
+                F.lit("_0000.hdf5"),
+            ).alias("file_name"),
+            F.col("run").cast("long").alias("run"),
+            (F.col("run") * 100000 + 1).cast("long").alias("subrun"),
+            F.when(F.col("prefix").endswith("_tp"), "trigprim").otherwise("raw").alias("data_tier"),
+            "event_count",
+            "first_event",
+            "last_event",
+            "start_time",
+            "end_time",
+            "event_list",
+        )
+        .orderBy("run")
+    )
+
+
+@register("q32_adler32_checksum", oracle=None)
+def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """adler32 + size per document (A24, insert_extra_fields.py:23-31).
+
+    No SQL oracle (DuckDB has no adler32); tests/test_operators.py
+    asserts equality with python zlib directly.
+    """
+    d = load(spark, sf_dir, "documents")
+    return (
+        with_checksum(d, "text")
+        .select("doc_id", "adler32", "size_bytes")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q33_tp_ta_reduction",
+    oracle="""
+    WITH tps AS (
+      SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS window_start,
+             user_id AS channel,
+             CAST(floor(value * 10) AS BIGINT) AS adc
+      FROM events
+      WHERE CAST(floor(value * 10) AS BIGINT) > 40
+    )
+    SELECT window_start,
+           CAST(count(*) AS BIGINT) AS n_tps,
+           CAST(count(DISTINCT channel) AS BIGINT) AS n_channels,
+           CAST(sum(adc) AS BIGINT) AS sum_adc
+    FROM tps
+    GROUP BY window_start
+    HAVING count(DISTINCT channel) >= 8 OR sum(adc) >= 3000
+    ORDER BY window_start
+    """,
+)
+def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TP -> TA reduction: threshold hit finding then windowed cluster
+    formation (A14 + A26).
+
+    Thresholds mirror the reference shapes: hit threshold 40 ADC
+    (tpg_threshold_default, iceberg_daq_eth.json:195), TA emitted when
+    enough distinct channels fire or the summed ADC crosses the
+    activity threshold (adc_threshold / number_of_channels,
+    iceberg_daq_eth.json:268,277).  Filter-before-window keeps the
+    reduction map-side: only hits shuffle, not raw samples.
+    """
+    e = load(spark, sf_dir, "events")
+    tps = (
+        e.select(
+            F.window("ts", "1 hour").alias("w"),
+            F.col("user_id").alias("channel"),
+            F.floor(F.col("value") * 10).cast("long").alias("adc"),
+        )
+        .filter(F.col("adc") > 40)
+    )
+    return (
+        tps.groupBy("w")
+        .agg(
+            F.count("*").alias("n_tps"),
+            F.countDistinct("channel").alias("n_channels"),
+            F.sum("adc").alias("sum_adc"),
+        )
+        .filter((F.col("n_channels") >= 8) | (F.col("sum_adc") >= 3000))
+        .select(F.col("w.start").alias("window_start"), "n_tps", "n_channels", "sum_adc")
+        .orderBy("window_start")
+    )
+
+
+@register(
+    "q34_dromap_compile",
+    oracle=f"""
+    WITH dromap AS (
+      {dromap_values_sql()}
+    )
+    SELECT src_id, wib_id, det_id, crate_id, slot_id, stream_id,
+           kind, protocol, mode, rx_host,
+           regexp_replace(rx_ip, '^10\\.73\\.', '192.168.') AS rx_ip,
+           regexp_replace(tx_ip, '^10\\.73\\.', '192.168.') AS tx_ip
+    FROM dromap
+    WHERE wib_id IN (102, 105, 106)
+    ORDER BY src_id
+    """,
+)
+def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dromap compile: union per-WIB dromaps, filter the selected WIB
+    set, validate uniqueness, apply the --isc IP remap
+    (A11/A32/A33/A40, create_daq_config.sh:178-200,241-246)."""
+    return compile_dromap(spark, [102, 105, 106], isc_remap=True).orderBy("src_id")

@@ -1,0 +1,234 @@
+"""Q40-Q49: LLM-data-pipeline operators (north-star extensions).
+
+Dedup, similarity search, and text analysis over the documents /
+embeddings tables (BASELINE.json north star).  Oracle SQL is provided
+wherever DuckDB can express the exact semantics; the hash-based
+approximate operators (MinHash LSH, SimHash, LSH-ANN) use Spark's
+xxhash64 and are verified in tests against their exact counterparts
+instead (driver records rows-only checks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_daq_spark.operators import dedup, similarity, text
+from iceberg_daq_spark.registry import register
+from iceberg_daq_spark.tables import load
+
+_STOP_SQL = "'" + "', '".join(text.STOPWORDS) + "'"
+
+
+@register(
+    "q40_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           CAST(min(doc_id) AS BIGINT) AS canonical_doc_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    ORDER BY canonical_doc_id
+    """,
+)
+def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content hash (one shuffle on the 128-bit hash)."""
+    d = load(spark, sf_dir, "documents")
+    return dedup.exact_dedup(d).orderBy("canonical_doc_id")
+
+
+@register(
+    "q41_dedup_ngram_jaccard",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, s
+      FROM tok, LATERAL UNNEST(
+        list_transform(
+          generate_series(1, greatest(len(w) - 2, 0)),
+          i -> concat_ws(' ', w[i], w[i+1], w[i+2])
+        )
+      ) AS t(s)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common,
+           round(n_common * 1.0 / (sa.n + sb.n - n_common), 4) AS jaccard
+    FROM common
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs via inverted-index self-join."""
+    d = load(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, threshold=0.5).orderBy("doc_a", "doc_b")
+
+
+@register("q42_dedup_minhash_lsh", oracle=None)
+def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates, exact-verified (the 100 TB path;
+    recall vs q41 asserted in tests)."""
+    d = load(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(d, threshold=0.5).orderBy("doc_a", "doc_b")
+
+
+@register("q43_dedup_simhash", oracle=None)
+def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming <= 8) via 16-bit chunk banding."""
+    d = load(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(d, max_hamming=8).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "q44_sim_topk_cosine",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), n AS (
+      SELECT vec_id, v,
+             sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)),
+                              (acc, x) -> acc + x)) AS norm
+      FROM v
+    ), scored AS (
+      SELECT a.vec_id AS qid, b.vec_id AS cid,
+             list_reduce(
+               list_prepend(0.0, list_transform(generate_series(1, len(a.v)),
+                                                i -> a.v[i] * b.v[i])),
+               (acc, x) -> acc + x) / (a.norm * b.norm) AS cos
+      FROM n a JOIN n b ON a.vec_id <> b.vec_id
+    )
+    SELECT qid, cid, CAST(rk AS BIGINT) AS rk, round(cos, 3) AS cos_sim
+    FROM (
+      SELECT qid, cid, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+      FROM scored
+    )
+    WHERE rk <= 5
+    ORDER BY qid, rk
+    """,
+)
+def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 neighbors per embedding.
+
+    The dot product is a sequential left fold on both engines so the
+    doubles are bit-identical and the rank order cannot diverge.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_bruteforce(e, k=5).orderBy("qid", "rk")
+
+
+@register("q45_sim_ann_lsh", oracle=None)
+def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 (bucket equi-join, no cross join);
+    recall vs q44 asserted in tests."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.lsh_ann_topk(e, k=5).orderBy("qid", "rk")
+
+
+@register(
+    "q46_text_langid",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+    )
+    SELECT doc_id,
+           round(len(list_filter(w, x -> x IN ({_STOP_SQL}))) * 1.0
+                 / greatest(len(w), 1), 4) AS stop_ratio,
+           CASE WHEN len(list_filter(w, x -> x IN ({_STOP_SQL}))) * 1.0
+                     / greatest(len(w), 1) >= 0.05
+                THEN 'en' ELSE 'unk' END AS lang_pred,
+           lang AS lang_label
+    FROM tok
+    ORDER BY doc_id
+    """,
+)
+def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID by stopword density."""
+    d = load(spark, sf_dir, "documents")
+    w = text.words(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.round(text.stopword_ratio(w), 4).alias("stop_ratio"),
+        text.langid(w).alias("lang_pred"),
+        F.col("lang").alias("lang_label"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q47_text_quality",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(w) AS BIGINT) AS n_words,
+           round(least(
+             0.2
+             + 0.5 * (len(list_filter(w, x -> x IN ({_STOP_SQL}))) * 1.0 / greatest(len(w), 1))
+             + 0.3 * least(len(w) / 200.0, 1.0)
+             - 0.2 * (len(regexp_extract_all(text, '[.!?,;]')) * 1.0 / greatest(length(text), 1)),
+             1.0), 3) AS quality
+    FROM tok
+    ORDER BY doc_id
+    """,
+)
+def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring (length / stopword / punctuation mix)."""
+    d = load(spark, sf_dir, "documents")
+    w = text.words(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(w).cast("long").alias("n_words"),
+        text.quality_score(F.col("text"), w).alias("quality"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q48_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_re_tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex tokens."""
+    d = load(spark, sf_dir, "documents")
+    w = text.words(F.col("text"))
+    ws, bpe = text.token_counts(F.col("text"), w)
+    return d.select(
+        "doc_id", ws.alias("n_ws_tokens"), bpe.alias("n_re_tokens")
+    ).orderBy("doc_id")
+
+
+@register(
+    "q49_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ' '),
+                              w -> CAST(ascii(w[1]) + length(w) AS BIGINT))),
+             (acc, x) -> (acc * 31 + x) % {text.FINGERPRINT_MOD}
+           ) AS BIGINT) AS fingerprint
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (A24's fold shape)."""
+    d = load(spark, sf_dir, "documents")
+    w = text.words(F.col("text"))
+    return d.select("doc_id", text.fingerprint(w).alias("fingerprint")).orderBy("doc_id")

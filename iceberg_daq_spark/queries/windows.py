@@ -1,0 +1,201 @@
+"""Q25-Q30: time-window semantics, batch-checked (SURVEY section 2B).
+
+These are the batch-equivalence checks for the streaming data plane:
+the same window definitions run under Structured Streaming in
+iceberg_daq_spark.streaming; batch `window()` / `session_window()` and
+the DuckDB gaps-and-islands SQL pin the semantics.
+
+Reference parallels: A25 (1 s TP accumulation windows + inactivity
+flush, iceberg_daq_eth.json:79-80), A26 (TA window_length,
+`:266-285`), A16 (prescale 100, `:278`), A19 (readout-window interval
+join with the asymmetric -1000/+1001 tick window, `:255-256`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iceberg_daq_spark.registry import register
+from iceberg_daq_spark.tables import load
+
+
+@register(
+    "q25_tumbling_window",
+    oracle="""
+    SELECT event_type,
+           CAST(time_bucket(INTERVAL '1 minute', ts) AS TIMESTAMP) AS window_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(sum(value) AS DOUBLE), 2) AS sum_value
+    FROM events
+    GROUP BY event_type, window_start
+    ORDER BY event_type, window_start
+    """,
+)
+def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-minute window count/sum per event type (A25 analog)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type", F.window("ts", "1 minute").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select("event_type", F.col("w.start").alias("window_start"), "n_events", "sum_value")
+        .orderBy("event_type", "window_start")
+    )
+
+
+@register(
+    "q26_sliding_window",
+    oracle="""
+    WITH cand AS (
+      SELECT e.ts, e.value, tb.window_start
+      FROM events e,
+           LATERAL UNNEST([
+             time_bucket(INTERVAL '5 minutes', e.ts),
+             time_bucket(INTERVAL '5 minutes', e.ts) - INTERVAL 5 MINUTE
+           ]) AS tb(window_start)
+      WHERE e.ts >= tb.window_start
+        AND e.ts <  tb.window_start + INTERVAL 10 MINUTE
+    )
+    SELECT CAST(window_start AS TIMESTAMP) AS window_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(sum(value) AS DOUBLE), 2) AS sum_value
+    FROM cand
+    GROUP BY window_start
+    ORDER BY window_start
+    """,
+)
+def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (10 min, slide 5 min) counts (A26 analog)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+        .orderBy("window_start")
+    )
+
+
+@register(
+    "q27_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                    OR lag(ts) OVER w IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(min(ts) AS TIMESTAMP) AS session_start,
+           CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_no
+    ORDER BY user_id, session_start
+    """,
+)
+def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session window, 30-minute inactivity gap per stream.
+
+    The A25 inactivity-flush semantic (tp_accumulation_inactivity_time,
+    iceberg_daq_eth.json:80): a session closes when no event arrives
+    within the gap; session end = last event + gap, matching Spark's
+    ``session_window`` definition (checked against the DuckDB
+    gaps-and-islands formulation, which has no native session windows).
+    """
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@register(
+    "q28_prescale",
+    oracle="""
+    SELECT event_type, CAST(rn AS BIGINT) AS rn, event_id
+    FROM (
+      SELECT event_type, event_id,
+             row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    WHERE rn % 100 = 1
+    ORDER BY event_type, rn
+    """,
+)
+def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prescale sampler: pass 1 of every 100 records per stream (A16,
+    prescale=100 in iceberg_daq_eth.json:278)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    return (
+        e.select("event_type", "event_id", F.row_number().over(w).cast("long").alias("rn"))
+        .filter(F.col("rn") % 100 == 1)
+        .select("event_type", "rn", "event_id")
+        .orderBy("event_type", "rn")
+    )
+
+
+@register(
+    "q30_interval_join_readout",
+    oracle="""
+    SELECT t.event_id AS trigger_id,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           round(CAST(sum(f.value) AS DOUBLE), 2) AS sum_value
+    FROM events t JOIN events f
+      ON f.ts >= t.ts - INTERVAL 1 SECOND
+     AND f.ts <= t.ts + INTERVAL 1001 MILLISECOND
+    WHERE t.event_type = 'error'
+    GROUP BY t.event_id
+    ORDER BY trigger_id
+    """,
+)
+def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readout-window interval join: each trigger decision collects every
+    frame (across ALL streams - no equi key) in the asymmetric window
+    [t - 1000 ticks, t + 1001 ticks] of A19
+    (iceberg_daq_eth.json:255-256), scaled to [-1 s, +1.001 s].
+
+    Scale plan: the trigger side is small (post-trigger rates are Hz,
+    not MHz), so it broadcasts and the join is a broadcast range join -
+    no shuffle of the frame stream.  The streaming twin lives in
+    iceberg_daq_spark.streaming (stream-stream join with watermarks).
+    """
+    e = load(spark, sf_dir, "events")
+    trig = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("trigger_id"), F.col("ts").alias("t_ts")
+    )
+    frames = e.select(F.col("ts").alias("f_ts"), F.col("value"))
+    return (
+        frames.join(
+            F.broadcast(trig),
+            (F.col("f_ts") >= F.col("t_ts") - F.expr("INTERVAL 1 SECOND"))
+            & (F.col("f_ts") <= F.col("t_ts") + F.expr("INTERVAL 1001 MILLISECOND")),
+        )
+        .groupBy("trigger_id")
+        .agg(
+            F.count("*").alias("n_frames"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("trigger_id")
+    )

@@ -1,0 +1,64 @@
+"""Test-table loading.
+
+The driver materializes deterministic TPC-H-ish parquet at
+/root/testdata/sf{0.001,0.01,0.1}/ (TESTDATA.md).  Every query in
+queries/ takes (spark, sf_dir) and loads through here so scans stay
+uniform: plain ``spark.read.parquet`` - Catalyst handles predicate
+pushdown and column pruning, so no manual projection is done here.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Dimension tables whose size does NOT scale with SF (region: 5 rows,
+# nation: 25 rows).  These are always broadcast-join candidates even at
+# 100 TB; the scaling tables must go through AQE's size estimate instead.
+CONSTANT_SIZE_DIMS = frozenset({"region", "nation"})
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table as a DataFrame.
+
+    events.ts is physically TIMESTAMP(NANOS); with
+    spark.sql.legacy.parquet.nanosAsLong it scans as a long and is
+    converted here to TimestampType (micros).  The driver data is
+    whole-microsecond, so `div 1000` is exact - same discipline as the
+    reference's canonical tick-longs (SURVEY section 4.3: store ticks
+    as LongType, convert at the edges).
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table as a temp view (for spark.sql queries)."""
+    dfs = load_all(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
