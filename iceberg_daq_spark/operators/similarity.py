@@ -70,7 +70,8 @@ def cosine_topk_bruteforce(emb: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
-N_HYPERPLANES = 8
+N_TABLES = 8  # independent hash tables
+BITS_PER_TABLE = 4  # sign bits per table
 
 
 def _hyperplane_sign(dim_idx: Column, plane: int) -> Column:
@@ -79,39 +80,73 @@ def _hyperplane_sign(dim_idx: Column, plane: int) -> Column:
     return F.when(F.pmod(h, F.lit(2)) == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
 
 
-def lsh_bucket(vec: Column) -> Column:
-    """Random-hyperplane LSH bucket id (N_HYPERPLANES sign bits)."""
+def _table_bucket(vec: Column, table: int) -> Column:
+    """Bucket id in one hash table (BITS_PER_TABLE sign bits)."""
     idx = F.sequence(F.lit(0), F.size(vec) - 1)
+    def _mul_with_plane(plane: int):
+        # closure factory: pyspark HOF lambdas must take exactly 2 args
+        return lambda x, i: x * _hyperplane_sign(i, plane)
+
     bits = []
-    for p in range(N_HYPERPLANES):
+    for b in range(BITS_PER_TABLE):
         proj = F.aggregate(
-            F.zip_with(vec, idx, lambda x, i: x * _hyperplane_sign(i, p)),
+            F.zip_with(vec, idx, _mul_with_plane(table * BITS_PER_TABLE + b)),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        bits.append(F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long")))
+        bits.append(F.when(proj > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long")))
     return sum(bits[1:], start=bits[0])
 
 
-def lsh_ann_topk(emb: DataFrame, k: int = 5) -> DataFrame:
-    """Approximate top-k: cosine evaluated only within LSH buckets.
+def lsh_buckets(vec: Column) -> Column:
+    """array of (table, bucket) structs - N_TABLES independent
+    random-hyperplane hash tables.  Multiple short tables instead of
+    one long code: collision probability for true neighbors compounds
+    per-bit, so recall comes from table count, selectivity from bit
+    count per table."""
+    return F.array(
+        *[
+            F.struct(F.lit(t).alias("tbl"), _table_bucket(vec, t).alias("bucket"))
+            for t in range(N_TABLES)
+        ]
+    )
 
-    One narrow projection to compute buckets, then an equi-join on the
-    bucket id (shuffle bounded by bucket sizes) instead of a cross
-    join.  Recall vs brute force asserted in tests/test_operators.py.
+
+def lsh_ann_topk(emb: DataFrame, k: int = 5) -> DataFrame:
+    """Approximate top-k: cosine evaluated only on candidates that
+    collide in >=1 of the N_TABLES LSH tables.
+
+    Plan: one projection computes all table buckets, explode to
+    (table, bucket), equi-join on them (shuffle bounded by bucket
+    occupancy), dedupe candidate pairs, score once.  No cross join
+    anywhere.  Recall vs brute force asserted in tests.
     """
-    n = with_norm(emb).withColumn("bucket", lsh_bucket(F.col("v")))
-    a = n.select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("va"), F.col("norm").alias("na"), "bucket"
+    n = with_norm(emb).withColumn("bb", F.explode(lsh_buckets(F.col("v")))).select(
+        "vec_id", "v", "norm", F.col("bb.tbl").alias("tbl"), F.col("bb.bucket").alias("bucket")
     )
-    b = n.select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("vb"), F.col("norm").alias("nb"), "bucket"
+    a = n.select(F.col("vec_id").alias("qid"), "tbl", "bucket")
+    b = n.select(F.col("vec_id").alias("cid"), "tbl", "bucket")
+    cand = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid")
+        .distinct()
     )
-    pairs = a.join(b, "bucket").filter(F.col("qid") != F.col("cid"))
-    scored = pairs.select(
-        "qid",
-        "cid",
-        (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos"),
+    vecs = with_norm(emb)
+    scored = (
+        cand.join(
+            vecs.select(F.col("vec_id").alias("qid"), F.col("v").alias("va"), F.col("norm").alias("na")),
+            "qid",
+        )
+        .join(
+            vecs.select(F.col("vec_id").alias("cid"), F.col("v").alias("vb"), F.col("norm").alias("nb")),
+            "cid",
+        )
+        .select(
+            "qid",
+            "cid",
+            (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos"),
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
     return (

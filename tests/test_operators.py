@@ -1,0 +1,111 @@
+"""Unit tests for the custom operators (SURVEY section 5.2 item 3):
+checksum vs zlib ground truth, approximate dedup/ANN vs their exact
+counterparts, HLL tolerance, dromap compiler validation."""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_daq_spark.operators import dedup, similarity
+from iceberg_daq_spark.operators.dromap import WIBS, compile_dromap, dromap_df
+from iceberg_daq_spark.queries.daq import q32
+from iceberg_daq_spark.queries.aggregates import q16
+from iceberg_daq_spark.tables import load
+
+
+def test_adler32_matches_zlib(spark, sf_dir):
+    """A24: the pandas-UDF fold must equal python zlib over full bytes
+    (16 KiB chunked fold == whole-buffer adler32)."""
+    docs = {r["doc_id"]: r["text"] for r in load(spark, sf_dir, "documents").collect()}
+    out = {r["doc_id"]: (r["adler32"], r["size_bytes"]) for r in q32(spark, sf_dir).collect()}
+    assert set(out) == set(docs)
+    for doc_id, text in docs.items():
+        raw = text.encode("utf-8")
+        assert out[doc_id] == (zlib.adler32(raw) & 0xFFFFFFFF, len(raw)), doc_id
+
+
+def test_approx_count_distinct_tolerance(spark, sf_dir):
+    """Q16: HLL estimate within 5% relative error of exact."""
+    for r in q16(spark, sf_dir).collect():
+        assert abs(r["approx_parts"] - r["exact_parts"]) <= max(1, 0.05 * r["exact_parts"])
+
+
+def test_minhash_lsh_recall(spark, sf_dir):
+    """MinHash-LSH must recover the high-similarity pairs the exact
+    n-gram Jaccard finds (high recall at jaccard >= 0.7; its own
+    output is exact-verified so precision is 1 by construction)."""
+    d = load(spark, sf_dir, "documents")
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs(d, threshold=0.7).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs(d, threshold=0.5).collect()
+    }
+    if exact:
+        recall = len(exact & lsh) / len(exact)
+        assert recall >= 0.9, f"LSH recall {recall} over {len(exact)} exact pairs"
+    # verified candidates must carry true jaccard >= threshold
+    for r in dedup.minhash_lsh_pairs(d, threshold=0.5).collect():
+        assert r["jaccard"] >= 0.5
+
+
+def test_simhash_pairs_sane(spark, sf_dir):
+    """SimHash near-dup pairs: symmetric-free (a<b), hamming bound
+    respected, and identical texts would give hamming 0."""
+    d = load(spark, sf_dir, "documents")
+    rows = dedup.simhash_pairs(d, max_hamming=8).collect()
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert 0 <= r["hamming"] <= 8
+    # duplicate a doc -> hamming 0 pair must appear
+    two = d.limit(1).select(F.lit(100000).alias("doc_id"), "text").union(
+        d.limit(1).select(F.lit(100001).alias("doc_id"), "text")
+    )
+    dup_rows = dedup.simhash_pairs(two, max_hamming=0).collect()
+    assert len(dup_rows) == 1 and dup_rows[0]["hamming"] == 0
+
+
+def test_lsh_ann_recall(spark, sf_dir):
+    """LSH-ANN top-5 must overlap brute-force top-5 (recall@5 >= 0.3 on
+    random-ish synthetic embeddings; buckets shrink the search space so
+    some loss is expected - the contract is plumbing + bounded loss)."""
+    e = load(spark, sf_dir, "embeddings")
+    brute = {}
+    for r in similarity.cosine_topk_bruteforce(e, k=5).collect():
+        brute.setdefault(r["qid"], set()).add(r["cid"])
+    ann = {}
+    for r in similarity.lsh_ann_topk(e, k=5).collect():
+        ann.setdefault(r["qid"], set()).add(r["cid"])
+    recalls = [len(brute[q] & ann.get(q, set())) / len(brute[q]) for q in brute]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.3, f"mean recall@5 {mean_recall}"
+
+
+def test_dromap_validation(spark):
+    """A33: duplicate / unknown WIB ids rejected; full map is 48 rows
+    with dense unique src_ids."""
+    with pytest.raises(ValueError):
+        compile_dromap(spark, [102, 102])
+    with pytest.raises(ValueError):
+        compile_dromap(spark, [999])
+    full = dromap_df(spark)
+    assert full.count() == 8 * len(WIBS)
+    src = [r["src_id"] for r in full.select("src_id").collect()]
+    assert sorted(src) == list(range(48))
+
+
+def test_exact_dedup_finds_planted_duplicate(spark, sf_dir):
+    """Planting a copy of doc 0 must collapse into one hash group."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.union(
+        d.filter(F.col("doc_id") == 0).select(F.lit(99999).alias("doc_id"), "text")
+    )
+    out = dedup.exact_dedup(planted)
+    dups = out.filter(F.col("n_copies") > 1).collect()
+    assert len(dups) == 1
+    assert dups[0]["canonical_doc_id"] == 0 and dups[0]["n_copies"] == 2

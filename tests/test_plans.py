@@ -1,0 +1,73 @@
+"""Physical-plan assertions: the scale contract (SURVEY section 4).
+
+Not timing tests - structural checks that the plans Catalyst produces
+are the ones that survive 100x scale-up: filters reach the parquet
+scan, projections prune columns, dims broadcast, top-k avoids global
+sort, and the interval join is an equi join (not a nested loop).
+"""
+
+from __future__ import annotations
+
+from iceberg_daq_spark.queries.aggregates import q12
+from iceberg_daq_spark.queries.joins import q04, q05
+from iceberg_daq_spark.queries.scans import q01
+from iceberg_daq_spark.queries.sort_setops import q21
+from iceberg_daq_spark.queries.windows import q30
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q01_pushdown_and_pruning(spark, sf_dir):
+    plan = plan_of(q01(spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    assert "l_quantity" in plan.split("PushedFilters")[1].split("]")[0]
+    # projection pruned to the 5 selected columns at the scan
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "l_comment" not in read_schema and "l_tax" not in read_schema
+
+
+def test_q12_partial_aggregation(spark, sf_dir):
+    """Sum/avg must plan as partial (map-side) + final hash aggregate."""
+    plan = plan_of(q12(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan or "Partial" in plan
+
+
+def test_q04_broadcast_join(spark, sf_dir):
+    plan = plan_of(q04(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q05_dims_broadcast(spark, sf_dir):
+    """nation/region never shuffle the fact side."""
+    plan = plan_of(q05(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q21_topk_not_global_sort(spark, sf_dir):
+    plan = plan_of(q21(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q30_interval_join_is_equi(spark, sf_dir):
+    """The readout-window join must be a hash/sort-merge equi join on
+    the time bucket - BroadcastNestedLoopJoin is the 237s-at-sf0.1
+    plan that cannot scale."""
+    plan = plan_of(q30(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_wholestage_codegen_everywhere(spark, sf_dir):
+    """The hot path stays inside whole-stage codegen (AQE off so the
+    final plan with codegen spans is visible pre-execution)."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = plan_of(q12(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # formatted explain marks codegen'd operators with a leading '*'
+    assert "* HashAggregate" in plan and "* ColumnarToRow" in plan
