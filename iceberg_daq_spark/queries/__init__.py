@@ -9,6 +9,7 @@ from iceberg_daq_spark.queries import (  # noqa: F401
     daq,
     joins,
     llm,
+    multimodal,
     scalar,
     scans,
     sort_setops,

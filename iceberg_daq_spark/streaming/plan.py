@@ -1,0 +1,169 @@
+"""The data-plane transforms, batch/streaming agnostic.
+
+Each function is DataFrame -> DataFrame and carries the reference
+semantics it implements.  Batch golden tests apply them to a plain
+DataFrame; pipeline.py applies the same functions to a readStream
+DataFrame with watermarks - identical Catalyst plans either way.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from iceberg_daq_spark.streaming.emulator import N_CHANNELS, TICKS_PER_FRAME
+
+# reference thresholds (iceberg_daq_eth.json)
+TPG_THRESHOLD = 40  # :195 tpg_threshold_default
+TA_ADC_THRESHOLD = 10000  # :268 adc_threshold
+TA_N_CHANNELS = 8  # :277 number_of_channels
+TA_WINDOW_TICKS = 625_000  # 10 ms windows (window_length analog, :283)
+PRESCALE = 100  # :278
+
+_decode_schema = T.StructType(
+    [
+        T.StructField("src_id", T.IntegerType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("ts_ticks", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("channel", T.IntegerType()),
+        T.StructField("adc", T.IntegerType()),
+    ]
+)
+
+
+def decode_frames(frames: DataFrame) -> DataFrame:
+    """Binary frame payload -> per-channel samples (reference A2's
+    decode edge; the only pandas stage in the plane).
+
+    Arrow-batched mapInPandas: numpy unpacks the big-endian uint16
+    payload for a whole batch at once.  Output channel id is globally
+    unique: src_id * N_CHANNELS + lane (A21 channel-map analog).
+    """
+
+    def unpack(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            adc = np.stack(
+                [np.frombuffer(p, dtype=">u2").astype(np.int32) for p in pdf["payload"]]
+            )
+            n, width = adc.shape
+            yield pd.DataFrame(
+                {
+                    "src_id": np.repeat(pdf["src_id"].to_numpy(), width),
+                    "seq": np.repeat(pdf["seq"].to_numpy(), width),
+                    "ts_ticks": np.repeat(pdf["ts_ticks"].to_numpy(), width),
+                    "ts": np.repeat(pdf["ts"].to_numpy(), width),
+                    "channel": (
+                        np.repeat(pdf["src_id"].to_numpy(), width) * N_CHANNELS
+                        + np.tile(np.arange(width, dtype=np.int32), n)
+                    ).astype(np.int32),
+                    "adc": adc.reshape(-1),
+                }
+            )
+
+    return frames.mapInPandas(unpack, _decode_schema)
+
+
+def find_hits(samples: DataFrame, threshold: int = TPG_THRESHOLD, channel_mask: list[int] | None = None) -> DataFrame:
+    """TPG hit finder (A14): per-channel threshold crossing with an
+    optional disabled-channel mask (tpg_channel_mask,
+    iceberg_daq_eth.json:196-209).  Pure filter - runs map-side, no
+    shuffle; only hits (sparse) flow downstream, mirroring the
+    reference's in-readout TP generation."""
+    hits = samples.filter(F.col("adc") > threshold)
+    if channel_mask:
+        hits = hits.filter(~F.col("channel").isin(channel_mask))
+    return hits
+
+
+def ta_windows(hits: DataFrame, window_ticks: int = TA_WINDOW_TICKS) -> DataFrame:
+    """Trigger-activity formation (A26): tumbling windows over hits,
+    emitted when enough distinct channels fire or summed ADC crosses
+    threshold.  Window key is tick-exact (window_start_ticks =
+    floor(ts_ticks / W) * W); the timestamp twin is carried for
+    streaming watermarks."""
+    win_us = int(window_ticks / 62.5)
+    w = F.window("ts", f"{win_us} microseconds")
+    return (
+        hits.groupBy(F.col("src_id"), w.alias("w"))
+        .agg(
+            F.count("*").alias("n_tps"),
+            # size(collect_set) not countDistinct: distinct aggregates
+            # are unsupported in streaming aggregations, this form runs
+            # identically in both modes (channel fanout per stream is
+            # bounded at N_CHANNELS, so the set stays small)
+            F.size(F.collect_set("channel")).alias("n_channels"),
+            F.sum("adc").alias("sum_adc"),
+            F.min("ts_ticks").alias("first_tick"),
+            F.max("ts_ticks").alias("last_tick"),
+        )
+        .filter(
+            (F.col("n_channels") >= TA_N_CHANNELS) | (F.col("sum_adc") >= TA_ADC_THRESHOLD)
+        )
+        .select(
+            "src_id",
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_tps",
+            "n_channels",
+            "sum_adc",
+            "first_tick",
+            "last_tick",
+        )
+    )
+
+
+def prescale_hash(df: DataFrame, n: int = PRESCALE, key_cols: tuple[str, ...] = ("src_id", "seq")) -> DataFrame:
+    """Streaming-safe prescale (A16): deterministic 1-in-n hash gate.
+
+    The reference's plugin passes every Nth record - inherently
+    stateful and order-dependent; the streaming-correct equivalent is
+    a content-hash gate with the same 1/n pass rate, stateless and
+    replay-stable.  (Batch q28 implements the exact every-Nth form.)
+    """
+    return df.filter(F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n)) == 0)
+
+
+def merge_decisions(tas: DataFrame, max_gap_ticks: int) -> DataFrame:
+    """Trigger-decision interval merge (A27, mlt_* keys
+    iceberg_daq_eth.json:239-258): overlapping/adjacent TA windows
+    coalesce into one trigger decision per src_id.
+
+    Batch form: gaps-and-islands via window functions (exactly q20's
+    plan).  The streaming form lives in pipeline.merge_decisions_stream
+    (applyInPandasWithState with the mlt buffer-timeout semantics).
+    """
+    from pyspark.sql import Window
+
+    w_prev = (
+        Window.partitionBy("src_id")
+        .orderBy("first_tick", "last_tick")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("src_id")
+        .orderBy("first_tick", "last_tick")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = tas.withColumn(
+        "new_island",
+        F.when(
+            F.col("first_tick") > F.max("last_tick").over(w_prev) + max_gap_ticks, 1
+        ).otherwise(0),
+    )
+    islands = flagged.withColumn("island", F.sum("new_island").over(w_run))
+    return (
+        islands.groupBy("src_id", "island")
+        .agg(
+            F.min("first_tick").alias("td_start_tick"),
+            F.max("last_tick").alias("td_end_tick"),
+            F.sum("n_tps").alias("n_tps"),
+            F.count("*").alias("n_tas"),
+        )
+        .drop("island")
+    )

@@ -109,3 +109,59 @@ def test_exact_dedup_finds_planted_duplicate(spark, sf_dir):
     dups = out.filter(F.col("n_copies") > 1).collect()
     assert len(dups) == 1
     assert dups[0]["canonical_doc_id"] == 0 and dups[0]["n_copies"] == 2
+
+
+def test_multimodal_image_roundtrip(spark, sf_dir):
+    """q51's decode path vs the closed form: pixel i of doc d is
+    (d*31 + i*7) % 251, so mean/max/min are computable exactly in
+    numpy without touching the FIMG codec."""
+    import numpy as np
+
+    from iceberg_daq_spark.operators import multimodal as mm
+
+    d = load(spark, sf_dir, "documents").limit(20)
+    meta = {r["doc_id"]: r["n_chars"] for r in d.select("doc_id", "n_chars").collect()}
+    stats = {r["doc_id"]: r for r in mm.decode_image_stats(mm.synth_image_blobs(d)).collect()}
+    assert set(stats) == set(meta)
+    for doc_id, nc in meta.items():
+        w, h = nc % 32 + 8, doc_id % 16 + 8
+        c = 3 if doc_id % 2 == 0 else 1
+        px = (doc_id * 31 + np.arange(w * h * c) * 7) % 251
+        r = stats[doc_id]
+        assert (r["width"], r["height"], r["channels"]) == (w, h, c)
+        assert abs(r["mean_px"] - px.mean()) < 1e-9
+        assert r["max_px"] == px.max() and r["min_px"] == px.min()
+
+
+def test_multimodal_resize_semantics(spark, sf_dir):
+    """Nearest-neighbor resize to 4x4: resized pixel (y, x, ch) must
+    equal source pixel (y*h//4, x*w//4, ch)."""
+    import numpy as np
+
+    from iceberg_daq_spark.operators import multimodal as mm
+
+    d = load(spark, sf_dir, "documents").limit(5)
+    blobs = mm.synth_image_blobs(d)
+    small = {r["doc_id"]: bytes(r["payload"]) for r in mm.resize_images(blobs, 4, 4).collect()}
+    for r in blobs.collect():
+        doc_id, blob = r["doc_id"], bytes(r["payload"])
+        import struct
+
+        w, h, c = struct.unpack("<HHH", blob[4:10])
+        px = np.frombuffer(blob, dtype=np.uint8, offset=10).reshape(h, w, c)
+        got = np.frombuffer(small[doc_id], dtype=np.uint8, offset=10).reshape(4, 4, c)
+        yi = (np.arange(4) * h // 4)[:, None]
+        xi = (np.arange(4) * w // 4)[None, :]
+        assert (got == px[yi, xi, :]).all(), doc_id
+
+
+def test_multimodal_external_decode_is_stubbed(spark, sf_dir):
+    """The real-codec path must raise NotImplementedError in this
+    container (no media libraries), never silently fake-decode."""
+    import pytest as _pytest
+
+    from iceberg_daq_spark.operators import multimodal as mm
+
+    d = load(spark, sf_dir, "documents").limit(1)
+    with _pytest.raises(NotImplementedError):
+        mm.decode_external(mm.synth_image_blobs(d), "jpeg")

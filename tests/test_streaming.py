@@ -1,0 +1,200 @@
+"""Streaming data-plane tests (SURVEY section 5.2 item 2): batch
+equivalence of every streaming stage on deterministic emulated frames,
+the Q29 watermark/late-data golden test, and the Q30 stream-stream
+readout join."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_daq_spark.streaming import pipeline, plan
+from iceberg_daq_spark.streaming.emulator import (
+    frame_plan,
+    read_frame_stream,
+    stamp_replay_order,
+    with_packed_payload,
+    write_frame_chunks,
+)
+
+N_FRAMES = 1500
+SRC_IDS = [0, 1, 2, 3]
+# Stretch the simulated timescale so the 300 ms stream span dwarfs the
+# 50 ms watermark and 10 ms TA windows: 12,500 ticks = 200 us per frame
+# (the reference's 2 us frame period would need 150k frames per stream
+# to close a single watermarked window).  hit_gate 60 ~= one hit per
+# frame so every TA window clears the n_channels >= 8 threshold.
+TEST_TICKS_PER_FRAME = 12_500
+TEST_HIT_GATE = 60
+STREAM_SPAN_MS = N_FRAMES * TEST_TICKS_PER_FRAME // 62_500  # 300 ms
+WINDOW_MS = pipeline.plan.TA_WINDOW_TICKS // 62_500  # 10 ms
+
+
+@pytest.fixture(scope="module")
+def frames_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("frames"))
+    write_frame_chunks(
+        spark, d, n_frames=N_FRAMES, src_ids=SRC_IDS, n_chunks=6,
+        ticks_per_frame=TEST_TICKS_PER_FRAME, hit_gate=TEST_HIT_GATE,
+    )
+    return d
+
+
+@pytest.fixture(scope="module")
+def late_frames_dir(spark, tmp_path_factory):
+    """Same frames, arrival order scrambled within a 40 ms bound (A43)."""
+    d = str(tmp_path_factory.mktemp("frames_late"))
+    write_frame_chunks(
+        spark, d, n_frames=N_FRAMES, src_ids=SRC_IDS, n_chunks=6, shuffle_within_ms=40,
+        ticks_per_frame=TEST_TICKS_PER_FRAME, hit_gate=TEST_HIT_GATE,
+    )
+    return d
+
+
+def _run_stream(df, tmp_path, name):
+    out = str(tmp_path / f"{name}_out")
+    ckpt = str(tmp_path / f"{name}_ckpt")
+    pipeline.run_to_parquet(df, out, ckpt)
+    files = glob.glob(os.path.join(out, "batch_id=*", "*.parquet"))
+    if not files:
+        return None
+    return df.sparkSession.read.option("basePath", out).parquet(*sorted(glob.glob(os.path.join(out, "batch_id=*")))).drop("batch_id")
+
+
+def _rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_decode_roundtrip(spark):
+    """pack -> decode reproduces the generated per-channel samples."""
+    frames = frame_plan(spark, 50, SRC_IDS).cache()
+    direct = frames.select(
+        "src_id", "seq", F.posexplode("adc").alias("lane", "adc")
+    ).select(
+        "src_id", "seq", (F.col("src_id") * 64 + F.col("lane")).alias("channel"), "adc"
+    )
+    decoded = plan.decode_frames(with_packed_payload(frames)).select(
+        "src_id", "seq", "channel", "adc"
+    )
+    cols = ["src_id", "seq", "channel", "adc"]
+    assert _rows(decoded, cols) == _rows(direct, cols)
+
+
+def test_streaming_ta_equals_batch(spark, frames_dir, tmp_path):
+    """Windowed TA formation: streaming (append mode, watermark) must
+    equal the batch plan for every window the stream emitted, and emit
+    all but at most the trailing un-closed window per stream."""
+    batch_tas = plan.ta_windows(
+        plan.find_hits(plan.decode_frames(spark.read.parquet(frames_dir)))
+    )
+    stream_tas = _run_stream(
+        pipeline.ta_stream(spark, frames_dir), tmp_path, "tas"
+    )
+    cols = ["src_id", "window_start", "n_tps", "n_channels", "sum_adc"]
+    b = _rows(batch_tas, cols)
+    s = _rows(stream_tas, cols)
+    assert len(s) > 0
+    assert set(s) <= set(b), "stream emitted a window batch never produced"
+    missing = set(b) - set(s)
+    # only windows not yet closed by the final watermark (the trailing
+    # watermark-delay's worth of windows per stream) may be missing
+    allowed = len(SRC_IDS) * (50 // WINDOW_MS + 2)
+    assert len(missing) <= allowed, f"{len(missing)} windows never emitted"
+
+
+def test_q29_late_data_within_watermark(spark, frames_dir, late_frames_dir, tmp_path):
+    """Q29 golden: replaying the same frames out-of-order within a
+    40 ms jitter bound yields the same emitted windows (watermark
+    correctness, A43).  Watermark delay 100 ms >= 2x jitter: worst-case
+    lateness vs the advancing max-event-time is twice the jitter."""
+    wm = "100 milliseconds"
+    ordered = _run_stream(pipeline.ta_stream(spark, frames_dir, watermark=wm), tmp_path, "ord")
+    late = _run_stream(pipeline.ta_stream(spark, late_frames_dir, watermark=wm), tmp_path, "late")
+    cols = ["src_id", "window_start", "n_tps", "n_channels", "sum_adc"]
+    o, l = _rows(ordered, cols), _rows(late, cols)
+    # the late replay may close fewer trailing windows, but every
+    # window both emitted must agree exactly
+    common_keys = {r[:2] for r in o} & {r[:2] for r in l}
+    assert len(common_keys) > 0
+    assert {r for r in o if r[:2] in common_keys} == {r for r in l if r[:2] in common_keys}
+
+
+def test_streaming_td_merge_equals_batch(spark, tmp_path):
+    """TD interval merge: applyInPandasWithState output must equal the
+    batch gaps-and-islands merge, up to the still-open trailing
+    decision per stream (flushed only once the watermark passes its
+    event-time horizon)."""
+    W = plan.TA_WINDOW_TICKS
+    gap = 2 * W
+    t0 = 106_250_000_000_000
+    # synthetic gappy TAs: islands of 5 consecutive windows separated by
+    # 10-window gaps, 60 TAs per src -> 12 islands each (dense
+    # frame-derived TAs would merge into one island - no test signal)
+    tas = (
+        spark.range(60)
+        .withColumnRenamed("id", "k")
+        .crossJoin(spark.createDataFrame([(s,) for s in SRC_IDS], "src_id int"))
+        .select(
+            "src_id",
+            (F.lit(t0) + (F.col("k") + (F.col("k") / 5).cast("long") * 10) * W).alias("first_tick"),
+        )
+        .withColumn("last_tick", F.col("first_tick") + W - 1)
+        .withColumn("window_end", F.timestamp_micros(((F.col("last_tick") + 1) / 62.5).cast("long")))
+        .withColumn("n_tps", F.lit(10).cast("long"))
+    )
+    batch_tds = plan.merge_decisions(tas.drop("window_end"), max_gap_ticks=gap)
+
+    # stage TAs to parquet and re-stream them (the reference also hands
+    # TAs between apps through a queue boundary); 4 chunks = 4
+    # micro-batches so the watermark advances across batches
+    tas_dir = str(tmp_path / "tas_staged")
+    tas.repartitionByRange(4, "first_tick").write.parquet(tas_dir)
+    stamp_replay_order(tas_dir)
+    ta_schema = spark.read.parquet(tas_dir).schema
+    tas_stream = (
+        spark.readStream.schema(ta_schema).option("maxFilesPerTrigger", 1).parquet(tas_dir)
+    )
+    tds_stream = _run_stream(
+        pipeline.merge_decisions_stream(tas_stream, max_gap_ticks=gap, watermark="1 millisecond"),
+        tmp_path,
+        "tds",
+    )
+    cols = ["src_id", "td_start_tick", "td_end_tick", "n_tps", "n_tas"]
+    b = _rows(batch_tds, cols)
+    s = _rows(tds_stream, cols) if tds_stream is not None else []
+    assert len(s) > 0
+    assert set(s) <= set(b)
+    assert len(b) - len(s) <= len(SRC_IDS), f"emitted {len(s)} of {len(b)} decisions"
+
+
+def test_q30_streaming_readout_join_equals_batch(spark, frames_dir, tmp_path):
+    """Q30 golden: the stream-stream interval join (readout assembly)
+    must reproduce the batch join for the asymmetric readout window."""
+    joined_stream = _run_stream(
+        pipeline.readout_assembly_stream(spark, frames_dir), tmp_path, "readout"
+    )
+    frames_b = spark.read.parquet(frames_dir).select("src_id", "seq", "ts_ticks")
+    trig_b = plan.prescale_hash(
+        plan.find_hits(plan.decode_frames(spark.read.parquet(frames_dir))),
+        n=plan.PRESCALE,
+        key_cols=("src_id", "seq", "channel"),
+    ).select(
+        F.col("src_id").alias("t_src_id"),
+        F.col("ts_ticks").alias("t_ticks"),
+        F.col("channel").alias("t_channel"),
+    )
+    batch_join = frames_b.join(
+        trig_b,
+        (F.col("src_id") == F.col("t_src_id"))
+        & (F.col("ts_ticks") >= F.col("t_ticks") - pipeline.READOUT_BEFORE_TICKS)
+        & (F.col("ts_ticks") <= F.col("t_ticks") + pipeline.READOUT_AFTER_TICKS),
+    )
+    cols = ["src_id", "seq", "ts_ticks", "t_ticks", "t_channel"]
+    b = _rows(batch_join, cols)
+    s = _rows(joined_stream, cols)
+    # stream-stream join may withhold pairs near end-of-stream watermark
+    assert set(s) <= set(b)
+    assert len(s) >= int(0.9 * len(b)), f"stream join emitted {len(s)} of {len(b)}"
