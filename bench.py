@@ -52,6 +52,9 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        # queries cache intermediates (shingle tables etc.); drop them so
+        # one query's working set can't bleed GC pressure into the next
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -156,22 +156,19 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    # exact verification of candidates only
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    common = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
-        .join(cand, ["doc_a", "doc_b"], "left_semi")
+    # exact verification of candidates ONLY: attach each side's shingle
+    # set and intersect per pair.  Work is O(|candidates| * set size) -
+    # the full inverted-index self-join (which is what LSH exists to
+    # avoid) never materializes here, unlike ngram_jaccard_pairs.
+    sets = sh.groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("sh_set"), F.count("*").alias("n")
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a"), F.col("n").alias("n_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b"), F.col("n").alias("n_b"))
     return (
-        common.join(sa, "doc_a")
+        cand.join(sa, "doc_a")
         .join(sb, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("set_a", "set_b")))
         .withColumn(
             "jaccard",
             F.round(
@@ -190,10 +187,13 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     tokens = docs.select(
         "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("w")
     ).groupBy("doc_id", "w").agg(F.count("*").alias("cnt"))
-    h = F.xxhash64("w")
+    # materialize the token hash ONCE: referencing xxhash64(w) inside
+    # each of the 64 sum measures re-evaluates it per measure and blows
+    # up the codegen'd aggregate (measured 5x slower at sf0.1)
+    tokens = tokens.withColumn("h", F.xxhash64("w"))
     bit_sums = [
         F.sum(
-            F.when(F.shiftright(h, b).bitwiseAND(1) == 1, F.col("cnt")).otherwise(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, F.col("cnt")).otherwise(
                 -F.col("cnt")
             )
         ).alias(f"b{b}")

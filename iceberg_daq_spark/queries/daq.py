@@ -89,6 +89,43 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q35_run_allocator",
+    oracle=f"""
+    WITH runs AS (
+      SELECT DISTINCT {RUN_FLOOR} + user_id AS run FROM events
+    ), cands AS (
+      SELECT run + 1 AS cand FROM runs
+      UNION
+      SELECT {RUN_FLOOR} AS cand
+    )
+    SELECT CAST(min(cand) AS BIGINT) AS next_run,
+           CAST(min(cand) * 100000 + 1 AS BIGINT) AS next_subrun
+    FROM cands
+    WHERE cand NOT IN (SELECT run FROM runs)
+    """,
+)
+def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-number allocator (A28, run_iceberg_daq.sh:111-131): probe
+    upward from the mode floor to the first unused run number, derive
+    subrun = run*100000+1 (createMetadatafiles...sh:132).
+
+    The reference probes a log directory; here the candidate set is
+    {{floor}} + {{run+1 per existing run}} anti-joined against the
+    existing runs - one aggregation, no driver loop, and under Iceberg
+    snapshot isolation the same plan is a race-free MERGE source."""
+    e = load(spark, sf_dir, "events")
+    runs = e.select((F.lit(RUN_FLOOR) + F.col("user_id")).alias("run")).distinct()
+    cands = runs.select((F.col("run") + 1).alias("cand")).union(
+        spark.range(1).select(F.lit(RUN_FLOOR).alias("cand"))
+    ).distinct()
+    free = cands.join(runs, cands.cand == runs.run, "left_anti")
+    return free.agg(
+        F.min("cand").cast("long").alias("next_run"),
+        (F.min("cand") * 100000 + 1).cast("long").alias("next_subrun"),
+    )
+
+
 @register("q32_adler32_checksum", oracle=None)
 def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
     """adler32 + size per document (A24, insert_extra_fields.py:23-31).

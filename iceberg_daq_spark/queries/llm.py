@@ -134,6 +134,45 @@ def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q54_embed_near_dup",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), n AS (
+      SELECT vec_id, v,
+             sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)),
+                              (acc, x) -> acc + x)) AS norm
+      FROM v
+    )
+    SELECT a.vec_id AS qid, b.vec_id AS cid,
+           round(list_reduce(
+             list_prepend(0.0, list_transform(generate_series(1, len(a.v)),
+                                              i -> a.v[i] * b.v[i])),
+             (acc, x) -> acc + x) / (a.norm * b.norm), 3) AS cos_sim
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_reduce(
+            list_prepend(0.0, list_transform(generate_series(1, len(a.v)),
+                                             i -> a.v[i] * b.v[i])),
+            (acc, x) -> acc + x) / (a.norm * b.norm) >= 0.4
+    ORDER BY qid, cid
+    """,
+)
+def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact baseline, cos >= 0.4 -
+    the synthetic embeddings are random, max pairwise cos ~0.51)."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.cosine_near_dup_pairs(e, threshold=0.4).orderBy("qid", "cid")
+
+
+@register("q55_embed_near_dup_lsh", oracle=None)
+def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-pruned embedding near-dup (the 100 TB path; recall vs q54
+    asserted in tests, precision 1 by exact verification)."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.lsh_near_dup_pairs(e, threshold=0.4).orderBy("qid", "cid")
+
+
+@register(
     "q46_text_langid",
     oracle=f"""
     WITH tok AS (

@@ -165,3 +165,19 @@ def test_multimodal_external_decode_is_stubbed(spark, sf_dir):
     d = load(spark, sf_dir, "documents").limit(1)
     with _pytest.raises(NotImplementedError):
         mm.decode_external(mm.synth_image_blobs(d), "jpeg")
+
+
+def test_embed_near_dup_lsh_recall(spark, sf_dir):
+    """LSH-pruned embedding near-dup vs exact: precision 1 by
+    construction (exact-cosine verify), recall measured."""
+    e = load(spark, sf_dir, "embeddings")
+    exact = {
+        (r["qid"], r["cid"]) for r in similarity.cosine_near_dup_pairs(e, 0.4).collect()
+    }
+    pruned = {
+        (r["qid"], r["cid"]) for r in similarity.lsh_near_dup_pairs(e, 0.4).collect()
+    }
+    assert pruned <= exact, "LSH emitted a pair exact cosine rejects"
+    if exact:
+        recall = len(pruned & exact) / len(exact)
+        assert recall >= 0.3, f"recall {recall} over {len(exact)} exact pairs"

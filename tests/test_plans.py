@@ -71,3 +71,24 @@ def test_wholestage_codegen_everywhere(spark, sf_dir):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     # formatted explain marks codegen'd operators with a leading '*'
     assert "* HashAggregate" in plan and "* ColumnarToRow" in plan
+
+
+def test_q44_no_quadratic_pair_join(spark, sf_dir):
+    """Brute-force top-k must NOT materialize the n^2 pair join - the
+    plan is scan -> mapInPandas (broadcast-matrix block scoring)."""
+    from iceberg_daq_spark.queries.llm import q44
+
+    plan = plan_of(q44(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_q45_lsh_is_equi_join_on_buckets(spark, sf_dir):
+    """ANN candidates come from an equi join on (table, bucket) - never
+    a cross join - and scoring shuffles only id pairs."""
+    from iceberg_daq_spark.queries.llm import q45
+
+    plan = plan_of(q45(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
