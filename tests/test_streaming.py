@@ -198,3 +198,22 @@ def test_q30_streaming_readout_join_equals_batch(spark, frames_dir, tmp_path):
     # stream-stream join may withhold pairs near end-of-stream watermark
     assert set(s) <= set(b)
     assert len(s) >= int(0.9 * len(b)), f"stream join emitted {len(s)} of {len(b)}"
+
+
+def test_daq_run_lifecycle(spark, frames_dir, tmp_path):
+    """A45/A28: two consecutive runs allocate consecutive run numbers
+    from the floor, walk the FSM in order, and land rows in both sinks
+    plus the runs table."""
+    from iceberg_daq_spark.runs import RUN_FLOORS, DaqRun, existing_runs
+
+    out = str(tmp_path / "daq_out")
+    r1 = DaqRun(spark, "iceberg_daq_eth", frames_dir, out).execute()
+    r2 = DaqRun(spark, "iceberg_daq_eth", frames_dir, out).execute()
+    assert r1["run"] == RUN_FLOORS["main"]
+    assert r2["run"] == RUN_FLOORS["main"] + 1
+    assert r1["subrun"] == r1["run"] * 100000 + 1
+    assert r1["raw_rows"] > 0 and r1["tp_rows"] > 0
+    runs = existing_runs(spark, out + "/runs")
+    assert runs.count() == 2
+    states = [s for s, _ in DaqRun(spark, "x", frames_dir, out).transitions]
+    assert states == []  # fresh instance, no transitions yet
