@@ -56,18 +56,57 @@ def main() -> None:
         # one query's working set can't bleed GC pressure into the next
         spark.catalog.clearCache()
 
+    streaming = None
+    if os.environ.get("BENCH_STREAMING", "1") != "0" and not only:
+        streaming = measure_streaming(spark)
+
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "query_suite_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_from_dir(sf_dir),
-            }
-        )
-    )
+    out = {
+        "metric": "query_suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_from_dir(sf_dir),
+    }
+    if streaming:
+        out["streaming"] = streaming
+    print(json.dumps(out))
+
+
+def measure_streaming(spark) -> dict:
+    """Data-plane throughput: frames/s through decode + TPG + TA windows
+    (the BASELINE 'sustained >= source rate' gate).  24 source
+    partitions mirror the reference's 24 UDP streams; the emulated
+    nominal rate is 500k frames/s/stream (125-tick period at 62.5 MHz).
+    """
+    import shutil
+    import tempfile
+
+    from iceberg_daq_spark.streaming import plan
+    from iceberg_daq_spark.streaming.emulator import frame_plan, with_packed_payload
+
+    n_frames, src_ids = 20_000, list(range(24))
+    d = tempfile.mkdtemp(prefix="bench_frames_")
+    try:
+        with_packed_payload(frame_plan(spark, n_frames, src_ids)).repartition(
+            24
+        ).write.mode("overwrite").parquet(d)
+        frames = spark.read.parquet(d)
+        t0 = time.perf_counter()
+        plan.ta_windows(plan.decode_hits(frames)).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        dt = time.perf_counter() - t0
+        total_frames = n_frames * len(src_ids)
+        return {
+            "frames": total_frames,
+            "streams": len(src_ids),
+            "wall_sec": round(dt, 3),
+            "frames_per_sec": round(total_frames / dt),
+            "samples_per_sec": round(total_frames * 64 / dt),
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 if __name__ == "__main__":

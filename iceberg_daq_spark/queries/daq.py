@@ -194,6 +194,42 @@ def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q36_oracle() -> str:
+    from iceberg_daq_spark.operators.config import (
+        COSMIC_RULES,
+        PATCH_RULES,
+        config_values_sql,
+        rules_case_sql,
+    )
+
+    rules = dict(PATCH_RULES)
+    rules.update(COSMIC_RULES)
+    return f"""
+    WITH base AS (
+      {config_values_sql()}
+    ), compiled AS (
+      SELECT section, key,
+             {rules_case_sql(rules)} AS value,
+             value AS base_value
+      FROM base
+    )
+    SELECT section, key, value, base_value, value <> base_value AS changed
+    FROM compiled
+    ORDER BY section, key
+    """
+
+
+@register("q36_config_rewrite", oracle=_q36_oracle(), doc="")
+def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Config compiler for cosmic mode (A40/A18/A22): the reference's
+    sed-rule rewrites (create_daq_config.sh:205-211,266-277 + the
+    eth->cosmic 8-key diff) applied as typed CASE updates over a
+    (section, key, value) config table, with change provenance."""
+    from iceberg_daq_spark.operators.config import compile_config
+
+    return compile_config(spark, mode="cosmic").orderBy("section", "key")
+
+
 @register(
     "q34_dromap_compile",
     oracle=f"""

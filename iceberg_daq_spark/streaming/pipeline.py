@@ -35,9 +35,10 @@ READOUT_AFTER_TICKS = 1001  # :256 (asymmetric)
 
 
 def hits_stream(spark: SparkSession, frames_dir: str, **kw) -> DataFrame:
-    """frames -> decode -> TPG hits, as a stream."""
+    """frames -> fused decode+TPG hits, as a stream (only hits cross
+    the Python/JVM boundary - see plan.decode_hits)."""
     frames = read_frame_stream(spark, frames_dir, **kw)
-    return plan.find_hits(plan.decode_frames(frames))
+    return plan.decode_hits(frames)
 
 
 def ta_stream(
@@ -180,7 +181,7 @@ def readout_assembly_stream(spark: SparkSession, frames_dir: str, prescale: int 
     )
     triggers = (
         plan.prescale_hash(
-            plan.find_hits(plan.decode_frames(read_frame_stream(spark, frames_dir, **kw))),
+            plan.decode_hits(read_frame_stream(spark, frames_dir, **kw)),
             n=prescale,
             key_cols=("src_id", "seq", "channel"),
         )

@@ -69,6 +69,49 @@ def decode_frames(frames: DataFrame) -> DataFrame:
     return frames.mapInPandas(unpack, _decode_schema)
 
 
+def decode_hits(
+    frames: DataFrame,
+    threshold: int = TPG_THRESHOLD,
+    channel_mask: list[int] | None = None,
+) -> DataFrame:
+    """Fused decode + TPG (A2+A14): unpack payloads and threshold-filter
+    INSIDE the numpy stage, so only hits (~0.2% of samples at the
+    reference's noise/threshold ratio) cross the Arrow boundary.
+    Provably equal to find_hits(decode_frames(...)) - asserted in
+    tests - but ~10x the throughput: the reference makes the same move
+    by generating TPs inside the readout process rather than shipping
+    raw samples to the trigger (SURVEY A14)."""
+    mask_arr = np.array(sorted(channel_mask), dtype=np.int64) if channel_mask else None
+
+    def unpack_hits(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            adc = np.stack(
+                [np.frombuffer(p, dtype=">u2").astype(np.int32) for p in pdf["payload"]]
+            )
+            ri, ci = np.nonzero(adc > threshold)
+            src = pdf["src_id"].to_numpy()[ri]
+            channel = (src * N_CHANNELS + ci).astype(np.int32)
+            if mask_arr is not None:
+                keep = ~np.isin(channel, mask_arr)
+                ri, ci, src, channel = ri[keep], ci[keep], src[keep], channel[keep]
+            if len(ri) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "src_id": src,
+                    "seq": pdf["seq"].to_numpy()[ri],
+                    "ts_ticks": pdf["ts_ticks"].to_numpy()[ri],
+                    "ts": pdf["ts"].to_numpy()[ri],
+                    "channel": channel,
+                    "adc": adc[ri, ci],
+                }
+            )
+
+    return frames.mapInPandas(unpack_hits, _decode_schema)
+
+
 def find_hits(samples: DataFrame, threshold: int = TPG_THRESHOLD, channel_mask: list[int] | None = None) -> DataFrame:
     """TPG hit finder (A14): per-channel threshold crossing with an
     optional disabled-channel mask (tpg_channel_mask,

@@ -181,3 +181,28 @@ def test_embed_near_dup_lsh_recall(spark, sf_dir):
     if exact:
         recall = len(pruned & exact) / len(exact)
         assert recall >= 0.3, f"recall {recall} over {len(exact)} exact pairs"
+
+
+def test_config_compile_modes(spark):
+    """A40: pulser == eth base byte-for-byte (reference: the files are
+    identical); cosmic differs in exactly the 8 diffed keys on top of
+    the shared post-codegen patches; unknown modes rejected."""
+    from iceberg_daq_spark.operators.config import (
+        COSMIC_RULES,
+        PATCH_RULES,
+        compile_config,
+    )
+
+    key = lambda df: sorted((r["section"], r["key"], r["value"]) for r in df.collect())
+    eth, pulser, cosmic = (
+        compile_config(spark, m) for m in ("eth", "pulser", "cosmic")
+    )
+    assert key(eth) == key(pulser)
+    cos = {(r["section"], r["key"]): r["value"] for r in cosmic.collect()}
+    et = {(r["section"], r["key"]): r["value"] for r in eth.collect()}
+    diff = {k for k in cos if cos[k] != et[k]}
+    assert diff == set(COSMIC_RULES), diff
+    for k, v in {**PATCH_RULES, **COSMIC_RULES}.items():
+        assert cos[k] == v
+    with pytest.raises(ValueError):
+        compile_config(spark, "nope")

@@ -217,3 +217,15 @@ def test_daq_run_lifecycle(spark, frames_dir, tmp_path):
     assert runs.count() == 2
     states = [s for s, _ in DaqRun(spark, "x", frames_dir, out).transitions]
     assert states == []  # fresh instance, no transitions yet
+
+
+def test_decode_hits_equals_unfused(spark, frames_dir):
+    """The fused decode+TPG stage must equal filter-after-decode exactly
+    (same rows, same values), including with a channel mask."""
+    frames = spark.read.parquet(frames_dir)
+    cols = ["src_id", "seq", "ts_ticks", "channel", "adc"]
+    mask = [0, 65, 130]
+    for kw in ({}, {"channel_mask": mask}):
+        fused = plan.decode_hits(frames, **kw)
+        unfused = plan.find_hits(plan.decode_frames(frames), **kw)
+        assert _rows(fused, cols) == _rows(unfused, cols)
