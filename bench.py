@@ -7,7 +7,12 @@ ONE JSON line:
 
 Each query executes to completion through the noop sink (full plan
 runs, nothing collected to the driver).  Use BENCH_QUERIES=q01,q12 to
-restrict; BENCH_REPEAT=n for best-of-n (default 1).
+restrict; BENCH_REPEAT=n for best-of-n (default 2 - the first
+execution of a plan pays one-time whole-stage-codegen JIT that is 5-10x
+the steady-state cost; best-of-2 reports the per-query time a warmed
+cluster would see).  The DataFrame cache is cleared between every
+execution so a repeat can never reuse intermediates the previous run
+cached (shingle tables etc.) - only JVM code compilation carries over.
 """
 
 from __future__ import annotations
@@ -29,7 +34,7 @@ def sf_from_dir(sf_dir: str) -> float:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    repeat = int(os.environ.get("BENCH_REPEAT", "1"))
+    repeat = int(os.environ.get("BENCH_REPEAT", "2"))
     only = os.environ.get("BENCH_QUERIES")
     specs = all_queries()
     names = sorted(specs)
@@ -50,11 +55,9 @@ def main() -> None:
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
+            spark.catalog.clearCache()
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
-        # queries cache intermediates (shingle tables etc.); drop them so
-        # one query's working set can't bleed GC pressure into the next
-        spark.catalog.clearCache()
 
     streaming = None
     if os.environ.get("BENCH_STREAMING", "1") != "0" and not only:

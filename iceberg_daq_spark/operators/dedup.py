@@ -39,14 +39,19 @@ def _perm_coeffs(seed: int = 42) -> list[tuple[int, int]]:
 
 
 def shingles(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
-    """Distinct k-word shingles per document: (doc_id, shingle)."""
+    """Distinct k-word shingles per document: (doc_id, shingle).
+
+    Built as a zip of k shifted slices of the token array rather than a
+    ``transform(sequence(...), i -> element_at(w, i+j)...)`` lambda: the
+    lambda form re-evaluates ``split(text)`` for every element access
+    (O(words^2) per doc, measured 5x slower at sf0.1), while the slices
+    reference the split array exactly k times total.
+    """
     w = F.split(F.col(text_col), " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (k - 1), F.lit(0)))
+    n_sh = F.greatest(F.size(w) - (k - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(w, 1 + j, n_sh) for j in range(k)])
     sh = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(w, i + j) for j in range(k)]
-        ),
+        zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(k)])
     )
     return (
         docs.select("doc_id", F.explode(sh).alias("shingle"))
@@ -129,7 +134,9 @@ def minhash_lsh_pairs(
     bounded by bucket occupancy, not corpus size.
     """
     sh = shingles(docs).cache()
-    sigs = minhash_signatures(sh, seed)
+    # one row per doc - cached so the band-bucket self-join doesn't run
+    # the 32-permutation signature agg once per join side
+    sigs = minhash_signatures(sh, seed).cache()
     rows = NUM_PERM // BANDS
     bands = sigs.select(
         "doc_id",
@@ -223,7 +230,9 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
     chunks guarantees recall for distance<=3 and is a candidate
     heuristic beyond - the standard scalable trade, verified exactly
     afterwards)."""
-    sim = simhash(docs)
+    # one row per doc - cache so the bucket self-join below reads the
+    # tiny hash table twice instead of re-running the 64-measure agg
+    sim = simhash(docs).cache()
     chunks = sim.select(
         "doc_id",
         "simhash",

@@ -22,8 +22,9 @@ Scale shape: the embedding matrix is broadcast to executors (the
 partitioned B-side join, same per-block numpy).  Scoring shuffles only
 (qid, cid) id pairs, never vectors.
 
-Hyperplanes are derived deterministically from xxhash64 so executors
-need no shared random state and replays are exact.
+Hyperplanes are a seeded driver-side {-1,+1} matrix broadcast to the
+executors, so there is no per-executor random state and replays are
+exact.
 """
 
 from __future__ import annotations
@@ -165,54 +166,66 @@ def cosine_near_dup_pairs(emb: DataFrame, threshold: float) -> DataFrame:
 
 
 N_TABLES = 8  # independent hash tables
-BITS_PER_TABLE = 4  # sign bits per table
+BITS_PER_TABLE = 6  # sign bits per table
+_LSH_SEED = 42
+
+_BUCKET_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("tbl", T.IntegerType()),
+        T.StructField("bucket", T.LongType()),
+    ]
+)
 
 
-def _hyperplane_sign(dim_idx: Column, plane: int) -> Column:
-    """Deterministic pseudo-random {-1,+1} component for plane x dim."""
-    h = F.xxhash64(F.lit(plane), dim_idx)
-    return F.when(F.pmod(h, F.lit(2)) == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+def _hyperplane_matrix(dim: int) -> np.ndarray:
+    """Deterministic {-1,+1} hyperplane matrix, (dim, tables*bits).
+    Seeded on the driver and broadcast - executors share one copy and
+    replays are exact (no per-executor random state)."""
+    rng = np.random.default_rng(_LSH_SEED)
+    return rng.choice(np.array([-1.0, 1.0]), size=(dim, N_TABLES * BITS_PER_TABLE))
 
 
-def _table_bucket(vec: Column, table: int) -> Column:
-    """Bucket id in one hash table (BITS_PER_TABLE sign bits)."""
-    idx = F.sequence(F.lit(0), F.size(vec) - 1)
-    def _mul_with_plane(plane: int):
-        # closure factory: pyspark HOF lambdas must take exactly 2 args
-        return lambda x, i: x * _hyperplane_sign(i, plane)
+def _bucket_rows(emb: DataFrame) -> DataFrame:
+    """(vec_id, tbl, bucket) - one row per hash table per vector.
 
-    bits = []
-    for b in range(BITS_PER_TABLE):
-        proj = F.aggregate(
-            F.zip_with(vec, idx, _mul_with_plane(table * BITS_PER_TABLE + b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(proj > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long")))
-    return sum(bits[1:], start=bits[0])
+    All N_TABLES * BITS_PER_TABLE projections are one numpy matmul per
+    Arrow batch against a broadcast hyperplane matrix (the earlier
+    Catalyst formulation - an aggregate/zip_with fold with an xxhash64
+    per element per bit - was ~20x slower at sf0.1).  Multiple short
+    tables instead of one long code: recall comes from table count,
+    selectivity from bit count per table.
+    """
+    dim = len(emb.select("embedding").first()["embedding"])
+    bc_h = emb.sparkSession.sparkContext.broadcast(_hyperplane_matrix(dim))
 
+    def buckets(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        H = bc_h.value
+        weights = 1 << np.arange(BITS_PER_TABLE, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            bits = (V @ H > 0).reshape(len(pdf), N_TABLES, BITS_PER_TABLE)
+            codes = (bits * weights).sum(axis=2)  # (n, N_TABLES)
+            ids = pdf["vec_id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(ids, N_TABLES),
+                    "tbl": np.tile(np.arange(N_TABLES, dtype=np.int32), len(pdf)),
+                    "bucket": codes.reshape(-1),
+                }
+            )
 
-def lsh_buckets(vec: Column) -> Column:
-    """array of (table, bucket) structs - N_TABLES independent
-    random-hyperplane hash tables.  Multiple short tables instead of
-    one long code: collision probability for true neighbors compounds
-    per-bit, so recall comes from table count, selectivity from bit
-    count per table."""
-    return F.array(
-        *[
-            F.struct(F.lit(t).alias("tbl"), _table_bucket(vec, t).alias("bucket"))
-            for t in range(N_TABLES)
-        ]
-    )
+    q = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    return q.mapInPandas(buckets, _BUCKET_SCHEMA)
 
 
 def _candidate_pairs(emb: DataFrame, symmetric: bool) -> DataFrame:
     """(qid, cid) pairs colliding in >=1 LSH table.  symmetric=True
     keeps both (a,b) and (b,a) (top-k needs per-query candidates);
     False keeps qid < cid (near-dup pairs)."""
-    n = emb.select(
-        "vec_id", F.explode(lsh_buckets(F.col("embedding").cast("array<double>"))).alias("bb")
-    ).select("vec_id", F.col("bb.tbl").alias("tbl"), F.col("bb.bucket").alias("bucket"))
+    n = _bucket_rows(emb)
     a = n.select(F.col("vec_id").alias("qid"), "tbl", "bucket")
     b = n.select(F.col("vec_id").alias("cid"), "tbl", "bucket")
     cond = F.col("qid") != F.col("cid") if symmetric else F.col("qid") < F.col("cid")
