@@ -38,6 +38,12 @@ def main() -> None:
     only = os.environ.get("BENCH_QUERIES")
     specs = all_queries()
     names = sorted(specs)
+    # q29 runs two full availableNow streaming replays (watermark golden,
+    # ~30 s of micro-batch scheduling, independent of sf) - the streaming
+    # data plane's throughput is benchmarked by measure_streaming below,
+    # so the batch suite skips it unless explicitly requested.
+    if not only:
+        names = [n for n in names if not n.startswith("q29")]
     if only:
         wanted = {w.strip() for w in only.split(",")}
         names = [n for n in names if any(n.startswith(w) for w in wanted)]

@@ -76,6 +76,15 @@ def _broadcast_matrix(emb: DataFrame):
     return emb.sparkSession.sparkContext.broadcast((ids, M, norms))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin the query side across the full core count.  The
+    embeddings table is one small parquet file locally (1-2 scan
+    partitions), which would serialize the per-partition numpy scoring;
+    on a cluster the same call spreads a skewed scan."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 _TOPK_SCHEMA = T.StructType(
     [
         T.StructField("qid", T.LongType()),
@@ -108,6 +117,14 @@ def cosine_topk_bruteforce(emb: DataFrame, k: int = 5) -> DataFrame:
                 cos = _seq_dot_block(M, a) / (na * norms)
                 mask = ids != qid
                 cand_ids, cand_cos = ids[mask], cos[mask]
+                if len(cand_cos) > k:
+                    # full-sorting all candidates is the hot spot; select
+                    # everything >= the kth score (ties included so the
+                    # (cos DESC, cid ASC) boundary tie-break stays exact),
+                    # then order only that small set
+                    kth = np.partition(cand_cos, len(cand_cos) - k)[len(cand_cos) - k]
+                    sel = cand_cos >= kth
+                    cand_ids, cand_cos = cand_ids[sel], cand_cos[sel]
                 order = np.lexsort((cand_ids, -cand_cos))[:k]
                 out_q.extend([qid] * len(order))
                 out_c.extend(cand_ids[order])
@@ -118,7 +135,7 @@ def cosine_topk_bruteforce(emb: DataFrame, k: int = 5) -> DataFrame:
                     {"qid": out_q, "cid": out_c, "rk": out_r, "cos_sim": out_s}
                 )
 
-    q = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    q = _spread(emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v")))
     return q.mapInPandas(topk, _TOPK_SCHEMA)
 
 
@@ -161,7 +178,7 @@ def cosine_near_dup_pairs(emb: DataFrame, threshold: float) -> DataFrame:
             if out:
                 yield pd.concat(out, ignore_index=True)
 
-    q = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    q = _spread(emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v")))
     return q.mapInPandas(pairs, _PAIR_SCHEMA)
 
 

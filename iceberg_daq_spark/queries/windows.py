@@ -157,6 +157,71 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q29_watermark_late_data", oracle=None)
+def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q29 golden: watermark/late-data correctness (A43), end to end.
+
+    Runs the streaming TA pipeline twice over the SAME deterministic
+    emulated frames - once in event-time order, once with arrival order
+    scrambled inside a 40 ms jitter bound - with a 100 ms watermark
+    (>= 2x jitter, the A43 contract scaled from tpset_min_latency_ticks
+    3,125,000 = 50 ms, iceberg_daq_eth.json:210).  Returns one row per
+    window emitted by BOTH replays with each side's aggregates and a
+    `match` flag; every row must carry match=true (asserted in
+    tests/test_streaming.py; the driver records a rows-only count since
+    DuckDB has no watermark semantics).
+
+    ``sf_dir`` is unused: the input is the seeded frame emulator, not a
+    synthetic table - the same frames regardless of scale factor.
+    """
+    import shutil
+    import tempfile
+
+    from iceberg_daq_spark.streaming import pipeline
+    from iceberg_daq_spark.streaming.emulator import write_frame_chunks
+
+    work = tempfile.mkdtemp(prefix="q29_")
+    kw = dict(
+        n_frames=1500, src_ids=[0, 1, 2, 3], n_chunks=6,
+        ticks_per_frame=12_500, hit_gate=60,
+    )
+    try:
+        results = {}
+        for name, jitter in (("ord", None), ("late", 40)):
+            frames_dir = f"{work}/frames_{name}"
+            write_frame_chunks(spark, frames_dir, shuffle_within_ms=jitter, **kw)
+            pipeline.run_to_parquet(
+                pipeline.ta_stream(spark, frames_dir, watermark="100 milliseconds"),
+                f"{work}/{name}_out",
+                f"{work}/{name}_ckpt",
+            )
+            results[name] = (
+                spark.read.option("basePath", f"{work}/{name}_out")
+                .parquet(f"{work}/{name}_out")
+                .drop("batch_id")
+            )
+        o, l = results["ord"].alias("o"), results["late"].alias("l")
+        joined = o.join(l, ["src_id", "window_start"]).select(
+            "src_id",
+            "window_start",
+            F.col("o.n_tps").alias("n_tps_ord"),
+            F.col("l.n_tps").alias("n_tps_late"),
+            F.col("o.sum_adc").alias("sum_adc_ord"),
+            F.col("l.sum_adc").alias("sum_adc_late"),
+            (
+                (F.col("o.n_tps") == F.col("l.n_tps"))
+                & (F.col("o.n_channels") == F.col("l.n_channels"))
+                & (F.col("o.sum_adc") == F.col("l.sum_adc"))
+            ).alias("match"),
+        )
+        # the streaming runs are complete (availableNow awaited); pin the
+        # comparison before the temp sink dirs are removed
+        rows = joined.orderBy("src_id", "window_start").collect()
+        return spark.createDataFrame(rows, joined.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 @register(
     "q30_interval_join_readout",
     oracle="""
