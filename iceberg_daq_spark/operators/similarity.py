@@ -292,6 +292,129 @@ def lsh_ann_topk(emb: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
+N_CELLS = 16  # IVF coarse-quantizer cells
+N_PROBE = 3  # cells probed per query
+_IVF_ITERS = 3
+
+
+def _ivf_centroids(vecs: DataFrame) -> np.ndarray:
+    """Spherical k-means coarse quantizer, (N_CELLS, dim), L2-normalized.
+
+    Lloyd's iterations run as distributed DataFrame aggregations: assign
+    = argmax cosine against the broadcast centroids (numpy per Arrow
+    batch), update = groupBy(cell).avg - a map-side-combinable shuffle
+    of N_CELLS * dim doubles, nothing vector-shaped ever collects except
+    the centroid matrix itself.  Seeded from the first N_CELLS vectors
+    by vec_id (deterministic across partitionings)."""
+    dim_rows = vecs.orderBy("vec_id").limit(N_CELLS).collect()
+    C = np.stack([np.asarray(r["v"], dtype=np.float64) for r in dim_rows])
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    sc = vecs.sparkSession.sparkContext
+
+    assign_schema = T.StructType(
+        [T.StructField("cell", T.IntegerType())]
+        + [T.StructField(f"d{i}", T.DoubleType()) for i in range(C.shape[1])]
+    )
+    for _ in range(_IVF_ITERS):
+        bc_c = sc.broadcast(C)
+
+        def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            Cb = bc_c.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+                Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+                cells = (Vn @ Cb.T).argmax(axis=1).astype(np.int32)
+                out = pd.DataFrame(V, columns=[f"d{i}" for i in range(V.shape[1])])
+                out.insert(0, "cell", cells)
+                yield out
+
+        sums = (
+            vecs.mapInPandas(assign, assign_schema)
+            .groupBy("cell")
+            .agg(*[F.avg(f"d{i}").alias(f"d{i}") for i in range(C.shape[1])])
+            .collect()
+        )
+        newC = C.copy()
+        for r in sums:
+            v = np.array([r[f"d{i}"] for i in range(C.shape[1])])
+            n = np.linalg.norm(v)
+            if n > 0:
+                newC[r["cell"]] = v / n
+        C = newC
+    return C
+
+
+def ivf_ann_topk(emb: DataFrame, k: int = 5) -> DataFrame:
+    """IVF approximate top-k: spherical-kmeans cells as the coarse
+    quantizer; each vector posts to its nearest cell, each query probes
+    its N_PROBE nearest cells, candidates come from a (cell) equi-join,
+    then exact cosine + per-query top-k.
+
+    The IVF counterpart of lsh_ann_topk: recall comes from nprobe
+    rather than table count, and cell occupancy (~N/N_CELLS) bounds the
+    join fanout.  At 100 TB the posting lists are the partition layout
+    (write the table bucketed by cell) so probing is partition pruning,
+    not a shuffle.  Recall vs brute force asserted in tests.
+    """
+    from pyspark.sql import Window
+
+    # cached: scanned once, then reused by every Lloyd's iteration and
+    # the final probe pass
+    vecs = _spread(
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    ).cache()
+    C = _ivf_centroids(vecs)
+    sc = emb.sparkSession.sparkContext
+    bc_c = sc.broadcast(C)
+    post_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("probe_rank", T.IntegerType()),
+        ]
+    )
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Cb = bc_c.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            sims = Vn @ Cb.T
+            top = np.argsort(-sims, axis=1)[:, :N_PROBE].astype(np.int32)
+            ids = pdf["vec_id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(ids, N_PROBE),
+                    "cell": top.reshape(-1),
+                    "probe_rank": np.tile(np.arange(N_PROBE, dtype=np.int32), len(ids)),
+                }
+            )
+
+    probes = vecs.mapInPandas(probe, post_schema)
+    posts = probes.filter(F.col("probe_rank") == 0).select(
+        F.col("vec_id").alias("cid"), "cell"
+    )
+    queries = probes.select(F.col("vec_id").alias("qid"), "cell")
+    cand = (
+        queries.join(posts, "cell")
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid")
+        .distinct()
+    )
+    bc = _broadcast_matrix(emb)
+    scored = _score_pairs(cand, bc)
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", "cid", F.col("rk").cast("long").alias("rk"), F.round("cos_sim", 3).alias("cos_sim"))
+    )
+
+
 def lsh_near_dup_pairs(emb: DataFrame, threshold: float) -> DataFrame:
     """LSH-pruned embedding near-dup: candidates from bucket collisions
     only, then exact-cosine verified (same cumsum fold), so precision

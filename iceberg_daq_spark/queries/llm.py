@@ -133,6 +133,15 @@ def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_ann_topk(e, k=5).orderBy("qid", "rk")
 
 
+@register("q56_sim_ann_ivf", oracle=None)
+def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5: spherical-kmeans coarse quantizer fitted
+    by distributed Lloyd's iterations, nprobe-cell candidate join, exact
+    cosine verify; recall vs q44 asserted in tests."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.ivf_ann_topk(e, k=5).orderBy("qid", "rk")
+
+
 @register(
     "q54_embed_near_dup",
     oracle="""

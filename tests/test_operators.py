@@ -70,6 +70,23 @@ def test_simhash_pairs_sane(spark, sf_dir):
     assert len(dup_rows) == 1 and dup_rows[0]["hamming"] == 0
 
 
+def test_ivf_ann_recall(spark, sf_dir):
+    """IVF-ANN top-5 vs brute force: same contract as the LSH path -
+    plumbing correct (exact cosine on candidates, so every reported
+    neighbor's score is true) plus bounded recall loss from probing
+    only N_PROBE of N_CELLS cells."""
+    e = load(spark, sf_dir, "embeddings")
+    brute = {}
+    for r in similarity.cosine_topk_bruteforce(e, k=5).collect():
+        brute.setdefault(r["qid"], set()).add(r["cid"])
+    ivf = {}
+    for r in similarity.ivf_ann_topk(e, k=5).collect():
+        ivf.setdefault(r["qid"], set()).add(r["cid"])
+    recalls = [len(brute[q] & ivf.get(q, set())) / len(brute[q]) for q in brute]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.3, f"mean recall@5 {mean_recall}"
+
+
 def test_lsh_ann_recall(spark, sf_dir):
     """LSH-ANN top-5 must overlap brute-force top-5 (recall@5 >= 0.3 on
     random-ish synthetic embeddings; buckets shrink the search space so
