@@ -92,3 +92,38 @@ def test_q45_lsh_is_equi_join_on_buckets(spark, sf_dir):
     plan = plan_of(q45(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q56_ivf_is_equi_join_on_cells(spark, sf_dir):
+    """IVF candidates come from an equi join on the cell id; no
+    quadratic join anywhere in the probe/score plan."""
+    from iceberg_daq_spark.queries.llm import q56
+
+    plan = plan_of(q56(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q42_minhash_band_join_is_equi(spark, sf_dir):
+    """Band-bucket candidate generation is a hash equi join on
+    (band, bucket); the n^2 shingle self-join LSH exists to avoid must
+    not appear."""
+    from iceberg_daq_spark.queries.llm import q42
+
+    plan = plan_of(q42(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q41_shingles_single_split(spark, sf_dir):
+    """The shingle expression must reference split(text) a constant
+    number of times (the slice-zip form), not once per element - the
+    per-element form is O(words^2) per document."""
+    from iceberg_daq_spark.operators.dedup import shingles
+    from iceberg_daq_spark.tables import load
+
+    d = load(spark, sf_dir, "documents")
+    plan = plan_of(shingles(d))
+    # one split per slice (k=3) in the zipped form; the element_at
+    # lambda form inlines split() per generated element instead
+    assert plan.count("split(") <= 8, "shingle expr re-expands split(text)"
