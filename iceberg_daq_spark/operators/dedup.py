@@ -188,39 +188,54 @@ def minhash_lsh_pairs(
 
 
 def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per document: sign of the weighted bit-sum of
-    token hashes.  Computed as one explode + one hash agg with 64
-    conditional-sum measures (all JVM-side)."""
-    tokens = docs.select(
-        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("w")
-    ).groupBy("doc_id", "w").agg(F.count("*").alias("cnt"))
-    # materialize the token hash ONCE: referencing xxhash64(w) inside
-    # each of the 64 sum measures re-evaluates it per measure and blows
-    # up the codegen'd aggregate (measured 5x slower at sf0.1)
-    tokens = tokens.withColumn("h", F.xxhash64("w"))
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, F.col("cnt")).otherwise(
-                -F.col("cnt")
-            )
-        ).alias(f"b{b}")
-        for b in range(64)
-    ]
-    agg = tokens.groupBy("doc_id").agg(*bit_sums)
-    # Assemble bits JVM-side with shiftleft (1<<63 would overflow a
-    # Python int64 literal; shiftleft wraps into the sign bit correctly).
-    one = F.lit(1).cast("long")
-    sim = agg.select(
-        "doc_id",
-        sum(
-            [
-                F.when(F.col(f"b{b}") > 0, F.shiftleft(one, b)).otherwise(F.lit(0).cast("long"))
-                for b in range(64)
-            ],
-            start=F.lit(0).cast("long"),
-        ).alias("simhash"),
+    """64-bit SimHash per document: sign of the count-weighted bit-sum
+    of distinct-token hashes.
+
+    A document is one row, so the whole signature is a map-only pass -
+    no explode, no shuffle: tokenize + hash (pandas hash_array: stable,
+    vectorized uint64) + popcount-style bit-sum in numpy per Arrow
+    batch.  The earlier JVM formulation (explode -> groupBy(doc,token)
+    -> 64 conditional-sum measures -> 64-bit reassembly) shuffled ~50
+    rows per doc twice and ran the 64-measure aggregate over all of
+    them; per-row numpy is ~4x faster at sf0.1 and keeps the stage
+    embarrassingly parallel at any scale."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("simhash", T.LongType()),
+        ]
     )
-    return sim
+
+    def sig(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = np.empty(len(pdf), dtype=np.uint64)
+            shifts = np.arange(64, dtype=np.uint64)
+            for i, text in enumerate(pdf[text_col].to_numpy()):
+                toks, counts = np.unique(text.split(" "), return_counts=True)
+                h = pd.util.hash_array(toks.astype(object))  # deterministic uint64
+                # bits: (n_tokens, 64) sign contributions weighted by count
+                bits = ((h[:, None] >> shifts) & 1).astype(np.int64)
+                sums = ((2 * bits - 1) * counts[:, None]).sum(axis=0)
+                out[i] = ((sums > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
+            # reinterpret the 64 bits as the signed long the schema wants
+            # (astype would overflow-check bit 63; view is a bit cast)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out.view(np.int64)})
+
+    # round-robin first: the local single-file parquet scan yields 1-2
+    # partitions, which would serialize the numpy stage
+    sc = docs.sparkSession.sparkContext
+    return (
+        docs.select("doc_id", text_col)
+        .repartition(sc.defaultParallelism)
+        .mapInPandas(sig, schema)
+    )
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:

@@ -294,55 +294,38 @@ def lsh_ann_topk(emb: DataFrame, k: int = 5) -> DataFrame:
 
 N_CELLS = 16  # IVF coarse-quantizer cells
 N_PROBE = 3  # cells probed per query
-_IVF_ITERS = 3
+_IVF_ITERS = 10
+_IVF_TRAIN_CAP = 100_000  # quantizer training sample bound
 
 
 def _ivf_centroids(vecs: DataFrame) -> np.ndarray:
     """Spherical k-means coarse quantizer, (N_CELLS, dim), L2-normalized.
 
-    Lloyd's iterations run as distributed DataFrame aggregations: assign
-    = argmax cosine against the broadcast centroids (numpy per Arrow
-    batch), update = groupBy(cell).avg - a map-side-combinable shuffle
-    of N_CELLS * dim doubles, nothing vector-shaped ever collects except
-    the centroid matrix itself.  Seeded from the first N_CELLS vectors
-    by vec_id (deterministic across partitionings)."""
-    dim_rows = vecs.orderBy("vec_id").limit(N_CELLS).collect()
-    C = np.stack([np.asarray(r["v"], dtype=np.float64) for r in dim_rows])
-    C /= np.linalg.norm(C, axis=1, keepdims=True)
-    sc = vecs.sparkSession.sparkContext
-
-    assign_schema = T.StructType(
-        [T.StructField("cell", T.IntegerType())]
-        + [T.StructField(f"d{i}", T.DoubleType()) for i in range(C.shape[1])]
+    Trained on a bounded deterministic sample collected to the driver
+    (sorted by a hash of vec_id, capped at _IVF_TRAIN_CAP) with Lloyd's
+    iterations in numpy - the standard IVF practice (e.g. faiss trains
+    its coarse quantizer on a sample, typically 30-250x the cell
+    count): quantizer quality needs a representative sample, not the
+    corpus, so the fit never scales with table size.  Assignment of the
+    full corpus stays distributed in ivf_ann_topk."""
+    sample = (
+        vecs.orderBy(F.xxhash64("vec_id"))
+        .limit(_IVF_TRAIN_CAP)
+        .collect()
     )
+    V = np.stack([np.asarray(r["v"], dtype=np.float64) for r in sample])
+    order = np.argsort([r["vec_id"] for r in sample])  # seed deterministically
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    C = Vn[order[:N_CELLS]].copy()
     for _ in range(_IVF_ITERS):
-        bc_c = sc.broadcast(C)
-
-        def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            Cb = bc_c.value
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
-                Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-                cells = (Vn @ Cb.T).argmax(axis=1).astype(np.int32)
-                out = pd.DataFrame(V, columns=[f"d{i}" for i in range(V.shape[1])])
-                out.insert(0, "cell", cells)
-                yield out
-
-        sums = (
-            vecs.mapInPandas(assign, assign_schema)
-            .groupBy("cell")
-            .agg(*[F.avg(f"d{i}").alias(f"d{i}") for i in range(C.shape[1])])
-            .collect()
-        )
-        newC = C.copy()
-        for r in sums:
-            v = np.array([r[f"d{i}"] for i in range(C.shape[1])])
-            n = np.linalg.norm(v)
-            if n > 0:
-                newC[r["cell"]] = v / n
-        C = newC
+        cells = (Vn @ C.T).argmax(axis=1)
+        for c in range(N_CELLS):
+            members = Vn[cells == c]
+            if len(members):
+                m = members.sum(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    C[c] = m / n
     return C
 
 

@@ -122,6 +122,9 @@ def test_q41_shingles_single_split(spark, sf_dir):
     from iceberg_daq_spark.operators.dedup import shingles
     from iceberg_daq_spark.tables import load
 
+    # a cached shingle subtree (dedup pipelines .cache() it) renders as
+    # InMemoryRelation whose plan string repeats the expression
+    spark.catalog.clearCache()
     d = load(spark, sf_dir, "documents")
     plan = plan_of(shingles(d))
     # one split per slice (k=3) in the zipped form; the element_at
