@@ -38,8 +38,12 @@ def _perm_coeffs(seed: int = 42) -> list[tuple[int, int]]:
     ]
 
 
-def shingles(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
-    """Distinct k-word shingles per document: (doc_id, shingle).
+def shingle_sets(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """Distinct k-word shingles per document as one array column:
+    (doc_id, sh_set).  Entirely map-side - per-doc distinctness is
+    ``array_distinct``, so no shuffle happens here at all (the earlier
+    exploded form paid a global ``.distinct()`` shuffle for the same
+    per-document semantics).
 
     Built as a zip of k shifted slices of the token array rather than a
     ``transform(sequence(...), i -> element_at(w, i+j)...)`` lambda: the
@@ -53,9 +57,24 @@ def shingles(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
     sh = F.transform(
         zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(k)])
     )
+    return docs.select("doc_id", F.array_distinct(sh).alias("sh_set"))
+
+
+def shingles(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """Distinct k-word shingles per document: (doc_id, shingle).
+    Explode of :func:`shingle_sets` - still map-only (rows are unique
+    per doc by construction, no distinct shuffle needed).
+
+    ``explode_outer`` + null-filter rather than ``explode``: plain
+    explode triggers InferFiltersFromGenerate, which clones the entire
+    shingle expression into a ``size(...) > 0`` pre-filter and doubles
+    the per-row evaluation; the outer form keeps one evaluation and
+    drops empty docs with a cheap filter on the generated column.
+    """
     return (
-        docs.select("doc_id", F.explode(sh).alias("shingle"))
-        .distinct()
+        shingle_sets(docs, text_col, k)
+        .select("doc_id", F.explode_outer("sh_set").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
     )
 
 
@@ -83,8 +102,9 @@ def ngram_jaccard_pairs(
     before the self-join (drop shingles in >df_max docs) - omitted here
     because the correctness contract is the exact Jaccard.
     """
-    sh = shingles(docs, k=k).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    sets = shingle_sets(docs, k=k).cache()
+    sh = sets.select("doc_id", F.explode("sh_set").alias("shingle"))
+    sizes = sets.select("doc_id", F.size("sh_set").alias("n_shingles"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     common = (
@@ -112,7 +132,10 @@ def ngram_jaccard_pairs(
 def minhash_signatures(sh: DataFrame, seed: int = 42) -> DataFrame:
     """(doc_id, sig array<long>): min over shingles of (a*h+b) mod p for
     each of NUM_PERM seeded permutations.  One hash agg - the classic
-    map-side-combinable MinHash."""
+    map-side-combinable MinHash over an exploded (doc_id, shingle)
+    table.  Kept as the pure-SQL formulation; :func:`minhash_lsh_pairs`
+    uses the fused map-only numpy path below, which skips the explode
+    and this shuffle entirely."""
     h = F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE_P))
     aggs = [
         F.min(F.pmod(h * F.lit(a) + F.lit(b), F.lit(MERSENNE_P))).alias(f"h{i}")
@@ -124,6 +147,67 @@ def minhash_signatures(sh: DataFrame, seed: int = 42) -> DataFrame:
     )
 
 
+def _minhash_bands(sets: DataFrame, seed: int = 42) -> DataFrame:
+    """(doc_id, band, bucket) LSH band buckets, computed map-only.
+
+    A document is one row of ``sets`` (doc_id, sh_set), so shingle
+    hashing, the NUM_PERM permutation min-fold, and band bucketing all
+    happen in one numpy pass per Arrow batch - nothing shuffles until
+    the bucket equi-join.  Docs with no shingles are skipped (same as
+    the exploded groupBy formulation, where they never produce rows).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    coeffs = np.array(_perm_coeffs(seed), dtype=np.uint64)
+    A, B = coeffs[:, 0:1], coeffs[:, 1:2]  # (NUM_PERM, 1) each
+    P = np.uint64(MERSENNE_P)
+    rows = NUM_PERM // BANDS
+    FNV = np.uint64(1099511628211)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("band", T.IntegerType()),
+            T.StructField("bucket", T.LongType()),
+        ]
+    )
+
+    def gen(batches):
+        band_ids = np.arange(BANDS, dtype=np.int32)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            doc_out, band_out, bucket_out = [], [], []
+            for doc_id, sh in zip(pdf["doc_id"].to_numpy(), pdf["sh_set"]):
+                if len(sh) == 0:
+                    continue
+                h = pd.util.hash_array(np.asarray(sh, dtype=object)) % P
+                sig = ((A * h[None, :] + B) % P).min(axis=1)  # (NUM_PERM,)
+                # mix each band's rows into one bucket id (FNV-style;
+                # uint64 wrap-around is deterministic)
+                bucket = np.zeros(BANDS, dtype=np.uint64)
+                bsig = sig.reshape(BANDS, rows)
+                for r in range(rows):
+                    bucket = bucket * FNV ^ bsig[:, r]
+                doc_out.append(np.full(BANDS, doc_id, dtype=np.int64))
+                band_out.append(band_ids)
+                bucket_out.append(bucket.view(np.int64))
+            if not doc_out:
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(doc_out),
+                    "band": np.concatenate(band_out),
+                    "bucket": np.concatenate(bucket_out),
+                }
+            )
+
+    sc = sets.sparkSession.sparkContext
+    return sets.repartition(sc.defaultParallelism).mapInPandas(gen, schema)
+
+
 def minhash_lsh_pairs(
     docs: DataFrame, threshold: float = 0.5, seed: int = 42
 ) -> DataFrame:
@@ -131,29 +215,13 @@ def minhash_lsh_pairs(
 
     band bucket join -> candidate pairs -> exact Jaccard on candidates
     only.  The band join shuffles on (band, bucket-hash) so fanout is
-    bounded by bucket occupancy, not corpus size.
+    bounded by bucket occupancy, not corpus size.  Everything upstream
+    of that join is map-only (per-doc shingle sets + fused numpy
+    signatures), so the only other shuffles are the two candidate
+    verification joins on doc id.
     """
-    sh = shingles(docs).cache()
-    # one row per doc - cached so the band-bucket self-join doesn't run
-    # the 32-permutation signature agg once per join side
-    sigs = minhash_signatures(sh, seed).cache()
-    rows = NUM_PERM // BANDS
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(*[F.col("sig")[bi * rows + r] for r in range(rows)]).alias(
-                            "bucket"
-                        ),
-                    )
-                    for bi in range(BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    sets = shingle_sets(docs).cache()
+    bands = _minhash_bands(sets, seed)
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["band", "bucket"])
@@ -167,11 +235,8 @@ def minhash_lsh_pairs(
     # set and intersect per pair.  Work is O(|candidates| * set size) -
     # the full inverted-index self-join (which is what LSH exists to
     # avoid) never materializes here, unlike ngram_jaccard_pairs.
-    sets = sh.groupBy("doc_id").agg(
-        F.collect_set("shingle").alias("sh_set"), F.count("*").alias("n")
-    )
-    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a"), F.col("n").alias("n_a"))
-    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b"), F.col("n").alias("n_b"))
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a"), F.size("sh_set").alias("n_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b"), F.size("sh_set").alias("n_b"))
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
