@@ -252,6 +252,75 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over near-dup pairs: (node, component) with
+    component = min node id reachable.  This is the transitive-closure
+    step every dedup pipeline needs after pair generation - near-dup is
+    not transitive, so keep-one-per-pair over-deletes without it.
+
+    Iterative min-label propagation as pure DataFrame ops: each round
+    joins labels to the (undirected) edge list and takes the min label
+    over each node's neighborhood, until a round changes nothing.
+    Rounds = graph diameter; near-dup components are small and dense
+    (dups of dups), so this converges in a handful of rounds even at
+    corpus scale - and every round is one equi-join + one partial-agg
+    shuffle, nothing quadratic.  ``localCheckpoint`` truncates the plan
+    lineage each round so the job graph stays flat; convergence is
+    detected from sum(label), which strictly decreases while any label
+    changes (labels only ever decrease).
+    """
+    edges = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    edges = (
+        edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select("u").distinct().withColumn("label", F.col("u"))
+    prev_sum = None
+    for _ in range(max_iter):
+        labels = labels.localCheckpoint()
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("u").alias("v"), "label"), "v"
+            )
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = labels.join(nbr_min, "u", "left").select(
+            "u",
+            F.least("label", F.coalesce("nbr_label", F.col("label"))).alias("label"),
+        )
+    return labels.select(F.col("u").alias("node"), F.col("label").alias("component"))
+
+
+def dedup_groups(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Assign every document a dedup group: the min doc_id of its
+    near-dup connected component (docs in no pair are their own group).
+    (doc_id, component, is_canonical)."""
+    comp = connected_components(pairs)
+    return (
+        docs.select(id_col)
+        .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("component"),
+        )
+        .withColumn("is_canonical", F.col(id_col) == F.col("component"))
+    )
+
+
 def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit SimHash per document: sign of the count-weighted bit-sum
     of distinct-token hashes.

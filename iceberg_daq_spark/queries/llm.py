@@ -72,6 +72,59 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(d, threshold=0.5).orderBy("doc_a", "doc_b")
 
 
+@register(
+    "q57_dedup_components",
+    oracle="""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, s
+      FROM tok, LATERAL UNNEST(
+        list_transform(
+          generate_series(1, greatest(len(w) - 2, 0)),
+          i -> concat_ws(' ', w[i], w[i+1], w[i+2])
+        )
+      ) AS t(s)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT doc_a, doc_b FROM common
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.5
+    ), edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ), reach(u, v) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ), comp AS (
+      SELECT u, min(v) AS component FROM reach GROUP BY u
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS component,
+           coalesce(c.component, d.doc_id) = d.doc_id AS is_canonical
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.u
+    ORDER BY doc_id
+    """,
+)
+def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup groups: transitive closure of the exact near-dup pairs
+    (q41) via iterative min-label propagation; every doc gets the min
+    doc_id of its component as its group, docs in no pair stand alone.
+    The oracle walks the same graph with a recursive CTE - feasible on
+    test scale; the engine's propagation loop is the cluster path."""
+    d = load(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.5)
+    return dedup.dedup_groups(d, pairs).orderBy("doc_id")
+
+
 @register("q42_dedup_minhash_lsh", oracle=None)
 def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates, exact-verified (the 100 TB path;

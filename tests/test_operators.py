@@ -128,6 +128,22 @@ def test_exact_dedup_finds_planted_duplicate(spark, sf_dir):
     assert dups[0]["canonical_doc_id"] == 0 and dups[0]["n_copies"] == 2
 
 
+def test_connected_components_chain(spark):
+    """Transitive closure: a 5-node chain (needs multiple propagation
+    rounds), a separate 2-node pair, and an isolated doc must get the
+    right components; isolated docs are their own canonical group."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], ["doc_a", "doc_b"]
+    )
+    comp = {r["node"]: r["component"] for r in dedup.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 10, 11, 99]], ["doc_id"])
+    groups = {r["doc_id"]: (r["component"], r["is_canonical"]) for r in dedup.dedup_groups(docs, pairs).collect()}
+    assert groups[99] == (99, True)
+    assert groups[5] == (1, False) and groups[1] == (1, True)
+    assert groups[11] == (10, False)
+
+
 def test_multimodal_image_roundtrip(spark, sf_dir):
     """q51's decode path vs the closed form: pixel i of doc d is
     (d*31 + i*7) % 251, so mean/max/min are computable exactly in
