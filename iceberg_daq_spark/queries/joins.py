@@ -282,3 +282,40 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load(spark, sf_dir, "region")
     n = load(spark, sf_dir, "nation")
     return r.crossJoin(n).select("r_name", "n_name").orderBy("r_name", "n_name")
+
+
+@register(
+    "q59_salted_join",
+    oracle="""
+    SELECT s.s_nationkey,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(CAST(sum(l.l_extendedprice) AS DOUBLE), 2) AS revenue
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_nationkey
+    ORDER BY s_nationkey
+    """,
+)
+def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-safe salted join: lineitem x supplier through
+    operators.skew.salted_join, aggregated per supplier nation.
+
+    The oracle is the PLAIN unsalted join - the hash-match proves the
+    salt/replicate/join/drop pipeline is row-identical to a vanilla
+    equi-join while spreading any hot supplier key over SALT shuffle
+    sub-keys (what AQE's skew splitting cannot do when a single key
+    dominates a task)."""
+    from iceberg_daq_spark.operators.skew import salted_join
+
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    fact = li.select(F.col("l_suppkey").alias("suppkey"), "l_extendedprice")
+    dim = s.select(F.col("s_suppkey").alias("suppkey"), "s_nationkey")
+    return (
+        salted_join(fact, dim, ["suppkey"])
+        .groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+        .orderBy("s_nationkey")
+    )

@@ -315,6 +315,47 @@ def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q58_corpus_profile",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, len(string_split(text, ' ')) AS n_words FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(quantile_cont(n_words, 0.5), 2)  AS p50_words,
+           round(quantile_cont(n_words, 0.9), 2)  AS p90_words,
+           round(quantile_cont(n_words, 0.99), 2) AS p99_words,
+           round(avg(n_words), 2) AS mean_words
+    FROM tok
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length profiling: exact interpolated percentiles of the
+    per-doc token count by language - the distribution scan every
+    training-data pipeline runs before setting length filters.  Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` both interpolate
+    linearly, so the values match exactly.  At 100 TB swap for
+    ``percentile_approx`` (t-digest sketch, map-side combinable) - the
+    exact form is a full sort per group."""
+    d = load(spark, sf_dir, "documents")
+    n_words = F.size(text.words(F.col("text"))).cast("double")
+    tok = d.select("lang", n_words.alias("n_words"))
+    return (
+        tok.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.percentile("n_words", 0.5), 2).alias("p50_words"),
+            F.round(F.percentile("n_words", 0.9), 2).alias("p90_words"),
+            F.round(F.percentile("n_words", 0.99), 2).alias("p99_words"),
+            F.round(F.avg("n_words"), 2).alias("mean_words"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
     "q49_fingerprint",
     oracle=f"""
     SELECT doc_id,

@@ -128,6 +128,25 @@ def test_exact_dedup_finds_planted_duplicate(spark, sf_dir):
     assert dups[0]["canonical_doc_id"] == 0 and dups[0]["n_copies"] == 2
 
 
+def test_salted_join_equals_plain_join(spark):
+    """A 90%-hot-key fact table salted-joined to a dim must produce
+    exactly the plain join's rows (inner and left, incl. unmatched
+    left rows), with the salt column dropped."""
+    from iceberg_daq_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(1, i) for i in range(900)] + [(k, 900 + k) for k in range(2, 12)],
+        ["k", "payload"],
+    )
+    dim = spark.createDataFrame([(1, "hot"), (2, "a"), (3, "b")], ["k", "name"])
+    for how in ("inner", "left"):
+        plain = sorted(map(tuple, fact.join(dim, ["k"], how).collect()))
+        salted = sorted(map(tuple, salted_join(fact, dim, ["k"], how).collect()))
+        assert salted == plain, how
+    with pytest.raises(ValueError):
+        salted_join(fact, dim, ["k"], "right")
+
+
 def test_connected_components_chain(spark):
     """Transitive closure: a 5-node chain (needs multiple propagation
     rounds), a separate 2-node pair, and an isolated doc must get the

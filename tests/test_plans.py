@@ -8,6 +8,8 @@ sort, and the interval join is an equi join (not a nested loop).
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from iceberg_daq_spark.queries.aggregates import q12
 from iceberg_daq_spark.queries.joins import q04, q05
 from iceberg_daq_spark.queries.scans import q01
@@ -113,6 +115,24 @@ def test_q42_minhash_band_join_is_equi(spark, sf_dir):
     plan = plan_of(q42(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q59_join_keys_are_salted(spark, sf_dir):
+    """The salted join must actually join on (key, _salt) - otherwise
+    it silently degenerates to a plain join and the skew spread is
+    lost."""
+    from iceberg_daq_spark.operators.skew import salted_join
+    from iceberg_daq_spark.tables import load
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"), "l_extendedprice"
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_nationkey"
+    )
+    plan = plan_of(salted_join(li, s, ["suppkey"]))
+    assert "_salt" in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_q41_shingles_single_split(spark, sf_dir):
