@@ -281,7 +281,13 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    labels = edges.select("u").distinct().withColumn("label", F.col("u"))
+    # seed with the neighborhood min (= the identity round fused into
+    # the same groupBy that enumerates the nodes)
+    labels = (
+        edges.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least("u", "mn").alias("label"))
+    )
     prev_sum = None
     for _ in range(max_iter):
         labels = labels.localCheckpoint()
