@@ -211,6 +211,18 @@ def readout_assembly_stream(spark: SparkSession, frames_dir: str, prescale: int 
     )
 
 
+def dedup_stream(frames: DataFrame, watermark: str = WATERMARK) -> DataFrame:
+    """Streaming exact dedup (the dropDuplicates leg of A43): drop
+    re-delivered frames by (src_id, seq) - e.g. an at-least-once source
+    replaying a chunk - keeping state only within the watermark horizon,
+    so the state store stays bounded by (rate x watermark) instead of
+    growing with the stream.  The streaming analog of exact_dedup's
+    content-hash groupBy."""
+    return frames.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["src_id", "seq"]
+    )
+
+
 def run_to_parquet(
     stream_df: DataFrame,
     out_dir: str,

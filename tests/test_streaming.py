@@ -122,6 +122,23 @@ def test_q29_late_data_within_watermark(spark, frames_dir, late_frames_dir, tmp_
     assert {r for r in o if r[:2] in common_keys} == {r for r in l if r[:2] in common_keys}
 
 
+def test_streaming_dedup_drops_redelivered_frames(spark, frames_dir, tmp_path):
+    """A union of the frame stream with itself (an at-least-once source
+    redelivering every chunk) must collapse back to exactly the
+    distinct frame set under dropDuplicatesWithinWatermark."""
+    doubled = read_frame_stream(spark, frames_dir).unionByName(
+        read_frame_stream(spark, frames_dir)
+    )
+    deduped = _run_stream(
+        pipeline.dedup_stream(doubled).select("src_id", "seq", "ts_ticks"),
+        tmp_path,
+        "dedup",
+    )
+    batch = spark.read.parquet(frames_dir).select("src_id", "seq", "ts_ticks").distinct()
+    cols = ["src_id", "seq", "ts_ticks"]
+    assert _rows(deduped, cols) == _rows(batch, cols)
+
+
 def test_streaming_td_merge_equals_batch(spark, tmp_path):
     """TD interval merge: applyInPandasWithState output must equal the
     batch gaps-and-islands merge, up to the still-open trailing
