@@ -234,7 +234,7 @@ def _bucket_rows(emb: DataFrame) -> DataFrame:
                 }
             )
 
-    q = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    q = _spread(emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v")))
     return q.mapInPandas(buckets, _BUCKET_SCHEMA)
 
 

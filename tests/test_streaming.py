@@ -139,6 +139,40 @@ def test_streaming_dedup_drops_redelivered_frames(spark, frames_dir, tmp_path):
     assert _rows(deduped, cols) == _rows(batch, cols)
 
 
+def test_rerun_with_checkpoint_is_idempotent(spark, frames_dir, tmp_path):
+    """SURVEY 5.2 item 4: re-running the sink job against the same
+    checkpoint must not duplicate rows - the checkpoint's committed
+    batch ids make the foreachBatch overwrite a no-op on replay (the
+    MERGE-idempotency analog without an Iceberg catalog)."""
+    cols = ["src_id", "window_start", "n_tps"]
+    first = _run_stream(pipeline.ta_stream(spark, frames_dir), tmp_path, "idem")
+    rows1 = _rows(first, cols)
+    second = _run_stream(pipeline.ta_stream(spark, frames_dir), tmp_path, "idem")
+    assert _rows(second, cols) == rows1
+
+
+def test_run_allocation_monotone_and_gap_filling(spark, tmp_path):
+    """SURVEY 5.2 item 4: sequential allocations are unique; a gap in
+    the runs table is filled first (the reference's upward probe from
+    the floor, run_iceberg_daq.sh:111-131)."""
+    from iceberg_daq_spark.runs import RUNS_SCHEMA, allocate_run
+
+    runs_dir = str(tmp_path / "runs")
+    assert allocate_run(spark, runs_dir) == 16091
+
+    def add(run):
+        row = {"run": run, "subrun": run * 100000 + 1, "mode": "main",
+               "config_name": "c", "state": "stopped", "wall_time_s": 0.0,
+               "raw_rows": 0, "tp_rows": 0}
+        spark.createDataFrame([row], RUNS_SCHEMA).write.mode("append").parquet(runs_dir)
+
+    add(16091)
+    assert allocate_run(spark, runs_dir) == 16092
+    add(16095)  # gap 16092-16094
+    assert allocate_run(spark, runs_dir) == 16092
+    assert allocate_run(spark, runs_dir, "hermes") == 21  # independent floor
+
+
 def test_streaming_td_merge_equals_batch(spark, tmp_path):
     """TD interval merge: applyInPandasWithState output must equal the
     batch gaps-and-islands merge, up to the still-open trailing
