@@ -48,6 +48,18 @@ META_SCHEMA = T.StructType(
 )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin the (doc_id, n_chars) input across the full core
+    count before blob synthesis: the local single-file parquet scan
+    yields 1-2 partitions, which would serialize every numpy stage
+    downstream (synth -> decode -> resize all inherit the partitioning
+    through mapInPandas).  On a cluster the same call spreads a skewed
+    scan; the shuffled rows are two scalars each, so the exchange is
+    noise next to the per-blob work."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 def _img_dims(doc_id: np.ndarray, n_chars: np.ndarray):
     """Deterministic image dims from document columns (oracle-reproducible):
     width 8..39, height 8..23, channels 1 or 3."""
@@ -97,7 +109,7 @@ def synth_image_blobs(docs: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame({"doc_id": doc_id, "payload": payloads, "meta": metas})
 
-    return docs.select("doc_id", "n_chars").mapInPandas(gen, out_schema)
+    return _spread(docs.select("doc_id", "n_chars")).mapInPandas(gen, out_schema)
 
 
 _IMG_STATS_SCHEMA = T.StructType(
@@ -218,7 +230,7 @@ def synth_video_blobs(docs: DataFrame, frame_w: int = 8, frame_h: int = 8) -> Da
             if ids:
                 yield pd.DataFrame({"doc_id": ids, "payload": payloads, "meta": metas})
 
-    return docs.select("doc_id", "n_chars").mapInPandas(gen, out_schema)
+    return _spread(docs.select("doc_id", "n_chars")).mapInPandas(gen, out_schema)
 
 
 _FRAME_SCHEMA = T.StructType(
@@ -290,7 +302,7 @@ def synth_audio_blobs(docs: DataFrame, rate_hz: int = 16000) -> DataFrame:
                     {"doc_id": ids, "payload": payloads, "n_samples": counts, "rate_hz": rate_hz}
                 )
 
-    return docs.select("doc_id", "n_chars").mapInPandas(gen, out_schema)
+    return _spread(docs.select("doc_id", "n_chars")).mapInPandas(gen, out_schema)
 
 
 _AUD_STATS_SCHEMA = T.StructType(
