@@ -58,7 +58,10 @@ def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow batches).  Rows-only for the driver; tests check the
     closed-form pixel values."""
     d = load(spark, sf_dir, "documents")
-    blobs = mm.synth_image_blobs(d)
+    # both consumers (full-res stats and the resize chain) read the
+    # synthesized blob table - cache it so synthesis runs once, not once
+    # per join side (the self-join-recompute trap)
+    blobs = mm.synth_image_blobs(d).cache()
     full = mm.decode_image_stats(blobs).select(
         "doc_id", "width", "height", "channels",
         F.round("mean_px", 3).alias("mean_px"), "max_px", "min_px",
