@@ -91,34 +91,66 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, threshold: float = 0.5, k: int = 3
+    docs: DataFrame, threshold: float = 0.5, k: int = 3, df_max: int | None = None
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
 
     Inverted-index plan: explode distinct shingles, self-join on the
     shingle (one shuffle), count common shingles per pair, then
     |A intersect B| / (|A| + |B| - common).  Pairs sharing nothing never
-    materialize.  At 100 TB add a document-frequency cap on shingles
-    before the self-join (drop shingles in >df_max docs) - omitted here
-    because the correctness contract is the exact Jaccard.
+    materialize.
+
+    ``df_max`` is the 100 TB hot-key valve: a shingle appearing in d
+    documents emits d^2 index pairs, so one boilerplate shingle shared
+    by a million docs is a 10^12-pair task.  With ``df_max`` set, pair
+    *discovery* runs only over shingles with document frequency
+    <= df_max (losing only pairs whose every shared shingle is that
+    hot - boilerplate, not near-dup signal), and the surviving
+    candidates are verified exactly from the full per-doc shingle sets,
+    so reported (n_common, jaccard) values are identical to the exact
+    path.  Default None preserves the complete-discovery contract
+    (q41's oracle).
     """
     sets = shingle_sets(docs, k=k).cache()
     sh = sets.select("doc_id", F.explode("sh_set").alias("shingle"))
-    sizes = sets.select("doc_id", F.size("sh_set").alias("n_shingles"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    common = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    if df_max is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= df_max)
+            .select("shingle")
+        )
+        idx = sh.join(rare, "shingle")
+        cand = (
+            idx.select(F.col("doc_id").alias("doc_a"), "shingle")
+            .join(idx.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        # exact verification from the full sets (hot shingles included)
+        sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a"), F.size("sh_set").alias("n_a"))
+        sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b"), F.size("sh_set").alias("n_b"))
+        verified = (
+            cand.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .withColumn("n_common", F.size(F.array_intersect("set_a", "set_b")).cast("long"))
+        )
+    else:
+        a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+        common = (
+            a.join(b, "shingle")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_common"))
+        )
+        sizes = sets.select("doc_id", F.size("sh_set").alias("n_shingles"))
+        sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+        sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+        verified = common.join(sa, "doc_a").join(sb, "doc_b")
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
+        verified.withColumn(
             "jaccard",
             F.round(
                 F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4

@@ -128,6 +128,33 @@ def test_exact_dedup_finds_planted_duplicate(spark, sf_dir):
     assert dups[0]["canonical_doc_id"] == 0 and dups[0]["n_copies"] == 2
 
 
+def test_ngram_jaccard_df_cap(spark, sf_dir):
+    """The df_max hot-shingle valve: capped discovery emits a subset of
+    the exact pairs with IDENTICAL (n_common, jaccard) values (verify
+    runs on the full sets); a generous cap loses nothing on the test
+    corpus; and a pair sharing only a hot shingle is pruned."""
+    d = load(spark, sf_dir, "documents")
+    exact = {
+        (r["doc_a"], r["doc_b"]): (r["n_common"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(d, threshold=0.5).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"]): (r["n_common"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(d, threshold=0.5, df_max=1000).collect()
+    }
+    assert capped == exact  # cap far above any df on this corpus
+    # synthetic: docs 1/2 share only the hot shingle "x y z" (df=3)
+    docs = spark.createDataFrame(
+        [(1, "x y z a b c"), (2, "x y z d e f"), (3, "x y z a b c")],
+        ["doc_id", "text"],
+    )
+    full = {(r["doc_a"], r["doc_b"]) for r in dedup.ngram_jaccard_pairs(docs, 0.1).collect()}
+    pruned = {(r["doc_a"], r["doc_b"]) for r in dedup.ngram_jaccard_pairs(docs, 0.1, df_max=2).collect()}
+    assert (1, 2) in full and (1, 3) in full
+    assert (1, 2) not in pruned  # only link was the hot shingle
+    assert (1, 3) in pruned  # still discovered via rare shingles
+
+
 def test_salted_join_equals_plain_join(spark):
     """A 90%-hot-key fact table salted-joined to a dim must produce
     exactly the plain join's rows (inner and left, incl. unmatched
