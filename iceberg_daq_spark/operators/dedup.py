@@ -1,13 +1,15 @@
 """Deduplication operators for document corpora.
 
-Four tiers, all shuffle-architected for 100 TB:
+Five tiers, all shuffle-architected for 100 TB:
 
   exact          content-hash groupBy (one shuffle on a 128-bit hash)
   ngram_jaccard  exact n-gram Jaccard via inverted-index self-join
-                 (shuffle on shingle; hot-shingle skew noted below)
-  minhash_lsh    MinHash signatures + banded LSH candidate generation,
-                 then exact verification of candidates only
+                 (shuffle on shingle; df_max caps hot-shingle skew)
+  minhash_lsh    map-only MinHash signatures + banded LSH candidate
+                 generation, then exact verification of candidates only
   simhash        64-bit SimHash + chunk-banded Hamming candidates
+  components     transitive closure of near-dup pairs into dedup
+                 groups (iterative min-label propagation)
 
 At scale the ngram inverted index is the bottleneck (a shingle shared
 by d documents emits d^2 pairs); minhash_lsh is the scale path - band
