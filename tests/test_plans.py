@@ -135,6 +135,39 @@ def test_q59_join_keys_are_salted(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    """Co-located joins via bucketing (the 100 TB repeated-join layout):
+    two tables bucketed 8-ways on the join key must sort-merge join with
+    ZERO Exchange in the plan - the shuffle happened once at write time,
+    every later join rides it."""
+    from iceberg_daq_spark.tables import load
+
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    try:
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+            "overwrite"
+        ).saveAsTable("t_li_bucketed")
+        o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+            "overwrite"
+        ).saveAsTable("t_o_bucketed")
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = spark.table("t_li_bucketed").join(
+                spark.table("t_o_bucketed"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            plan = plan_of(j)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join still shuffles"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS t_o_bucketed")
+
+
 def test_q41_shingles_single_split(spark, sf_dir):
     """The shingle expression must reference split(text) a constant
     number of times (the slice-zip form), not once per element - the
