@@ -193,3 +193,42 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q60_pivot",
+    oracle="""
+    SELECT user_id % 16 AS user_bucket,
+           CAST(count(*) FILTER (event_type = 'click')    AS BIGINT) AS n_click,
+           CAST(count(*) FILTER (event_type = 'error')    AS BIGINT) AS n_error,
+           CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+           CAST(count(*) FILTER (event_type = 'signup')   AS BIGINT) AS n_signup,
+           CAST(count(*) FILTER (event_type = 'view')     AS BIGINT) AS n_view,
+           round(CAST(sum(value) FILTER (event_type = 'purchase') AS DOUBLE), 2)
+             AS purchase_value
+    FROM events
+    GROUP BY user_id % 16
+    ORDER BY user_bucket
+    """,
+)
+def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide-format aggregation): event counts per type as
+    columns, per user bucket.  The explicit value list keeps the pivot
+    single-pass (no distinct-values pre-query) and the output schema
+    static - the 100 TB form; conditional aggregation is its oracle
+    twin."""
+    e = load(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    pivoted = (
+        e.withColumn("user_bucket", F.col("user_id") % 16)
+        .groupBy("user_bucket")
+        .pivot("event_type", types)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("val"),
+        )
+    )
+    cols = [F.col("user_bucket")]
+    cols += [F.coalesce(F.col(f"{t}_n"), F.lit(0)).alias(f"n_{t}") for t in types]
+    cols.append(F.col("purchase_val").alias("purchase_value"))
+    return pivoted.select(*cols).orderBy("user_bucket")
