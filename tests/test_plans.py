@@ -168,6 +168,23 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir):
         spark.sql("DROP TABLE IF EXISTS t_o_bucketed")
 
 
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hidden-partitioning analog (SURVEY section 1.3): a table written
+    partitionBy(event_type) must serve an event_type filter via
+    PartitionFilters (directory pruning), with the predicate absent
+    from the data filters - the scan never opens non-matching files."""
+    from iceberg_daq_spark.tables import load
+
+    out = str(tmp_path / "events_by_type")
+    load(spark, sf_dir, "events").write.partitionBy("event_type").parquet(out)
+    scan = spark.read.parquet(out).filter(F.col("event_type") == "error")
+    plan = plan_of(scan)
+    assert "PartitionFilters: [isnotnull(event_type" in plan.replace("#", "")[:10**6]
+    # count proves pruning produced only the one partition's rows
+    expect = load(spark, sf_dir, "events").filter(F.col("event_type") == "error").count()
+    assert scan.count() == expect
+
+
 def test_q41_shingles_single_split(spark, sf_dir):
     """The shingle expression must reference split(text) a constant
     number of times (the slice-zip form), not once per element - the
