@@ -161,6 +161,35 @@ def ta_windows(hits: DataFrame, window_ticks: int = TA_WINDOW_TICKS) -> DataFram
     )
 
 
+def ta_sessions(hits: DataFrame, gap: str = "1 second") -> DataFrame:
+    """TP accumulation with inactivity flush (A25: 1 s accumulation
+    interval + 1.0 s inactivity flush, iceberg_daq_eth.json:79-80):
+    per-stream session windows that close after ``gap`` of silence -
+    the session twin of the tumbling ta_windows, batch/stream agnostic
+    (streaming needs a watermark on ts upstream; sessions emit once the
+    watermark passes session_end + gap)."""
+    return (
+        hits.groupBy(F.col("src_id"), F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count("*").alias("n_tps"),
+            F.size(F.collect_set("channel")).alias("n_channels"),
+            F.sum("adc").alias("sum_adc"),
+            F.min("ts_ticks").alias("first_tick"),
+            F.max("ts_ticks").alias("last_tick"),
+        )
+        .select(
+            "src_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_tps",
+            "n_channels",
+            "sum_adc",
+            "first_tick",
+            "last_tick",
+        )
+    )
+
+
 def prescale_hash(df: DataFrame, n: int = PRESCALE, key_cols: tuple[str, ...] = ("src_id", "seq")) -> DataFrame:
     """Streaming-safe prescale (A16): deterministic 1-in-n hash gate.
 

@@ -139,6 +139,51 @@ def test_streaming_dedup_drops_redelivered_frames(spark, frames_dir, tmp_path):
     assert _rows(deduped, cols) == _rows(batch, cols)
 
 
+def test_streaming_session_windows_equal_batch(spark, tmp_path):
+    """A25's inactivity flush as session windows: hits with designed
+    silence gaps must form the same sessions in streaming (watermark +
+    availableNow) as in batch.  A far-future sentinel hit pushes the
+    final watermark so every real session closes; the sentinel's own
+    session is the only one allowed to be missing."""
+    from pyspark.sql import types as T
+
+    gap_ms = 100
+    # two streams; hit bursts at 0-20ms, 200-210ms, 500ms (3 sessions
+    # per stream at a 100ms gap), sentinel at 10s
+    rows = []
+    for src in (0, 1):
+        for base in (0, 5, 20, 200, 210, 500):
+            rows.append((src, base * 62_500, src * 64 + base % 7, 50 + base % 10))
+        rows.append((src, 10_000 * 62_500, src * 64, 50))  # sentinel
+    schema = T.StructType(
+        [
+            T.StructField("src_id", T.IntegerType()),
+            T.StructField("ts_ticks", T.LongType()),
+            T.StructField("channel", T.IntegerType()),
+            T.StructField("adc", T.IntegerType()),
+        ]
+    )
+    hits_dir = str(tmp_path / "hits")
+    base_df = spark.createDataFrame(rows, schema).withColumn(
+        "ts", F.timestamp_micros((F.col("ts_ticks") / 62.5).cast("long"))
+    )
+    base_df.write.parquet(hits_dir)
+
+    batch = plan.ta_sessions(spark.read.parquet(hits_dir), gap=f"{gap_ms} milliseconds")
+    stream_hits = (
+        spark.readStream.schema(base_df.schema).parquet(hits_dir)
+        .withWatermark("ts", "10 milliseconds")
+    )
+    streamed = _run_stream(
+        plan.ta_sessions(stream_hits, gap=f"{gap_ms} milliseconds"), tmp_path, "sess"
+    )
+    cols = ["src_id", "session_start", "session_end", "n_tps", "n_channels", "sum_adc"]
+    b, s = _rows(batch, cols), _rows(streamed, cols)
+    sentinel_sessions = {r for r in b if r[1].timestamp() >= 9.0}
+    assert set(s) == set(b) - sentinel_sessions
+    assert len(s) == 6  # 3 closed sessions x 2 streams
+
+
 def test_rerun_with_checkpoint_is_idempotent(spark, frames_dir, tmp_path):
     """SURVEY 5.2 item 4: re-running the sink job against the same
     checkpoint must not duplicate rows - the checkpoint's committed
