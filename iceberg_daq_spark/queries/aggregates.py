@@ -232,3 +232,45 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols += [F.coalesce(F.col(f"{t}_n"), F.lit(0)).alias(f"n_{t}") for t in types]
     cols.append(F.col("purchase_val").alias("purchase_value"))
     return pivoted.select(*cols).orderBy("user_bucket")
+
+
+@register(
+    "q61_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, round(value, 2) AS value
+    FROM (
+      SELECT l_orderkey, l_linenumber, 'discount' AS measure,
+             CAST(l_discount AS DOUBLE) AS value FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'price', CAST(l_extendedprice AS DOUBLE)
+      FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'qty', CAST(l_quantity AS DOUBLE)
+      FROM lineitem
+    )
+    ORDER BY l_orderkey, l_linenumber, measure
+    """,
+)
+def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt (q60's inverse): wide measure columns to long
+    (key, measure, value) rows - one map-side pass, no shuffle until
+    the presentation sort; the long form feeds per-measure profiling
+    (q58) without N separate scans."""
+    li = load(spark, sf_dir, "lineitem")
+    wide = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_discount").cast("double").alias("discount"),
+        F.col("l_extendedprice").cast("double").alias("price"),
+        F.col("l_quantity").cast("double").alias("qty"),
+    )
+    return (
+        wide.unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["discount", "price", "qty"],
+            "measure",
+            "value",
+        )
+        .withColumn("value", F.round("value", 2))
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+    )
