@@ -84,7 +84,10 @@ def test_ivf_ann_recall(spark, sf_dir):
         ivf.setdefault(r["qid"], set()).add(r["cid"])
     recalls = [len(brute[q] & ivf.get(q, set())) / len(brute[q]) for q in brute]
     mean_recall = sum(recalls) / len(recalls)
-    assert mean_recall >= 0.3, f"mean recall@5 {mean_recall}"
+    # measured ~0.50 at sf0.001/sf0.01 on the structureless random
+    # embeddings (the ANN worst case - true neighbors are barely closer
+    # than random points); floor set under that with margin
+    assert mean_recall >= 0.4, f"mean recall@5 {mean_recall}"
 
 
 def test_lsh_ann_recall(spark, sf_dir):
