@@ -319,3 +319,41 @@ def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_nationkey")
     )
+
+
+@register(
+    "q62_correlated_subquery",
+    oracle="""
+    SELECT p.p_brand,
+           CAST(count(*) AS BIGINT) AS n_below,
+           round(CAST(sum(l.l_extendedprice) AS DOUBLE), 2) AS below_revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_quantity < (
+      SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+      WHERE l2.l_partkey = p.p_partkey
+    )
+    GROUP BY p.p_brand
+    ORDER BY p_brand
+    """,
+)
+def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q17 shape): lineitems below
+    half their part's average quantity, aggregated per brand.  Written
+    as SQL so Catalyst's subquery decorrelation plans it - the
+    correlated aggregate rewrites to one per-part average join, not a
+    per-row re-scan of lineitem (the plan guard asserts a single
+    decorrelated aggregate, no nested-loop)."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    load(spark, sf_dir, "part").createOrReplaceTempView("v_part")
+    return spark.sql("""
+        SELECT p.p_brand,
+               count(*) AS n_below,
+               round(sum(l.l_extendedprice), 2) AS below_revenue
+        FROM v_lineitem l JOIN v_part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_quantity < (
+          SELECT 0.5 * avg(l2.l_quantity) FROM v_lineitem l2
+          WHERE l2.l_partkey = p.p_partkey
+        )
+        GROUP BY p.p_brand
+        ORDER BY p_brand
+    """)

@@ -185,6 +185,16 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     assert scan.count() == expect
 
 
+def test_q62_subquery_decorrelates(spark, sf_dir):
+    """The correlated scalar subquery must plan as a decorrelated
+    aggregate + equi-join, never a per-row nested-loop re-scan."""
+    from iceberg_daq_spark.queries.joins import q62
+
+    plan = plan_of(q62(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_q41_shingles_single_split(spark, sf_dir):
     """The shingle expression must reference split(text) a constant
     number of times (the slice-zip form), not once per element - the
