@@ -374,3 +374,47 @@ def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     w = text.words(F.col("text"))
     return d.select("doc_id", text.fingerprint(w).alias("fingerprint")).orderBy("doc_id")
+
+
+@register(
+    "q63_text_clean",
+    oracle="""
+    WITH cleaned AS (
+      SELECT doc_id, text,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                 ' +', ' ', 'g')) AS clean
+      FROM documents
+    )
+    SELECT doc_id,
+           substr(clean, 1, 40) AS clean_prefix,
+           CAST(length(text) - length(clean) AS BIGINT) AS n_chars_removed,
+           CAST(len(string_split(clean, ' ')) AS BIGINT) AS n_clean_words
+    FROM cleaned
+    ORDER BY doc_id
+    """,
+)
+def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text cleaning/normalization (the first stage of a training-data
+    pipeline, upstream of q46-q49's analysis): lowercase, strip
+    non-alphanumerics, collapse whitespace - all JVM regexp_replace,
+    map-only, no Python."""
+    d = load(spark, sf_dir, "documents")
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    return (
+        d.select(
+            "doc_id",
+            clean.alias("clean"),
+            F.length("text").alias("len_raw"),
+        )
+        .select(
+            "doc_id",
+            F.substring("clean", 1, 40).alias("clean_prefix"),
+            (F.col("len_raw") - F.length("clean")).cast("long").alias("n_chars_removed"),
+            F.size(F.split("clean", " ")).cast("long").alias("n_clean_words"),
+        )
+        .orderBy("doc_id")
+    )
