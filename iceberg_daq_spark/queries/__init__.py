@@ -2,17 +2,24 @@
 
 Importing this package registers every query into
 ``iceberg_daq_spark.registry``.
+
+Import order is registration order, and the verify driver checks the
+first 50 registered queries: the section-2B CORE contract modules must
+register before the llm/multimodal extension modules so every core
+query lands inside the driver's checked window.
 """
 
 from iceberg_daq_spark.queries import (  # noqa: F401
-    aggregates,
-    daq,
+    scans,
     joins,
+    aggregates,
+    window_funcs,
+    sort_setops,
+    scalar,
+    windows,
+    daq,
+)
+from iceberg_daq_spark.queries import (  # noqa: F401
     llm,
     multimodal,
-    scalar,
-    scans,
-    sort_setops,
-    window_funcs,
-    windows,
 )

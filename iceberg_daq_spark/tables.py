@@ -44,7 +44,12 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     whole-microsecond, so `div 1000` is exact - same discipline as the
     reference's canonical tick-longs (SURVEY section 4.3: store ticks
     as LongType, convert at the edges).
+
+    The conf is set here (runtime-settable) rather than only at session
+    build so queries stay correct when the CALLER owns the
+    SparkSession - e.g. the verify driver passes a vanilla session.
     """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":
