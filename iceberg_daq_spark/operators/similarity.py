@@ -2,25 +2,34 @@
 
 Two paths per the north-star contract:
 
-  brute-force   exact cosine top-k / near-dup: block-scored against a
-                broadcast embedding matrix, numpy per Arrow batch
-  lsh_ann       random-hyperplane LSH bucketing; cosine evaluated only
-                on bucket-collision candidates - the 100 TB path
-                (bucket join instead of cross join; recall measured
-                against brute force in tests)
+  brute-force   exact cosine top-k / near-dup: BLOCK-PARTITIONED
+                all-pairs scoring.  Both sides are grouped into
+                deterministic blocks; block pairs meet through an
+                explode + hash equi-join (never a cross join, never a
+                driver collect), and each (q-block, c-block) cell is
+                scored with numpy inside mapInPandas.
+  lsh_ann/ivf   random-hyperplane LSH / IVF cell bucketing; cosine
+                evaluated only on bucket-collision candidates - the
+                100 TB path.  Candidate (qid, cid) id pairs are scored
+                by joining each side's vector back from the embeddings
+                table (two hash equi-joins) - only candidate ids and
+                candidate vectors ever shuffle; nothing is collected
+                to the driver.
 
 Float discipline: the DuckDB oracle computes dot products as a
 sequential left fold (list_reduce).  numpy's dot/matmul uses pairwise
 summation - different rounding.  All scoring here therefore uses
-``(a*b).cumsum()[..., -1]``: cumulative sum is sequential by
-definition, so every double is bit-identical to the oracle's fold and
-ranks/thresholds can never diverge.
+either ``(a*b).cumsum()[..., -1]`` (numpy paths) or the Catalyst HOF
+``aggregate(zip_with(a, b, *), 0.0, +)`` (join-scored paths):
+both are sequential left folds, so every double is bit-identical to
+the oracle's fold and ranks/thresholds can never diverge.
 
-Scale shape: the embedding matrix is broadcast to executors (the
-"small dim table" of similarity search - 64-dim f32 at 1e8 vectors is
-~25 GB; beyond broadcast range, swap the broadcast for a block-
-partitioned B-side join, same per-block numpy).  Scoring shuffles only
-(qid, cid) id pairs, never vectors.
+Scale shape: nothing here materializes the corpus on the driver.
+Brute force moves each block NB times (the classic blocked
+all-pairs tradeoff - n^2/block_rows payload instead of n^2); it is
+the *exact baseline*, inherently O(n^2) compute, and the ANN paths
+are the ones meant for 100 TB.  ANN scoring shuffles candidate
+vectors through two hash joins, bounded by bucket/cell occupancy.
 
 Hyperplanes are a seeded driver-side {-1,+1} matrix broadcast to the
 executors, so there is no per-executor random state and replays are
@@ -40,8 +49,8 @@ from pyspark.sql import types as T
 
 def _dot(a: Column, b: Column) -> Column:
     """Sequential left-fold dot product over array<double> columns
-    (Catalyst HOF form - used where the input is a Column expression;
-    bit-identical to the numpy cumsum used in the batch paths)."""
+    (Catalyst HOF form; bit-identical to the numpy cumsum used in the
+    batch paths and to the oracle's list_reduce)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -63,19 +72,6 @@ def _seq_dot_block(M: np.ndarray, a: np.ndarray) -> np.ndarray:
     return (M * a[None, :]).cumsum(axis=1)[:, -1]
 
 
-def _broadcast_matrix(emb: DataFrame):
-    """Collect (ids, matrix, norms) once and broadcast to executors.
-    Norms use the same cumsum fold as the oracle's sqrt(list_reduce)."""
-    rows = emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).collect()
-    rows.sort(key=lambda r: r["vec_id"])
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    M = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
-    norms = np.sqrt((M * M).cumsum(axis=1)[:, -1])
-    return emb.sparkSession.sparkContext.broadcast((ids, M, norms))
-
-
 def _spread(df: DataFrame) -> DataFrame:
     """Round-robin the query side across the full core count.  The
     embeddings table is one small parquet file locally (1-2 scan
@@ -83,6 +79,57 @@ def _spread(df: DataFrame) -> DataFrame:
     on a cluster the same call spreads a skewed scan."""
     sc = df.sparkSession.sparkContext
     return df.repartition(sc.defaultParallelism)
+
+
+# ---------------------------------------------------------------------------
+# Blocked exact all-pairs (brute-force baseline)
+# ---------------------------------------------------------------------------
+
+_MAX_BLOCKS = 512  # caps block-pair task count at _MAX_BLOCKS^2
+_TARGET_BLOCK_ROWS = 256  # local granularity floor (keeps 32 cores busy)
+
+
+def _num_blocks(n: int) -> int:
+    return max(8, min(_MAX_BLOCKS, -(-n // _TARGET_BLOCK_ROWS)))
+
+
+def _block_pairs(emb: DataFrame) -> DataFrame:
+    """All (q-block, c-block) combinations, each row carrying both
+    block payloads: array<struct<vec_id, v>> on each side.
+
+    The pairing is an explode + hash EQUI-join on the candidate block
+    id - Catalyst plans a hash join, not a CartesianProduct, and at
+    scale the join shuffles block payloads instead of broadcasting the
+    corpus.  Payload replication is the standard blocked all-pairs
+    tradeoff: each candidate block moves NB times (n^2/block_rows
+    bytes total, vs n^2 rows for a naive pair join).  Nothing touches
+    the driver.
+    """
+    n = emb.count()
+    nb = _num_blocks(n)
+    nv = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.pmod(F.xxhash64("vec_id"), F.lit(nb)).alias("bid"),
+    )
+    qb = nv.groupBy(F.col("bid").alias("qb")).agg(
+        F.collect_list(F.struct("vec_id", "v")).alias("qrows")
+    )
+    cb = nv.groupBy(F.col("bid").alias("cb")).agg(
+        F.collect_list(F.struct("vec_id", "v")).alias("crows")
+    )
+    fanned = qb.select(
+        "qb", "qrows", F.explode(F.sequence(F.lit(0), F.lit(nb - 1))).alias("cb")
+    )
+    return fanned.join(cb, "cb").select("qrows", "crows")
+
+
+def _unpack(rows) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """block payload -> (ids, matrix, fold-order norms)."""
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    M = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+    norms = np.sqrt((M * M).cumsum(axis=1)[:, -1])
+    return ids, M, norms
 
 
 _TOPK_SCHEMA = T.StructType(
@@ -94,52 +141,7 @@ _TOPK_SCHEMA = T.StructType(
     ]
 )
 
-
-def cosine_topk_bruteforce(emb: DataFrame, k: int = 5) -> DataFrame:
-    """Exact top-k cosine neighbors for every vector.
-
-    Plan: queries stay partitioned; each partition scores its rows
-    against the broadcast matrix and emits ONLY its k winners - no
-    quadratic pair materialization, no global window shuffle (the
-    former cross-join + row_number plan was 20x slower at sf0.1).
-    Ordering ties break by ascending cid, same as the oracle's
-    row_number() OVER (ORDER BY cos DESC, cid).
-    """
-    bc = _broadcast_matrix(emb)
-
-    def topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids, M, norms = bc.value
-        for pdf in batches:
-            out_q, out_c, out_r, out_s = [], [], [], []
-            for qid, v in zip(pdf["vec_id"].to_numpy(), pdf["v"]):
-                a = np.asarray(v, dtype=np.float64)
-                na = np.sqrt((a * a).cumsum()[-1])
-                cos = _seq_dot_block(M, a) / (na * norms)
-                mask = ids != qid
-                cand_ids, cand_cos = ids[mask], cos[mask]
-                if len(cand_cos) > k:
-                    # full-sorting all candidates is the hot spot; select
-                    # everything >= the kth score (ties included so the
-                    # (cos DESC, cid ASC) boundary tie-break stays exact),
-                    # then order only that small set
-                    kth = np.partition(cand_cos, len(cand_cos) - k)[len(cand_cos) - k]
-                    sel = cand_cos >= kth
-                    cand_ids, cand_cos = cand_ids[sel], cand_cos[sel]
-                order = np.lexsort((cand_ids, -cand_cos))[:k]
-                out_q.extend([qid] * len(order))
-                out_c.extend(cand_ids[order])
-                out_r.extend(range(1, len(order) + 1))
-                out_s.extend(np.round(cand_cos[order], 3))
-            if out_q:
-                yield pd.DataFrame(
-                    {"qid": out_q, "cid": out_c, "rk": out_r, "cos_sim": out_s}
-                )
-
-    q = _spread(emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v")))
-    return q.mapInPandas(topk, _TOPK_SCHEMA)
-
-
-_PAIR_SCHEMA = T.StructType(
+_RAW_SCHEMA = T.StructType(
     [
         T.StructField("qid", T.LongType()),
         T.StructField("cid", T.LongType()),
@@ -148,38 +150,123 @@ _PAIR_SCHEMA = T.StructType(
 )
 
 
+def cosine_topk_bruteforce(emb: DataFrame, k: int = 5) -> DataFrame:
+    """Exact top-k cosine neighbors for every vector.
+
+    Plan: blocked all-pairs (see _block_pairs) -> per block pair each
+    query emits only its k block-local winners under the total order
+    (cos DESC, cid ASC) -> global per-query row_number merges the
+    NB partial lists.  Per-query candidate volume into the window is
+    NB*k rows, not n - no quadratic materialization, no driver state.
+    Ties break by ascending cid, same as the oracle's
+    row_number() OVER (ORDER BY cos DESC, cid).
+    """
+    from pyspark.sql import Window
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for qrows, crows in zip(pdf["qrows"], pdf["crows"]):
+                qids, Mq, _ = _unpack(qrows)
+                cids, Mc, cnorms = _unpack(crows)
+                out_q, out_c, out_s = [], [], []
+                for qi in range(len(qids)):
+                    a = Mq[qi]
+                    na = np.sqrt((a * a).cumsum()[-1])
+                    cos = _seq_dot_block(Mc, a) / (na * cnorms)
+                    mask = cids != qids[qi]
+                    cand_ids, cand_cos = cids[mask], cos[mask]
+                    # (cos DESC, cid ASC) is a total order (cid unique),
+                    # so k block-local winners are sufficient for the
+                    # global merge - boundary ties cannot be ambiguous
+                    order = np.lexsort((cand_ids, -cand_cos))[:k]
+                    out_q.extend([qids[qi]] * len(order))
+                    out_c.extend(cand_ids[order])
+                    out_s.extend(cand_cos[order])
+                if out_q:
+                    yield pd.DataFrame(
+                        {"qid": out_q, "cid": out_c, "cos_sim": out_s}
+                    )
+
+    partial = _block_pairs(emb).mapInPandas(score, _RAW_SCHEMA)
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
+    return (
+        partial.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "qid",
+            "cid",
+            F.col("rk").cast("long").alias("rk"),
+            F.round("cos_sim", 3).alias("cos_sim"),
+        )
+    )
+
+
 def cosine_near_dup_pairs(emb: DataFrame, threshold: float) -> DataFrame:
     """Exact embedding-cosine near-duplicate pairs (qid < cid,
     cos >= threshold) - the dedup-by-embedding path of the north-star
-    contract.  Same broadcast-block plan as top-k; each partition
-    emits only its above-threshold pairs."""
-    bc = _broadcast_matrix(emb)
+    contract.  Same blocked all-pairs plan as top-k; each block pair
+    emits only its above-threshold pairs.  The threshold compares the
+    exact fold value; rounding is output-only."""
     thr = float(threshold)
 
     def pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids, M, norms = bc.value
         for pdf in batches:
-            out = []
-            for qid, v in zip(pdf["vec_id"].to_numpy(), pdf["v"]):
-                a = np.asarray(v, dtype=np.float64)
-                na = np.sqrt((a * a).cumsum()[-1])
-                cos = _seq_dot_block(M, a) / (na * norms)
-                sel = (ids > qid) & (cos >= thr)
-                if sel.any():
-                    out.append(
-                        pd.DataFrame(
-                            {
-                                "qid": qid,
-                                "cid": ids[sel],
-                                "cos_sim": np.round(cos[sel], 3),
-                            }
+            for qrows, crows in zip(pdf["qrows"], pdf["crows"]):
+                qids, Mq, _ = _unpack(qrows)
+                cids, Mc, cnorms = _unpack(crows)
+                out = []
+                for qi in range(len(qids)):
+                    a = Mq[qi]
+                    na = np.sqrt((a * a).cumsum()[-1])
+                    cos = _seq_dot_block(Mc, a) / (na * cnorms)
+                    sel = (cids > qids[qi]) & (cos >= thr)
+                    if sel.any():
+                        out.append(
+                            pd.DataFrame(
+                                {
+                                    "qid": qids[qi],
+                                    "cid": cids[sel],
+                                    "cos_sim": cos[sel],
+                                }
+                            )
                         )
-                    )
-            if out:
-                yield pd.concat(out, ignore_index=True)
+                if out:
+                    yield pd.concat(out, ignore_index=True)
 
-    q = _spread(emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v")))
-    return q.mapInPandas(pairs, _PAIR_SCHEMA)
+    raw = _block_pairs(emb).mapInPandas(pairs, _RAW_SCHEMA)
+    return raw.select("qid", "cid", F.round("cos_sim", 3).alias("cos_sim"))
+
+
+# ---------------------------------------------------------------------------
+# Candidate scoring by id-join (shared by the ANN paths)
+# ---------------------------------------------------------------------------
+
+
+def _score_pairs(pairs: DataFrame, emb: DataFrame) -> DataFrame:
+    """Score candidate (qid, cid) id pairs by joining each side's
+    vector back from the embeddings table - two hash equi-joins, so
+    only candidate ids and candidate vectors shuffle and the driver
+    never sees a vector.  The cosine itself is the Catalyst HOF fold
+    (JVM-side, whole plan stays declarative), bit-identical to the
+    oracle's list_reduce and to the numpy cumsum paths."""
+    nv = with_norm(emb)
+    q = nv.select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("vq"), F.col("norm").alias("nq")
+    )
+    c = nv.select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("vc"), F.col("norm").alias("nc")
+    )
+    return (
+        pairs.join(q, "qid")
+        .join(c, "cid")
+        .select(
+            "qid",
+            "cid",
+            (_dot(F.col("vq"), F.col("vc")) / (F.col("nq") * F.col("nc"))).alias(
+                "cos_sim"
+            ),
+        )
+    )
 
 
 N_TABLES = 8  # independent hash tables
@@ -249,41 +336,19 @@ def _candidate_pairs(emb: DataFrame, symmetric: bool) -> DataFrame:
     return a.join(b, ["tbl", "bucket"]).filter(cond).select("qid", "cid").distinct()
 
 
-def _score_pairs(pairs: DataFrame, bc) -> DataFrame:
-    """Score (qid, cid) id pairs against the broadcast matrix - only
-    ids ever shuffle; vectors ride the broadcast."""
-
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids, M, norms = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            qi = np.searchsorted(ids, pdf["qid"].to_numpy())
-            ci = np.searchsorted(ids, pdf["cid"].to_numpy())
-            prods = M[qi] * M[ci]
-            dots = prods.cumsum(axis=1)[:, -1]
-            cos = dots / (norms[qi] * norms[ci])
-            yield pd.DataFrame(
-                {"qid": pdf["qid"], "cid": pdf["cid"], "cos_sim": cos}
-            )
-
-    return pairs.mapInPandas(score, _PAIR_SCHEMA)
-
-
 def lsh_ann_topk(emb: DataFrame, k: int = 5) -> DataFrame:
     """Approximate top-k: cosine evaluated only on candidates that
     collide in >=1 of the N_TABLES LSH tables.
 
     Plan: one projection computes all table buckets, explode to
     (table, bucket), equi-join on them (shuffle bounded by bucket
-    occupancy), dedupe candidate id pairs, score against the broadcast
-    matrix, per-query top-k.  No cross join anywhere.  Recall vs brute
-    force asserted in tests.
+    occupancy), dedupe candidate id pairs, score via the id-join path
+    (_score_pairs - no driver-side matrix), per-query top-k.  No cross
+    join anywhere.  Recall vs brute force asserted in tests.
     """
     from pyspark.sql import Window
 
-    bc = _broadcast_matrix(emb)
-    scored = _score_pairs(_candidate_pairs(emb, symmetric=True), bc)
+    scored = _score_pairs(_candidate_pairs(emb, symmetric=True), emb)
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
@@ -301,18 +366,22 @@ _IVF_TRAIN_CAP = 100_000  # quantizer training sample bound
 def _ivf_centroids(vecs: DataFrame) -> np.ndarray:
     """Spherical k-means coarse quantizer, (N_CELLS, dim), L2-normalized.
 
-    Trained on a bounded deterministic sample collected to the driver
-    (sorted by a hash of vec_id, capped at _IVF_TRAIN_CAP) with Lloyd's
-    iterations in numpy - the standard IVF practice (e.g. faiss trains
-    its coarse quantizer on a sample, typically 30-250x the cell
-    count): quantizer quality needs a representative sample, not the
-    corpus, so the fit never scales with table size.  Assignment of the
-    full corpus stays distributed in ivf_ann_topk."""
-    sample = (
-        vecs.orderBy(F.xxhash64("vec_id"))
-        .limit(_IVF_TRAIN_CAP)
-        .collect()
-    )
+    Trained on a bounded deterministic sample (hash-threshold filter -
+    a map-only predicate, no global sort) capped at _IVF_TRAIN_CAP and
+    collected to the driver, with Lloyd's iterations in numpy - the
+    standard IVF practice (e.g. faiss trains its coarse quantizer on a
+    sample, typically 30-250x the cell count): quantizer quality needs
+    a representative sample, not the corpus, so the fit never scales
+    with table size.  Assignment of the full corpus stays distributed
+    in ivf_ann_topk."""
+    n = vecs.count()
+    if n > _IVF_TRAIN_CAP:
+        # deterministic ~cap-sized subset: keep rows whose id-hash falls
+        # under the sample fraction (pushdown-able filter, no shuffle)
+        denom = 1 << 20
+        cut = int(denom * _IVF_TRAIN_CAP / n)
+        vecs = vecs.filter(F.pmod(F.xxhash64("vec_id"), F.lit(denom)) < cut)
+    sample = vecs.limit(_IVF_TRAIN_CAP).collect()
     V = np.stack([np.asarray(r["v"], dtype=np.float64) for r in sample])
     order = np.argsort([r["vec_id"] for r in sample])  # seed deterministically
     Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
@@ -323,9 +392,9 @@ def _ivf_centroids(vecs: DataFrame) -> np.ndarray:
             members = Vn[cells == c]
             if len(members):
                 m = members.sum(axis=0)
-                n = np.linalg.norm(m)
-                if n > 0:
-                    C[c] = m / n
+                n2 = np.linalg.norm(m)
+                if n2 > 0:
+                    C[c] = m / n2
     return C
 
 
@@ -333,7 +402,7 @@ def ivf_ann_topk(emb: DataFrame, k: int = 5) -> DataFrame:
     """IVF approximate top-k: spherical-kmeans cells as the coarse
     quantizer; each vector posts to its nearest cell, each query probes
     its N_PROBE nearest cells, candidates come from a (cell) equi-join,
-    then exact cosine + per-query top-k.
+    then exact cosine (id-join scored) + per-query top-k.
 
     The IVF counterpart of lsh_ann_topk: recall comes from nprobe
     rather than table count, and cell occupancy (~N/N_CELLS) bounds the
@@ -343,8 +412,8 @@ def ivf_ann_topk(emb: DataFrame, k: int = 5) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    # cached: scanned once, then reused by every Lloyd's iteration and
-    # the final probe pass
+    # cached: scanned once, then reused by the quantizer sample and
+    # the probe pass
     vecs = _spread(
         emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     ).cache()
@@ -388,8 +457,7 @@ def ivf_ann_topk(emb: DataFrame, k: int = 5) -> DataFrame:
         .select("qid", "cid")
         .distinct()
     )
-    bc = _broadcast_matrix(emb)
-    scored = _score_pairs(cand, bc)
+    scored = _score_pairs(cand, emb)
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
@@ -400,13 +468,12 @@ def ivf_ann_topk(emb: DataFrame, k: int = 5) -> DataFrame:
 
 def lsh_near_dup_pairs(emb: DataFrame, threshold: float) -> DataFrame:
     """LSH-pruned embedding near-dup: candidates from bucket collisions
-    only, then exact-cosine verified (same cumsum fold), so precision
+    only, then exact-cosine verified (same fold order), so precision
     is 1 by construction and recall is bounded by table collision
     probability (measured in tests).  At 100 TB this is the only
     viable shape: the shuffle is bounded by bucket occupancy, never
-    |E|^2, and only id pairs shuffle."""
-    bc = _broadcast_matrix(emb)
-    scored = _score_pairs(_candidate_pairs(emb, symmetric=False), bc)
+    |E|^2, and only candidate ids/vectors shuffle - no driver state."""
+    scored = _score_pairs(_candidate_pairs(emb, symmetric=False), emb)
     return scored.filter(F.col("cos_sim") >= float(threshold)).select(
         "qid", "cid", F.round("cos_sim", 3).alias("cos_sim")
     )
