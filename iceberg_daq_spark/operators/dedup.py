@@ -151,15 +151,14 @@ def ngram_jaccard_pairs(
         sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
         sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
         verified = common.join(sa, "doc_a").join(sb, "doc_b")
+    # threshold the EXACT ratio; round only for presentation.  Rounding
+    # first would admit a true jaccard of threshold-epsilon (e.g.
+    # 0.49996 rounds to 0.5) and diverge from the oracle's unrounded
+    # comparison at boundary values.
+    exact = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     return (
-        verified.withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "n_common", "jaccard")
+        verified.filter(exact >= threshold)
+        .select("doc_a", "doc_b", "n_common", F.round(exact, 4).alias("jaccard"))
     )
 
 
@@ -271,18 +270,15 @@ def minhash_lsh_pairs(
     # avoid) never materializes here, unlike ngram_jaccard_pairs.
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a"), F.size("sh_set").alias("n_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b"), F.size("sh_set").alias("n_b"))
+    # same boundary discipline as ngram_jaccard_pairs: threshold the
+    # exact ratio, round only the reported value
+    exact = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn("n_common", F.size(F.array_intersect("set_a", "set_b")))
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        .filter(exact >= threshold)
+        .select("doc_a", "doc_b", F.round(exact, 4).alias("jaccard"))
     )
 
 
@@ -323,10 +319,12 @@ def connected_components(
         .select("u", F.least("u", "mn").alias("label"))
     )
     prev_sum = None
+    converged = False
     for _ in range(max_iter):
         labels = labels.localCheckpoint()
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
         nbr_min = (
@@ -339,6 +337,18 @@ def connected_components(
         labels = labels.join(nbr_min, "u", "left").select(
             "u",
             F.least("label", F.coalesce("nbr_label", F.col("label"))).alias("label"),
+        )
+    if not converged:
+        # partially-merged components over-keep near-dups; make that
+        # detectable instead of silently wrong (pathological long-chain
+        # graphs exceed diameter max_iter)
+        import warnings
+
+        warnings.warn(
+            f"connected_components hit max_iter={max_iter} without the "
+            "sum(label) fixpoint; components may be partially merged",
+            RuntimeWarning,
+            stacklevel=2,
         )
     return labels.select(F.col("u").alias("node"), F.col("label").alias("component"))
 

@@ -67,9 +67,19 @@ def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs via inverted-index self-join."""
+    """Exact 3-gram Jaccard near-dup pairs via inverted-index self-join.
+
+    Registered WITH the df_max hot-shingle valve: pair discovery skips
+    shingles shared by > 128 docs (the unbounded d^2 term at 100 TB),
+    then candidates are exact-verified from full shingle sets, so
+    (n_common, jaccard) match the valveless oracle wherever every pair
+    shares >=1 sub-hot shingle.  On this corpus max shingle df is 25
+    (sf0.1), so the result is identical to complete discovery -
+    asserted against the unvalved path in tests/test_operators.py."""
     d = load(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(d, threshold=0.5).orderBy("doc_a", "doc_b")
+    return dedup.ngram_jaccard_pairs(d, threshold=0.5, df_max=128).orderBy(
+        "doc_a", "doc_b"
+    )
 
 
 @register(

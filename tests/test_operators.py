@@ -54,6 +54,65 @@ def test_minhash_lsh_recall(spark, sf_dir):
         assert r["jaccard"] >= 0.5
 
 
+def test_ngram_jaccard_thresholds_exact_ratio(spark):
+    """Boundary discipline: the >= threshold comparison must use the
+    EXACT ratio, not the 4-decimal rounded value.  These two docs have
+    true jaccard exactly 1/3 (1 common of 3 distinct shingles); with
+    threshold=1/3 a round-first filter drops the pair (round(1/3,4) =
+    0.3333 < 1/3) while the exact filter keeps it."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c x")], ["doc_id", "text"]
+    )
+    rows = dedup.ngram_jaccard_pairs(docs, threshold=1 / 3).collect()
+    assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in rows] == [(1, 2, 0.3333)]
+
+
+def test_ngram_jaccard_df_max_valve_equality(spark, sf_dir):
+    """The registered q41 runs with the df_max hot-shingle valve; on
+    this corpus (max shingle df far below 128) the valved pair set must
+    equal complete discovery exactly - same pairs, same n_common, same
+    jaccard."""
+    d = load(spark, sf_dir, "documents")
+    full = sorted(
+        map(tuple, dedup.ngram_jaccard_pairs(d, threshold=0.5).collect())
+    )
+    valved = sorted(
+        map(tuple, dedup.ngram_jaccard_pairs(d, threshold=0.5, df_max=128).collect())
+    )
+    assert full == valved and len(full) > 0
+
+
+def test_ngram_jaccard_df_max_drops_only_hot_pairs(spark):
+    """With df_max below a shared shingle's document frequency, pairs
+    whose every common shingle is hot disappear (the valve's documented
+    loss mode), while pairs sharing a rare shingle survive with exact
+    values."""
+    # "x y z" is shared by all 4 docs (df=4); docs 3/4 also share the
+    # rare "p q r" (df=2)
+    docs = spark.createDataFrame(
+        [
+            (1, "x y z"),
+            (2, "x y z"),
+            (3, "x y z w p q r"),
+            (4, "x y z v p q r"),
+        ],
+        ["doc_id", "text"],
+    )
+    full = {(r["doc_a"], r["doc_b"]) for r in dedup.ngram_jaccard_pairs(docs, 0.2).collect()}
+    valved_rows = dedup.ngram_jaccard_pairs(docs, 0.2, df_max=3).collect()
+    valved = {(r["doc_a"], r["doc_b"]) for r in valved_rows}
+    assert (1, 2) in full and (1, 2) not in valved  # only-hot pair dropped
+    assert (3, 4) in valved  # rare-shingle pair survives
+    # and its verified stats still count the hot shingles
+    row = next(r for r in valved_rows if (r["doc_a"], r["doc_b"]) == (3, 4))
+    full_row = next(
+        r
+        for r in dedup.ngram_jaccard_pairs(docs, 0.2).collect()
+        if (r["doc_a"], r["doc_b"]) == (3, 4)
+    )
+    assert (row["n_common"], row["jaccard"]) == (full_row["n_common"], full_row["jaccard"])
+
+
 def test_simhash_pairs_sane(spark, sf_dir):
     """SimHash near-dup pairs: symmetric-free (a<b), hamming bound
     respected, and identical texts would give hamming 0."""
