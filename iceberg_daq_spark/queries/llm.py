@@ -332,9 +332,9 @@ def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang,
            CAST(count(*) AS BIGINT) AS n_docs,
-           round(quantile_cont(n_words, 0.5), 2)  AS p50_words,
-           round(quantile_cont(n_words, 0.9), 2)  AS p90_words,
-           round(quantile_cont(n_words, 0.99), 2) AS p99_words,
+           round(CAST(quantile_disc(n_words, 0.5) AS DOUBLE), 2)  AS p50_words,
+           round(CAST(quantile_disc(n_words, 0.9) AS DOUBLE), 2)  AS p90_words,
+           round(CAST(quantile_disc(n_words, 0.99) AS DOUBLE), 2) AS p99_words,
            round(avg(n_words), 2) AS mean_words
     FROM tok
     GROUP BY lang
@@ -342,23 +342,29 @@ def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus length profiling: exact interpolated percentiles of the
-    per-doc token count by language - the distribution scan every
-    training-data pipeline runs before setting length filters.  Spark's
-    ``percentile`` and DuckDB's ``quantile_cont`` both interpolate
-    linearly, so the values match exactly.  At 100 TB swap for
-    ``percentile_approx`` (t-digest sketch, map-side combinable) - the
-    exact form is a full sort per group."""
+    """Corpus length profiling: percentiles of the per-doc token count
+    by language - the distribution scan every training-data pipeline
+    runs before setting length filters.
+
+    Registered as ``percentile_approx`` (Greenwald-Khanna sketch,
+    map-side combinable - partial aggregation shows in the plan, no
+    per-group full sort), which is the only shape that survives 100 TB.
+    With accuracy >= group cardinality the sketch is exact and returns
+    the same discrete order statistic as DuckDB's ``quantile_disc``, so
+    the oracle stays a hash check at test scale; at production scale
+    the sketch degrades gracefully to epsilon = 1/accuracy rank error
+    (approx-vs-exact tolerance asserted in tests/test_operators.py)."""
     d = load(spark, sf_dir, "documents")
     n_words = F.size(text.words(F.col("text"))).cast("double")
     tok = d.select("lang", n_words.alias("n_words"))
+    acc = 100_000
     return (
         tok.groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
-            F.round(F.percentile("n_words", 0.5), 2).alias("p50_words"),
-            F.round(F.percentile("n_words", 0.9), 2).alias("p90_words"),
-            F.round(F.percentile("n_words", 0.99), 2).alias("p99_words"),
+            F.round(F.percentile_approx("n_words", 0.5, acc), 2).alias("p50_words"),
+            F.round(F.percentile_approx("n_words", 0.9, acc), 2).alias("p90_words"),
+            F.round(F.percentile_approx("n_words", 0.99, acc), 2).alias("p99_words"),
             F.round(F.avg("n_words"), 2).alias("mean_words"),
         )
         .orderBy("lang")

@@ -174,52 +174,56 @@ def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``sf_dir`` is unused: the input is the seeded frame emulator, not a
     synthetic table - the same frames regardless of scale factor.
     """
+    import os
     import shutil
     import tempfile
 
     from iceberg_daq_spark.streaming import pipeline
     from iceberg_daq_spark.streaming.emulator import write_frame_chunks
 
-    work = tempfile.mkdtemp(prefix="q29_")
+    # stable scratch dir, cleaned at the START of the next invocation:
+    # the returned DataFrame stays a lazy parquet read (no driver-side
+    # row materialization in a registered query), so the sink files
+    # must outlive this function call.
+    work = os.path.join(tempfile.gettempdir(), "iceberg_daq_spark_q29")
+    shutil.rmtree(work, ignore_errors=True)
     kw = dict(
         n_frames=1500, src_ids=[0, 1, 2, 3], n_chunks=6,
         ticks_per_frame=12_500, hit_gate=60,
     )
-    try:
-        results = {}
-        for name, jitter in (("ord", None), ("late", 40)):
-            frames_dir = f"{work}/frames_{name}"
-            write_frame_chunks(spark, frames_dir, shuffle_within_ms=jitter, **kw)
-            pipeline.run_to_parquet(
-                pipeline.ta_stream(spark, frames_dir, watermark="100 milliseconds"),
-                f"{work}/{name}_out",
-                f"{work}/{name}_ckpt",
-            )
-            results[name] = (
-                spark.read.option("basePath", f"{work}/{name}_out")
-                .parquet(f"{work}/{name}_out")
-                .drop("batch_id")
-            )
-        o, l = results["ord"].alias("o"), results["late"].alias("l")
-        joined = o.join(l, ["src_id", "window_start"]).select(
-            "src_id",
-            "window_start",
-            F.col("o.n_tps").alias("n_tps_ord"),
-            F.col("l.n_tps").alias("n_tps_late"),
-            F.col("o.sum_adc").alias("sum_adc_ord"),
-            F.col("l.sum_adc").alias("sum_adc_late"),
-            (
-                (F.col("o.n_tps") == F.col("l.n_tps"))
-                & (F.col("o.n_channels") == F.col("l.n_channels"))
-                & (F.col("o.sum_adc") == F.col("l.sum_adc"))
-            ).alias("match"),
+    results = {}
+    for name, jitter in (("ord", None), ("late", 40)):
+        frames_dir = f"{work}/frames_{name}"
+        write_frame_chunks(spark, frames_dir, shuffle_within_ms=jitter, **kw)
+        pipeline.run_to_parquet(
+            pipeline.ta_stream(spark, frames_dir, watermark="100 milliseconds"),
+            f"{work}/{name}_out",
+            f"{work}/{name}_ckpt",
         )
-        # the streaming runs are complete (availableNow awaited); pin the
-        # comparison before the temp sink dirs are removed
-        rows = joined.orderBy("src_id", "window_start").collect()
-        return spark.createDataFrame(rows, joined.schema)
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
+        results[name] = (
+            spark.read.option("basePath", f"{work}/{name}_out")
+            .parquet(f"{work}/{name}_out")
+            .drop("batch_id")
+        )
+    o, l = results["ord"].alias("o"), results["late"].alias("l")
+    joined = o.join(l, ["src_id", "window_start"]).select(
+        "src_id",
+        "window_start",
+        F.col("o.n_tps").alias("n_tps_ord"),
+        F.col("l.n_tps").alias("n_tps_late"),
+        F.col("o.sum_adc").alias("sum_adc_ord"),
+        F.col("l.sum_adc").alias("sum_adc_late"),
+        (
+            (F.col("o.n_tps") == F.col("l.n_tps"))
+            & (F.col("o.n_channels") == F.col("l.n_channels"))
+            & (F.col("o.sum_adc") == F.col("l.sum_adc"))
+        ).alias("match"),
+    )
+    # persist the comparison itself so downstream consumers read one
+    # compact table instead of re-running both replay joins
+    cmp_dir = f"{work}/compare"
+    joined.write.mode("overwrite").parquet(cmp_dir)
+    return spark.read.parquet(cmp_dir).orderBy("src_id", "window_start")
 
 
 @register(

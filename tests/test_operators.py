@@ -54,6 +54,29 @@ def test_minhash_lsh_recall(spark, sf_dir):
         assert r["jaccard"] >= 0.5
 
 
+def test_q58_sketch_percentiles_near_exact(spark, sf_dir):
+    """q58's registered plan is the percentile_approx sketch; at any
+    accuracy the rank error is bounded by 1/accuracy, so even at the
+    DEFAULT accuracy (10000) the values must sit within one rank-step
+    of the exact interpolated percentile at test scale."""
+    from iceberg_daq_spark.operators import text as text_ops
+
+    d = load(spark, sf_dir, "documents")
+    n_words = F.size(text_ops.words(F.col("text"))).cast("double")
+    tok = d.select("lang", n_words.alias("n_words"))
+    rows = (
+        tok.groupBy("lang")
+        .agg(
+            F.percentile_approx("n_words", 0.9).alias("approx"),
+            F.percentile("n_words", 0.9).alias("exact"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert abs(r["approx"] - r["exact"]) <= max(2.0, 0.02 * r["exact"]), r
+
+
 def test_ngram_jaccard_thresholds_exact_ratio(spark):
     """Boundary discipline: the >= threshold comparison must use the
     EXACT ratio, not the 4-decimal rounded value.  These two docs have
