@@ -1,0 +1,237 @@
+"""The metadata ETL, end to end (A7 + A13 + A29 + A8/A46 in one
+pipeline).
+
+The reference's real query workload (createMetadatafiles_iceberg_
+dropbox.sh) is a filesystem pipeline:
+
+  :95   find dropbox -name 'iceberghd_*_run??????_*.hdf5'
+            -mmin +MIN -mmin -MAX | sort -r          (A7: scan with
+                                                      age/glob preds)
+  :109  skip files whose .json sidecar exists        (A13: anti-join)
+  :127  parse run number from the file name          (extract)
+  :146  dump per-file values, aggregate event list   (A23/A30/A34-38)
+  :144,215  write .tmp then mv (atomic emit)         (A8)
+  :225  stop after 16 files, outer loop until none   (A29)
+  :45   flock lockfile                               (A46)
+
+Here the same pipeline runs Spark-first over a synthetic dropbox of
+per-(run, prefix) pseudo-files materialized from the events table:
+
+  scan      ``binaryFile`` manifest read with pathGlobFilter + age
+            predicates - column pruning keeps file CONTENT unread
+            (the manifest is (path, length, modificationTime) only)
+  anti-join left-anti against the metadata catalog on file_name
+  batch     rank files per prefix by name desc (the reference's
+            ``sort -r`` within its prefix loop) and take the first
+            ``batch_limit`` per prefix per pass
+  extract   read ONLY the selected parquet files; run/prefix parsed
+            from ``_metadata.file_path`` exactly like the reference's
+            sed on the basename (:127-132)
+  aggregate q31's metadata-doc aggregation per file
+  emit      MERGE-upsert into a :class:`~iceberg_daq_spark.tablestore.
+            MergeTable` (atomic versioned commit + flock) - rerunning
+            the pipeline adds zero rows
+
+The driver loop iterates passes until the scan drains - bounded driver
+work per pass (one manifest of <= 2*batch_limit file names), never row
+data.  At 100 TB each pass is one bounded Spark job and the catalog
+merge is an Iceberg ``MERGE INTO`` (tablestore.py documents the swap).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iceberg_daq_spark.tables import load
+from iceberg_daq_spark.tablestore import MergeTable
+
+# Run-number floor for "main" mode (run/run_iceberg_daq.sh:116).
+RUN_FLOOR = 16091
+
+# createMetadatafiles_iceberg_dropbox.sh:37-40
+FILE_GLOB = "iceberghd_*_run??????_*.hdf5"
+MIN_AGE_MIN = 0
+MAX_AGE_MIN = 172800
+BATCH_LIMIT = 16  # :225
+
+
+def _with_run_prefix(events: DataFrame) -> DataFrame:
+    """The synthetic file key: run = floor + user_id, 1-in-5 runs are
+    trigger-primitive files (same mapping q31 uses)."""
+    return events.withColumn("run", F.lit(RUN_FLOOR) + F.col("user_id")).withColumn(
+        "prefix",
+        F.when(F.col("user_id") % 5 == 0, "iceberghd_tp").otherwise("iceberghd_raw"),
+    )
+
+
+def build_dropbox(spark: SparkSession, sf_dir: str, dropbox_dir: str) -> None:
+    """Materialize the synthetic dropbox: one parquet pseudo-file per
+    (run, prefix) named like the reference's HDF5 files.  Cached across
+    invocations (keyed on the events row count) - the dropbox plays the
+    role of the external DAQ filesystem, not of query state.
+
+    One distributed write (repartition by the file key so each group
+    lands in a single task -> a single part file), then driver-side
+    renames into the flat dropbox layout - renames are metadata ops,
+    the row data never passes through the driver."""
+    e = load(spark, sf_dir, "events")
+    n = e.count()
+    marker = os.path.join(dropbox_dir, "_built")
+    try:
+        with open(marker, encoding="ascii") as f:
+            if f.read().strip() == f"{sf_dir}:{n}":
+                return
+    except FileNotFoundError:
+        pass
+    shutil.rmtree(dropbox_dir, ignore_errors=True)
+    staging = dropbox_dir + ".staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    (
+        _with_run_prefix(e)
+        .select("event_id", "ts", "run", "prefix")
+        .repartition("prefix", "run")
+        .write.partitionBy("prefix", "run")
+        .parquet(staging)
+    )
+    os.makedirs(dropbox_dir, exist_ok=True)
+    for pref_entry in os.scandir(staging):
+        if not pref_entry.name.startswith("prefix="):
+            continue
+        prefix = pref_entry.name.split("=", 1)[1]
+        for run_entry in os.scandir(pref_entry.path):
+            if not run_entry.name.startswith("run="):
+                continue
+            run = int(run_entry.name.split("=", 1)[1])
+            parts = [
+                p for p in os.listdir(run_entry.path) if p.endswith(".parquet")
+            ]
+            assert len(parts) == 1, (run_entry.path, parts)
+            os.rename(
+                os.path.join(run_entry.path, parts[0]),
+                os.path.join(dropbox_dir, f"{prefix}_run{run:06d}_0000.hdf5"),
+            )
+    shutil.rmtree(staging, ignore_errors=True)
+    with open(marker, "w", encoding="ascii") as f:
+        f.write(f"{sf_dir}:{n}")
+
+
+def scan_dropbox(
+    spark: SparkSession,
+    dropbox_dir: str,
+    min_age_min: int = MIN_AGE_MIN,
+    max_age_min: int = MAX_AGE_MIN,
+) -> DataFrame:
+    """A7: the manifest scan.  ``binaryFile`` with a pathGlobFilter is
+    the find-with-name-pattern analog; the age predicates filter on
+    modificationTime just like ``-mmin +MIN -mmin -MAX``.  Only
+    (path, length, modificationTime) are selected, so the binary
+    content column is pruned at the source and no file bytes are read."""
+    m = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", FILE_GLOB)
+        .load(dropbox_dir)
+        .select("path", "length", "modificationTime")
+    )
+    now = F.current_timestamp()
+    age_min = (F.unix_timestamp(now) - F.unix_timestamp("modificationTime")) / 60.0
+    base = F.element_at(F.split("path", "/"), -1)
+    return m.filter((age_min >= min_age_min) & (age_min < max_age_min)).select(
+        base.alias("file_name"),
+        F.regexp_extract(base, r"^(iceberghd_[a-z]+)_run", 1).alias("prefix"),
+        F.regexp_extract(base, r"_run(\d{6})_", 1).cast("long").alias("run"),
+        "path",
+        "length",
+    )
+
+
+def _aggregate_metadata(files_events: DataFrame) -> DataFrame:
+    """The metadata-doc aggregation (q31's shape) per pseudo-file:
+    event list/count/bounds + start/end epoch seconds + tier from the
+    filename prefix (createMetadatafiles...sh:179-208)."""
+    return (
+        files_events.groupBy("file_name", "run", "prefix")
+        .agg(
+            F.countDistinct("event_id").alias("event_count"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+            F.round(F.unix_millis(F.min("ts")) / 1000.0, 3).alias("start_time"),
+            F.round(F.unix_millis(F.max("ts")) / 1000.0, 3).alias("end_time"),
+            F.array_join(F.sort_array(F.collect_set("event_id")), ",").alias(
+                "event_list"
+            ),
+        )
+        .select(
+            "file_name",
+            F.col("run").cast("long").alias("run"),
+            (F.col("run") * 100000 + 1).cast("long").alias("subrun"),
+            F.when(F.col("prefix").endswith("_tp"), "trigprim")
+            .otherwise("raw")
+            .alias("data_tier"),
+            "event_count",
+            "first_event",
+            "last_event",
+            "start_time",
+            "end_time",
+            "event_list",
+        )
+    )
+
+
+def metadata_etl(
+    spark: SparkSession,
+    dropbox_dir: str,
+    catalog: MergeTable,
+    batch_limit: int = BATCH_LIMIT,
+    max_passes: int = 10_000,
+) -> tuple[DataFrame, int]:
+    """Run the full A7+A13+A29 loop until the dropbox drains; returns
+    (final catalog DataFrame, passes executed).
+
+    Per pass: manifest scan -> left-anti join against the catalog
+    (A13: "only do the work if the metadata file doesn't already
+    exist", :109) -> per-prefix rank by file_name desc (the
+    ``sort -r`` order, :95) capped at batch_limit (:225) -> extract +
+    aggregate ONLY the selected files -> MERGE-upsert with a pass_id
+    audit column.  The only driver-side data is each pass's file-name
+    manifest (<= 2*batch_limit rows)."""
+    n_passes = 0
+    while n_passes < max_passes:
+        manifest = scan_dropbox(spark, dropbox_dir)
+        existing = catalog.read(spark)
+        if existing is not None:
+            manifest = manifest.join(
+                existing.select("file_name"), "file_name", "left_anti"
+            )
+        rk = Window.partitionBy("prefix").orderBy(F.desc("file_name"))
+        batch = (
+            manifest.withColumn("_rk", F.row_number().over(rk))
+            .filter(F.col("_rk") <= batch_limit)
+            .select("file_name", "path")
+            .collect()
+        )
+        if not batch:
+            break
+        paths = [r["path"] for r in batch]
+        base = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+        files_events = (
+            spark.read.parquet(*paths)
+            .select(
+                "event_id",
+                "ts",
+                base.alias("file_name"),
+                F.regexp_extract(base, r"^(iceberghd_[a-z]+)_run", 1).alias("prefix"),
+                F.regexp_extract(base, r"_run(\d{6})_", 1).cast("long").alias("run"),
+            )
+        )
+        rows = _aggregate_metadata(files_events).withColumn(
+            "pass_id", F.lit(n_passes)
+        )
+        catalog.merge(rows)
+        n_passes += 1
+    out = catalog.read(spark)
+    assert out is not None, "ETL ran zero passes over an empty dropbox"
+    return out, n_passes

@@ -7,6 +7,8 @@ dromap/config compiler (Q34).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -87,6 +89,76 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("run")
     )
+
+
+@register(
+    "q37_metadata_etl_e2e",
+    oracle=f"""
+    WITH named AS (
+      SELECT *,
+             {RUN_FLOOR} + user_id AS run,
+             CASE WHEN user_id % 5 = 0 THEN 'iceberghd_tp' ELSE 'iceberghd_raw' END AS prefix
+      FROM events
+    ), agg AS (
+      SELECT concat(prefix, '_run', lpad(CAST(run AS VARCHAR), 6, '0'), '_0000.hdf5') AS file_name,
+             run, prefix,
+             CAST(count(DISTINCT event_id) AS BIGINT) AS event_count,
+             CAST(min(event_id) AS BIGINT) AS first_event,
+             CAST(max(event_id) AS BIGINT) AS last_event,
+             round(epoch_ms(min(ts)) / 1000.0, 3) AS start_time,
+             round(epoch_ms(max(ts)) / 1000.0, 3) AS end_time,
+             array_to_string(list_sort(list(DISTINCT event_id)), ',') AS event_list
+      FROM named
+      GROUP BY file_name, run, prefix
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY prefix ORDER BY file_name DESC) AS rk
+      FROM agg
+    )
+    SELECT file_name,
+           CAST(run AS BIGINT) AS run,
+           CAST(run * 100000 + 1 AS BIGINT) AS subrun,
+           CASE WHEN prefix LIKE '%_tp' THEN 'trigprim' ELSE 'raw' END AS data_tier,
+           event_count, first_event, last_event, start_time, end_time, event_list,
+           CAST(floor((rk - 1) / 1024) AS INT) AS pass_id
+    FROM ranked
+    ORDER BY file_name
+    """,
+)
+def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The metadata ETL end to end (A7+A13+A29+A8+A46 as ONE pipeline -
+    the reference's actual production workload, createMetadatafiles_
+    iceberg_dropbox.sh):
+
+    synthetic dropbox of per-(run, prefix) parquet pseudo-files ->
+    binaryFile manifest scan with glob + age predicates (:95) ->
+    left-anti join against the metadata catalog (:109) -> per-prefix
+    name-desc batches of <= batch_limit files per pass (:95 sort -r,
+    :225 limit) -> per-file metadata aggregation (:146-208) ->
+    MERGE-upsert into an atomically-versioned catalog table
+    (tablestore.MergeTable; :144,215 tmp+mv, :45 flock) -> loop until
+    the scan drains.
+
+    batch_limit is 1024 here (the reference's 16 scaled to batch
+    granularity; the pass_id column audits the batching, and the
+    multi-pass loop + rerun idempotency are asserted at limit 16 in
+    tests/test_etl.py).  The oracle reproduces the final catalog -
+    including pass assignment - from the events table alone.
+    """
+    import tempfile
+
+    from iceberg_daq_spark.etl import build_dropbox, metadata_etl
+    from iceberg_daq_spark.tablestore import MergeTable
+
+    scratch = os.path.join(tempfile.gettempdir(), "iceberg_daq_spark_etl")
+    tag = sf_dir.strip("/").replace("/", "_")
+    dropbox = os.path.join(scratch, f"dropbox_{tag}")
+    build_dropbox(spark, sf_dir, dropbox)
+    catalog = MergeTable(
+        os.path.join(scratch, f"catalog_{tag}"), key_cols=("file_name",)
+    )
+    catalog.delete()  # fresh ETL per invocation; files persist after return
+    out, _ = metadata_etl(spark, dropbox, catalog, batch_limit=1024)
+    return out.orderBy("file_name")
 
 
 @register(

@@ -1,0 +1,107 @@
+"""The metadata ETL pipeline + the MERGE-table layer (SURVEY section
+5.2 item 4 extended to the sink): multi-pass batching, rerun
+idempotency, atomic versioned commits."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_daq_spark.etl import build_dropbox, metadata_etl, scan_dropbox
+from iceberg_daq_spark.tablestore import MergeTable
+
+
+@pytest.fixture(scope="module")
+def dropbox(spark, sf_dir, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("etl") / "dropbox")
+    build_dropbox(spark, sf_dir, d)
+    return d
+
+
+def test_scan_manifest_matches_dropbox(spark, dropbox):
+    """A7: the binaryFile manifest sees exactly the glob-matching files,
+    with run/prefix parsed from the name like the reference's sed."""
+    # a non-matching file must be ignored by the glob
+    with open(os.path.join(dropbox, "not_a_data_file.txt"), "w") as f:
+        f.write("x")
+    m = scan_dropbox(spark, dropbox)
+    names = {r["file_name"] for r in m.collect()}
+    on_disk = {
+        n for n in os.listdir(dropbox) if n.startswith("iceberghd_") and n.endswith(".hdf5")
+    }
+    assert names == on_disk and len(names) > 0
+    bad = m.filter(
+        F.col("run").isNull() | ~F.col("prefix").isin("iceberghd_raw", "iceberghd_tp")
+    )
+    assert bad.count() == 0
+
+
+def test_age_predicate_excludes(spark, dropbox):
+    """-mmin +MIN: a min-age of 10 minutes excludes the just-written
+    files entirely (the manifest filter is real, not decorative)."""
+    assert scan_dropbox(spark, dropbox, min_age_min=10).count() == 0
+
+
+def test_etl_multi_pass_limit_and_idempotency(spark, dropbox, tmp_path):
+    """A29 + A13 + A46: limit-16 batching drains in ceil(n/16) passes
+    per prefix; a second run finds nothing to do (0 passes) and leaves
+    the catalog byte-identical."""
+    catalog = MergeTable(str(tmp_path / "catalog"), key_cols=("file_name",))
+    n_files = scan_dropbox(spark, dropbox).count()
+    per_prefix = (
+        scan_dropbox(spark, dropbox).groupBy("prefix").count().collect()
+    )
+    expected_passes = max(-(-r["count"] // 16) for r in per_prefix)
+
+    out, passes = metadata_etl(spark, dropbox, catalog, batch_limit=16)
+    assert passes == expected_passes
+    assert out.count() == n_files
+    # pass_id audits the per-prefix name-desc batching
+    first_pass = out.filter(F.col("pass_id") == 0).count()
+    assert first_pass == sum(min(16, r["count"]) for r in per_prefix)
+
+    before = sorted(map(tuple, out.collect()))
+    out2, passes2 = metadata_etl(spark, dropbox, catalog, batch_limit=16)
+    assert passes2 == 0
+    assert sorted(map(tuple, out2.collect())) == before
+
+
+def test_merge_table_upsert_semantics(spark, tmp_path):
+    """MERGE INTO semantics on the parquet layer: matched keys update,
+    unmatched insert, others persist; re-merging is a no-op; the
+    version pointer advances atomically and old snapshots expire."""
+    t = MergeTable(str(tmp_path / "t"), key_cols=("k",), keep_versions=2)
+    assert t.read(spark) is None
+    t.merge(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]))
+    t.merge(spark.createDataFrame([(2, "B"), (3, "c")], ["k", "v"]))
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+    v_before = t.current_version()
+    t.merge(spark.createDataFrame([(3, "c")], ["k", "v"]))  # idempotent re-merge
+    got2 = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert got2 == got
+    assert t.current_version() == v_before + 1  # new snapshot, same contents
+    # expiry: only the last keep_versions version dirs remain
+    dirs = [d for d in os.listdir(t.path) if d.startswith("v")]
+    assert len(dirs) <= 2
+
+
+def test_stream_sink_merge_idempotent(spark, tmp_path):
+    """The streaming MERGE sink: replaying the same micro-batch data
+    (fresh checkpoint, same rows) leaves the table contents unchanged -
+    the exactly-once contract the reference gets from sidecar checks."""
+    from iceberg_daq_spark.tablestore import run_stream_to_table
+
+    src = str(tmp_path / "src")
+    spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).write.parquet(src)
+    t = MergeTable(str(tmp_path / "sink"), key_cols=("k",))
+    for attempt in range(2):  # second run = full redelivery
+        stream = spark.readStream.schema("k long, v long").parquet(src)
+        run_stream_to_table(stream, t, str(tmp_path / f"ckpt{attempt}"))
+    out = t.read(spark)
+    assert out.count() == 100
+    assert out.agg(F.sum("v")).collect()[0][0] == sum(2 * i for i in range(100))
