@@ -17,8 +17,12 @@ Spark re-design of the reference's run-control path (SURVEY section
 
 The reference's directory-probe allocation is race-prone by design
 (SURVEY 3.2 step 2); here allocation reads a single runs table whose
-writes are append-only - under Iceberg the same plan becomes a
-snapshot-isolated MERGE and the race disappears.
+writes go through :class:`~iceberg_daq_spark.tablestore.MergeTable` -
+a keyed MERGE-upsert with atomic versioned commits (tablestore.py
+documents the one-line swap to Iceberg ``MERGE INTO`` on a cluster).
+Re-executing a run's bookkeeping merges the same (mode, run) key and
+changes nothing - the lock-free idempotency the reference approximates
+with its flock'd probe loop (A46).
 """
 
 from __future__ import annotations
@@ -32,6 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from iceberg_daq_spark.streaming import pipeline
+from iceberg_daq_spark.tablestore import MergeTable
 
 # run/run_iceberg_daq.sh:116 (main), :125 (hermes)
 RUN_FLOORS = {"main": 16091, "hermes": 21}
@@ -50,12 +55,14 @@ RUNS_SCHEMA = T.StructType(
 )
 
 
+def runs_table(runs_dir: str) -> MergeTable:
+    """The runs catalog: MERGE-keyed on (mode, run)."""
+    return MergeTable(runs_dir, key_cols=("mode", "run"))
+
+
 def existing_runs(spark: SparkSession, runs_dir: str) -> DataFrame:
-    if os.path.isdir(runs_dir) and any(
-        f.endswith(".parquet") for f in os.listdir(runs_dir)
-    ):
-        return spark.read.schema(RUNS_SCHEMA).parquet(runs_dir)
-    return spark.createDataFrame([], RUNS_SCHEMA)
+    df = runs_table(runs_dir).read(spark)
+    return df if df is not None else spark.createDataFrame([], RUNS_SCHEMA)
 
 
 def allocate_run(spark: SparkSession, runs_dir: str, mode: str = "main") -> int:
@@ -142,8 +149,8 @@ class DaqRun:
             "raw_rows": raw_rows,
             "tp_rows": tp_rows,
         }
-        self.spark.createDataFrame([row], RUNS_SCHEMA).write.mode("append").parquet(
-            os.path.join(self.out_dir, "runs")
+        runs_table(os.path.join(self.out_dir, "runs")).merge(
+            self.spark.createDataFrame([row], RUNS_SCHEMA)
         )
         self._mark("terminate")
         return row

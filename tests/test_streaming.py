@@ -200,7 +200,7 @@ def test_run_allocation_monotone_and_gap_filling(spark, tmp_path):
     """SURVEY 5.2 item 4: sequential allocations are unique; a gap in
     the runs table is filled first (the reference's upward probe from
     the floor, run_iceberg_daq.sh:111-131)."""
-    from iceberg_daq_spark.runs import RUNS_SCHEMA, allocate_run
+    from iceberg_daq_spark.runs import RUNS_SCHEMA, allocate_run, runs_table
 
     runs_dir = str(tmp_path / "runs")
     assert allocate_run(spark, runs_dir) == 16091
@@ -209,7 +209,7 @@ def test_run_allocation_monotone_and_gap_filling(spark, tmp_path):
         row = {"run": run, "subrun": run * 100000 + 1, "mode": "main",
                "config_name": "c", "state": "stopped", "wall_time_s": 0.0,
                "raw_rows": 0, "tp_rows": 0}
-        spark.createDataFrame([row], RUNS_SCHEMA).write.mode("append").parquet(runs_dir)
+        runs_table(runs_dir).merge(spark.createDataFrame([row], RUNS_SCHEMA))
 
     add(16091)
     assert allocate_run(spark, runs_dir) == 16092
