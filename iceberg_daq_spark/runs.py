@@ -117,18 +117,27 @@ class DaqRun:
         ckpt = os.path.join(self.out_dir, f"run_{run}", "ckpt")
         self._mark("conf")
 
+        from iceberg_daq_spark.streaming.monitor import OpmonMonitor
+
         t0 = time.time()
         self._mark("start_run")
-        pipeline.run_to_parquet(
-            pipeline.readout_assembly_stream(self.spark, self.frames_dir),
-            raw_dir,
-            ckpt + "_raw",
-        )
-        pipeline.run_to_parquet(
-            pipeline.ta_stream(self.spark, self.frames_dir),
-            tp_dir,
-            ckpt + "_tp",
-        )
+        # A9: every micro-batch of both sinks lands in the opmon table
+        # (the reference's CERN Kafka opmon stream analog)
+        mon = OpmonMonitor(self.spark, os.path.join(self.out_dir, "opmon")).attach()
+        try:
+            pipeline.run_to_parquet(
+                pipeline.readout_assembly_stream(self.spark, self.frames_dir),
+                raw_dir,
+                ckpt + "_raw",
+            )
+            pipeline.run_to_parquet(
+                pipeline.ta_stream(self.spark, self.frames_dir),
+                tp_dir,
+                ckpt + "_tp",
+            )
+        finally:
+            mon.flush()
+            mon.detach()
         self._mark("stop_run")
         wall = time.time() - t0
 

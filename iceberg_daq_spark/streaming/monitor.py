@@ -1,0 +1,106 @@
+"""Operational monitoring (A9): the opmon/ers metrics plane.
+
+The reference streams operational metrics and error reports to CERN
+Kafka sinks (``ers_impl``/``opmon_impl`` "cern",
+config/base/iceberg_daq_eth.json:14,16) so every run is observable
+after the fact.  The Spark-native analog is a
+:class:`StreamingQueryListener` that captures every micro-batch
+progress event - input rate, processing rate, watermark, state-store
+size, batch duration - and lands it in an opmon
+:class:`~iceberg_daq_spark.tablestore.MergeTable` keyed by
+(query_id, run_id, batch_id), so redelivered progress events upsert
+instead of duplicating.
+
+Rows are buffered on the listener-bus thread and written to the table
+in :meth:`OpmonMonitor.flush` (called from the query's owning thread
+after ``awaitTermination``) - listener callbacks never run Spark jobs,
+which keeps the bus non-blocking at any scale.  On a cluster the same
+table is queryable mid-run from any session, like the reference's
+Kafka topic.
+"""
+
+from __future__ import annotations
+
+import threading
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQueryListener
+
+from iceberg_daq_spark.tablestore import MergeTable
+
+OPMON_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.StringType()),
+        T.StructField("run_id", T.StringType()),
+        T.StructField("query_name", T.StringType()),
+        T.StructField("batch_id", T.LongType()),
+        T.StructField("event_ts", T.StringType()),
+        T.StructField("num_input_rows", T.LongType()),
+        T.StructField("input_rows_per_sec", T.DoubleType()),
+        T.StructField("processed_rows_per_sec", T.DoubleType()),
+        T.StructField("watermark", T.StringType()),
+        T.StructField("state_rows", T.LongType()),
+        T.StructField("batch_duration_ms", T.LongType()),
+    ]
+)
+
+
+class OpmonMonitor(StreamingQueryListener):
+    """Collects per-batch progress for every query on the session and
+    upserts it into the opmon table on flush()."""
+
+    def __init__(self, spark: SparkSession, table_dir: str):
+        self._spark = spark
+        self.table = MergeTable(
+            table_dir, key_cols=("query_id", "run_id", "batch_id")
+        )
+        self._rows: list[dict] = []
+        self._lock = threading.Lock()
+
+    # -- listener-bus callbacks (no Spark actions here) ----------------
+    def onQueryStarted(self, event) -> None:
+        pass
+
+    def onQueryProgress(self, event) -> None:
+        p = event.progress
+        state_rows = sum(op.numRowsTotal or 0 for op in (p.stateOperators or []))
+        et = (p.eventTime or {}).get("watermark")
+        row = {
+            "query_id": str(p.id),
+            "run_id": str(p.runId),
+            "query_name": p.name,
+            "batch_id": int(p.batchId),
+            "event_ts": p.timestamp,
+            "num_input_rows": int(p.numInputRows or 0),
+            "input_rows_per_sec": float(p.inputRowsPerSecond or 0.0),
+            "processed_rows_per_sec": float(p.processedRowsPerSecond or 0.0),
+            "watermark": et,
+            "state_rows": int(state_rows),
+            "batch_duration_ms": int((p.durationMs or {}).get("triggerExecution", 0)),
+        }
+        with self._lock:
+            self._rows.append(row)
+
+    def onQueryIdle(self, event) -> None:
+        pass
+
+    def onQueryTerminated(self, event) -> None:
+        pass
+
+    # -- owning-thread API --------------------------------------------
+    def attach(self) -> "OpmonMonitor":
+        self._spark.streams.addListener(self)
+        return self
+
+    def detach(self) -> None:
+        self._spark.streams.removeListener(self)
+
+    def flush(self):
+        """Upsert buffered progress rows into the opmon table; returns
+        the table DataFrame (None if nothing has ever been flushed)."""
+        with self._lock:
+            rows, self._rows = self._rows, []
+        if rows:
+            self.table.merge(self._spark.createDataFrame(rows, OPMON_SCHEMA))
+        return self.table.read(self._spark)

@@ -218,6 +218,31 @@ def test_run_allocation_monotone_and_gap_filling(spark, tmp_path):
     assert allocate_run(spark, runs_dir, "hermes") == 21  # independent floor
 
 
+def test_opmon_listener_records_batches(spark, frames_dir, tmp_path):
+    """A9: the opmon listener must capture every micro-batch's progress
+    (input rows, rates, duration) into the monitoring table, keyed so a
+    redelivered progress event cannot duplicate."""
+    from iceberg_daq_spark.streaming.monitor import OpmonMonitor
+
+    mon = OpmonMonitor(spark, str(tmp_path / "opmon")).attach()
+    try:
+        _run_stream(pipeline.ta_stream(spark, frames_dir), tmp_path, "mon")
+    finally:
+        out = mon.flush()
+        mon.detach()
+    rows = out.collect()
+    assert len(rows) >= 1
+    assert sum(r["num_input_rows"] for r in rows) > 0
+    assert all(r["batch_duration_ms"] >= 0 and r["query_id"] for r in rows)
+    # the merge key forbids duplicates even if progress events straggle
+    # in between flushes (the listener bus is async)
+    again = mon.flush()
+    assert again.count() == again.dropDuplicates(
+        ["query_id", "run_id", "batch_id"]
+    ).count()
+    assert again.count() >= len(rows)
+
+
 def test_streaming_td_merge_equals_batch(spark, tmp_path):
     """TD interval merge: applyInPandasWithState output must equal the
     batch gaps-and-islands merge, up to the still-open trailing
