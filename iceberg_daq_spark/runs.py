@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from iceberg_daq_spark.streaming import pipeline
+from iceberg_daq_spark.streaming import pipeline, plan
 from iceberg_daq_spark.tablestore import MergeTable
 
 # run/run_iceberg_daq.sh:116 (main), :125 (hermes)
@@ -135,6 +135,13 @@ class DaqRun:
                 tp_dir,
                 ckpt + "_tp",
             )
+            # stop_run flushes the windows still open when the
+            # watermark froze at drain (the mlt buffer-timeout flush,
+            # A27): one batch job over the shared batch-equivalent plan
+            batch_tas = plan.ta_windows(
+                plan.decode_hits(self.spark.read.parquet(self.frames_dir))
+            )
+            pipeline.flush_tail(tp_dir, batch_tas, ["src_id", "window_start"])
         finally:
             mon.flush()
             mon.detach()

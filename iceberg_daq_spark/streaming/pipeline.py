@@ -250,3 +250,42 @@ def run_to_parquet(
     q = writer.trigger(availableNow=True).start() if available_now else writer.start()
     q.awaitTermination()
     return q
+
+
+def flush_tail(out_dir: str, batch_twin: DataFrame, key_cols: list[str]) -> int:
+    """Emit the residual state an availableNow drain leaves behind.
+
+    Append-mode windowed aggregations and event-time-timeout state
+    machines flush on watermark advance - but the watermark stops at
+    the max event time when a bounded replay drains, so the final open
+    window(s)/decision per key never emit (ADVICE round 1).  Because
+    every streaming transform here is batch-equivalent by construction
+    (plan.py is shared), the missing rows are exactly the batch twin's
+    rows whose keys the stream never wrote.  This computes that
+    left-anti complement and lands it as the ``batch_id=-1`` partition
+    of the same sink, so run outputs equal the batch plan end to end.
+
+    Returns the number of tail rows flushed.  One bounded batch job per
+    run stop - the "final batch merge over the unflushed tail" shape,
+    deterministic at any scale (no sentinel rows in the data path).
+    """
+    import glob as _glob
+
+    spark = batch_twin.sparkSession
+    # exclude a previous tail flush from the "streamed" set so a
+    # re-flush recomputes the identical complement (idempotent) instead
+    # of erasing it
+    parts = sorted(
+        p
+        for p in _glob.glob(os.path.join(out_dir, "batch_id=*"))
+        if not p.endswith("batch_id=-1")
+    )
+    if parts:
+        streamed = (
+            spark.read.option("basePath", out_dir).parquet(*parts).select(*key_cols)
+        )
+        tail = batch_twin.join(streamed, key_cols, "left_anti")
+    else:
+        tail = batch_twin
+    tail.write.mode("overwrite").parquet(os.path.join(out_dir, "batch_id=-1"))
+    return spark.read.parquet(os.path.join(out_dir, "batch_id=-1")).count()

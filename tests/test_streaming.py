@@ -218,6 +218,33 @@ def test_run_allocation_monotone_and_gap_filling(spark, tmp_path):
     assert allocate_run(spark, runs_dir, "hermes") == 21  # independent floor
 
 
+def test_run_output_equals_batch_after_tail_flush(spark, frames_dir, tmp_path):
+    """A27's buffer-timeout flush at stop_run: streamed TA windows plus
+    the flush_tail complement must equal the batch plan EXACTLY - no
+    trailing-window allowance, no sentinel rows."""
+    out = str(tmp_path / "ta_out")
+    pipeline.run_to_parquet(
+        pipeline.ta_stream(spark, frames_dir), out, str(tmp_path / "ckpt")
+    )
+    batch_tas = plan.ta_windows(plan.decode_hits(spark.read.parquet(frames_dir)))
+    n_tail = pipeline.flush_tail(out, batch_tas, ["src_id", "window_start"])
+    cols = ["src_id", "window_start", "n_tps", "n_channels", "sum_adc"]
+    merged = (
+        spark.read.option("basePath", out)
+        .parquet(*sorted(glob.glob(os.path.join(out, "batch_id=*"))))
+        .drop("batch_id")
+    )
+    assert _rows(merged, cols) == _rows(batch_tas, cols)
+    # the flush is idempotent: rerunning it rewrites the same rows
+    assert pipeline.flush_tail(out, batch_tas, ["src_id", "window_start"]) == n_tail
+    merged2 = (
+        spark.read.option("basePath", out)
+        .parquet(*sorted(glob.glob(os.path.join(out, "batch_id=*"))))
+        .drop("batch_id")
+    )
+    assert _rows(merged2, cols) == _rows(batch_tas, cols)
+
+
 def test_opmon_listener_records_batches(spark, frames_dir, tmp_path):
     """A9: the opmon listener must capture every micro-batch's progress
     (input rows, rates, duration) into the monitoring table, keyed so a
