@@ -217,8 +217,21 @@ def metadata_etl(
             break
         paths = [r["path"] for r in batch]
         base = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+        # explicit schema skips the footer-inference job, and listing
+        # the batch's explicit paths driver-side (threshold above the
+        # batch size) skips the one-task-per-file discovery job - the
+        # two hidden per-file jobs that dominate a many-small-files
+        # pass.  Scan partitions themselves stay bin-packed by
+        # maxPartitionBytes/openCostInBytes as usual.
+        thr_key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+        old_thr = spark.conf.get(thr_key)
+        spark.conf.set(thr_key, str(max(len(paths) + 1, 32)))
+        try:
+            reader = spark.read.schema("event_id long, ts timestamp").parquet(*paths)
+        finally:
+            spark.conf.set(thr_key, old_thr)
         files_events = (
-            spark.read.parquet(*paths)
+            reader
             .select(
                 "event_id",
                 "ts",

@@ -116,27 +116,54 @@ def ngram_jaccard_pairs(
     sets = shingle_sets(docs, k=k).cache()
     sh = sets.select("doc_id", F.explode("sh_set").alias("shingle"))
     if df_max is not None:
-        rare = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= df_max)
-            .select("shingle")
+        # split the index by document frequency: pair DISCOVERY and
+        # per-pair common counting run only over sub-hot shingles (the
+        # d^2 term stays bounded by df_max^2 per shingle); the exact
+        # |A n B| then adds back the hot contribution from tiny per-doc
+        # hot-shingle arrays (at most a handful of shingles exceed
+        # df_max anywhere - boilerplate - so the intersect is O(hot)
+        # per pair, never O(|set|) like a full-set verification).
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("df")).cache()
+        rare_idx = sh.join(
+            freq.filter(F.col("df") <= df_max).select("shingle"), "shingle"
         )
-        idx = sh.join(rare, "shingle")
-        cand = (
-            idx.select(F.col("doc_id").alias("doc_a"), "shingle")
-            .join(idx.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
+        rare_common = (
+            rare_idx.select(F.col("doc_id").alias("doc_a"), "shingle")
+            .join(
+                rare_idx.select(F.col("doc_id").alias("doc_b"), "shingle"),
+                "shingle",
+            )
             .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
-            .distinct()
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("rare_common"))
         )
-        # exact verification from the full sets (hot shingles included)
-        sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a"), F.size("sh_set").alias("n_a"))
-        sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b"), F.size("sh_set").alias("n_b"))
+        hot_sets = (
+            sh.join(freq.filter(F.col("df") > df_max).select("shingle"), "shingle")
+            .groupBy("doc_id")
+            .agg(F.sort_array(F.collect_list("shingle")).alias("hot_set"))
+        )
+        sizes = sets.select("doc_id", F.size("sh_set").alias("n_shingles"))
+        sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+        sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+        ha = hot_sets.select(F.col("doc_id").alias("doc_a"), F.col("hot_set").alias("hot_a"))
+        hb = hot_sets.select(F.col("doc_id").alias("doc_b"), F.col("hot_set").alias("hot_b"))
+        empty = F.array().cast("array<string>")
         verified = (
-            cand.join(sa, "doc_a")
+            rare_common.join(sa, "doc_a")
             .join(sb, "doc_b")
-            .withColumn("n_common", F.size(F.array_intersect("set_a", "set_b")).cast("long"))
+            .join(ha, "doc_a", "left")
+            .join(hb, "doc_b", "left")
+            .withColumn(
+                "n_common",
+                (
+                    F.col("rare_common")
+                    + F.size(
+                        F.array_intersect(
+                            F.coalesce("hot_a", empty), F.coalesce("hot_b", empty)
+                        )
+                    )
+                ).cast("long"),
+            )
         )
     else:
         a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
