@@ -65,13 +65,6 @@ def with_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     )
 
 
-def _seq_dot_block(M: np.ndarray, a: np.ndarray) -> np.ndarray:
-    """fold-order dot of one query row against every matrix row:
-    elementwise products then cumsum (sequential summation, matching
-    the SQL fold bit-for-bit; np.dot's pairwise summation would not)."""
-    return (M * a[None, :]).cumsum(axis=1)[:, -1]
-
-
 def _spread(df: DataFrame) -> DataFrame:
     """Round-robin the query side across the full core count.  The
     embeddings table is one small parquet file locally (1-2 scan
@@ -86,11 +79,12 @@ def _spread(df: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _MAX_BLOCKS = 512  # caps block-pair task count at _MAX_BLOCKS^2
-_TARGET_BLOCK_ROWS = 256  # local granularity floor (keeps 32 cores busy)
+_TARGET_BLOCK_ROWS = 512  # balances payload replication (each block
+# moves NB times) against per-task memory and parallelism
 
 
 def _num_blocks(n: int) -> int:
-    return max(8, min(_MAX_BLOCKS, -(-n // _TARGET_BLOCK_ROWS)))
+    return max(4, min(_MAX_BLOCKS, -(-n // _TARGET_BLOCK_ROWS)))
 
 
 def _block_pairs(emb: DataFrame) -> DataFrame:
@@ -112,28 +106,46 @@ def _block_pairs(emb: DataFrame) -> DataFrame:
         F.col("embedding").cast("array<double>").alias("v"),
         F.pmod(F.xxhash64("vec_id"), F.lit(nb)).alias("bid"),
     )
-    qb = nv.groupBy(F.col("bid").alias("qb")).agg(
-        F.collect_list(F.struct("vec_id", "v")).alias("qrows")
+    # block payload = (ids, row-major flattened matrix): one Arrow
+    # transfer and one numpy reshape per block instead of a python
+    # object conversion per vector (the struct-list form spent more
+    # time unpacking than scoring).  ids/flat order is consistent by
+    # construction - both derive from the same collected list.
+    def block(side: str, key: str):
+        return (
+            nv.groupBy(F.col("bid").alias(key))
+            .agg(F.collect_list(F.struct("vec_id", "v")).alias("rows"))
+            .select(
+                key,
+                F.transform("rows", lambda r: r["vec_id"]).alias(f"{side}_ids"),
+                F.flatten(F.transform("rows", lambda r: r["v"])).alias(f"{side}_flat"),
+            )
+        )
+
+    fanned = block("q", "qb").select(
+        "q_ids", "q_flat",
+        F.explode(F.sequence(F.lit(0), F.lit(nb - 1))).alias("cb"),
     )
-    cb = nv.groupBy(F.col("bid").alias("cb")).agg(
-        F.collect_list(F.struct("vec_id", "v")).alias("crows")
+    return fanned.join(block("c", "cb"), "cb").select(
+        "q_ids", "q_flat", "c_ids", "c_flat"
     )
-    fanned = qb.select(
-        "qb", "qrows", F.explode(F.sequence(F.lit(0), F.lit(nb - 1))).alias("cb")
-    )
-    return fanned.join(cb, "cb").select("qrows", "crows")
 
 
-def _unpack(rows) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """block payload -> (ids, matrix, fold-order norms)."""
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    M = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+def _unpack(ids_arr, flat_arr) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """flat block payload -> (ids, matrix, fold-order norms): a single
+    reshape of the Arrow-delivered double array, no per-vector python
+    objects."""
+    ids = np.asarray(ids_arr, dtype=np.int64)
+    M = np.asarray(flat_arr, dtype=np.float64).reshape(len(ids), -1)
     norms = np.sqrt((M * M).cumsum(axis=1)[:, -1])
     return ids, M, norms
 
 
-_Q_TILE = 64  # rows per scoring tile: bounds the 3D temp at
-# _Q_TILE * block_rows * dim doubles (~33 MB at 4096x64)
+_Q_TILE = 64  # query rows per scoring tile
+_C_TILE = 4096  # candidate rows per scoring tile
+# the 3D fold temp is bounded at _Q_TILE * _C_TILE * dim doubles
+# (~134 MB at 64-dim) regardless of block size, so per-task memory
+# stays flat even when _MAX_BLOCKS caps force large blocks at scale
 
 
 def _cos_tile(Mq: np.ndarray, nq: np.ndarray, Mc: np.ndarray, nc: np.ndarray) -> np.ndarray:
@@ -179,24 +191,32 @@ def cosine_topk_bruteforce(emb: DataFrame, k: int = 5) -> DataFrame:
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            for qrows, crows in zip(pdf["qrows"], pdf["crows"]):
-                qids, Mq, qnorms = _unpack(qrows)
-                cids, Mc, cnorms = _unpack(crows)
+            for qi_, qf_, ci_, cf_ in zip(
+                pdf["q_ids"], pdf["q_flat"], pdf["c_ids"], pdf["c_flat"]
+            ):
+                qids, Mq, qnorms = _unpack(qi_, qf_)
+                cids, Mc, cnorms = _unpack(ci_, cf_)
                 out_q, out_c, out_s = [], [], []
                 for lo in range(0, len(qids), _Q_TILE):
                     hi = min(lo + _Q_TILE, len(qids))
-                    cos = _cos_tile(Mq[lo:hi], qnorms[lo:hi], Mc, cnorms)
-                    for qi in range(lo, hi):
-                        mask = cids != qids[qi]
-                        cand_ids, cand_cos = cids[mask], cos[qi - lo][mask]
-                        # (cos DESC, cid ASC) is a total order (cid
-                        # unique), so k block-local winners are
-                        # sufficient for the global merge - boundary
-                        # ties cannot be ambiguous
-                        order = np.lexsort((cand_ids, -cand_cos))[:k]
-                        out_q.extend([qids[qi]] * len(order))
-                        out_c.extend(cand_ids[order])
-                        out_s.extend(cand_cos[order])
+                    for clo in range(0, len(cids), _C_TILE):
+                        chi = min(clo + _C_TILE, len(cids))
+                        cos = _cos_tile(
+                            Mq[lo:hi], qnorms[lo:hi], Mc[clo:chi], cnorms[clo:chi]
+                        )
+                        tcids = cids[clo:chi]
+                        for qi in range(lo, hi):
+                            mask = tcids != qids[qi]
+                            cand_ids, cand_cos = tcids[mask], cos[qi - lo][mask]
+                            # (cos DESC, cid ASC) is a total order (cid
+                            # unique), so k tile-local winners are
+                            # sufficient for the global merge - boundary
+                            # ties cannot be ambiguous; the window merge
+                            # sees one partial list per tile
+                            order = np.lexsort((cand_ids, -cand_cos))[:k]
+                            out_q.extend([qids[qi]] * len(order))
+                            out_c.extend(cand_ids[order])
+                            out_s.extend(cand_cos[order])
                 if out_q:
                     yield pd.DataFrame(
                         {"qid": out_q, "cid": out_c, "cos_sim": out_s}
@@ -226,25 +246,32 @@ def cosine_near_dup_pairs(emb: DataFrame, threshold: float) -> DataFrame:
 
     def pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            for qrows, crows in zip(pdf["qrows"], pdf["crows"]):
-                qids, Mq, qnorms = _unpack(qrows)
-                cids, Mc, cnorms = _unpack(crows)
+            for qi_, qf_, ci_, cf_ in zip(
+                pdf["q_ids"], pdf["q_flat"], pdf["c_ids"], pdf["c_flat"]
+            ):
+                qids, Mq, qnorms = _unpack(qi_, qf_)
+                cids, Mc, cnorms = _unpack(ci_, cf_)
                 out = []
                 for lo in range(0, len(qids), _Q_TILE):
                     hi = min(lo + _Q_TILE, len(qids))
-                    cos = _cos_tile(Mq[lo:hi], qnorms[lo:hi], Mc, cnorms)
-                    sel = (cids[None, :] > qids[lo:hi, None]) & (cos >= thr)
-                    qi, ci = np.nonzero(sel)
-                    if len(qi):
-                        out.append(
-                            pd.DataFrame(
-                                {
-                                    "qid": qids[lo:hi][qi],
-                                    "cid": cids[ci],
-                                    "cos_sim": cos[qi, ci],
-                                }
-                            )
+                    for clo in range(0, len(cids), _C_TILE):
+                        chi = min(clo + _C_TILE, len(cids))
+                        cos = _cos_tile(
+                            Mq[lo:hi], qnorms[lo:hi], Mc[clo:chi], cnorms[clo:chi]
                         )
+                        tcids = cids[clo:chi]
+                        sel = (tcids[None, :] > qids[lo:hi, None]) & (cos >= thr)
+                        qi, ci = np.nonzero(sel)
+                        if len(qi):
+                            out.append(
+                                pd.DataFrame(
+                                    {
+                                        "qid": qids[lo:hi][qi],
+                                        "cid": tcids[ci],
+                                        "cos_sim": cos[qi, ci],
+                                    }
+                                )
+                            )
                 if out:
                     yield pd.concat(out, ignore_index=True)
 
