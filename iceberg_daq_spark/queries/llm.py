@@ -434,3 +434,148 @@ def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q64_stratified_sample",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, lang,
+             substr(md5(concat('graft42:', CAST(doc_id AS VARCHAR))), 1, 8) AS skey,
+             CASE WHEN lang = 'en' THEN '80000000' ELSE '40000000' END AS cut
+      FROM documents
+    )
+    SELECT doc_id, lang, skey
+    FROM keyed
+    WHERE skey < cut
+    ORDER BY doc_id
+    """,
+)
+def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling - the split/sample stage of a
+    training-data pipeline.  Membership is a pure hash predicate
+    (md5 of a salted id vs a per-stratum threshold: ~50% of the 'en'
+    majority stratum, ~25% of every minority stratum), so the sample
+    is reproducible across engines and runs, needs no stored split
+    table, and is a map-only pushdown-able filter at any scale - the
+    industry-standard alternative to rand()-based sampling, which is
+    neither repeatable nor oracle-checkable.  md5 is bit-identical in
+    Spark and DuckDB, so this is hash-verified end to end."""
+    d = load(spark, sf_dir, "documents")
+    skey = F.substring(
+        F.md5(F.concat(F.lit("graft42:"), F.col("doc_id").cast("string"))), 1, 8
+    )
+    cut = F.when(F.col("lang") == "en", "80000000").otherwise("40000000")
+    return (
+        d.select("doc_id", "lang", skey.alias("skey"), cut.alias("cut"))
+        .filter(F.col("skey") < F.col("cut"))
+        .select("doc_id", "lang", "skey")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q65_contamination_check",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, s
+      FROM tok, LATERAL UNNEST(
+        list_transform(
+          generate_series(1, greatest(len(w) - 2, 0)),
+          i -> concat_ws(' ', w[i], w[i+1], w[i+2])
+        )
+      ) AS t(s)
+    ), shared AS (
+      SELECT e.doc_id AS eval_doc, t.doc_id AS train_doc, count(*) AS n_shared
+      FROM sh e JOIN sh t ON e.s = t.s
+      WHERE e.doc_id % 10 = 0 AND t.doc_id % 10 <> 0
+      GROUP BY 1, 2
+      HAVING count(*) >= 5
+    )
+    SELECT eval_doc,
+           CAST(count(*) AS BIGINT) AS n_sources,
+           CAST(max(n_shared) AS BIGINT) AS max_shared
+    FROM shared
+    GROUP BY eval_doc
+    ORDER BY eval_doc
+    """,
+)
+def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination check: for every held-out document
+    (doc_id % 10 == 0), find training documents sharing >= 5 distinct
+    3-gram shingles - the decontamination scan every LLM data pipeline
+    runs before reporting eval numbers.
+
+    Same inverted-index shape as q41 (shuffle on the shingle), but the
+    join is eval x train instead of a self-join, so the fanout is
+    |eval_postings| x |train_postings| per shingle - at 100 TB the
+    q41 df_max valve applies verbatim (drop boilerplate shingles from
+    discovery, verify survivors exactly)."""
+    from iceberg_daq_spark.operators.dedup import shingles
+
+    d = load(spark, sf_dir, "documents")
+    sh = shingles(d)
+    ev = sh.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("eval_doc"), "shingle"
+    )
+    tr = sh.filter(F.col("doc_id") % 10 != 0).select(
+        F.col("doc_id").alias("train_doc"), "shingle"
+    )
+    shared = (
+        ev.join(tr, "shingle")
+        .groupBy("eval_doc", "train_doc")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 5)
+    )
+    return (
+        shared.groupBy("eval_doc")
+        .agg(
+            F.count("*").alias("n_sources"),
+            F.max("n_shared").alias("max_shared"),
+        )
+        .orderBy("eval_doc")
+    )
+
+
+@register(
+    "q66_vocab_topk",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+    ), counts AS (
+      SELECT lang, token, count(*) AS n FROM tok GROUP BY 1, 2
+    ), ranked AS (
+      SELECT lang, token, CAST(n AS BIGINT) AS n,
+             row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rk
+      FROM counts
+    )
+    SELECT lang, token, n, CAST(rk AS BIGINT) AS rk
+    FROM ranked
+    WHERE rk <= 20
+    ORDER BY lang, rk
+    """,
+)
+def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language vocabulary head: top-20 tokens by frequency - the
+    vocabulary/frequency pass of tokenizer training.  Explode -> two
+    partial+final hash aggs -> per-group top-k window over the (small)
+    distinct-token table; the exploded token stream itself never feeds
+    the window, so the expensive cardinality stays in the combinable
+    aggregation at any scale."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    counts = (
+        d.select("lang", F.explode(text.words(F.col("text"))).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("lang", "token", "n", F.col("rk").cast("long").alias("rk"))
+        .orderBy("lang", "rk")
+    )
