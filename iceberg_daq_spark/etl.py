@@ -79,11 +79,18 @@ def build_dropbox(spark: SparkSession, sf_dir: str, dropbox_dir: str) -> None:
     renames into the flat dropbox layout - renames are metadata ops,
     the row data never passes through the driver."""
     e = load(spark, sf_dir, "events")
-    n = e.count()
+    # cache fingerprint: row count + id/ts aggregates, so a regenerated
+    # events table invalidates the cached dropbox even at equal size
+    agg = e.agg(
+        F.count("*").alias("n"),
+        F.sum("event_id").alias("s"),
+        F.max("ts").cast("long").alias("m"),
+    ).collect()[0]
+    fingerprint = f"{sf_dir}:{agg['n']}:{agg['s']}:{agg['m']}"
     marker = os.path.join(dropbox_dir, "_built")
     try:
         with open(marker, encoding="ascii") as f:
-            if f.read().strip() == f"{sf_dir}:{n}":
+            if f.read().strip() == fingerprint:
                 return
     except FileNotFoundError:
         pass
@@ -116,7 +123,7 @@ def build_dropbox(spark: SparkSession, sf_dir: str, dropbox_dir: str) -> None:
             )
     shutil.rmtree(staging, ignore_errors=True)
     with open(marker, "w", encoding="ascii") as f:
-        f.write(f"{sf_dir}:{n}")
+        f.write(fingerprint)
 
 
 def scan_dropbox(

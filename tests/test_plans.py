@@ -210,3 +210,35 @@ def test_q41_shingles_single_split(spark, sf_dir):
     # one split per slice (k=3) in the zipped form; the element_at
     # lambda form inlines split() per generated element instead
     assert plan.count("split(") <= 8, "shingle expr re-expands split(text)"
+
+
+def test_etl_manifest_scan_prunes_content(spark, sf_dir, tmp_path):
+    """A7: the dropbox manifest read must prune the binaryFile content
+    column at the source - the scan schema carries only path/length/
+    modificationTime, so no file bytes are ever read for the manifest."""
+    from iceberg_daq_spark.etl import build_dropbox, scan_dropbox
+
+    d = str(tmp_path / "dropbox")
+    build_dropbox(spark, sf_dir, d)
+    plan = plan_of(scan_dropbox(spark, d))
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "content" not in read_schema
+    assert "path" in read_schema and "modificationTime" in read_schema
+
+
+def test_similarity_score_pairs_is_hash_join(spark, sf_dir):
+    """ANN candidate scoring joins vectors back from the embeddings
+    table by id: the plan must be hash equi-joins (never a broadcast
+    nested loop / Cartesian) and must not collect the table anywhere
+    (structurally: the scoring input is the scan itself)."""
+    from iceberg_daq_spark.operators import similarity
+    from iceberg_daq_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = emb.select(F.col("vec_id").alias("qid")).crossJoin(
+        emb.select(F.col("vec_id").alias("cid"))
+    ).limit(100)
+    plan = plan_of(similarity._score_pairs(pairs.localCheckpoint(), emb))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Scan parquet") >= 2  # both vector sides from the table
