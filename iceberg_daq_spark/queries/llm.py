@@ -129,9 +129,11 @@ def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q41) via iterative min-label propagation; every doc gets the min
     doc_id of its component as its group, docs in no pair stand alone.
     The oracle walks the same graph with a recursive CTE - feasible on
-    test scale; the engine's propagation loop is the cluster path."""
+    test scale; the engine's propagation loop is the cluster path.
+    Pair generation runs with the same df_max valve as q41 (identical
+    output on this corpus, bounded hot-shingle fanout at scale)."""
     d = load(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.5)
+    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.5, df_max=128)
     return dedup.dedup_groups(d, pairs).orderBy("doc_id")
 
 
