@@ -142,6 +142,29 @@ class DaqRun:
                 plan.decode_hits(self.spark.read.parquet(self.frames_dir))
             )
             pipeline.flush_tail(tp_dir, batch_tas, ["src_id", "window_start"])
+            # A27: trigger decisions.  The TD merge consumes the
+            # persisted TA table through a queue boundary (exactly how
+            # the reference's MLT consumes the TC queue), then the same
+            # stop_run tail flush emits the still-open decision per
+            # stream so the TD table equals the batch interval merge.
+            td_dir = os.path.join(self.out_dir, f"run_{run}", "trigdec")
+            gap = plan.TA_WINDOW_TICKS
+            tas_read = self.spark.read.option("basePath", tp_dir).parquet(
+                os.path.join(tp_dir, "batch_id=*")
+            ).drop("batch_id")
+            ta_stage = os.path.join(self.out_dir, f"run_{run}", "ta_stage")
+            tas_read.write.mode("overwrite").parquet(ta_stage)
+            tas_stream = self.spark.readStream.schema(tas_read.schema).parquet(ta_stage)
+            pipeline.run_to_parquet(
+                pipeline.merge_decisions_stream(tas_stream, max_gap_ticks=gap),
+                td_dir,
+                ckpt + "_td",
+            )
+            batch_tds = plan.merge_decisions(
+                self.spark.read.parquet(ta_stage).drop("window_end"),
+                max_gap_ticks=gap,
+            )
+            pipeline.flush_tail(td_dir, batch_tds, ["src_id", "td_start_tick"])
         finally:
             mon.flush()
             mon.detach()

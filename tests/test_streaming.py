@@ -361,6 +361,20 @@ def test_daq_run_lifecycle(spark, frames_dir, tmp_path):
     assert r2["run"] == RUN_FLOORS["main"] + 1
     assert r1["subrun"] == r1["run"] * 100000 + 1
     assert r1["raw_rows"] > 0 and r1["tp_rows"] > 0
+    # the trigger-decision sink equals the batch interval merge exactly
+    # (streamed decisions + stop_run tail flush)
+    td_dir = os.path.join(out, f"run_{r1['run']}", "trigdec")
+    ta_stage = os.path.join(out, f"run_{r1['run']}", "ta_stage")
+    tds = spark.read.option("basePath", td_dir).parquet(
+        os.path.join(td_dir, "batch_id=*")
+    ).drop("batch_id")
+    batch_tds = plan.merge_decisions(
+        spark.read.parquet(ta_stage).drop("window_end"),
+        max_gap_ticks=plan.TA_WINDOW_TICKS,
+    )
+    cols = ["src_id", "td_start_tick", "td_end_tick", "n_tps", "n_tas"]
+    assert _rows(tds, cols) == _rows(batch_tds, cols)
+    assert tds.count() > 0
     runs = existing_runs(spark, out + "/runs")
     assert runs.count() == 2
     states = [s for s, _ in DaqRun(spark, "x", frames_dir, out).transitions]
