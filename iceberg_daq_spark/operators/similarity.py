@@ -440,6 +440,38 @@ def _ivf_centroids(vecs: DataFrame) -> np.ndarray:
     return C
 
 
+def ivf_assign(emb: DataFrame) -> DataFrame:
+    """(vec_id, cell): each vector's nearest coarse-quantizer cell -
+    the IVF posting-list assignment.  This is the offline index build:
+    at 100 TB, write the embeddings table ``partitionBy("cell")`` on
+    this column and a probe becomes partition pruning instead of a
+    shuffle (asserted in tests/test_plans.py)."""
+    vecs = _spread(
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    ).cache()
+    C = _ivf_centroids(vecs)
+    bc_c = emb.sparkSession.sparkContext.broadcast(C)
+    schema = T.StructType(
+        [T.StructField("vec_id", T.LongType()), T.StructField("cell", T.IntegerType())]
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Cb = bc_c.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cell": (Vn @ Cb.T).argmax(axis=1).astype(np.int32),
+                }
+            )
+
+    return vecs.mapInPandas(assign, schema)
+
+
 def ivf_ann_topk(emb: DataFrame, k: int = 5) -> DataFrame:
     """IVF approximate top-k: spherical-kmeans cells as the coarse
     quantizer; each vector posts to its nearest cell, each query probes

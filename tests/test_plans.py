@@ -242,3 +242,22 @@ def test_similarity_score_pairs_is_hash_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Scan parquet") >= 2  # both vector sides from the table
+
+
+def test_ivf_posting_layout_prunes_partitions(spark, sf_dir, tmp_path):
+    """The IVF scale path: the index build (ivf_assign) partitions the
+    table by cell, and an nprobe read must serve via PartitionFilters -
+    probing is directory pruning, not a shuffle (SURVEY: 'posting lists
+    are the partition layout')."""
+    from iceberg_daq_spark.operators.similarity import ivf_assign
+    from iceberg_daq_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    out = str(tmp_path / "emb_by_cell")
+    emb.join(ivf_assign(emb), "vec_id").write.partitionBy("cell").parquet(out)
+    probe = spark.read.parquet(out).filter(F.col("cell").isin([0, 3, 7]))
+    plan = plan_of(probe)
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1].split("]")[0]
+    # pruning is value-correct: the probed cells' rows, nothing else
+    cells = {r["cell"] for r in probe.select("cell").distinct().collect()}
+    assert cells <= {0, 3, 7} and probe.count() > 0
