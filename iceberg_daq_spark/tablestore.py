@@ -83,11 +83,20 @@ class MergeTable:
     def exists(self) -> bool:
         return self.current_version() is not None
 
-    def read(self, spark: SparkSession) -> DataFrame | None:
-        """The current snapshot, or None before the first commit."""
-        v = self.current_version()
-        if v is None:
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame | None:
+        """A snapshot: the current one, or - time travel - any retained
+        prior ``version`` (the Iceberg ``VERSION AS OF`` analog; older
+        than the retention window raises).  None before the first
+        commit."""
+        cur = self.current_version()
+        if cur is None:
             return None
+        v = cur if version is None else version
+        if not os.path.isdir(self._version_dir(v)):
+            raise ValueError(
+                f"version {v} not retained (current {cur}, keep_versions "
+                f"{self.keep_versions})"
+            )
         return spark.read.parquet(self._version_dir(v))
 
     def _commit(self, df: DataFrame) -> int:
@@ -128,6 +137,17 @@ class MergeTable:
                 current.join(updates.select(*keys), keys, "left_anti")
             )
         return self._commit(merged)
+
+    def compact(self, spark: SparkSession, target_files: int = 1) -> int:
+        """Maintenance: rewrite the current snapshot into
+        ``target_files`` files (Iceberg ``rewrite_data_files`` analog).
+        Streaming MERGE sinks commit one small snapshot per micro-batch;
+        periodic compaction keeps read amplification flat.  Contents are
+        unchanged - only the file layout."""
+        df = self.read(spark)
+        if df is None:
+            raise ValueError(f"compact() on uncommitted table {self.path}")
+        return self._commit(df.coalesce(target_files))
 
     def delete(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)

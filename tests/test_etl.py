@@ -105,3 +105,23 @@ def test_stream_sink_merge_idempotent(spark, tmp_path):
     out = t.read(spark)
     assert out.count() == 100
     assert out.agg(F.sum("v")).collect()[0][0] == sum(2 * i for i in range(100))
+
+
+def test_merge_table_time_travel_and_compaction(spark, tmp_path):
+    """Snapshot reads (VERSION AS OF analog) within the retention
+    window; compaction rewrites the layout without changing contents."""
+    import glob as _glob
+
+    t = MergeTable(str(tmp_path / "tt"), key_cols=("k",), keep_versions=3)
+    t.merge(spark.createDataFrame([(1, "a")], ["k", "v"]))
+    t.merge(spark.createDataFrame([(2, "b")], ["k", "v"]))
+    assert t.read(spark, version=1).count() == 1  # time travel
+    assert t.read(spark).count() == 2
+    with pytest.raises(ValueError):
+        t.read(spark, version=99)
+    # many-snapshot sink -> compaction flattens files, keeps contents
+    before = sorted(map(tuple, t.read(spark).collect()))
+    v = t.compact(spark, target_files=1)
+    files = _glob.glob(os.path.join(t.path, f"v{v:06d}", "*.parquet"))
+    assert len(files) == 1
+    assert sorted(map(tuple, t.read(spark).collect())) == before
