@@ -274,3 +274,44 @@ def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("value", F.round("value", 2))
         .orderBy("l_orderkey", "l_linenumber", "measure")
     )
+
+
+@register(
+    "q67_cube_grouping_sets",
+    oracle="""
+    SELECT n.n_name, o.o_orderpriority,
+           CAST(GROUPING(n.n_name, o.o_orderpriority) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(CAST(sum(o.o_totalprice) AS DOUBLE), 2) AS total_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY CUBE (n.n_name, o.o_orderpriority)
+    ORDER BY gid, n_name NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^k grouping sets in one pass (q14's rollup sibling -
+    together they cover Spark's full grouping-sets surface).  Catalyst
+    plans one Expand + partial/final hash aggregate, so the fact side
+    is scanned once for all four grouping combinations."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    joined = o.join(c, o.o_custkey == c.c_custkey).join(
+        n, c.c_nationkey == n.n_nationkey
+    )
+    return (
+        joined.cube("n_name", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice").cast("double"), 2).alias("total_price"),
+        )
+        .select("n_name", "o_orderpriority", "gid", "n_orders", "total_price")
+        .orderBy(
+            "gid",
+            F.col("n_name").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
