@@ -250,8 +250,27 @@ def metadata_etl(
         rows = _aggregate_metadata(files_events).withColumn(
             "pass_id", F.lit(n_passes)
         )
-        catalog.merge(rows)
+        try:
+            catalog.merge(rows)
+        except Exception as exc:  # noqa: BLE001 - fail-stop parity
+            # the reference's errors_were_encountered flag (:84,226):
+            # a file its dumper cannot read logs an ERROR and stops the
+            # loop, leaving the remaining files for the next cron pass.
+            # Same here: already-committed passes stand (the catalog is
+            # snapshot-consistent), nothing half-written.
+            import warnings
+
+            warnings.warn(
+                f"metadata_etl pass {n_passes} failed ({exc}); stopping "
+                f"with the catalog as of the last committed pass",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            break
         n_passes += 1
     out = catalog.read(spark)
-    assert out is not None, "ETL ran zero passes over an empty dropbox"
+    if out is None:
+        raise ValueError(
+            "metadata_etl committed nothing: empty dropbox or first pass failed"
+        )
     return out, n_passes

@@ -125,3 +125,32 @@ def test_merge_table_time_travel_and_compaction(spark, tmp_path):
     files = _glob.glob(os.path.join(t.path, f"v{v:06d}", "*.parquet"))
     assert len(files) == 1
     assert sorted(map(tuple, t.read(spark).collect())) == before
+
+
+def test_etl_fail_stop_on_bad_file(spark, sf_dir, tmp_path):
+    """The reference's errors_were_encountered contract (:84,226): a
+    file the extractor cannot read stops the loop with a warning;
+    already-committed passes stand (snapshot catalog, nothing
+    half-written), the bad batch is left for the next run."""
+    import shutil
+    import warnings
+
+    d = str(tmp_path / "dropbox_bad")
+    build_dropbox(spark, sf_dir, d)
+    # corrupt pseudo-file that sorts LAST in the per-prefix desc order,
+    # so the first pass commits clean files and a later pass hits it
+    with open(os.path.join(d, "iceberghd_raw_run000001_0000.hdf5"), "wb") as f:
+        f.write(b"not parquet at all")
+    os.remove(os.path.join(d, "_built"))  # new file -> not the cached set
+    catalog = MergeTable(str(tmp_path / "catalog_bad"), key_cols=("file_name",))
+    n_clean_first = min(
+        8, scan_dropbox(spark, d).filter(F.col("prefix") == "iceberghd_raw").count() - 1
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out, passes = metadata_etl(spark, d, catalog, batch_limit=8)
+    assert any("failed" in str(w.message) for w in caught)
+    assert passes >= 1  # the clean first pass committed
+    assert out.count() >= n_clean_first
+    assert out.filter(F.col("file_name") == "iceberghd_raw_run000001_0000.hdf5").count() == 0
+    shutil.rmtree(d, ignore_errors=True)
