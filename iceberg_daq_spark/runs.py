@@ -163,6 +163,7 @@ class DaqRun:
             batch_tds = plan.merge_decisions(
                 self.spark.read.parquet(ta_stage).drop("window_end"),
                 max_gap_ticks=gap,
+                max_td_ticks=pipeline.MLT_MAX_TD_TICKS,
             )
             pipeline.flush_tail(td_dir, batch_tds, ["src_id", "td_start_tick"])
         finally:

@@ -201,7 +201,9 @@ def prescale_hash(df: DataFrame, n: int = PRESCALE, key_cols: tuple[str, ...] = 
     return df.filter(F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n)) == 0)
 
 
-def merge_decisions(tas: DataFrame, max_gap_ticks: int) -> DataFrame:
+def merge_decisions(
+    tas: DataFrame, max_gap_ticks: int, max_td_ticks: int | None = None
+) -> DataFrame:
     """Trigger-decision interval merge (A27, mlt_* keys
     iceberg_daq_eth.json:239-258): overlapping/adjacent TA windows
     coalesce into one trigger decision per src_id.
@@ -209,8 +211,20 @@ def merge_decisions(tas: DataFrame, max_gap_ticks: int) -> DataFrame:
     Batch form: gaps-and-islands via window functions (exactly q20's
     plan).  The streaming form lives in pipeline.merge_decisions_stream
     (applyInPandasWithState with the mlt buffer-timeout semantics).
+
+    ``max_td_ticks`` is the mlt_max_td_length cap (:241): a decision
+    that would exceed it is closed and a new one opened - the same rule
+    the streaming state machine applies, so streamed + tail == batch
+    even on unbroken activity.  The cap couples each decision's extent
+    to its own running start (non-associative), so the capped form is a
+    per-src_id sequential fold via applyInPandas; post-TA decision
+    rates are Hz per stream, so each group is tiny at any scale.  The
+    default (None) keeps the pure window-function plan.
     """
     from pyspark.sql import Window
+
+    if max_td_ticks is not None:
+        return _merge_decisions_capped(tas, max_gap_ticks, max_td_ticks)
 
     w_prev = (
         Window.partitionBy("src_id")
@@ -238,4 +252,62 @@ def merge_decisions(tas: DataFrame, max_gap_ticks: int) -> DataFrame:
             F.count("*").alias("n_tas"),
         )
         .drop("island")
+    )
+
+
+def _merge_decisions_capped(
+    tas: DataFrame, max_gap_ticks: int, max_td_ticks: int
+) -> DataFrame:
+    """merge_decisions with the mlt_max_td_length cap: sequential fold
+    per src_id (the cap rule references the open decision's start, so
+    it cannot be a window function).  Mirrors pipeline._merge_td_func's
+    extend condition exactly."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("src_id", T.IntegerType()),
+            T.StructField("td_start_tick", T.LongType()),
+            T.StructField("td_end_tick", T.LongType()),
+            T.StructField("n_tps", T.LongType()),
+            T.StructField("n_tas", T.LongType()),
+        ]
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["first_tick", "last_tick"])
+        src_id = int(pdf["src_id"].iloc[0])
+        out, cur = [], None
+        for r in pdf.itertuples(index=False):
+            if cur is not None and (
+                r.first_tick <= cur[1] + max_gap_ticks
+                and r.last_tick - cur[0] <= max_td_ticks
+            ):
+                cur[1] = max(cur[1], r.last_tick)
+                cur[2] += r.n_tps
+                cur[3] += 1
+            else:
+                if cur is not None:
+                    out.append(cur)
+                cur = [r.first_tick, r.last_tick, r.n_tps, 1]
+        if cur is not None:
+            out.append(cur)
+        return pd.DataFrame(
+            [
+                {
+                    "src_id": src_id,
+                    "td_start_tick": s,
+                    "td_end_tick": e,
+                    "n_tps": n,
+                    "n_tas": c,
+                }
+                for s, e, n, c in out
+            ]
+        )
+
+    return (
+        tas.select("src_id", "first_tick", "last_tick", "n_tps")
+        .groupBy("src_id")
+        .applyInPandas(fold, schema)
     )

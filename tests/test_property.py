@@ -23,12 +23,19 @@ _SETTINGS = dict(
 GAP = 100
 
 
-def _ref_merge(tas: list[tuple[int, int, int]]) -> list[tuple[int, int, int, int]]:
+def _ref_merge(
+    tas: list[tuple[int, int, int]], cap: int | None = None
+) -> list[tuple[int, int, int, int]]:
     """Python reference: sort by (first, last), coalesce while the next
-    TA starts within GAP of the island's max last_tick."""
+    TA starts within GAP of the island's max last_tick and (when capped)
+    would not stretch the decision past ``cap`` ticks from its start."""
     out = []
     for first, last, n_tps in sorted(tas):
-        if out and first <= out[-1][1] + GAP:
+        if (
+            out
+            and first <= out[-1][1] + GAP
+            and (cap is None or last - out[-1][0] <= cap)
+        ):
             s, e, n, c = out[-1]
             out[-1] = (s, max(e, last), n + n_tps, c + 1)
         else:
@@ -65,6 +72,14 @@ def test_merge_decisions_matches_python_reference(_spark, tas):
     )
     want = sorted(_ref_merge([(f, f + d, n) for f, d, n in tas]))
     assert got == want
+    # capped form (mlt_max_td_length): same fold with the length cap -
+    # cap 400 is small enough that random inputs regularly split on it
+    got_cap = sorted(
+        (r["td_start_tick"], r["td_end_tick"], r["n_tps"], r["n_tas"])
+        for r in plan.merge_decisions(df, max_gap_ticks=GAP, max_td_ticks=400).collect()
+    )
+    want_cap = sorted(_ref_merge([(f, f + d, n) for f, d, n in tas], cap=400))
+    assert got_cap == want_cap
 
 
 merge_steps = st.lists(

@@ -371,6 +371,7 @@ def test_daq_run_lifecycle(spark, frames_dir, tmp_path):
     batch_tds = plan.merge_decisions(
         spark.read.parquet(ta_stage).drop("window_end"),
         max_gap_ticks=plan.TA_WINDOW_TICKS,
+        max_td_ticks=pipeline.MLT_MAX_TD_TICKS,
     )
     cols = ["src_id", "td_start_tick", "td_end_tick", "n_tps", "n_tas"]
     assert _rows(tds, cols) == _rows(batch_tds, cols)
