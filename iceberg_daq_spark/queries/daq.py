@@ -322,3 +322,88 @@ def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
     set, validate uniqueness, apply the --isc IP remap
     (A11/A32/A33/A40, create_daq_config.sh:178-200,241-246)."""
     return compile_dromap(spark, [102, 105, 106], isc_remap=True).orderBy("src_id")
+
+
+@register(
+    "q68_metadata_json_docs",
+    oracle=f"""
+    WITH named AS (
+      SELECT *,
+             {RUN_FLOOR} + user_id AS run,
+             CASE WHEN user_id % 5 = 0 THEN 'iceberghd_tp' ELSE 'iceberghd_raw' END AS prefix
+      FROM events
+    ), agg AS (
+      SELECT concat(prefix, '_run', lpad(CAST(run AS VARCHAR), 6, '0'), '_0000.hdf5') AS file_name,
+             run, prefix,
+             count(DISTINCT event_id) AS event_count,
+             min(event_id) AS first_event,
+             max(event_id) AS last_event,
+             array_to_string(list_sort(list(DISTINCT event_id)), ',') AS event_list
+      FROM named
+      GROUP BY file_name, run, prefix
+    )
+    SELECT file_name,
+           concat(
+             '{{"name": "', file_name, '", "namespace": "iceberg", "metadata": {{',
+             '"core.data_tier": "',
+             CASE WHEN prefix LIKE '%_tp' THEN 'trigprim' ELSE 'raw' END,
+             '", "core.file_format": "hdf5", "core.file_type": "detector", ',
+             '"core.event_count": ', CAST(event_count AS VARCHAR),
+             ', "core.events": [', event_list, '], ',
+             '"core.first_event_number": ', CAST(first_event AS VARCHAR),
+             ', "core.last_event_number": ', CAST(last_event AS VARCHAR),
+             ', "core.runs": [', CAST(run AS VARCHAR), '], ',
+             '"core.runs_subruns": [', CAST(run * 100000 + 1 AS VARCHAR), ']}}}}'
+           ) AS json_doc
+    FROM agg
+    ORDER BY file_name
+    """,
+)
+def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The metadata JSON doc emission (A8/A38): the reference's actual
+    OUTPUT artifact - one canonical JSON sidecar per data file
+    (createMetadatafiles_iceberg_dropbox.sh:179-208, field names and
+    nesting preserved).  Field order and formatting are deterministic
+    by construction (explicit concat, not engine-dependent JSON
+    serialization), so the docs hash-match across engines and reruns -
+    the property the reference needs for its skip-if-exists check.
+    Validity as JSON is asserted in tests/test_operators.py."""
+    e = load(spark, sf_dir, "events")
+    named = e.withColumn("run", F.lit(RUN_FLOOR) + F.col("user_id")).withColumn(
+        "prefix",
+        F.when(F.col("user_id") % 5 == 0, "iceberghd_tp").otherwise("iceberghd_raw"),
+    )
+    agg = (
+        named.groupBy("run", "prefix")
+        .agg(
+            F.countDistinct("event_id").alias("event_count"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+            F.array_join(F.sort_array(F.collect_set("event_id")), ",").alias("event_list"),
+        )
+        .withColumn(
+            "file_name",
+            F.concat(
+                F.col("prefix"),
+                F.lit("_run"),
+                F.lpad(F.col("run").cast("string"), 6, "0"),
+                F.lit("_0000.hdf5"),
+            ),
+        )
+    )
+    s = lambda c: F.col(c).cast("string")  # noqa: E731
+    doc = F.concat(
+        F.lit('{"name": "'), F.col("file_name"),
+        F.lit('", "namespace": "iceberg", "metadata": {'),
+        F.lit('"core.data_tier": "'),
+        F.when(F.col("prefix").endswith("_tp"), "trigprim").otherwise("raw"),
+        F.lit('", "core.file_format": "hdf5", "core.file_type": "detector", '),
+        F.lit('"core.event_count": '), s("event_count"),
+        F.lit(', "core.events": ['), F.col("event_list"), F.lit("], "),
+        F.lit('"core.first_event_number": '), s("first_event"),
+        F.lit(', "core.last_event_number": '), s("last_event"),
+        F.lit(', "core.runs": ['), s("run"), F.lit("], "),
+        F.lit('"core.runs_subruns": ['), (F.col("run") * 100000 + 1).cast("string"),
+        F.lit("]}}"),
+    )
+    return agg.select("file_name", doc.alias("json_doc")).orderBy("file_name")

@@ -370,3 +370,23 @@ def test_config_compile_modes(spark):
         assert cos[k] == v
     with pytest.raises(ValueError):
         compile_config(spark, "nope")
+
+
+def test_q68_docs_are_valid_canonical_json(spark, sf_dir):
+    """A8/A38: every emitted metadata doc must parse as JSON and carry
+    the reference's field set with consistent values."""
+    import json
+
+    from iceberg_daq_spark.queries.daq import q68
+
+    rows = q68(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        doc = json.loads(r["json_doc"])
+        assert doc["name"] == r["file_name"]
+        md = doc["metadata"]
+        assert md["core.data_tier"] in ("raw", "trigprim")
+        assert md["core.event_count"] == len(md["core.events"])
+        assert md["core.first_event_number"] == min(md["core.events"])
+        assert md["core.last_event_number"] == max(md["core.events"])
+        assert md["core.runs_subruns"] == [md["core.runs"][0] * 100000 + 1]
