@@ -18,11 +18,16 @@ Two paths per the north-star contract:
 
 Float discipline: the DuckDB oracle computes dot products as a
 sequential left fold (list_reduce).  numpy's dot/matmul uses pairwise
-summation - different rounding.  All scoring here therefore uses
-either ``(a*b).cumsum()[..., -1]`` (numpy paths) or the Catalyst HOF
-``aggregate(zip_with(a, b, *), 0.0, +)`` (join-scored paths):
-both are sequential left folds, so every double is bit-identical to
-the oracle's fold and ranks/thresholds can never diverge.
+summation - different rounding.  The batch paths therefore score in
+two passes: a BLAS ``matmul`` pass selects each query's top-k /
+near-threshold candidate superset with an eps margin (_EPS = 1e-9,
+~4 orders of magnitude above the worst matmul-vs-fold divergence for
+any realistic dim), then ONLY that boundary set is rescored with the
+exact sequential fold ``(a*b).cumsum()[..., -1]``.  Every emitted
+double is the fold value, so ranks/thresholds can never diverge from
+the oracle, while the O(n^2) bulk of the scoring runs at BLAS speed.
+Join-scored ANN paths use the Catalyst HOF
+``aggregate(zip_with(a, b, *), 0.0, +)`` - the same left fold.
 
 Scale shape: nothing here materializes the corpus on the driver.
 Brute force moves each block NB times (the classic blocked
@@ -141,21 +146,29 @@ def _unpack(ids_arr, flat_arr) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return ids, M, norms
 
 
-_Q_TILE = 64  # query rows per scoring tile
+_Q_TILE = 1024  # query rows per scoring tile
 _C_TILE = 4096  # candidate rows per scoring tile
-# the 3D fold temp is bounded at _Q_TILE * _C_TILE * dim doubles
-# (~134 MB at 64-dim) regardless of block size, so per-task memory
-# stays flat even when _MAX_BLOCKS caps force large blocks at scale
+# the matmul temp is bounded at _Q_TILE * _C_TILE doubles (~32 MB),
+# so per-task memory stays flat even when _MAX_BLOCKS caps force
+# large blocks at scale
+
+_EPS = 1e-9
+# candidate-selection margin: the worst-case |matmul - sequential fold|
+# divergence is ~dim * ulp * |a||b| (~1e-13 relative at dim 1024), so
+# any candidate the matmul pass places more than _EPS below the kth
+# score / threshold is provably outside the exact top-k / threshold
+# set; the boundary set that gets the exact-fold rescore is k + a few
+# rows per query, not C
 
 
-def _cos_tile(Mq: np.ndarray, nq: np.ndarray, Mc: np.ndarray, nc: np.ndarray) -> np.ndarray:
-    """(len(Mq), len(Mc)) cosine matrix in fold order: elementwise
-    products then cumsum over the dim axis - one vectorized pass per
-    tile instead of a numpy call per query row, bit-identical to the
-    sequential fold."""
-    prods = Mq[:, None, :] * Mc[None, :, :]
-    dots = prods.cumsum(axis=2)[:, :, -1]
-    return dots / (nq[:, None] * nc[None, :])
+def _exact_fold_cos(
+    Mq: np.ndarray, nq: np.ndarray, Mc: np.ndarray, nc: np.ndarray,
+    qi: np.ndarray, ci: np.ndarray,
+) -> np.ndarray:
+    """Exact sequential-fold cosine for selected (row, col) index pairs
+    - bit-identical to the oracle's list_reduce."""
+    dots = (Mq[qi] * Mc[ci]).cumsum(axis=1)[:, -1]
+    return dots / (nq[qi] * nc[ci])
 
 
 _TOPK_SCHEMA = T.StructType(
@@ -196,31 +209,46 @@ def cosine_topk_bruteforce(emb: DataFrame, k: int = 5) -> DataFrame:
             ):
                 qids, Mq, qnorms = _unpack(qi_, qf_)
                 cids, Mc, cnorms = _unpack(ci_, cf_)
-                out_q, out_c, out_s = [], [], []
+                parts = []
                 for lo in range(0, len(qids), _Q_TILE):
                     hi = min(lo + _Q_TILE, len(qids))
+                    tq, tqn = Mq[lo:hi], qnorms[lo:hi]
                     for clo in range(0, len(cids), _C_TILE):
                         chi = min(clo + _C_TILE, len(cids))
-                        cos = _cos_tile(
-                            Mq[lo:hi], qnorms[lo:hi], Mc[clo:chi], cnorms[clo:chi]
-                        )
+                        tc, tcn = Mc[clo:chi], cnorms[clo:chi]
                         tcids = cids[clo:chi]
-                        for qi in range(lo, hi):
-                            mask = tcids != qids[qi]
-                            cand_ids, cand_cos = tcids[mask], cos[qi - lo][mask]
-                            # (cos DESC, cid ASC) is a total order (cid
-                            # unique), so k tile-local winners are
-                            # sufficient for the global merge - boundary
-                            # ties cannot be ambiguous; the window merge
-                            # sees one partial list per tile
-                            order = np.lexsort((cand_ids, -cand_cos))[:k]
-                            out_q.extend([qids[qi]] * len(order))
-                            out_c.extend(cand_ids[order])
-                            out_s.extend(cand_cos[order])
-                if out_q:
-                    yield pd.DataFrame(
-                        {"qid": out_q, "cid": out_c, "cos_sim": out_s}
-                    )
+                        # approximate pass: one BLAS matmul per tile
+                        cos = (tq @ tc.T) / np.outer(tqn, tcn)
+                        cos[qids[lo:hi, None] == tcids[None, :]] = -np.inf
+                        kk = min(k, cos.shape[1])
+                        # per-row kth-largest approx score; everything
+                        # >= kth - _EPS is the boundary superset that a
+                        # fold-order score could still promote into the
+                        # tile-local top-k
+                        part = np.argpartition(-cos, kk - 1, axis=1)[:, :kk]
+                        kth = np.take_along_axis(cos, part, axis=1).min(axis=1)
+                        sel = cos >= (kth[:, None] - _EPS)
+                        qi, ci = np.nonzero(sel)
+                        keep = qids[lo + qi] != tcids[ci]  # -inf self rows when kth=-inf
+                        qi, ci = qi[keep], ci[keep]
+                        if not len(qi):
+                            continue
+                        exact = _exact_fold_cos(tq, tqn, tc, tcn, qi, ci)
+                        # emit the exact-scored superset (k + boundary
+                        # rows per query per tile); the global window
+                        # merge ranks by the exact fold value, so tile
+                        # partials can never disagree with the oracle
+                        parts.append(
+                            pd.DataFrame(
+                                {
+                                    "qid": qids[lo + qi],
+                                    "cid": tcids[ci],
+                                    "cos_sim": exact,
+                                }
+                            )
+                        )
+                if parts:
+                    yield pd.concat(parts, ignore_index=True)
 
     partial = _block_pairs(emb).mapInPandas(score, _RAW_SCHEMA)
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
@@ -254,21 +282,29 @@ def cosine_near_dup_pairs(emb: DataFrame, threshold: float) -> DataFrame:
                 out = []
                 for lo in range(0, len(qids), _Q_TILE):
                     hi = min(lo + _Q_TILE, len(qids))
+                    tq, tqn = Mq[lo:hi], qnorms[lo:hi]
                     for clo in range(0, len(cids), _C_TILE):
                         chi = min(clo + _C_TILE, len(cids))
-                        cos = _cos_tile(
-                            Mq[lo:hi], qnorms[lo:hi], Mc[clo:chi], cnorms[clo:chi]
-                        )
+                        tc, tcn = Mc[clo:chi], cnorms[clo:chi]
                         tcids = cids[clo:chi]
-                        sel = (tcids[None, :] > qids[lo:hi, None]) & (cos >= thr)
+                        # approximate pass selects the near-threshold
+                        # superset; the exact fold decides membership
+                        cos = (tq @ tc.T) / np.outer(tqn, tcn)
+                        sel = (tcids[None, :] > qids[lo:hi, None]) & (
+                            cos >= thr - _EPS
+                        )
                         qi, ci = np.nonzero(sel)
-                        if len(qi):
+                        if not len(qi):
+                            continue
+                        exact = _exact_fold_cos(tq, tqn, tc, tcn, qi, ci)
+                        keep = exact >= thr
+                        if keep.any():
                             out.append(
                                 pd.DataFrame(
                                     {
-                                        "qid": qids[lo:hi][qi],
-                                        "cid": tcids[ci],
-                                        "cos_sim": cos[qi, ci],
+                                        "qid": qids[lo + qi[keep]],
+                                        "cid": tcids[ci[keep]],
+                                        "cos_sim": exact[keep],
                                     }
                                 )
                             )
@@ -446,10 +482,17 @@ def ivf_assign(emb: DataFrame) -> DataFrame:
     at 100 TB, write the embeddings table ``partitionBy("cell")`` on
     this column and a probe becomes partition pruning instead of a
     shuffle (asserted in tests/test_plans.py)."""
+    # cache only for the quantizer-training actions (count + sample
+    # collect), then release: the assignment scan below recomputes the
+    # cheap projection once instead of pinning storage memory across
+    # repeated invocations (bench loops run each query several times)
     vecs = _spread(
         emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     ).cache()
-    C = _ivf_centroids(vecs)
+    try:
+        C = _ivf_centroids(vecs)
+    finally:
+        vecs.unpersist()
     bc_c = emb.sparkSession.sparkContext.broadcast(C)
     schema = T.StructType(
         [T.StructField("vec_id", T.LongType()), T.StructField("cell", T.IntegerType())]
@@ -486,12 +529,16 @@ def ivf_ann_topk(emb: DataFrame, k: int = 5) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    # cached: scanned once, then reused by the quantizer sample and
-    # the probe pass
+    # cached only across the quantizer-training actions (count +
+    # sample collect), released before the probe pass so repeated
+    # invocations never accumulate storage blocks
     vecs = _spread(
         emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     ).cache()
-    C = _ivf_centroids(vecs)
+    try:
+        C = _ivf_centroids(vecs)
+    finally:
+        vecs.unpersist()
     sc = emb.sparkSession.sparkContext
     bc_c = sc.broadcast(C)
     post_schema = T.StructType(
