@@ -79,7 +79,32 @@ def main() -> None:
     }
     if streaming:
         out["streaming"] = streaming
-    print(json.dumps(out))
+    # Full-precision record on disk: the driver captures only the last
+    # 2000 chars of stdout, so round-over-round comparison must not
+    # depend on that window.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_last.json"), "w") as fh:
+        json.dump(out, fh, indent=1)
+        fh.write("\n")
+    print(emit_line(out))
+
+
+# The driver records the last N chars of stdout and parses the final
+# JSON line out of it; a line longer than the window can never parse
+# (rounds 2/3/5 lost the suite total this way).  Degrade per-query
+# precision until the line fits - the full-precision record is in
+# bench_last.json either way.
+_TAIL_WINDOW = 1990
+
+
+def emit_line(out: dict) -> str:
+    for ndigits in (3, 2, 1):
+        o = dict(out)
+        o["queries"] = {k: round(v, ndigits) for k, v in out["queries"].items()}
+        line = json.dumps(o, separators=(",", ":"))
+        if len(line) <= _TAIL_WINDOW:
+            return line
+    o["queries"] = {}  # last resort: suite total + streaming only
+    return json.dumps(o, separators=(",", ":"))
 
 
 def measure_streaming(spark) -> dict:
@@ -101,10 +126,12 @@ def measure_streaming(spark) -> dict:
             24
         ).write.mode("overwrite").parquet(d)
         frames = spark.read.parquet(d)
-        # best-of-2 like the batch loop: pass 1 pays Python-worker
-        # spin-up + whole-stage-codegen JIT for the decode UDF
+        # best-of-N (default 3) like the batch loop: pass 1 pays
+        # Python-worker spin-up + whole-stage-codegen JIT for the
+        # decode UDF, and a single noisy pass on a loaded host must not
+        # read the plane below its nominal source rate
         dt = None
-        for _ in range(2):
+        for _ in range(int(os.environ.get("BENCH_STREAM_REPEAT", "3"))):
             t0 = time.perf_counter()
             plan.ta_windows(plan.decode_hits(frames)).write.mode(
                 "overwrite"
