@@ -198,25 +198,53 @@ def metadata_etl(
     """Run the full A7+A13+A29 loop until the dropbox drains; returns
     (final catalog DataFrame, passes executed).
 
-    Per pass: manifest scan -> left-anti join against the catalog
-    (A13: "only do the work if the metadata file doesn't already
-    exist", :109) -> per-prefix rank by file_name desc (the
-    ``sort -r`` order, :95) capped at batch_limit (:225) -> extract +
-    aggregate ONLY the selected files -> MERGE-upsert with a pass_id
-    audit column.  The only driver-side data is each pass's file-name
-    manifest (<= 2*batch_limit rows)."""
+    Once per invocation: manifest scan -> left-anti join against the
+    catalog (A13: "only do the work if the metadata file doesn't
+    already exist", :109) -> per-prefix rank by file_name desc (the
+    ``sort -r`` order, :95), persisted.  Pass *p* then claims the
+    per-prefix rank slice (p*batch_limit, (p+1)*batch_limit] (:225) ->
+    extract + aggregate ONLY the selected files -> MERGE-upsert with a
+    pass_id audit column.  For a dropbox that is static across the
+    invocation this batches identically to re-ranking the remainder
+    each pass (each successful pass removes exactly the top
+    batch_limit per prefix), but the manifest listing, anti-join, and
+    window run ONCE instead of passes+1 times - a file that lands in
+    the dropbox mid-invocation is picked up by the next cron
+    invocation, exactly like one arriving after the reference's
+    ``find`` returns.  The only driver-side data is each pass's
+    file-name manifest (<= 2*batch_limit rows)."""
+    manifest = scan_dropbox(spark, dropbox_dir)
+    existing = catalog.read(spark)
+    if existing is not None:
+        manifest = manifest.join(
+            existing.select("file_name"), "file_name", "left_anti"
+        )
+    rk = Window.partitionBy("prefix").orderBy(F.desc("file_name"))
+    ranked = (
+        manifest.withColumn("_rk", F.row_number().over(rk))
+        .select("file_name", "path", "_rk")
+        .persist()
+    )
+    try:
+        return _drain_ranked(spark, ranked, catalog, batch_limit, max_passes)
+    finally:
+        ranked.unpersist()
+
+
+def _drain_ranked(
+    spark: SparkSession,
+    ranked: DataFrame,
+    catalog: MergeTable,
+    batch_limit: int,
+    max_passes: int,
+) -> tuple[DataFrame, int]:
     n_passes = 0
     while n_passes < max_passes:
-        manifest = scan_dropbox(spark, dropbox_dir)
-        existing = catalog.read(spark)
-        if existing is not None:
-            manifest = manifest.join(
-                existing.select("file_name"), "file_name", "left_anti"
-            )
-        rk = Window.partitionBy("prefix").orderBy(F.desc("file_name"))
+        lo = n_passes * batch_limit
         batch = (
-            manifest.withColumn("_rk", F.row_number().over(rk))
-            .filter(F.col("_rk") <= batch_limit)
+            ranked.filter(
+                (F.col("_rk") > lo) & (F.col("_rk") <= lo + batch_limit)
+            )
             .select("file_name", "path")
             .collect()
         )

@@ -45,11 +45,21 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     reference's canonical tick-longs (SURVEY section 4.3: store ticks
     as LongType, convert at the edges).
 
-    The conf is set here (runtime-settable) rather than only at session
-    build so queries stay correct when the CALLER owns the
+    The confs are set here (runtime-settable) rather than only at
+    session build so queries stay correct when the CALLER owns the
     SparkSession - e.g. the verify driver passes a vanilla session.
+
+    Timestamps: the driver data stores tz-naive micros
+    (isAdjustedToUTC=false), which Spark 4 would infer as
+    TIMESTAMP_NTZ - a type unix_micros/window() reject.  Disabling NTZ
+    inference reads them as TIMESTAMP(LTZ); with the session clock
+    pinned to UTC the wall values are bit-identical to the oracle's
+    naive reading, and every tick/epoch conversion downstream stays
+    exact.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":
