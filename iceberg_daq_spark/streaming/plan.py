@@ -86,38 +86,56 @@ def decode_hits(
     Provably equal to find_hits(decode_frames(...)) - asserted in
     tests - but ~10x the throughput: the reference makes the same move
     by generating TPs inside the readout process rather than shipping
-    raw samples to the trigger (SURVEY A14)."""
+    raw samples to the trigger (SURVEY A14).
+
+    mapInArrow, not mapInPandas: an Arrow->pandas conversion would
+    materialize one Python ``bytes`` object per frame for the payload
+    column; reading the Arrow binary array's data buffer directly is a
+    single zero-copy ``frombuffer`` per batch, and every other column
+    crosses as a numpy view."""
+    import pyarrow as pa
+
     mask_arr = np.array(sorted(channel_mask), dtype=np.int64) if channel_mask else None
 
     def unpack_hits(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
                 continue
-            # single frombuffer per Arrow batch (fixed-width payloads);
-            # the int32 conversion happens only on the sparse hit set
-            adc = np.frombuffer(b"".join(pdf["payload"]), dtype=">u2").reshape(
-                len(pdf), -1
+            cols = {name: rb.column(i) for i, name in enumerate(rb.schema.names)}
+            pay = cols["payload"]
+            # fixed-width payloads laid out back-to-back in the Arrow
+            # data buffer; the offsets buffer gives the batch's slice
+            off_dtype = (
+                np.int64 if pa.types.is_large_binary(pay.type) else np.int32
             )
+            offsets = np.frombuffer(pay.buffers()[1], dtype=off_dtype)
+            lo, hi = offsets[pay.offset], offsets[pay.offset + n]
+            adc = np.frombuffer(
+                pay.buffers()[2], dtype=">u2", count=(hi - lo) // 2, offset=lo
+            ).reshape(n, -1)
             ri, ci = np.nonzero(adc > threshold)
-            src = pdf["src_id"].to_numpy()[ri]
+            src = cols["src_id"].to_numpy(zero_copy_only=False)[ri]
             channel = (src * N_CHANNELS + ci).astype(np.int32)
             if mask_arr is not None:
                 keep = ~np.isin(channel, mask_arr)
                 ri, ci, src, channel = ri[keep], ci[keep], src[keep], channel[keep]
             if len(ri) == 0:
                 continue
-            yield pd.DataFrame(
-                {
-                    "src_id": src,
-                    "seq": pdf["seq"].to_numpy()[ri],
-                    "ts_ticks": pdf["ts_ticks"].to_numpy()[ri],
-                    "ts": pdf["ts"].to_numpy()[ri],
-                    "channel": channel,
-                    "adc": adc[ri, ci].astype(np.int32),
-                }
+            idx = pa.array(ri, type=pa.int64())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(src.astype(np.int32), type=pa.int32()),
+                    cols["seq"].take(idx),
+                    cols["ts_ticks"].take(idx),
+                    cols["ts"].take(idx),
+                    pa.array(channel, type=pa.int32()),
+                    pa.array(adc[ri, ci].astype(np.int32), type=pa.int32()),
+                ],
+                names=["src_id", "seq", "ts_ticks", "ts", "channel", "adc"],
             )
 
-    return frames.mapInPandas(unpack_hits, _decode_schema)
+    return frames.mapInArrow(unpack_hits, _decode_schema)
 
 
 def find_hits(samples: DataFrame, threshold: int = TPG_THRESHOLD, channel_mask: list[int] | None = None) -> DataFrame:
