@@ -103,18 +103,21 @@ class MergeTable:
         """Write df as the next version and atomically flip the
         pointer (write-tmp-then-rename, the reference's A8 protocol)."""
         with _commit_lock(self.path):
-            v = (self.current_version() or 0) + 1
-            df.write.mode("overwrite").parquet(self._version_dir(v))
-            tmp = self._pointer() + ".tmp"
-            with open(tmp, "w", encoding="ascii") as f:
-                f.write(str(v))
-                f.flush()
-                os.fsync(f.fileno())
-            os.replace(tmp, self._pointer())  # atomic on POSIX
-            # snapshot expiry: drop versions beyond the retention window
-            for old in range(1, v - self.keep_versions + 1):
-                shutil.rmtree(self._version_dir(old), ignore_errors=True)
-            return v
+            return self._commit_locked(df)
+
+    def _commit_locked(self, df: DataFrame) -> int:
+        v = (self.current_version() or 0) + 1
+        df.write.mode("overwrite").parquet(self._version_dir(v))
+        tmp = self._pointer() + ".tmp"
+        with open(tmp, "w", encoding="ascii") as f:
+            f.write(str(v))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._pointer())  # atomic on POSIX
+        # snapshot expiry: drop versions beyond the retention window
+        for old in range(1, v - self.keep_versions + 1):
+            shutil.rmtree(self._version_dir(old), ignore_errors=True)
+        return v
 
     def overwrite(self, df: DataFrame) -> int:
         return self._commit(df)
@@ -126,17 +129,25 @@ class MergeTable:
         be key-unique (MERGE's own precondition).  Row-identical
         re-merges leave the table contents unchanged - the idempotency
         the reference gets from its sidecar-exists check (A13/A46).
+
+        The flock spans the whole read-modify-write, not just the
+        pointer flip: a commit-only lock would let two concurrent
+        mergers both base on the same snapshot and the later one erase
+        the earlier one's rows (the lost-update anomaly Iceberg's
+        optimistic retry handles; a cron lockfile held for the full
+        pass is the reference's answer, :45-47, and ours).
         """
         spark = updates.sparkSession
-        current = self.read(spark)
-        if current is None:
-            merged = updates
-        else:
-            keys = list(self.key_cols)
-            merged = updates.unionByName(
-                current.join(updates.select(*keys), keys, "left_anti")
-            )
-        return self._commit(merged)
+        with _commit_lock(self.path):
+            current = self.read(spark)
+            if current is None:
+                merged = updates
+            else:
+                keys = list(self.key_cols)
+                merged = updates.unionByName(
+                    current.join(updates.select(*keys), keys, "left_anti")
+                )
+            return self._commit_locked(merged)
 
     def compact(self, spark: SparkSession, target_files: int = 1) -> int:
         """Maintenance: rewrite the current snapshot into
@@ -144,10 +155,11 @@ class MergeTable:
         Streaming MERGE sinks commit one small snapshot per micro-batch;
         periodic compaction keeps read amplification flat.  Contents are
         unchanged - only the file layout."""
-        df = self.read(spark)
-        if df is None:
-            raise ValueError(f"compact() on uncommitted table {self.path}")
-        return self._commit(df.coalesce(target_files))
+        with _commit_lock(self.path):
+            df = self.read(spark)
+            if df is None:
+                raise ValueError(f"compact() on uncommitted table {self.path}")
+            return self._commit_locked(df.coalesce(target_files))
 
     def delete(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)
