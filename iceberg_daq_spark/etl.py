@@ -78,15 +78,23 @@ def build_dropbox(spark: SparkSession, sf_dir: str, dropbox_dir: str) -> None:
     lands in a single task -> a single part file), then driver-side
     renames into the flat dropbox layout - renames are metadata ops,
     the row data never passes through the driver."""
-    e = load(spark, sf_dir, "events")
-    # cache fingerprint: row count + id/ts aggregates, so a regenerated
-    # events table invalidates the cached dropbox even at equal size
-    agg = e.agg(
-        F.count("*").alias("n"),
-        F.sum("event_id").alias("s"),
-        F.max("ts").cast("long").alias("m"),
-    ).collect()[0]
-    fingerprint = f"{sf_dir}:{agg['n']}:{agg['s']}:{agg['m']}"
+    # cache fingerprint: source file stat (size + mtime), so a
+    # regenerated events table invalidates the cached dropbox without
+    # spending a Spark job on the check
+    src = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(src):
+        stats = [
+            os.stat(os.path.join(r, f))
+            for r, _, fs in os.walk(src)
+            for f in fs
+        ]
+        size, mtime = sum(s.st_size for s in stats), max(
+            (s.st_mtime_ns for s in stats), default=0
+        )
+    else:
+        st = os.stat(src)
+        size, mtime = st.st_size, st.st_mtime_ns
+    fingerprint = f"{sf_dir}:{size}:{mtime}"
     marker = os.path.join(dropbox_dir, "_built")
     try:
         with open(marker, encoding="ascii") as f:
@@ -94,6 +102,7 @@ def build_dropbox(spark: SparkSession, sf_dir: str, dropbox_dir: str) -> None:
                 return
     except FileNotFoundError:
         pass
+    e = load(spark, sf_dir, "events")
     shutil.rmtree(dropbox_dir, ignore_errors=True)
     staging = dropbox_dir + ".staging"
     shutil.rmtree(staging, ignore_errors=True)
@@ -159,17 +168,23 @@ def _aggregate_metadata(files_events: DataFrame) -> DataFrame:
     """The metadata-doc aggregation (q31's shape) per pseudo-file:
     event list/count/bounds + start/end epoch seconds + tier from the
     filename prefix (createMetadatafiles...sh:179-208)."""
+    # one distinct-set aggregate feeds count/first/last/list - a single
+    # partial+final collect_set pass instead of the countDistinct
+    # expand that would double the shuffled rows
+    evs = F.sort_array(F.collect_set("event_id"))
     return (
         files_events.groupBy("file_name", "run", "prefix")
         .agg(
-            F.countDistinct("event_id").alias("event_count"),
-            F.min("event_id").alias("first_event"),
-            F.max("event_id").alias("last_event"),
+            evs.alias("_evs"),
             F.round(F.unix_millis(F.min("ts")) / 1000.0, 3).alias("start_time"),
             F.round(F.unix_millis(F.max("ts")) / 1000.0, 3).alias("end_time"),
-            F.array_join(F.sort_array(F.collect_set("event_id")), ",").alias(
-                "event_list"
-            ),
+        )
+        .select(
+            F.size("_evs").cast("long").alias("event_count"),
+            F.element_at("_evs", 1).alias("first_event"),
+            F.element_at("_evs", -1).alias("last_event"),
+            F.array_join("_evs", ",").alias("event_list"),
+            "*",
         )
         .select(
             "file_name",
@@ -252,49 +267,57 @@ def _drain_ranked(
             break
         paths = [r["path"] for r in batch]
         base = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
-        # explicit schema skips the footer-inference job, and listing
-        # the batch's explicit paths driver-side (threshold above the
-        # batch size) skips the one-task-per-file discovery job - the
-        # two hidden per-file jobs that dominate a many-small-files
-        # pass.  Scan partitions themselves stay bin-packed by
-        # maxPartitionBytes/openCostInBytes as usual.
-        thr_key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
-        old_thr = spark.conf.get(thr_key)
-        spark.conf.set(thr_key, str(max(len(paths) + 1, 32)))
+        # explicit schema skips the footer-inference job; listing the
+        # batch's explicit paths driver-side (threshold above the batch
+        # size) skips the one-task-per-file discovery job; and because
+        # a dropbox batch is many KB-scale files, bin-pack tens of them
+        # per scan task (openCost 16k / split 512k) so task count
+        # tracks the batch, not one-file-one-task.  The packing confs
+        # are read at physical planning, so they stay set through the
+        # pass's action (the merge write) and are restored after.
+        tuned = {
+            "spark.sql.sources.parallelPartitionDiscovery.threshold": str(
+                max(len(paths) + 1, 32)
+            ),
+            "spark.sql.files.openCostInBytes": "16384",
+            "spark.sql.files.maxPartitionBytes": "524288",
+        }
+        saved = {k: spark.conf.get(k) for k in tuned}
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
         try:
             reader = spark.read.schema("event_id long, ts timestamp").parquet(*paths)
-        finally:
-            spark.conf.set(thr_key, old_thr)
-        files_events = (
-            reader
-            .select(
+            files_events = reader.select(
                 "event_id",
                 "ts",
                 base.alias("file_name"),
                 F.regexp_extract(base, r"^(iceberghd_[a-z]+)_run", 1).alias("prefix"),
                 F.regexp_extract(base, r"_run(\d{6})_", 1).cast("long").alias("run"),
             )
-        )
-        rows = _aggregate_metadata(files_events).withColumn(
-            "pass_id", F.lit(n_passes)
-        )
-        try:
-            catalog.merge(rows)
-        except Exception as exc:  # noqa: BLE001 - fail-stop parity
-            # the reference's errors_were_encountered flag (:84,226):
-            # a file its dumper cannot read logs an ERROR and stops the
-            # loop, leaving the remaining files for the next cron pass.
-            # Same here: already-committed passes stand (the catalog is
-            # snapshot-consistent), nothing half-written.
-            import warnings
-
-            warnings.warn(
-                f"metadata_etl pass {n_passes} failed ({exc}); stopping "
-                f"with the catalog as of the last committed pass",
-                RuntimeWarning,
-                stacklevel=2,
+            rows = _aggregate_metadata(files_events).withColumn(
+                "pass_id", F.lit(n_passes)
             )
-            break
+            try:
+                catalog.merge(rows)
+            except Exception as exc:  # noqa: BLE001 - fail-stop parity
+                # the reference's errors_were_encountered flag (:84,226):
+                # a file its dumper cannot read logs an ERROR and stops
+                # the loop, leaving the remaining files for the next
+                # cron pass.  Same here: already-committed passes stand
+                # (the catalog is snapshot-consistent), nothing
+                # half-written.
+                import warnings
+
+                warnings.warn(
+                    f"metadata_etl pass {n_passes} failed ({exc}); stopping "
+                    f"with the catalog as of the last committed pass",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+                break
+        finally:
+            for k, v in saved.items():
+                spark.conf.set(k, v)
         n_passes += 1
     out = catalog.read(spark)
     if out is None:
