@@ -46,17 +46,60 @@ OPMON_SCHEMA = T.StructType(
 )
 
 
+class _SocketEmitter:
+    """Push transport twin of the reference's Kafka opmon producer
+    (``opmon_impl``/``ers_impl`` "cern", iceberg_daq_eth.json:14-16;
+    no broker in this container, so newline-delimited JSON over TCP).
+    Best-effort like an async producer: a down endpoint drops the
+    metric (counted in ``dropped``) rather than ever blocking the
+    listener bus."""
+
+    def __init__(self, addr: tuple[str, int]):
+        self.addr = addr
+        self.dropped = 0
+        self._sock = None
+
+    def emit(self, row: dict) -> None:
+        import json
+        import socket
+
+        try:
+            if self._sock is None:
+                self._sock = socket.create_connection(self.addr, timeout=1.0)
+            self._sock.sendall((json.dumps(row) + "\n").encode("utf-8"))
+        except OSError:
+            self.dropped += 1
+            self.close()
+
+    def close(self) -> None:
+        if self._sock is not None:
+            try:
+                self._sock.close()
+            except OSError:
+                pass
+            self._sock = None
+
+
 class OpmonMonitor(StreamingQueryListener):
     """Collects per-batch progress for every query on the session and
-    upserts it into the opmon table on flush()."""
+    upserts it into the opmon table on flush().  With ``push_addr``
+    each progress row is ALSO pushed live over TCP (A9 transport
+    parity: the table is the queryable store, the socket feed is the
+    push pipe a Kafka topic provides in the reference)."""
 
-    def __init__(self, spark: SparkSession, table_dir: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        table_dir: str,
+        push_addr: tuple[str, int] | None = None,
+    ):
         self._spark = spark
         self.table = MergeTable(
             table_dir, key_cols=("query_id", "run_id", "batch_id")
         )
         self._rows: list[dict] = []
         self._lock = threading.Lock()
+        self._emitter = _SocketEmitter(push_addr) if push_addr else None
 
     # -- listener-bus callbacks (no Spark actions here) ----------------
     def onQueryStarted(self, event) -> None:
@@ -81,6 +124,8 @@ class OpmonMonitor(StreamingQueryListener):
         }
         with self._lock:
             self._rows.append(row)
+        if self._emitter is not None:
+            self._emitter.emit(row)
 
     def onQueryIdle(self, event) -> None:
         pass
@@ -95,6 +140,8 @@ class OpmonMonitor(StreamingQueryListener):
 
     def detach(self) -> None:
         self._spark.streams.removeListener(self)
+        if self._emitter is not None:
+            self._emitter.close()
 
     def flush(self):
         """Upsert buffered progress rows into the opmon table; returns

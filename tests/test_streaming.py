@@ -392,3 +392,72 @@ def test_decode_hits_equals_unfused(spark, frames_dir):
         fused = plan.decode_hits(frames, **kw)
         unfused = plan.find_hits(plan.decode_frames(frames), **kw)
         assert _rows(fused, cols) == _rows(unfused, cols)
+
+
+def test_opmon_socket_push_feed(spark, frames_dir, tmp_path):
+    """A9 transport parity: with push_addr set, every progress row is
+    ALSO streamed live over TCP as newline-delimited JSON (the Kafka
+    producer analog) while the table keeps the queryable store role."""
+    import json
+    import socket
+    import threading
+
+    from iceberg_daq_spark.streaming.monitor import OpmonMonitor
+
+    lines: list[str] = []
+    srv = socket.create_server(("127.0.0.1", 0))
+    srv.settimeout(30)
+    port = srv.getsockname()[1]
+
+    def serve():
+        conn, _ = srv.accept()
+        buf = b""
+        conn.settimeout(30)
+        try:
+            while b"\n" not in buf or buf.count(b"\n") < 1:
+                chunk = conn.recv(65536)
+                if not chunk:
+                    break
+                buf += chunk
+            # drain whatever else arrives until the peer closes
+            conn.settimeout(2)
+            while True:
+                try:
+                    chunk = conn.recv(65536)
+                except TimeoutError:
+                    break
+                if not chunk:
+                    break
+                buf += chunk
+        finally:
+            conn.close()
+        lines.extend(l for l in buf.decode().splitlines() if l.strip())
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    mon = OpmonMonitor(
+        spark, str(tmp_path / "opmon"), push_addr=("127.0.0.1", port)
+    ).attach()
+    try:
+        _run_stream(pipeline.ta_stream(spark, frames_dir), tmp_path, "monsock")
+    finally:
+        table = mon.flush()
+        mon.detach()
+        srv.close()
+    t.join(timeout=30)
+
+    assert mon._emitter is not None and mon._emitter.dropped == 0
+    assert len(lines) >= 1
+    pushed = [json.loads(l) for l in lines]
+    stored = {(r["query_id"], r["run_id"], r["batch_id"]) for r in table.collect()}
+    for p in pushed:
+        assert set(p) == set(OPMON_SCHEMA := {
+            "query_id", "run_id", "query_name", "batch_id", "event_ts",
+            "num_input_rows", "input_rows_per_sec", "processed_rows_per_sec",
+            "watermark", "state_rows", "batch_duration_ms",
+        })
+    # every event the table stored was also pushed (the socket feed can
+    # additionally carry stragglers that arrived after the flush - the
+    # listener bus is async, same caveat the table test documents)
+    pushed_keys = {(p["query_id"], p["run_id"], p["batch_id"]) for p in pushed}
+    assert stored <= pushed_keys
