@@ -60,15 +60,23 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prefix",
         F.when(F.col("user_id") % 5 == 0, "iceberghd_tp").otherwise("iceberghd_raw"),
     )
+    # one distinct-set aggregate feeds count/first/last/list (the
+    # countDistinct form would add an expand that doubles the shuffled
+    # rows; same rewrite as etl._aggregate_metadata)
+    evs = F.sort_array(F.collect_set("event_id"))
     return (
         named.groupBy("run", "prefix")
         .agg(
-            F.countDistinct("event_id").alias("event_count"),
-            F.min("event_id").alias("first_event"),
-            F.max("event_id").alias("last_event"),
+            evs.alias("_evs"),
             F.round(F.unix_millis(F.min("ts")) / 1000.0, 3).alias("start_time"),
             F.round(F.unix_millis(F.max("ts")) / 1000.0, 3).alias("end_time"),
-            F.array_join(F.sort_array(F.collect_set("event_id")), ",").alias("event_list"),
+        )
+        .select(
+            F.size("_evs").cast("long").alias("event_count"),
+            F.element_at("_evs", 1).alias("first_event"),
+            F.element_at("_evs", -1).alias("last_event"),
+            F.array_join("_evs", ",").alias("event_list"),
+            "*",
         )
         .select(
             F.concat(
