@@ -137,7 +137,7 @@ def measure_streaming(spark) -> dict:
         # decode UDF, and a single noisy pass on a loaded host must not
         # read the plane below its nominal source rate
         dt = None
-        for _ in range(int(os.environ.get("BENCH_STREAM_REPEAT", "3"))):
+        for _ in range(int(os.environ.get("BENCH_STREAM_REPEAT", "5"))):
             t0 = time.perf_counter()
             plan.ta_windows(plan.decode_hits(frames)).write.mode(
                 "overwrite"

@@ -589,3 +589,212 @@ def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted in tests, precision 1 by exact verification)."""
     e = load(spark, sf_dir, "embeddings")
     return similarity.lsh_near_dup_pairs(e, threshold=0.4).orderBy("qid", "cid")
+
+
+@register(
+    "q69_sequence_packing",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT *,
+             sum(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM t
+    )
+    SELECT lang,
+           CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS bin_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc,
+           CAST(floor(sum(n_tokens) * 100.0 / 2048.0) AS BIGINT) AS fill_pct
+    FROM c
+    GROUP BY lang, bin_id
+    ORDER BY lang, bin_id
+    """,
+)
+def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing - the batch-prep step that concatenates docs
+    into fixed context windows (2048 whitespace tokens) for training.
+
+    Deterministic streaming-fill rule: docs are laid out per language
+    in doc_id order; a doc's bin is the window its first token lands in
+    (docs may straddle a boundary - the pack-with-truncation
+    convention).  One window-function pass assigns bins, one partial
+    agg summarizes them; no UDF, no driver state, and the per-language
+    ordering shuffle is the only wide stage at any scale."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    t = d.select("doc_id", "lang", n_tok.alias("n_tokens"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = t.withColumn(
+        "bin_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(2048.0)).cast(
+            "long"
+        ),
+    )
+    return (
+        binned.groupBy("lang", "bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .withColumn(
+            "fill_pct",
+            F.floor(F.col("bin_tokens") * 100.0 / 2048.0).cast("long"),
+        )
+        .orderBy("lang", "bin_id")
+    )
+
+
+@register(
+    "q70_mixture_rebalance",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY lang
+    ), tot AS (
+      SELECT sum(n) AS t FROM counts
+    ), rates AS (
+      SELECT lang, least(1.0, (0.2 * t) / n) AS rate FROM counts, tot
+    ), keyed AS (
+      SELECT d.doc_id, d.lang, r.rate,
+             CAST(concat('0x', substr(md5(concat('mix7:', CAST(d.doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+               / 4294967296.0 AS u
+      FROM documents d JOIN rates r USING (lang)
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(floor(rate * 100.0) AS BIGINT) AS rate_pct
+    FROM keyed
+    WHERE u < rate
+    GROUP BY lang, rate
+    ORDER BY lang
+    """,
+)
+def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture rebalancing - downsample over-represented languages to a
+    uniform 20%-per-language target mixture (the domain/language
+    re-weighting stage of a corpus build).
+
+    Keep rates are computed FROM the data (target_share / actual_share,
+    capped at 1) and membership is the salted-md5 uniform u < rate -
+    reproducible across engines and runs, map-only after one tiny
+    broadcast-joined rate table, so the plan is a scan + filter at any
+    corpus size (same discipline as q64's stratified sample)."""
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").cast("double").alias("n"))
+    from pyspark.sql import Window
+
+    tot = F.sum("n").over(Window.partitionBy())
+    rates = counts.select(
+        "lang", F.least(F.lit(1.0), (0.2 * tot) / F.col("n")).alias("rate")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix7:"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    return (
+        d.select("doc_id", "lang")
+        .join(F.broadcast(rates), "lang")
+        .filter(u < F.col("rate"))
+        .groupBy("lang", "rate")
+        .agg(F.count("*").alias("n_kept"))
+        .select(
+            "lang",
+            "n_kept",
+            F.floor(F.col("rate") * 100.0).cast("long").alias("rate_pct"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "q71_repetition_score",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), wc AS (
+      SELECT doc_id, word, count(*) AS c FROM w GROUP BY doc_id, word
+    ), top AS (
+      SELECT doc_id, word AS top_token, c AS top_count,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY c DESC, word ASC
+             ) AS rn
+      FROM wc
+    ), t AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+      FROM documents
+    )
+    SELECT t.doc_id, n_tokens, n_distinct,
+           CAST(floor((n_tokens - n_distinct) * 100.0 / n_tokens) AS BIGINT) AS rep_pct,
+           top_token,
+           CAST(top_count AS BIGINT) AS top_count
+    FROM t JOIN top ON t.doc_id = top.doc_id AND top.rn = 1
+    ORDER BY t.doc_id
+    """,
+)
+def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition scoring - the Gopher-style quality
+    rule that drops boilerplate/template docs: type-token ratio plus
+    the single most repeated token per document.
+
+    The distinct count comes from array_distinct on the already-split
+    token array (no second tokenization), and the per-doc top token is
+    a count + row_number window over the exploded words - partial
+    aggregation keeps the exploded stream from ever hitting the window
+    unaggregated.  Ties break lexicographically so the result is
+    engine-deterministic."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    warr = F.split(F.col("text"), " ")
+    t = d.select(
+        "doc_id",
+        F.size(warr).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(warr)).cast("long").alias("n_distinct"),
+    )
+    wc = (
+        d.select("doc_id", F.explode(warr).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("word"))
+    )
+    top = (
+        wc.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("word").alias("top_token"), F.col("c").alias("top_count"))
+    )
+    return (
+        t.join(top, "doc_id")
+        .withColumn(
+            "rep_pct",
+            F.floor(
+                (F.col("n_tokens") - F.col("n_distinct")) * 100.0 / F.col("n_tokens")
+            ).cast("long"),
+        )
+        .select("doc_id", "n_tokens", "n_distinct", "rep_pct", "top_token", "top_count")
+        .orderBy("doc_id")
+    )

@@ -68,24 +68,15 @@ def all_queries() -> dict[str, QuerySpec]:
 #   6. rows-only queries (the driver can never hash-verify these; local
 #      tests assert their semantics) - always last.
 _CHECK_FIRST = [
-    # never driver-checked (registered after the r2 snapshot)
-    "q64_stratified_sample",
-    "q65_contamination_check",
-    "q66_vocab_topk",
-    # hash-green in r1 only (outside the r2 window)
-    "q48_token_count",
-    "q58_corpus_profile",
-    "q49_fingerprint",
-    "q63_text_clean",
-    "q50_multimodal_meta",
-    "q52_video_frame_sample",
-    "q53_audio_stats",
-    # scoring path rewritten in round 3 - want a fresh driver row
-    "q44_sim_topk_cosine",
-    "q54_embed_near_dup",
-]
-_CHECK_LAST = [
-    # double-confirmed (r1+r2) trivial shapes - safe to rotate out
+    # never driver-checked (registered in round 6)
+    "q69_sequence_packing",
+    "q70_mixture_rebalance",
+    "q71_repetition_score",
+    # implementation changed in round 6 - want a fresh driver row
+    "q31_metadata_docs",
+    "q37_metadata_etl_e2e",
+    # out of the window since r2 (rotated out as double-confirmed then;
+    # bring them back before anything confirmed as recently as r5)
     "q01_scan_filter_project",
     "q02_pushdown_shapes",
     "q03_inner_join_agg",
@@ -93,6 +84,19 @@ _CHECK_LAST = [
     "q06_left_outer_join",
     "q11_cross_join",
     "q13_distinct_agg",
+]
+_CHECK_LAST = [
+    # confirmed in r1 AND r5 - safest to rotate past the window
+    "q46_text_langid",
+    "q47_text_quality",
+    "q48_token_count",
+    "q49_fingerprint",
+    "q63_text_clean",
+    "q50_multimodal_meta",
+    "q52_video_frame_sample",
+    "q53_audio_stats",
+    "q58_corpus_profile",
+    "q64_stratified_sample",
 ]
 
 

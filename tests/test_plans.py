@@ -261,3 +261,44 @@ def test_ivf_posting_layout_prunes_partitions(spark, sf_dir, tmp_path):
     # pruning is value-correct: the probed cells' rows, nothing else
     cells = {r["cell"] for r in probe.select("cell").distinct().collect()}
     assert cells <= {0, 3, 7} and probe.count() > 0
+
+
+def test_q69_single_wide_stage_before_agg(spark, sf_dir):
+    """Sequence packing: ONE hash shuffle (per-language window) feeds
+    the bin aggregation map-side - partial+final agg with no extra
+    exchange between window and aggregate."""
+    from iceberg_daq_spark.queries.llm import q69
+
+    plan = plan_of(q69(spark, sf_dir))
+    # exactly two exchanges in the plan tree: the lang window partition
+    # + the final orderBy (formatted output repeats operators in the
+    # details section, so count the tree block only)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 2, tree
+    assert "partial_count" in plan
+
+
+def test_q70_rates_broadcast(spark, sf_dir):
+    """Mixture rebalance: the per-language rate table must broadcast -
+    the corpus-side scan never shuffles for the join."""
+    from iceberg_daq_spark.queries.llm import q70
+
+    plan = plan_of(q70(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q71_partial_agg_before_window(spark, sf_dir):
+    """Repetition score: the exploded word stream must hit a partial
+    count aggregate BEFORE the per-doc row_number window - the window
+    only ever sees (doc, word, count) rows."""
+    from iceberg_daq_spark.queries.llm import q71
+
+    plan = plan_of(q71(spark, sf_dir))
+    # tree prints parent-first: Window, then (deeper) the partial
+    # aggregate, then the Generate(explode) it consumes
+    tree = plan.split("\n\n")[0]
+    assert tree.index("Window") < tree.index("HashAggregate") < tree.index(
+        "Generate"
+    ), tree
+    assert "partial_count" in plan
