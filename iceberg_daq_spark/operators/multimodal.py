@@ -84,32 +84,71 @@ def synth_image_blobs(docs: DataFrame) -> DataFrame:
         ]
     )
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            doc_id = pdf["doc_id"].to_numpy()
-            n_chars = pdf["n_chars"].to_numpy()
-            w, h, c = _img_dims(doc_id, n_chars)
-            payloads, metas = [], []
-            for d, wi, hi, ci in zip(doc_id, w, h, c):
-                n_px = int(wi * hi * ci)
-                px = ((d * 31 + np.arange(n_px, dtype=np.int64) * 7) % 251).astype(np.uint8)
-                blob = _IMG_MAGIC + _struct.pack("<HHH", int(wi), int(hi), int(ci)) + px.tobytes()
-                payloads.append(blob)
-                metas.append(
-                    {
-                        "format": "fimg",
-                        "width": int(wi),
-                        "height": int(hi),
-                        "channels": int(ci),
-                        "n_frames": 1,
-                        "n_bytes": len(blob),
-                    }
-                )
-            yield pd.DataFrame({"doc_id": doc_id, "payload": payloads, "meta": metas})
+    def gen(batches):
+        import pyarrow as pa
 
-    return _spread(docs.select("doc_id", "n_chars")).mapInPandas(gen, out_schema)
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            doc_id = rb.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            n_chars = rb.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
+            w, h, c = _img_dims(doc_id, n_chars)
+            n_px = w * h * c
+            blob_len = 10 + n_px
+            ends = np.cumsum(blob_len)
+            starts = ends - blob_len
+            total = int(ends[-1])
+            # one buffer for the whole batch: headers via strided
+            # scatter, pixels via a single arithmetic fill - the
+            # per-row bytes-building loop was the hot spot
+            buf = np.zeros(total, dtype=np.uint8)
+            magic = np.frombuffer(_IMG_MAGIC, dtype=np.uint8)
+            for j in range(4):
+                buf[starts + j] = magic[j]
+            for k, arr in enumerate((w, h, c)):
+                buf[starts + 4 + 2 * k] = (arr & 0xFF).astype(np.uint8)
+                buf[starts + 5 + 2 * k] = ((arr >> 8) & 0xFF).astype(np.uint8)
+            px_off = np.cumsum(n_px) - n_px
+            local = np.arange(int(n_px.sum()), dtype=np.int64) - np.repeat(
+                px_off, n_px
+            )
+            px = (np.repeat(doc_id, n_px) * 31 + local * 7) % 251
+            buf[np.repeat(starts + 10, n_px) + local] = px.astype(np.uint8)
+            yield _blob_batch(doc_id, buf, starts, total, "fimg", w, h, c,
+                              np.ones(n, dtype=np.int64), blob_len)
+
+    return _spread(docs.select("doc_id", "n_chars")).mapInArrow(gen, out_schema)
+
+
+def _blob_batch(doc_id, buf, starts, total, fmt, w, h, c, n_frames, n_bytes):
+    """Assemble a (doc_id, payload, meta) Arrow batch from a packed
+    payload buffer without materializing per-row bytes objects."""
+    import pyarrow as pa
+
+    offsets = np.empty(len(starts) + 1, dtype=np.int32)
+    offsets[:-1] = starts
+    offsets[-1] = total
+    payload = pa.Array.from_buffers(
+        pa.binary(),
+        len(starts),
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(buf.tobytes())],
+    )
+    meta = pa.StructArray.from_arrays(
+        [
+            pa.array([fmt] * len(starts)),
+            pa.array(w.astype(np.int32), type=pa.int32()),
+            pa.array(h.astype(np.int32), type=pa.int32()),
+            pa.array(c.astype(np.int32), type=pa.int32()),
+            pa.array(n_frames.astype(np.int32), type=pa.int32()),
+            pa.array(n_bytes.astype(np.int64), type=pa.int64()),
+        ],
+        names=["format", "width", "height", "channels", "n_frames", "n_bytes"],
+    )
+    return pa.RecordBatch.from_arrays(
+        [pa.array(doc_id, type=pa.int64()), payload, meta],
+        names=["doc_id", "payload", "meta"],
+    )
 
 
 _IMG_STATS_SCHEMA = T.StructType(
@@ -126,31 +165,74 @@ _IMG_STATS_SCHEMA = T.StructType(
 
 
 def decode_image_stats(blobs: DataFrame) -> DataFrame:
-    """Parse the FIMG header + compute per-image pixel stats (numpy over
-    the Arrow batch; the feature-extract step of an image pipeline)."""
+    """Parse the FIMG header + compute per-image pixel stats - the
+    feature-extract step of an image pipeline.
 
-    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for d, blob in zip(pdf["doc_id"].to_numpy(), pdf["payload"]):
-                assert bytes(blob[:4]) == _IMG_MAGIC, "not a FIMG payload"
-                w, h, c = _struct.unpack("<HHH", bytes(blob[4:10]))
-                px = np.frombuffer(blob, dtype=np.uint8, offset=10)
-                rows.append(
-                    {
-                        "doc_id": d,
-                        "width": w,
-                        "height": h,
-                        "channels": c,
-                        "mean_px": float(px.mean()),
-                        "max_px": int(px.max()),
-                        "min_px": int(px.min()),
-                    }
-                )
-            if rows:
-                yield pd.DataFrame(rows)
+    mapInArrow with ragged-batch vectorization: all payloads of an
+    Arrow batch are ONE contiguous buffer (binary array values), so
+    headers decode with a strided view and the per-image mean/max/min
+    reduce via ``np.add/maximum/minimum.reduceat`` over pixel-run
+    offsets - no per-row Python loop, which dominated this operator's
+    wall clock before."""
 
-    return blobs.mapInPandas(stats, _IMG_STATS_SCHEMA)
+    def stats(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            pay = rb.column(rb.schema.names.index("payload"))
+            off_dtype = np.int64 if pa.types.is_large_binary(pay.type) else np.int32
+            offsets = np.frombuffer(pay.buffers()[1], dtype=off_dtype)[
+                pay.offset : pay.offset + n + 1
+            ].astype(np.int64)
+            buf = np.frombuffer(pay.buffers()[2], dtype=np.uint8)
+            starts, ends = offsets[:-1], offsets[1:]
+            magic = np.frombuffer(_IMG_MAGIC, dtype=np.uint8)
+            for j in range(4):
+                assert np.array_equal(
+                    buf[starts + j], np.full(n, magic[j])
+                ), "not FIMG payloads"
+
+            # <HHH header: little-endian u16 triplets at bytes 4..10
+            def u16(at: np.ndarray) -> np.ndarray:
+                return buf[at].astype(np.int32) | (buf[at + 1].astype(np.int32) << 8)
+
+            w, h, c = u16(starts + 4), u16(starts + 6), u16(starts + 8)
+            px_starts = starts + 10
+            # interleaved [px_start, end) boundaries so each segment is
+            # exactly one image's pixel run (a plain reduceat over
+            # px_starts would swallow the next image's header); the
+            # final end == clipped buffer length stays implicit
+            # (reduceat rejects an index == len)
+            clipped = buf[: ends[-1]]
+            idx = np.empty(2 * n, dtype=np.int64)
+            idx[0::2] = px_starts
+            idx[1::2] = ends
+            idx = idx[:-1]
+            mean = np.add.reduceat(clipped.astype(np.float64), idx)[::2] / (
+                ends - px_starts
+            )
+            mx = np.maximum.reduceat(clipped, idx)[::2]
+            mn = np.minimum.reduceat(clipped, idx)[::2]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(rb.schema.names.index("doc_id")),
+                    pa.array(w, type=pa.int32()),
+                    pa.array(h, type=pa.int32()),
+                    pa.array(c, type=pa.int32()),
+                    pa.array(mean),
+                    pa.array(mx.astype(np.int32), type=pa.int32()),
+                    pa.array(mn.astype(np.int32), type=pa.int32()),
+                ],
+                names=[
+                    "doc_id", "width", "height", "channels",
+                    "mean_px", "max_px", "min_px",
+                ],
+            )
+
+    return blobs.mapInArrow(stats, _IMG_STATS_SCHEMA)
 
 
 def resize_images(blobs: DataFrame, out_w: int, out_h: int) -> DataFrame:
@@ -165,33 +247,73 @@ def resize_images(blobs: DataFrame, out_w: int, out_h: int) -> DataFrame:
         ]
     )
 
-    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, payloads, metas = [], [], []
-            for d, blob in zip(pdf["doc_id"].to_numpy(), pdf["payload"]):
-                w, h, c = _struct.unpack("<HHH", bytes(blob[4:10]))
-                px = np.frombuffer(blob, dtype=np.uint8, offset=10).reshape(h, w, c)
-                # nearest-neighbor index grid (PIL.Image.resize goes here)
-                yi = (np.arange(out_h) * h // out_h)[:, None]
-                xi = (np.arange(out_w) * w // out_w)[None, :]
-                small = px[yi, xi, :]
-                blob2 = _IMG_MAGIC + _struct.pack("<HHH", out_w, out_h, c) + small.tobytes()
-                ids.append(d)
-                payloads.append(blob2)
-                metas.append(
-                    {
-                        "format": "fimg",
-                        "width": out_w,
-                        "height": out_h,
-                        "channels": int(c),
-                        "n_frames": 1,
-                        "n_bytes": len(blob2),
-                    }
-                )
-            if ids:
-                yield pd.DataFrame({"doc_id": ids, "payload": payloads, "meta": metas})
+    def resize(batches):
+        import pyarrow as pa
 
-    return blobs.mapInPandas(resize, out_schema)
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            names = rb.schema.names
+            doc_id = (
+                rb.column(names.index("doc_id"))
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            pay = rb.column(names.index("payload"))
+            off_dtype = np.int64 if pa.types.is_large_binary(pay.type) else np.int32
+            offsets = np.frombuffer(pay.buffers()[1], dtype=off_dtype)[
+                pay.offset : pay.offset + n + 1
+            ].astype(np.int64)
+            buf = np.frombuffer(pay.buffers()[2], dtype=np.uint8)
+            starts = offsets[:-1]
+
+            def u16(at: np.ndarray) -> np.ndarray:
+                return buf[at].astype(np.int64) | (buf[at + 1].astype(np.int64) << 8)
+
+            w, h, c = u16(starts + 4), u16(starts + 6), u16(starts + 8)
+            px_starts = starts + 10
+
+            out_px = out_w * out_h * c
+            blob_len = 10 + out_px
+            ends_o = np.cumsum(blob_len)
+            starts_o = ends_o - blob_len
+            total = int(ends_o[-1])
+            out_buf = np.zeros(total, dtype=np.uint8)
+            magic = np.frombuffer(_IMG_MAGIC, dtype=np.uint8)
+            for j in range(4):
+                out_buf[starts_o + j] = magic[j]
+            for k, arr in enumerate(
+                (np.full(n, out_w, dtype=np.int64), np.full(n, out_h, dtype=np.int64), c)
+            ):
+                out_buf[starts_o + 4 + 2 * k] = (arr & 0xFF).astype(np.uint8)
+                out_buf[starts_o + 5 + 2 * k] = ((arr >> 8) & 0xFF).astype(np.uint8)
+            # nearest-neighbor gather, vectorized per channel-count
+            # group (c is 1 or 3; within a group every output has the
+            # same size, so the whole gather is one fancy index)
+            for cv in np.unique(c):
+                m = c == cv
+                hg, wg = h[m], w[m]
+                yi = (np.arange(out_h, dtype=np.int64)[None, :] * hg[:, None]) // out_h
+                xi = (np.arange(out_w, dtype=np.int64)[None, :] * wg[:, None]) // out_w
+                li = (
+                    yi[:, :, None] * wg[:, None, None] + xi[:, None, :]
+                )[:, :, :, None] * cv + np.arange(cv, dtype=np.int64)[
+                    None, None, None, :
+                ]
+                gathered = buf[px_starts[m][:, None, None, None] + li]
+                tgt = starts_o[m][:, None] + 10 + np.arange(
+                    out_h * out_w * int(cv), dtype=np.int64
+                )[None, :]
+                out_buf[tgt] = gathered.reshape(int(m.sum()), -1)
+            yield _blob_batch(
+                doc_id, out_buf, starts_o, total, "fimg",
+                np.full(n, out_w, dtype=np.int64),
+                np.full(n, out_h, dtype=np.int64),
+                c, np.ones(n, dtype=np.int64), blob_len,
+            )
+
+    return blobs.mapInArrow(resize, out_schema)
 
 
 def synth_video_blobs(docs: DataFrame, frame_w: int = 8, frame_h: int = 8) -> DataFrame:
@@ -207,30 +329,42 @@ def synth_video_blobs(docs: DataFrame, frame_w: int = 8, frame_h: int = 8) -> Da
     )
     fsz = frame_w * frame_h
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, payloads, metas = [], [], []
-            for d, nc in zip(pdf["doc_id"].to_numpy(), pdf["n_chars"].to_numpy()):
-                nf = int(nc % 24 + 4)
-                idx = np.arange(nf * fsz, dtype=np.int64)
-                px = ((d + (idx // fsz) * 13 + (idx % fsz)) % 251).astype(np.uint8)
-                blob = _VID_MAGIC + _struct.pack("<HHH", nf, frame_w, frame_h) + px.tobytes()
-                ids.append(d)
-                payloads.append(blob)
-                metas.append(
-                    {
-                        "format": "fvid",
-                        "width": frame_w,
-                        "height": frame_h,
-                        "channels": 1,
-                        "n_frames": nf,
-                        "n_bytes": len(blob),
-                    }
-                )
-            if ids:
-                yield pd.DataFrame({"doc_id": ids, "payload": payloads, "meta": metas})
+    def gen(batches):
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            doc_id = rb.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            n_chars = rb.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
+            nf = n_chars % 24 + 4
+            n_px = nf * fsz
+            blob_len = 10 + n_px
+            ends = np.cumsum(blob_len)
+            starts = ends - blob_len
+            total = int(ends[-1])
+            buf = np.zeros(total, dtype=np.uint8)
+            magic = np.frombuffer(_VID_MAGIC, dtype=np.uint8)
+            for j in range(4):
+                buf[starts + j] = magic[j]
+            for k, arr in enumerate(
+                (nf, np.full(n, frame_w, dtype=np.int64), np.full(n, frame_h, dtype=np.int64))
+            ):
+                buf[starts + 4 + 2 * k] = (arr & 0xFF).astype(np.uint8)
+                buf[starts + 5 + 2 * k] = ((arr >> 8) & 0xFF).astype(np.uint8)
+            px_off = np.cumsum(n_px) - n_px
+            local = np.arange(int(n_px.sum()), dtype=np.int64) - np.repeat(px_off, n_px)
+            px = (
+                np.repeat(doc_id, n_px) + (local // fsz) * 13 + (local % fsz)
+            ) % 251
+            buf[np.repeat(starts + 10, n_px) + local] = px.astype(np.uint8)
+            yield _blob_batch(
+                doc_id, buf, starts, total, "fvid",
+                np.full(n, frame_w, dtype=np.int64),
+                np.full(n, frame_h, dtype=np.int64),
+                np.ones(n, dtype=np.int64), nf, blob_len,
+            )
 
-    return _spread(docs.select("doc_id", "n_chars")).mapInPandas(gen, out_schema)
+    return _spread(docs.select("doc_id", "n_chars")).mapInArrow(gen, out_schema)
 
 
 _FRAME_SCHEMA = T.StructType(
@@ -287,22 +421,56 @@ def synth_audio_blobs(docs: DataFrame, rate_hz: int = 16000) -> DataFrame:
         ]
     )
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, payloads, counts = [], [], []
-            for d, nc in zip(pdf["doc_id"].to_numpy(), pdf["n_chars"].to_numpy()):
-                n = int(nc) * 4
-                pcm = (((d * 7 + np.arange(n, dtype=np.int64) * 11) % 4001) - 2000).astype(np.int16)
-                blob = _AUD_MAGIC + _struct.pack("<IH", n, rate_hz // 100) + pcm.tobytes()
-                ids.append(d)
-                payloads.append(blob)
-                counts.append(n)
-            if ids:
-                yield pd.DataFrame(
-                    {"doc_id": ids, "payload": payloads, "n_samples": counts, "rate_hz": rate_hz}
-                )
+    def gen(batches):
+        import pyarrow as pa
 
-    return _spread(docs.select("doc_id", "n_chars")).mapInPandas(gen, out_schema)
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            doc_id = rb.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            n_chars = rb.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
+            ns = n_chars * 4
+            blob_len = 10 + 2 * ns
+            ends = np.cumsum(blob_len)
+            starts = ends - blob_len
+            total = int(ends[-1])
+            buf = np.zeros(total, dtype=np.uint8)
+            magic = np.frombuffer(_AUD_MAGIC, dtype=np.uint8)
+            for j in range(4):
+                buf[starts + j] = magic[j]
+            # <IH header: u32 n_samples, u16 rate/100 (little-endian)
+            for j in range(4):
+                buf[starts + 4 + j] = ((ns >> (8 * j)) & 0xFF).astype(np.uint8)
+            r = rate_hz // 100
+            buf[starts + 8] = r & 0xFF
+            buf[starts + 9] = (r >> 8) & 0xFF
+            s_off = np.cumsum(ns) - ns
+            ls = np.arange(int(ns.sum()), dtype=np.int64) - np.repeat(s_off, ns)
+            pcm = ((np.repeat(doc_id, ns) * 7 + ls * 11) % 4001) - 2000
+            # s16 little-endian scatter: two's-complement low/high bytes
+            pos = np.repeat(starts + 10, ns) + 2 * ls
+            buf[pos] = (pcm & 0xFF).astype(np.uint8)
+            buf[pos + 1] = ((pcm >> 8) & 0xFF).astype(np.uint8)
+            offsets = np.empty(n + 1, dtype=np.int32)
+            offsets[:-1] = starts
+            offsets[-1] = total
+            payload = pa.Array.from_buffers(
+                pa.binary(),
+                n,
+                [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(buf.tobytes())],
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(doc_id, type=pa.int64()),
+                    payload,
+                    pa.array(ns.astype(np.int32), type=pa.int32()),
+                    pa.array(np.full(n, rate_hz, dtype=np.int32), type=pa.int32()),
+                ],
+                names=["doc_id", "payload", "n_samples", "rate_hz"],
+            )
+
+    return _spread(docs.select("doc_id", "n_chars")).mapInArrow(gen, out_schema)
 
 
 _AUD_STATS_SCHEMA = T.StructType(
@@ -317,31 +485,64 @@ _AUD_STATS_SCHEMA = T.StructType(
 
 
 def decode_audio_stats(blobs: DataFrame) -> DataFrame:
-    """PCM decode + loudness features (duration, RMS, peak) per blob."""
+    """PCM decode + loudness features (duration, RMS, peak) per blob.
 
-    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for d, blob in zip(pdf["doc_id"].to_numpy(), pdf["payload"]):
-                assert bytes(blob[:4]) == _AUD_MAGIC, "not a FAUD payload"
-                n, rate100 = _struct.unpack("<IH", bytes(blob[4:10]))
-                pcm = np.frombuffer(blob, dtype="<i2", offset=10).astype(np.int64)
-                # integer sum of squares -> exact, summation-order-free;
-                # the sqrt-of-ratio is then bit-stable across engines
-                sumsq = int((pcm * pcm).sum())
-                rows.append(
-                    {
-                        "doc_id": d,
-                        "n_samples": n,
-                        "duration_s": n / (rate100 * 100.0),
-                        "rms": float(np.sqrt(sumsq / n)) if n else 0.0,
-                        "peak": int(np.abs(pcm).max()) if n else 0,
-                    }
-                )
-            if rows:
-                yield pd.DataFrame(rows)
+    Vectorized over the Arrow batch: samples decode with little-endian
+    byte arithmetic (alignment-agnostic - payload starts inside the
+    Arrow values buffer need not be 2-byte aligned) and the per-blob
+    sum-of-squares / peak reduce via ``reduceat`` over the contiguous
+    concatenated sample stream.  Integer sum of squares stays exact in
+    float64 (< 2^53), so the sqrt-of-ratio is summation-order-free and
+    bit-stable across engines, same as the per-row form it replaces."""
 
-    return blobs.mapInPandas(stats, _AUD_STATS_SCHEMA)
+    def stats(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            names = rb.schema.names
+            pay = rb.column(names.index("payload"))
+            off_dtype = np.int64 if pa.types.is_large_binary(pay.type) else np.int32
+            offsets = np.frombuffer(pay.buffers()[1], dtype=off_dtype)[
+                pay.offset : pay.offset + n + 1
+            ].astype(np.int64)
+            buf = np.frombuffer(pay.buffers()[2], dtype=np.uint8)
+            starts = offsets[:-1]
+            magic = np.frombuffer(_AUD_MAGIC, dtype=np.uint8)
+            for j in range(4):
+                assert np.array_equal(
+                    buf[starts + j], np.full(n, magic[j])
+                ), "not FAUD payloads"
+            ns = np.zeros(n, dtype=np.int64)
+            for j in range(4):
+                ns |= buf[starts + 4 + j].astype(np.int64) << (8 * j)
+            rate100 = buf[starts + 8].astype(np.int64) | (
+                buf[starts + 9].astype(np.int64) << 8
+            )
+            s_off = np.cumsum(ns) - ns
+            pos = np.repeat(starts + 10, ns) + 2 * (
+                np.arange(int(ns.sum()), dtype=np.int64) - np.repeat(s_off, ns)
+            )
+            pcm = buf[pos].astype(np.int32) | (
+                buf[pos + 1].view(np.int8).astype(np.int32) << 8
+            )
+            sq = pcm.astype(np.float64) ** 2
+            sumsq = np.add.reduceat(sq, s_off)
+            peak = np.maximum.reduceat(np.abs(pcm), s_off)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(names.index("doc_id")),
+                    pa.array(ns.astype(np.int32), type=pa.int32()),
+                    pa.array(ns / (rate100 * 100.0)),
+                    pa.array(np.sqrt(sumsq / ns)),
+                    pa.array(peak.astype(np.int32), type=pa.int32()),
+                ],
+                names=["doc_id", "n_samples", "duration_s", "rms", "peak"],
+            )
+
+    return blobs.mapInArrow(stats, _AUD_STATS_SCHEMA)
 
 
 def decode_external(blobs: DataFrame, fmt: str) -> DataFrame:
