@@ -7,10 +7,13 @@ ONE JSON line:
 
 Each query executes to completion through the noop sink (full plan
 runs, nothing collected to the driver).  Use BENCH_QUERIES=q01,q12 to
-restrict; BENCH_REPEAT=n for best-of-n (default 2 - the first
+restrict; BENCH_REPEAT=n for best-of-n (default 3 - the first
 execution of a plan pays one-time whole-stage-codegen JIT that is 5-10x
-the steady-state cost; best-of-2 reports the per-query time a warmed
-cluster would see).  The DataFrame cache is cleared between every
+the steady-state cost; best-of-3 reports the per-query time a warmed
+cluster would see).  The SAME repeat count applies to every query and
+to the streaming measurement - per-query extras would bias exactly the
+recently-modified code paths downward and break cross-round
+comparability.  The DataFrame cache is cleared between every
 execution so a repeat can never reuse intermediates the previous run
 cached (shingle tables etc.) - only JVM code compilation carries over.
 """
@@ -34,7 +37,7 @@ def sf_from_dir(sf_dir: str) -> float:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    repeat = int(os.environ.get("BENCH_REPEAT", "2"))
+    repeat = int(os.environ.get("BENCH_REPEAT", "3"))
     only = os.environ.get("BENCH_QUERIES")
     specs = all_queries()
     names = sorted(specs)
@@ -52,17 +55,11 @@ def main() -> None:
     # warm the JVM + parquet footers once, outside timing
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
-    # Driver-loop queries execute several distinct plans per invocation
-    # (ETL passes, CC label-propagation rounds), so their second run is
-    # often still JIT-warming; one extra full repeat reports the
-    # steady state the single-plan queries reach by run 2.
-    extra = {"q37_metadata_etl_e2e": 1, "q57_dedup_components": 1}
-
     timings: dict[str, float] = {}
     for name in names:
         fn = specs[name].fn
         best = None
-        for _ in range(repeat + extra.get(name, 0)):
+        for _ in range(repeat):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             dt = time.perf_counter() - t0
@@ -132,12 +129,13 @@ def measure_streaming(spark) -> dict:
             24
         ).write.mode("overwrite").parquet(d)
         frames = spark.read.parquet(d)
-        # best-of-N (default 3) like the batch loop: pass 1 pays
-        # Python-worker spin-up + whole-stage-codegen JIT for the
-        # decode UDF, and a single noisy pass on a loaded host must not
-        # read the plane below its nominal source rate
+        # best-of-N with the SAME default repeat as the batch loop:
+        # pass 1 pays Python-worker spin-up + whole-stage-codegen JIT
+        # for the decode UDF, and a single noisy pass on a loaded host
+        # must not read the plane below its nominal source rate
         dt = None
-        for _ in range(int(os.environ.get("BENCH_STREAM_REPEAT", "5"))):
+        for _ in range(int(os.environ.get("BENCH_STREAM_REPEAT",
+                                          os.environ.get("BENCH_REPEAT", "3")))):
             t0 = time.perf_counter()
             plan.ta_windows(plan.decode_hits(frames)).write.mode(
                 "overwrite"

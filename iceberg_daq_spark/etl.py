@@ -40,6 +40,7 @@ merge is an Iceberg ``MERGE INTO`` (tablestore.py documents the swap).
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 
@@ -78,23 +79,27 @@ def build_dropbox(spark: SparkSession, sf_dir: str, dropbox_dir: str) -> None:
     lands in a single task -> a single part file), then driver-side
     renames into the flat dropbox layout - renames are metadata ops,
     the row data never passes through the driver."""
-    # cache fingerprint: source file stat (size + mtime), so a
-    # regenerated events table invalidates the cached dropbox without
-    # spending a Spark job on the check
+    # cache fingerprint: per-file (name, size, mtime_ns) of the source
+    # table, hashed - a regenerated events table invalidates the cached
+    # dropbox without spending a Spark job on the check.  The name list
+    # is part of the hash so a rewrite that preserves total size and
+    # mtime (cp -p, archive restore, coarse-mtime filesystems) but
+    # changes the part-file layout still invalidates; a byte-identical
+    # mtime-preserving copy with the same layout is indistinguishable
+    # by stat alone (documented caveat of any stat-based cache).
     src = os.path.join(sf_dir, "events.parquet")
     if os.path.isdir(src):
-        stats = [
-            os.stat(os.path.join(r, f))
+        entries = sorted(
+            (os.path.relpath(os.path.join(r, f), src), os.stat(os.path.join(r, f)))
             for r, _, fs in os.walk(src)
             for f in fs
-        ]
-        size, mtime = sum(s.st_size for s in stats), max(
-            (s.st_mtime_ns for s in stats), default=0
         )
     else:
-        st = os.stat(src)
-        size, mtime = st.st_size, st.st_mtime_ns
-    fingerprint = f"{sf_dir}:{size}:{mtime}"
+        entries = [(os.path.basename(src), os.stat(src))]
+    digest = hashlib.sha256(
+        "".join(f"{n}:{s.st_size}:{s.st_mtime_ns};" for n, s in entries).encode()
+    ).hexdigest()[:32]
+    fingerprint = f"{sf_dir}:{len(entries)}:{digest}"
     marker = os.path.join(dropbox_dir, "_built")
     try:
         with open(marker, encoding="ascii") as f:

@@ -115,40 +115,80 @@ def synth_image_blobs(docs: DataFrame) -> DataFrame:
             )
             px = (np.repeat(doc_id, n_px) * 31 + local * 7) % 251
             buf[np.repeat(starts + 10, n_px) + local] = px.astype(np.uint8)
-            yield _blob_batch(doc_id, buf, starts, total, "fimg", w, h, c,
-                              np.ones(n, dtype=np.int64), blob_len)
+            yield from _blob_batches(doc_id, buf, starts, ends, "fimg", w, h, c,
+                                     np.ones(n, dtype=np.int64), blob_len)
 
     return _spread(docs.select("doc_id", "n_chars")).mapInArrow(gen, out_schema)
 
 
-def _blob_batch(doc_id, buf, starts, total, fmt, w, h, c, n_frames, n_bytes):
-    """Assemble a (doc_id, payload, meta) Arrow batch from a packed
-    payload buffer without materializing per-row bytes objects."""
+# Arrow's plain binary type carries int32 value offsets, so one
+# RecordBatch's packed payload must stay under 2^31-1 bytes; larger
+# inputs are split at row boundaries rather than silently wrapped.
+_MAX_BATCH_PAYLOAD = 2**31 - 1
+
+
+def _payload_chunks(starts, ends):
+    """Row-range chunks [(lo, hi), ...] such that each chunk's packed
+    payload bytes fit Arrow int32 binary offsets."""
+    n = len(starts)
+    chunks = []
+    lo = 0
+    while lo < n:
+        hi = int(np.searchsorted(ends, int(starts[lo]) + _MAX_BATCH_PAYLOAD, "right"))
+        hi = max(hi, lo + 1)
+        if int(ends[hi - 1] - starts[lo]) > _MAX_BATCH_PAYLOAD:
+            raise ValueError(
+                "single payload exceeds the 2 GiB Arrow binary value limit"
+            )
+        chunks.append((lo, hi))
+        lo = hi
+    return chunks
+
+
+def _payload_array(buf, starts, ends, lo, hi):
+    """Arrow binary array for rows [lo, hi) of a packed buffer, offsets
+    rebased to the chunk (guaranteed < 2^31 by _payload_chunks)."""
     import pyarrow as pa
 
-    offsets = np.empty(len(starts) + 1, dtype=np.int32)
-    offsets[:-1] = starts
-    offsets[-1] = total
-    payload = pa.Array.from_buffers(
+    base = int(starts[lo])
+    offsets = np.empty(hi - lo + 1, dtype=np.int32)
+    offsets[:-1] = starts[lo:hi] - base
+    offsets[-1] = int(ends[hi - 1]) - base
+    return pa.Array.from_buffers(
         pa.binary(),
-        len(starts),
-        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(buf.tobytes())],
-    )
-    meta = pa.StructArray.from_arrays(
+        hi - lo,
         [
-            pa.array([fmt] * len(starts)),
-            pa.array(w.astype(np.int32), type=pa.int32()),
-            pa.array(h.astype(np.int32), type=pa.int32()),
-            pa.array(c.astype(np.int32), type=pa.int32()),
-            pa.array(n_frames.astype(np.int32), type=pa.int32()),
-            pa.array(n_bytes.astype(np.int64), type=pa.int64()),
+            None,
+            pa.py_buffer(offsets.tobytes()),
+            pa.py_buffer(buf[base : int(ends[hi - 1])].tobytes()),
         ],
-        names=["format", "width", "height", "channels", "n_frames", "n_bytes"],
     )
-    return pa.RecordBatch.from_arrays(
-        [pa.array(doc_id, type=pa.int64()), payload, meta],
-        names=["doc_id", "payload", "meta"],
-    )
+
+
+def _blob_batches(doc_id, buf, starts, ends, fmt, w, h, c, n_frames, n_bytes):
+    """Assemble (doc_id, payload, meta) Arrow batches from a packed
+    payload buffer without materializing per-row bytes objects; splits
+    into multiple batches when the payload would overflow int32 Arrow
+    offsets (>2 GiB per batch)."""
+    import pyarrow as pa
+
+    for lo, hi in _payload_chunks(starts, ends):
+        payload = _payload_array(buf, starts, ends, lo, hi)
+        meta = pa.StructArray.from_arrays(
+            [
+                pa.array([fmt] * (hi - lo)),
+                pa.array(w[lo:hi].astype(np.int32), type=pa.int32()),
+                pa.array(h[lo:hi].astype(np.int32), type=pa.int32()),
+                pa.array(c[lo:hi].astype(np.int32), type=pa.int32()),
+                pa.array(n_frames[lo:hi].astype(np.int32), type=pa.int32()),
+                pa.array(n_bytes[lo:hi].astype(np.int64), type=pa.int64()),
+            ],
+            names=["format", "width", "height", "channels", "n_frames", "n_bytes"],
+        )
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(doc_id[lo:hi], type=pa.int64()), payload, meta],
+            names=["doc_id", "payload", "meta"],
+        )
 
 
 _IMG_STATS_SCHEMA = T.StructType(
@@ -306,8 +346,8 @@ def resize_images(blobs: DataFrame, out_w: int, out_h: int) -> DataFrame:
                     out_h * out_w * int(cv), dtype=np.int64
                 )[None, :]
                 out_buf[tgt] = gathered.reshape(int(m.sum()), -1)
-            yield _blob_batch(
-                doc_id, out_buf, starts_o, total, "fimg",
+            yield from _blob_batches(
+                doc_id, out_buf, starts_o, ends_o, "fimg",
                 np.full(n, out_w, dtype=np.int64),
                 np.full(n, out_h, dtype=np.int64),
                 c, np.ones(n, dtype=np.int64), blob_len,
@@ -357,8 +397,8 @@ def synth_video_blobs(docs: DataFrame, frame_w: int = 8, frame_h: int = 8) -> Da
                 np.repeat(doc_id, n_px) + (local // fsz) * 13 + (local % fsz)
             ) % 251
             buf[np.repeat(starts + 10, n_px) + local] = px.astype(np.uint8)
-            yield _blob_batch(
-                doc_id, buf, starts, total, "fvid",
+            yield from _blob_batches(
+                doc_id, buf, starts, ends, "fvid",
                 np.full(n, frame_w, dtype=np.int64),
                 np.full(n, frame_h, dtype=np.int64),
                 np.ones(n, dtype=np.int64), nf, blob_len,
@@ -452,23 +492,20 @@ def synth_audio_blobs(docs: DataFrame, rate_hz: int = 16000) -> DataFrame:
             pos = np.repeat(starts + 10, ns) + 2 * ls
             buf[pos] = (pcm & 0xFF).astype(np.uint8)
             buf[pos + 1] = ((pcm >> 8) & 0xFF).astype(np.uint8)
-            offsets = np.empty(n + 1, dtype=np.int32)
-            offsets[:-1] = starts
-            offsets[-1] = total
-            payload = pa.Array.from_buffers(
-                pa.binary(),
-                n,
-                [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(buf.tobytes())],
-            )
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(doc_id, type=pa.int64()),
-                    payload,
-                    pa.array(ns.astype(np.int32), type=pa.int32()),
-                    pa.array(np.full(n, rate_hz, dtype=np.int32), type=pa.int32()),
-                ],
-                names=["doc_id", "payload", "n_samples", "rate_hz"],
-            )
+            for lo, hi in _payload_chunks(starts, ends):
+                payload = _payload_array(buf, starts, ends, lo, hi)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(doc_id[lo:hi], type=pa.int64()),
+                        payload,
+                        pa.array(ns[lo:hi].astype(np.int32), type=pa.int32()),
+                        pa.array(
+                            np.full(hi - lo, rate_hz, dtype=np.int32),
+                            type=pa.int32(),
+                        ),
+                    ],
+                    names=["doc_id", "payload", "n_samples", "rate_hz"],
+                )
 
     return _spread(docs.select("doc_id", "n_chars")).mapInArrow(gen, out_schema)
 
@@ -529,14 +566,22 @@ def decode_audio_stats(blobs: DataFrame) -> DataFrame:
                 buf[pos + 1].view(np.int8).astype(np.int32) << 8
             )
             sq = pcm.astype(np.float64) ** 2
-            sumsq = np.add.reduceat(sq, s_off)
-            peak = np.maximum.reduceat(np.abs(pcm), s_off)
+            # reduceat only over rows with samples: a repeated boundary
+            # index (ns==0) would return the NEXT blob's first sample,
+            # not an empty reduction - mask those rows to rms=0, peak=0
+            nz = ns > 0
+            sumsq = np.zeros(n, dtype=np.float64)
+            peak = np.zeros(n, dtype=np.int64)
+            if nz.any():
+                sumsq[nz] = np.add.reduceat(sq, s_off[nz])
+                peak[nz] = np.maximum.reduceat(np.abs(pcm), s_off[nz])
+            rms = np.sqrt(sumsq / np.where(nz, ns, 1))
             yield pa.RecordBatch.from_arrays(
                 [
                     rb.column(names.index("doc_id")),
                     pa.array(ns.astype(np.int32), type=pa.int32()),
                     pa.array(ns / (rate100 * 100.0)),
-                    pa.array(np.sqrt(sumsq / ns)),
+                    pa.array(rms),
                     pa.array(peak.astype(np.int32), type=pa.int32()),
                 ],
                 names=["doc_id", "n_samples", "duration_s", "rms", "peak"],

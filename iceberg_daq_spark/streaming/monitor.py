@@ -50,34 +50,64 @@ class _SocketEmitter:
     """Push transport twin of the reference's Kafka opmon producer
     (``opmon_impl``/``ers_impl`` "cern", iceberg_daq_eth.json:14-16;
     no broker in this container, so newline-delimited JSON over TCP).
-    Best-effort like an async producer: a down endpoint drops the
-    metric (counted in ``dropped``) rather than ever blocking the
-    listener bus."""
+    Best-effort like an async producer: ``emit`` only enqueues onto a
+    bounded queue (full queue -> drop, counted in ``dropped``) and a
+    daemon sender thread owns the socket, so a slow or half-open
+    endpoint can never stall the listener bus and ``close`` cannot race
+    an in-flight send."""
+
+    _QUEUE_MAX = 1024
 
     def __init__(self, addr: tuple[str, int]):
+        import queue
+
         self.addr = addr
         self.dropped = 0
         self._sock = None
+        self._queue: "queue.Queue[dict | None]" = queue.Queue(self._QUEUE_MAX)
+        self._thread = threading.Thread(
+            target=self._drain, name="opmon-socket-emitter", daemon=True
+        )
+        self._thread.start()
 
     def emit(self, row: dict) -> None:
+        import queue
+
+        try:
+            self._queue.put_nowait(row)
+        except queue.Full:
+            self.dropped += 1
+
+    def _drain(self) -> None:
         import json
         import socket
 
-        try:
-            if self._sock is None:
-                self._sock = socket.create_connection(self.addr, timeout=1.0)
-            self._sock.sendall((json.dumps(row) + "\n").encode("utf-8"))
-        except OSError:
-            self.dropped += 1
-            self.close()
+        while True:
+            row = self._queue.get()
+            if row is None:
+                break
+            try:
+                if self._sock is None:
+                    self._sock = socket.create_connection(self.addr, timeout=1.0)
+                self._sock.sendall((json.dumps(row) + "\n").encode("utf-8"))
+            except OSError:
+                self.dropped += 1
+                self._close_sock()
+        self._close_sock()
 
-    def close(self) -> None:
+    def _close_sock(self) -> None:
         if self._sock is not None:
             try:
                 self._sock.close()
             except OSError:
                 pass
             self._sock = None
+
+    def close(self, timeout: float = 5.0) -> None:
+        """Flush the queue and stop the sender thread (sentinel after
+        the queued rows, so everything enqueued before close drains)."""
+        self._queue.put(None)
+        self._thread.join(timeout)
 
 
 class OpmonMonitor(StreamingQueryListener):

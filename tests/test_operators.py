@@ -319,6 +319,61 @@ def test_multimodal_resize_semantics(spark, sf_dir):
         assert (got == px[yi, xi, :]).all(), doc_id
 
 
+def test_payload_chunks_respect_int32_offset_limit(monkeypatch):
+    """Arrow binary offsets are int32: batches whose packed payload
+    exceeds 2^31-1 bytes must split at row boundaries (verified with a
+    lowered limit so the test doesn't allocate gigabytes), and a single
+    oversized payload must raise instead of silently wrapping."""
+    import numpy as np
+
+    from iceberg_daq_spark.operators import multimodal as mm
+
+    monkeypatch.setattr(mm, "_MAX_BATCH_PAYLOAD", 100)
+    lens = np.array([40, 40, 30, 90, 10, 10], dtype=np.int64)
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    chunks = mm._payload_chunks(starts, ends)
+    assert chunks == [(0, 2), (2, 3), (3, 5), (5, 6)]
+    for lo, hi in chunks:
+        assert int(ends[hi - 1] - starts[lo]) <= 100
+    # rebased offsets reproduce the exact per-row bytes
+    buf = np.arange(int(ends[-1]), dtype=np.int64).astype(np.uint8)
+    got = []
+    for lo, hi in chunks:
+        arr = mm._payload_array(buf, starts, ends, lo, hi)
+        got.extend(arr[i].as_py() for i in range(len(arr)))
+    assert got == [buf[s:e].tobytes() for s, e in zip(starts, ends)]
+    with pytest.raises(ValueError, match="2 GiB"):
+        mm._payload_chunks(np.array([0]), np.array([101]))
+
+
+def test_audio_zero_sample_blob(spark):
+    """A document with n_chars==0 yields a header-only FAUD blob; its
+    stats row must be rms=0.0 / peak=0 (not NaN, and not the next
+    blob's first sample via a repeated reduceat boundary)."""
+    import math
+
+    from iceberg_daq_spark.operators import multimodal as mm
+
+    d = spark.createDataFrame(
+        [(7, 0), (8, 3), (9, 0)], "doc_id long, n_chars long"
+    ).coalesce(1)
+    rows = {
+        r["doc_id"]: r
+        for r in mm.decode_audio_stats(mm.synth_audio_blobs(d)).collect()
+    }
+    for empty in (7, 9):
+        r = rows[empty]
+        assert r["n_samples"] == 0 and r["peak"] == 0
+        assert r["rms"] == 0.0 and not math.isnan(r["rms"])
+        assert r["duration_s"] == 0.0
+    r8 = rows[8]
+    pcm = [((8 * 7 + i * 11) % 4001) - 2000 for i in range(12)]
+    assert r8["n_samples"] == 12
+    assert r8["peak"] == max(abs(v) for v in pcm)
+    assert abs(r8["rms"] - math.sqrt(sum(v * v for v in pcm) / 12)) < 1e-9
+
+
 def test_multimodal_external_decode_is_stubbed(spark, sf_dir):
     """The real-codec path must raise NotImplementedError in this
     container (no media libraries), never silently fake-decode."""
