@@ -11,37 +11,64 @@ cluster:
   MERGE INTO t USING u ON keys     :meth:`MergeTable.merge` -
     WHEN MATCHED UPDATE              updates-win anti-join union
     WHEN NOT MATCHED INSERT          (same row-level semantics)
-  snapshot commit (atomic           versioned directories + an atomic
-    metadata pointer swap)           ``_CURRENT`` pointer rename -
-                                     the same protocol the reference
-                                     uses per metadata file (write
-                                     ``.tmp`` then ``mv``, A8,
+  snapshot commit (atomic           per-version JSON manifests + an
+    metadata pointer swap)           atomic ``_CURRENT`` pointer
+                                     rename - the same protocol the
+                                     reference uses per metadata file
+                                     (write ``.tmp`` then ``mv``, A8,
                                      createMetadatafiles_iceberg_
                                      dropbox.sh:144,215)
+  ALTER TABLE ADD/RENAME COLUMN    :meth:`add_column` /
+    (metadata-only, field-id         :meth:`rename_column` - a new
+    name mapping, no rewrite)        manifest that reuses the current
+                                     data dir; logical->physical name
+                                     mapping applied on read
   optimistic locking               an flock'd commit section (A46,
                                      the reference's cron lockfile,
                                      createMetadatafiles...sh:45-47)
-  snapshot expiry                  prune to the last ``keep``
-                                     versions on commit
+  snapshot expiry +                prune manifests beyond the
+    remove_orphan_files              retention window on commit, then
+                                     delete data dirs no retained
+                                     manifest references (covers dirs
+                                     left by a crash mid-commit)
+
+A *manifest* ``v{n}.json`` records ``{version, data_dir, schema}``
+where schema is a list of ``{name, type, physical, default}`` fields:
+``physical`` is the column's name inside the parquet files (a renamed
+column keeps its old physical name, exactly like Iceberg's field-id
+mapping) or ``null`` for a column added after the data was written
+(read as its default, like Iceberg's identity-partition-free add).
+Data commits write a fresh ``d{n}`` directory; metadata-only commits
+write no data at all.
 
 Readers always see a complete snapshot: the pointer flips only after
-the new version directory is fully written, and ``os.replace`` is
-atomic on POSIX.  Re-merging identical rows is a no-op by construction
+the manifest and data are fully written, and ``os.replace`` is atomic
+on POSIX.  Re-merging identical rows is a no-op by construction
 (same keys -> same contents), which is what makes every pipeline built
 on this layer rerun-idempotent.
+
+The reference itself hit a schema-evolution event: the metadata
+documents gained ``checksums.adler32``/``size`` *after* initial
+emission and were patched in place (insert_extra_fields.py:34-37);
+here the same event is an :meth:`add_column` + :meth:`merge` of the
+enriched rows, with time travel back to the pre-evolution snapshot.
 """
 
 from __future__ import annotations
 
 import fcntl
+import json
 import os
+import re
 import shutil
 from contextlib import contextmanager
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _POINTER = "_CURRENT"
+_DATA_DIR_RE = re.compile(r"^[dv]\d{6}$")
 
 
 @contextmanager
@@ -58,15 +85,26 @@ def _commit_lock(path: str):
         os.close(fd)
 
 
+def _atomic_write(path: str, text: str) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(text)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)  # atomic on POSIX
+
+
 @dataclass
 class MergeTable:
-    """A keyed table with MERGE-upsert writes and atomic versioned
-    commits.  ``key_cols`` is the MERGE ON clause."""
+    """A keyed table with MERGE-upsert writes, atomic versioned
+    commits, metadata-only schema evolution, and orphan-file GC.
+    ``key_cols`` is the MERGE ON clause."""
 
     path: str
     key_cols: tuple[str, ...]
     keep_versions: int = 2
 
+    # -- pointers and manifests ---------------------------------------
     def _pointer(self) -> str:
         return os.path.join(self.path, _POINTER)
 
@@ -78,27 +116,62 @@ class MergeTable:
             return None
 
     def _version_dir(self, v: int) -> str:
+        """Legacy (pre-manifest) layout: data directly in v{n}."""
         return os.path.join(self.path, f"v{v:06d}")
+
+    def _manifest_path(self, v: int) -> str:
+        return os.path.join(self.path, f"v{v:06d}.json")
+
+    def _load_manifest(self, v: int) -> dict | None:
+        try:
+            with open(self._manifest_path(v), encoding="utf-8") as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
 
     def exists(self) -> bool:
         return self.current_version() is not None
 
+    # -- read path ----------------------------------------------------
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame | None:
         """A snapshot: the current one, or - time travel - any retained
         prior ``version`` (the Iceberg ``VERSION AS OF`` analog; older
         than the retention window raises).  None before the first
-        commit."""
+        commit.  The snapshot's own schema applies: reading a
+        pre-evolution version shows the pre-evolution columns."""
         cur = self.current_version()
         if cur is None:
             return None
         v = cur if version is None else version
-        if not os.path.isdir(self._version_dir(v)):
+        m = self._load_manifest(v)
+        if m is None:
+            # legacy layout (tables written before manifests existed)
+            if not os.path.isdir(self._version_dir(v)):
+                raise ValueError(
+                    f"version {v} not retained (current {cur}, keep_versions "
+                    f"{self.keep_versions})"
+                )
+            return spark.read.parquet(self._version_dir(v))
+        data_dir = os.path.join(self.path, m["data_dir"])
+        if not os.path.isdir(data_dir):
             raise ValueError(
                 f"version {v} not retained (current {cur}, keep_versions "
                 f"{self.keep_versions})"
             )
-        return spark.read.parquet(self._version_dir(v))
+        df = spark.read.parquet(data_dir)
+        # logical view: physical->logical rename; physically absent
+        # columns (added post-write) read as their default
+        cols = []
+        for fld in m["schema"]:
+            if fld["physical"] is not None:
+                cols.append(F.col(fld["physical"]).alias(fld["name"]))
+            else:
+                cols.append(
+                    F.lit(fld.get("default")).cast(fld["type"]).alias(fld["name"])
+                )
+        return df.select(*cols)
 
+    # -- commit machinery ---------------------------------------------
     def _commit(self, df: DataFrame) -> int:
         """Write df as the next version and atomically flip the
         pointer (write-tmp-then-rename, the reference's A8 protocol)."""
@@ -106,29 +179,156 @@ class MergeTable:
             return self._commit_locked(df)
 
     def _commit_locked(self, df: DataFrame) -> int:
-        v = (self.current_version() or 0) + 1
-        df.write.mode("overwrite").parquet(self._version_dir(v))
-        tmp = self._pointer() + ".tmp"
-        with open(tmp, "w", encoding="ascii") as f:
-            f.write(str(v))
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, self._pointer())  # atomic on POSIX
-        # snapshot expiry: drop versions beyond the retention window
-        for old in range(1, v - self.keep_versions + 1):
-            shutil.rmtree(self._version_dir(old), ignore_errors=True)
+        cur = self.current_version()
+        v = (cur or 0) + 1
+        data_dir = f"d{v:06d}"
+        df.write.mode("overwrite").parquet(os.path.join(self.path, data_dir))
+        # column defaults are table metadata (Iceberg keeps them across
+        # snapshots): carry them forward through data rewrites so an
+        # add_column default keeps applying to later old-shaped merges
+        prev = self._load_manifest(cur) if cur else None
+        defaults = (
+            {f["name"]: f.get("default") for f in prev["schema"]} if prev else {}
+        )
+        schema = [
+            {
+                "name": f.name,
+                "type": f.dataType.simpleString(),
+                "physical": f.name,
+                "default": defaults.get(f.name),
+            }
+            for f in df.schema.fields
+        ]
+        return self._commit_manifest(v, data_dir, schema)
+
+    def _commit_manifest(self, v: int, data_dir: str, schema: list[dict]) -> int:
+        """Manifest first, pointer second: a crash between the two
+        leaves a stale manifest the next commit overwrites (and whose
+        data dir the GC reclaims once unreferenced), never a pointer
+        to a missing snapshot."""
+        _atomic_write(
+            self._manifest_path(v),
+            json.dumps({"version": v, "data_dir": data_dir, "schema": schema}),
+        )
+        _atomic_write(self._pointer(), str(v))
+        self._expire_and_gc_locked(v)
         return v
 
+    def _expire_and_gc_locked(self, cur: int) -> list[str]:
+        """Snapshot expiry + orphan-file GC (Iceberg
+        ``expire_snapshots`` + ``remove_orphan_files``): drop manifests
+        beyond the retention window, then delete every data dir no
+        retained manifest references - including dirs left behind by a
+        crash between data write and manifest commit.  Runs under the
+        commit lock, so an in-flight commit's dir can never be
+        mistaken for an orphan."""
+        keep = set(range(max(1, cur - self.keep_versions + 1), cur + 1))
+        removed: list[str] = []
+        referenced: set[str] = set()
+        for entry in sorted(os.listdir(self.path)):
+            mm = re.match(r"^v(\d{6})\.json$", entry)
+            if not mm:
+                continue
+            v = int(mm.group(1))
+            if v in keep:
+                man = self._load_manifest(v)
+                if man:
+                    referenced.add(man["data_dir"])
+            else:
+                os.unlink(os.path.join(self.path, entry))
+                removed.append(entry)
+        # legacy data dirs double as their own manifest
+        referenced.update(f"v{v:06d}" for v in keep)
+        for entry in sorted(os.listdir(self.path)):
+            p = os.path.join(self.path, entry)
+            if (
+                os.path.isdir(p)
+                and _DATA_DIR_RE.match(entry)
+                and entry not in referenced
+            ):
+                shutil.rmtree(p, ignore_errors=True)
+                removed.append(entry)
+        return removed
+
+    def remove_orphans(self) -> list[str]:
+        """Run expiry + orphan GC without committing (Iceberg
+        ``remove_orphan_files`` as a standalone maintenance action);
+        returns the removed entries.  No-op before the first commit."""
+        with _commit_lock(self.path):
+            cur = self.current_version()
+            if cur is None:
+                return []
+            return self._expire_and_gc_locked(cur)
+
+    # -- schema evolution (metadata-only commits) ---------------------
+    def _require_manifest_locked(self) -> dict:
+        cur = self.current_version()
+        if cur is None:
+            raise ValueError(f"schema evolution on uncommitted table {self.path}")
+        m = self._load_manifest(cur)
+        if m is None:
+            raise ValueError(
+                f"legacy table {self.path} has no manifest; run compact() "
+                "once to materialize one before evolving the schema"
+            )
+        return m
+
+    def add_column(self, name: str, dtype: str, default=None) -> int:
+        """Iceberg ``ALTER TABLE ADD COLUMN`` analog: a metadata-only
+        commit - no data is rewritten; existing rows read ``default``
+        (null unless given; must be JSON-serializable).  ``dtype`` is a
+        Spark DDL type string ("bigint", "string", ...)."""
+        with _commit_lock(self.path):
+            m = self._require_manifest_locked()
+            if any(f["name"] == name for f in m["schema"]):
+                raise ValueError(f"column {name!r} already exists")
+            schema = m["schema"] + [
+                {"name": name, "type": dtype, "physical": None, "default": default}
+            ]
+            return self._commit_manifest(
+                self.current_version() + 1, m["data_dir"], schema
+            )
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Iceberg ``ALTER TABLE RENAME COLUMN`` analog: metadata-only;
+        the data files keep the old physical name and reads map it to
+        the new logical name (the field-id trick, minus field ids)."""
+        with _commit_lock(self.path):
+            m = self._require_manifest_locked()
+            names = {f["name"] for f in m["schema"]}
+            if old not in names:
+                raise ValueError(f"no column {old!r}")
+            if new in names:
+                raise ValueError(f"column {new!r} already exists")
+            schema = [
+                {**f, "name": new} if f["name"] == old else f for f in m["schema"]
+            ]
+            if old in self.key_cols:
+                self.key_cols = tuple(
+                    new if k == old else k for k in self.key_cols
+                )
+            return self._commit_manifest(
+                self.current_version() + 1, m["data_dir"], schema
+            )
+
+    # -- write API ----------------------------------------------------
     def overwrite(self, df: DataFrame) -> int:
         return self._commit(df)
 
-    def merge(self, updates: DataFrame) -> int:
+    def merge(self, updates: DataFrame, evolve_schema: bool = False) -> int:
         """MERGE INTO this table USING updates ON key_cols:
         matched rows are replaced by their update, unmatched updates
         are inserted, unmatched existing rows are kept.  Updates must
         be key-unique (MERGE's own precondition).  Row-identical
         re-merges leave the table contents unchanged - the idempotency
         the reference gets from its sidecar-exists check (A13/A46).
+
+        Schema handling mirrors Iceberg MERGE: updates lacking a table
+        column insert that column's default (so old-shaped writers keep
+        working after :meth:`add_column`); updates carrying NEW columns
+        require ``evolve_schema=True`` (the ``mergeSchema`` write
+        option), which adds them to the table with existing rows
+        reading null.
 
         The flock spans the whole read-modify-write, not just the
         pointer flip: a commit-only lock would let two concurrent
@@ -141,12 +341,35 @@ class MergeTable:
         with _commit_lock(self.path):
             current = self.read(spark)
             if current is None:
-                merged = updates
-            else:
-                keys = list(self.key_cols)
-                merged = updates.unionByName(
-                    current.join(updates.select(*keys), keys, "left_anti")
+                return self._commit_locked(updates)
+            keys = list(self.key_cols)
+            table_cols = current.columns
+            extra = [c for c in updates.columns if c not in table_cols]
+            if extra and not evolve_schema:
+                raise ValueError(
+                    f"updates carry new columns {extra}; pass "
+                    "evolve_schema=True to add them (Iceberg mergeSchema)"
                 )
+            missing = [c for c in table_cols if c not in updates.columns]
+            if missing:
+                man = self._load_manifest(self.current_version())
+                defaults = (
+                    {f["name"]: f.get("default") for f in man["schema"]}
+                    if man
+                    else {}
+                )
+                types = {f.name: f.dataType for f in current.schema.fields}
+                for c in missing:
+                    updates = updates.withColumn(
+                        c, F.lit(defaults.get(c)).cast(types[c])
+                    )
+            for c in extra:
+                current = current.withColumn(
+                    c, F.lit(None).cast(updates.schema[c].dataType)
+                )
+            merged = updates.select(table_cols + extra).unionByName(
+                current.join(updates.select(*keys), keys, "left_anti")
+            )
             return self._commit_locked(merged)
 
     def compact(self, spark: SparkSession, target_files: int = 1) -> int:
@@ -154,7 +377,8 @@ class MergeTable:
         ``target_files`` files (Iceberg ``rewrite_data_files`` analog).
         Streaming MERGE sinks commit one small snapshot per micro-batch;
         periodic compaction keeps read amplification flat.  Contents are
-        unchanged - only the file layout."""
+        unchanged - only the file layout (and, for a post-evolution
+        table, physically materializing added/renamed columns)."""
         with _commit_lock(self.path):
             df = self.read(spark)
             if df is None:

@@ -83,9 +83,13 @@ def test_merge_table_upsert_semantics(spark, tmp_path):
     got2 = {r["k"]: r["v"] for r in t.read(spark).collect()}
     assert got2 == got
     assert t.current_version() == v_before + 1  # new snapshot, same contents
-    # expiry: only the last keep_versions version dirs remain
-    dirs = [d for d in os.listdir(t.path) if d.startswith("v")]
-    assert len(dirs) <= 2
+    # expiry: only the last keep_versions manifests + data dirs remain
+    manifests = [d for d in os.listdir(t.path) if d.endswith(".json")]
+    data_dirs = [
+        d for d in os.listdir(t.path)
+        if d.startswith("d") and os.path.isdir(os.path.join(t.path, d))
+    ]
+    assert len(manifests) <= 2 and len(data_dirs) <= 2
 
 
 def test_stream_sink_merge_idempotent(spark, tmp_path):
@@ -122,7 +126,7 @@ def test_merge_table_time_travel_and_compaction(spark, tmp_path):
     # many-snapshot sink -> compaction flattens files, keeps contents
     before = sorted(map(tuple, t.read(spark).collect()))
     v = t.compact(spark, target_files=1)
-    files = _glob.glob(os.path.join(t.path, f"v{v:06d}", "*.parquet"))
+    files = _glob.glob(os.path.join(t.path, f"d{v:06d}", "*.parquet"))
     assert len(files) == 1
     assert sorted(map(tuple, t.read(spark).collect())) == before
 

@@ -18,6 +18,8 @@ import subprocess
 import sys
 import time
 
+import pytest
+
 _CHILD = """
 import os, sys, time
 sys.path.insert(0, {repo!r})
@@ -50,6 +52,97 @@ for i in range(n_merges):
     table.merge(df)
 print("DONE", writer, table.current_version())
 """
+
+
+def test_schema_evolution_metadata_only(spark, tmp_path):
+    """Iceberg ALTER TABLE parity: add_column / rename_column are
+    metadata-only commits (no data rewrite), old snapshots keep their
+    own schema under time travel, MERGE fills added-column defaults
+    for old-shaped writers, and evolve_schema=True admits new columns
+    (the reference's own evolution event: checksums fields appended
+    after initial emission, insert_extra_fields.py:34-37)."""
+    from iceberg_daq_spark.tablestore import MergeTable
+
+    t = MergeTable(str(tmp_path / "evo"), key_cols=("k",), keep_versions=4)
+    t.merge(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]))
+
+    def data_dirs():
+        return sorted(
+            d
+            for d in os.listdir(t.path)
+            if d.startswith("d") and os.path.isdir(os.path.join(t.path, d))
+        )
+
+    before = data_dirs()
+    assert t.add_column("score", "double", default=0.5) == 2
+    assert data_dirs() == before  # metadata-only: no new data dir
+    got = {r["k"]: (r["v"], r["score"]) for r in t.read(spark).collect()}
+    assert got == {1: ("a", 0.5), 2: ("b", 0.5)}
+    # pre-evolution snapshot keeps the pre-evolution schema
+    assert t.read(spark, version=1).columns == ["k", "v"]
+
+    # new-shaped MERGE: updates carry the added column
+    t.merge(spark.createDataFrame([(2, "B", 2.0), (3, "c", 3.0)], ["k", "v", "score"]))
+    got = {r["k"]: (r["v"], r["score"]) for r in t.read(spark).collect()}
+    assert got == {1: ("a", 0.5), 2: ("B", 2.0), 3: ("c", 3.0)}
+
+    after_merge = data_dirs()
+    assert t.rename_column("v", "val") == 4
+    assert data_dirs() == after_merge  # still no rewrite
+    assert set(t.read(spark).columns) == {"k", "val", "score"}
+    assert t.read(spark, version=3).columns == ["k", "v", "score"]  # time travel
+    got = {r["k"]: r["val"] for r in t.read(spark).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+
+    # old-shaped MERGE after evolution: missing column -> its default
+    t.merge(spark.createDataFrame([(4, "d")], ["k", "val"]))
+    got = {r["k"]: (r["val"], r["score"]) for r in t.read(spark).collect()}
+    assert got[4] == ("d", 0.5)
+
+    # implicit evolution requires the explicit flag (mergeSchema analog)
+    new_shape = spark.createDataFrame([(5, "e", "en")], ["k", "val", "lang"])
+    with pytest.raises(ValueError, match="evolve_schema"):
+        t.merge(new_shape)
+    t.merge(new_shape, evolve_schema=True)
+    got = {r["k"]: (r["val"], r["lang"]) for r in t.read(spark).collect()}
+    assert got[5] == ("e", "en") and got[1] == ("a", None)
+
+    # compaction materializes the evolved schema physically
+    t.compact(spark)
+    assert {r["k"] for r in t.read(spark).collect()} == {1, 2, 3, 4, 5}
+
+
+def test_orphan_gc_after_crashed_commit(spark, tmp_path):
+    """Crash-mid-commit cleanup (Iceberg expire_snapshots +
+    remove_orphan_files): a data dir written without a manifest, and a
+    manifest written without the pointer flip, are both reclaimed by
+    GC; the table stays readable and version numbering continues."""
+    import json
+
+    from iceberg_daq_spark.tablestore import MergeTable
+
+    t = MergeTable(str(tmp_path / "gc"), key_cols=("k",), keep_versions=2)
+    t.merge(spark.createDataFrame([(1, "a")], ["k", "v"]))
+    t.merge(spark.createDataFrame([(2, "b")], ["k", "v"]))
+
+    # crash A: data written, no manifest, no pointer flip
+    orphan_data = os.path.join(t.path, "d000003")
+    os.makedirs(orphan_data)
+    open(os.path.join(orphan_data, "part-junk.parquet"), "wb").close()
+    # crash B: manifest written for the same attempt, pointer not flipped
+    with open(os.path.join(t.path, "v000003.json"), "w") as f:
+        json.dump({"version": 3, "data_dir": "d000003", "schema": []}, f)
+
+    assert t.current_version() == 2  # pointer never moved
+    removed = t.remove_orphans()
+    assert "d000003" in removed and "v000003.json" in removed
+    assert not os.path.exists(orphan_data)
+
+    # table unaffected; next commit reuses the freed version number
+    assert {r["k"] for r in t.read(spark).collect()} == {1, 2}
+    v = t.merge(spark.createDataFrame([(3, "c")], ["k", "v"]))
+    assert v == 3
+    assert {r["k"] for r in t.read(spark).collect()} == {1, 2, 3}
 
 
 def test_concurrent_disjoint_writers(spark, tmp_path):
