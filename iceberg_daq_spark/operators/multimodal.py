@@ -591,17 +591,70 @@ def decode_audio_stats(blobs: DataFrame) -> DataFrame:
 
 
 def decode_external(blobs: DataFrame, fmt: str) -> DataFrame:
-    """STUB: real-codec decode (JPEG/PNG via PIL, WAV/FLAC via
-    soundfile, MP4 via av).  The batch plumbing above is identical for
-    real formats - only the per-blob parse line changes.  Raises until
-    a codec library is installed; gated on import so the module itself
-    never requires one."""
+    """Real-codec decode to the same stats schema as
+    :func:`decode_image_stats`: JPEG/PNG payloads through PIL when it
+    is installed (gated on import, so the module never requires a
+    codec library; this container has none, in which case this raises
+    NotImplementedError).  Audio (soundfile) and video (av) formats
+    remain stubs.
+
+    Same mapInArrow plumbing as the fake-format path - payloads stay
+    in executor memory as one Arrow buffer per batch; only the
+    per-blob parse is the codec's C decoder (necessarily per-image:
+    JPEG/PNG streams aren't batch-decodable)."""
+    if fmt not in ("jpeg", "png"):
+        raise NotImplementedError(
+            f"format={fmt!r}: only jpeg/png have a real decode path; "
+            "wire soundfile (audio) or av (video) here for the rest"
+        )
     try:
         import PIL.Image  # noqa: F401
     except ImportError as exc:
         raise NotImplementedError(
             f"no codec library available in this environment for format={fmt!r}; "
-            "install pillow/soundfile/av and swap the parse line in "
-            "decode_image_stats/decode_audio_stats"
+            "install pillow to enable the real decode path"
         ) from exc
-    raise NotImplementedError("real-codec path intentionally unimplemented in this container")
+
+    def stats(batches):
+        import io
+
+        import pyarrow as pa
+        from PIL import Image
+
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            names = rb.schema.names
+            pay = rb.column(names.index("payload"))
+            w = np.empty(n, dtype=np.int32)
+            h = np.empty(n, dtype=np.int32)
+            c = np.empty(n, dtype=np.int32)
+            mean = np.empty(n, dtype=np.float64)
+            mx = np.empty(n, dtype=np.int32)
+            mn = np.empty(n, dtype=np.int32)
+            for i in range(n):
+                arr = np.asarray(Image.open(io.BytesIO(pay[i].as_py())))
+                if arr.ndim == 2:
+                    arr = arr[:, :, None]
+                h[i], w[i], c[i] = arr.shape
+                mean[i] = float(arr.mean())
+                mx[i] = int(arr.max())
+                mn[i] = int(arr.min())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(names.index("doc_id")),
+                    pa.array(w, type=pa.int32()),
+                    pa.array(h, type=pa.int32()),
+                    pa.array(c, type=pa.int32()),
+                    pa.array(mean),
+                    pa.array(mx, type=pa.int32()),
+                    pa.array(mn, type=pa.int32()),
+                ],
+                names=[
+                    "doc_id", "width", "height", "channels",
+                    "mean_px", "max_px", "min_px",
+                ],
+            )
+
+    return blobs.mapInArrow(stats, _IMG_STATS_SCHEMA)

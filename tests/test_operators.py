@@ -374,16 +374,61 @@ def test_audio_zero_sample_blob(spark):
     assert abs(r8["rms"] - math.sqrt(sum(v * v for v in pcm) / 12)) < 1e-9
 
 
-def test_multimodal_external_decode_is_stubbed(spark, sf_dir):
-    """The real-codec path must raise NotImplementedError in this
-    container (no media libraries), never silently fake-decode."""
+def test_multimodal_external_decode_gating(spark, sf_dir):
+    """Without a codec library the real-codec path must raise
+    NotImplementedError (never silently fake-decode); unsupported
+    formats raise regardless of what's installed."""
+    import importlib.util
+
     import pytest as _pytest
 
     from iceberg_daq_spark.operators import multimodal as mm
 
     d = load(spark, sf_dir, "documents").limit(1)
     with _pytest.raises(NotImplementedError):
-        mm.decode_external(mm.synth_image_blobs(d), "jpeg")
+        mm.decode_external(mm.synth_image_blobs(d), "mp4")
+    if importlib.util.find_spec("PIL") is None:
+        with _pytest.raises(NotImplementedError):
+            mm.decode_external(mm.synth_image_blobs(d), "jpeg")
+
+
+def test_multimodal_external_decode_png():
+    """With pillow installed, decode_external must decode real PNGs
+    through the same mapInArrow plumbing and reproduce exact pixel
+    stats (skips in codec-free containers)."""
+    import io
+
+    import numpy as np
+    import pytest as _pytest
+
+    PIL = _pytest.importorskip("PIL.Image")
+
+    from iceberg_daq_spark.operators import multimodal as mm
+    from iceberg_daq_spark.session import get_spark
+
+    spark = get_spark()
+    rng = np.random.default_rng(7)
+    rows, truth = [], {}
+    for doc_id, (w, h, c) in enumerate([(12, 9, 3), (5, 17, 1), (32, 8, 3)]):
+        arr = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+        img = PIL.fromarray(arr.squeeze() if c == 1 else arr)
+        bio = io.BytesIO()
+        img.save(bio, format="PNG")
+        rows.append((doc_id, bytearray(bio.getvalue())))
+        truth[doc_id] = (w, h, c, float(arr.mean()), int(arr.max()), int(arr.min()))
+    blobs = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r["doc_id"]: (
+            r["width"], r["height"], r["channels"],
+            r["mean_px"], r["max_px"], r["min_px"],
+        )
+        for r in mm.decode_external(blobs, "png").collect()
+    }
+    assert set(got) == set(truth)
+    for k, (w, h, c, mean, mx, mn) in truth.items():
+        gw, gh, gc, gmean, gmx, gmn = got[k]
+        assert (gw, gh, gc, gmx, gmn) == (w, h, c, mx, mn)
+        assert abs(gmean - mean) < 1e-9
 
 
 def test_embed_near_dup_lsh_recall(spark, sf_dir):
