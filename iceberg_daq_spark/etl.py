@@ -28,9 +28,11 @@ per-(run, prefix) pseudo-files materialized from the events table:
             from ``_metadata.file_path`` exactly like the reference's
             sed on the basename (:127-132)
   aggregate q31's metadata-doc aggregation per file
-  emit      MERGE-upsert into a :class:`~iceberg_daq_spark.tablestore.
-            MergeTable` (atomic versioned commit + flock) - rerunning
-            the pipeline adds zero rows
+  emit      fast-append commit into a :class:`~iceberg_daq_spark.
+            tablestore.MergeTable` (atomic versioned commit + flock;
+            the anti-join makes every pass's keys new, so each commit
+            writes only that pass's rows) - rerunning the pipeline
+            adds zero rows
 
 The driver loop iterates passes until the scan drains - bounded driver
 work per pass (one manifest of <= 2*batch_limit file names), never row
@@ -223,8 +225,10 @@ def metadata_etl(
     already exist", :109) -> per-prefix rank by file_name desc (the
     ``sort -r`` order, :95), persisted.  Pass *p* then claims the
     per-prefix rank slice (p*batch_limit, (p+1)*batch_limit] (:225) ->
-    extract + aggregate ONLY the selected files -> MERGE-upsert with a
-    pass_id audit column.  For a dropbox that is static across the
+    extract + aggregate ONLY the selected files -> fast-append commit
+    with a pass_id audit column (the anti-join guarantees new keys, so
+    each pass writes only its own rows; a MERGE would rewrite the
+    whole catalog per pass).  For a dropbox that is static across the
     invocation this batches identically to re-ranking the remainder
     each pass (each successful pass removes exactly the top
     batch_limit per prefix), but the manifest listing, anti-join, and
@@ -258,75 +262,99 @@ def _drain_ranked(
     batch_limit: int,
     max_passes: int,
 ) -> tuple[DataFrame, int]:
+    # The manifest of file names is collected in chunks of 32 passes'
+    # worth at a time (driver memory stays bounded by the chunk, never
+    # the dropbox size), then each pass claims its per-prefix rank
+    # slice from the chunk - one collect job amortized over 32 passes
+    # instead of one per pass.  Chunk size is a multiple of
+    # batch_limit, so a pass never straddles two chunks.
+    chunk = 32 * batch_limit
+    # explicit schema skips the footer-inference job; listing the
+    # batch's explicit paths driver-side (threshold above the batch
+    # size) skips the one-task-per-file discovery job; and because
+    # a dropbox batch is many KB-scale files, bin-pack tens of them
+    # per scan task (openCost 16k / split 512k) so task count
+    # tracks the batch, not one-file-one-task.  The packing confs
+    # are read at physical planning, so they stay set through each
+    # pass's action (the append write) and are restored at the end.
+    tuned = {
+        "spark.sql.sources.parallelPartitionDiscovery.threshold": str(
+            max(2 * batch_limit + 1, 32)
+        ),
+        "spark.sql.files.openCostInBytes": "16384",
+        "spark.sql.files.maxPartitionBytes": "524288",
+    }
+    saved = {k: spark.conf.get(k) for k in tuned}
+    for k, v in tuned.items():
+        spark.conf.set(k, v)
     n_passes = 0
-    while n_passes < max_passes:
-        lo = n_passes * batch_limit
-        batch = (
-            ranked.filter(
-                (F.col("_rk") > lo) & (F.col("_rk") <= lo + batch_limit)
+    lo = 0
+    failed = False
+    try:
+        while not failed and n_passes < max_passes:
+            rows = (
+                ranked.filter((F.col("_rk") > lo) & (F.col("_rk") <= lo + chunk))
+                .select("path", "_rk")
+                .collect()
             )
-            .select("file_name", "path")
-            .collect()
-        )
-        if not batch:
-            break
-        paths = [r["path"] for r in batch]
-        base = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
-        # explicit schema skips the footer-inference job; listing the
-        # batch's explicit paths driver-side (threshold above the batch
-        # size) skips the one-task-per-file discovery job; and because
-        # a dropbox batch is many KB-scale files, bin-pack tens of them
-        # per scan task (openCost 16k / split 512k) so task count
-        # tracks the batch, not one-file-one-task.  The packing confs
-        # are read at physical planning, so they stay set through the
-        # pass's action (the merge write) and are restored after.
-        tuned = {
-            "spark.sql.sources.parallelPartitionDiscovery.threshold": str(
-                max(len(paths) + 1, 32)
-            ),
-            "spark.sql.files.openCostInBytes": "16384",
-            "spark.sql.files.maxPartitionBytes": "524288",
-        }
-        saved = {k: spark.conf.get(k) for k in tuned}
-        for k, v in tuned.items():
-            spark.conf.set(k, v)
-        try:
-            reader = spark.read.schema("event_id long, ts timestamp").parquet(*paths)
-            files_events = reader.select(
-                "event_id",
-                "ts",
-                base.alias("file_name"),
-                F.regexp_extract(base, r"^(iceberghd_[a-z]+)_run", 1).alias("prefix"),
-                F.regexp_extract(base, r"_run(\d{6})_", 1).cast("long").alias("run"),
-            )
-            rows = _aggregate_metadata(files_events).withColumn(
-                "pass_id", F.lit(n_passes)
-            )
-            try:
-                catalog.merge(rows)
-            except Exception as exc:  # noqa: BLE001 - fail-stop parity
-                # the reference's errors_were_encountered flag (:84,226):
-                # a file its dumper cannot read logs an ERROR and stops
-                # the loop, leaving the remaining files for the next
-                # cron pass.  Same here: already-committed passes stand
-                # (the catalog is snapshot-consistent), nothing
-                # half-written.
-                import warnings
-
-                warnings.warn(
-                    f"metadata_etl pass {n_passes} failed ({exc}); stopping "
-                    f"with the catalog as of the last committed pass",
-                    RuntimeWarning,
-                    stacklevel=2,
-                )
+            if not rows:
                 break
-        finally:
-            for k, v in saved.items():
-                spark.conf.set(k, v)
-        n_passes += 1
+            by_pass: dict[int, list[str]] = {}
+            for r in rows:
+                by_pass.setdefault((r["_rk"] - 1) // batch_limit, []).append(r["path"])
+            for p in sorted(by_pass):
+                if n_passes >= max_passes:
+                    break
+                if not _run_pass(spark, by_pass[p], catalog, p):
+                    failed = True
+                    break
+                n_passes += 1
+            lo += chunk
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
     out = catalog.read(spark)
     if out is None:
         raise ValueError(
             "metadata_etl committed nothing: empty dropbox or first pass failed"
         )
     return out, n_passes
+
+
+def _run_pass(
+    spark: SparkSession, paths: list[str], catalog: MergeTable, pass_id: int
+) -> bool:
+    """One A29 pass: extract + aggregate the claimed files, commit via
+    fast-append (the upfront catalog anti-join guarantees the keys are
+    new, so the commit writes ONLY this pass's rows - Iceberg's append
+    snapshot - instead of rewriting the catalog every pass).  Returns
+    False on failure (fail-stop; committed passes stand)."""
+    base = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+    reader = spark.read.schema("event_id long, ts timestamp").parquet(*paths)
+    files_events = reader.select(
+        "event_id",
+        "ts",
+        base.alias("file_name"),
+        F.regexp_extract(base, r"^(iceberghd_[a-z]+)_run", 1).alias("prefix"),
+        F.regexp_extract(base, r"_run(\d{6})_", 1).cast("long").alias("run"),
+    )
+    rows = _aggregate_metadata(files_events).withColumn("pass_id", F.lit(pass_id))
+    try:
+        catalog.append(rows.coalesce(1))
+        return True
+    except Exception as exc:  # noqa: BLE001 - fail-stop parity
+        # the reference's errors_were_encountered flag (:84,226):
+        # a file its dumper cannot read logs an ERROR and stops
+        # the loop, leaving the remaining files for the next
+        # cron pass.  Same here: already-committed passes stand
+        # (the catalog is snapshot-consistent), nothing
+        # half-written.
+        import warnings
+
+        warnings.warn(
+            f"metadata_etl pass {pass_id} failed ({exc}); stopping "
+            f"with the catalog as of the last committed pass",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return False

@@ -32,8 +32,12 @@ cluster:
                                      manifest references (covers dirs
                                      left by a crash mid-commit)
 
-A *manifest* ``v{n}.json`` records ``{version, data_dir, schema}``
-where schema is a list of ``{name, type, physical, default}`` fields:
+A *manifest* ``v{n}.json`` records ``{version, data_dirs, schema}``
+where ``data_dirs`` is the ordered list of data directories making up
+the snapshot (one for a rewrite commit; several after
+:meth:`MergeTable.append` fast-append commits, Iceberg's append
+snapshot that writes only the new rows) and schema is a list of
+``{name, type, physical, default}`` fields:
 ``physical`` is the column's name inside the parquet files (a renamed
 column keeps its old physical name, exactly like Iceberg's field-id
 mapping) or ``null`` for a column added after the data was written
@@ -69,6 +73,11 @@ from pyspark.sql import functions as F
 
 _POINTER = "_CURRENT"
 _DATA_DIR_RE = re.compile(r"^[dv]\d{6}$")
+
+
+def _data_dirs(manifest: dict) -> list[str]:
+    """The snapshot's data dirs (accepts the older single-dir form)."""
+    return manifest.get("data_dirs") or [manifest["data_dir"]]
 
 
 @contextmanager
@@ -152,13 +161,13 @@ class MergeTable:
                     f"{self.keep_versions})"
                 )
             return spark.read.parquet(self._version_dir(v))
-        data_dir = os.path.join(self.path, m["data_dir"])
-        if not os.path.isdir(data_dir):
+        dirs = [os.path.join(self.path, d) for d in _data_dirs(m)]
+        if not all(os.path.isdir(d) for d in dirs):
             raise ValueError(
                 f"version {v} not retained (current {cur}, keep_versions "
                 f"{self.keep_versions})"
             )
-        df = spark.read.parquet(data_dir)
+        df = spark.read.parquet(*dirs)
         # logical view: physical->logical rename; physically absent
         # columns (added post-write) read as their default
         cols = []
@@ -199,16 +208,16 @@ class MergeTable:
             }
             for f in df.schema.fields
         ]
-        return self._commit_manifest(v, data_dir, schema)
+        return self._commit_manifest(v, [data_dir], schema)
 
-    def _commit_manifest(self, v: int, data_dir: str, schema: list[dict]) -> int:
+    def _commit_manifest(self, v: int, data_dirs: list[str], schema: list[dict]) -> int:
         """Manifest first, pointer second: a crash between the two
         leaves a stale manifest the next commit overwrites (and whose
         data dir the GC reclaims once unreferenced), never a pointer
         to a missing snapshot."""
         _atomic_write(
             self._manifest_path(v),
-            json.dumps({"version": v, "data_dir": data_dir, "schema": schema}),
+            json.dumps({"version": v, "data_dirs": data_dirs, "schema": schema}),
         )
         _atomic_write(self._pointer(), str(v))
         self._expire_and_gc_locked(v)
@@ -233,7 +242,7 @@ class MergeTable:
             if v in keep:
                 man = self._load_manifest(v)
                 if man:
-                    referenced.add(man["data_dir"])
+                    referenced.update(_data_dirs(man))
             else:
                 os.unlink(os.path.join(self.path, entry))
                 removed.append(entry)
@@ -286,7 +295,7 @@ class MergeTable:
                 {"name": name, "type": dtype, "physical": None, "default": default}
             ]
             return self._commit_manifest(
-                self.current_version() + 1, m["data_dir"], schema
+                self.current_version() + 1, _data_dirs(m), schema
             )
 
     def rename_column(self, old: str, new: str) -> int:
@@ -308,12 +317,49 @@ class MergeTable:
                     new if k == old else k for k in self.key_cols
                 )
             return self._commit_manifest(
-                self.current_version() + 1, m["data_dir"], schema
+                self.current_version() + 1, _data_dirs(m), schema
             )
 
     # -- write API ----------------------------------------------------
     def overwrite(self, df: DataFrame) -> int:
         return self._commit(df)
+
+    def append(self, updates: DataFrame) -> int:
+        """Iceberg fast-append: commit ONLY the new rows as an
+        additional data dir - no read of the current snapshot, no
+        rewrite of existing data, O(new rows) regardless of table
+        size.  Precondition (same as Iceberg's append): the caller
+        guarantees updates' keys are not already present - append
+        never checks.  When keys might collide, use :meth:`merge`.
+
+        Requires the table's physical schema to match updates (same
+        column set, no pending metadata-only adds/renames); otherwise
+        raises - merge() materializes the evolved schema first."""
+        with _commit_lock(self.path):
+            cur = self.current_version()
+            if cur is None:
+                return self._commit_locked(updates)
+            m = self._load_manifest(cur)
+            if m is None:
+                raise ValueError(
+                    f"legacy table {self.path} has no manifest; run compact() "
+                    "once before append()"
+                )
+            names = [f["name"] for f in m["schema"]]
+            if sorted(names) != sorted(updates.columns) or any(
+                f["physical"] != f["name"] for f in m["schema"]
+            ):
+                raise ValueError(
+                    f"append() needs a physical schema match (table {names}, "
+                    f"updates {updates.columns}); use merge() after schema "
+                    "evolution"
+                )
+            v = cur + 1
+            data_dir = f"d{v:06d}"
+            updates.select(*names).write.mode("overwrite").parquet(
+                os.path.join(self.path, data_dir)
+            )
+            return self._commit_manifest(v, _data_dirs(m) + [data_dir], m["schema"])
 
     def merge(self, updates: DataFrame, evolve_schema: bool = False) -> int:
         """MERGE INTO this table USING updates ON key_cols:
