@@ -111,37 +111,81 @@ def emit_line(out: dict) -> str:
 
 
 def measure_streaming(spark) -> dict:
-    """Data-plane throughput: frames/s through decode + TPG + TA windows
-    (the BASELINE 'sustained >= source rate' gate).  24 source
-    partitions mirror the reference's 24 UDP streams; the emulated
-    nominal rate is 500k frames/s/stream (125-tick period at 62.5 MHz).
-    """
+    """Data-plane throughput (the BASELINE 'sustained >= source rate'
+    gate), two legs:
+
+    - ``frames_per_sec``: decode + TPG + TA windows (the hot plane).
+    - ``e2e_frames_per_sec``: the WHOLE reference pipeline - decode +
+      TPG + TA + TD interval merge with the mlt_max_td_length cap
+      (A27) + the asymmetric -1000/+1001-tick readout interval join
+      (A19) back against the frame stream, i.e. trigger-record
+      assembly end to end.
+
+    24 source partitions mirror the reference's 24 UDP streams; the
+    emulated nominal rate is 500k frames/s/stream (125-tick period at
+    62.5 MHz)."""
     import shutil
     import tempfile
 
+    from pyspark.sql import functions as F
+
     from iceberg_daq_spark.streaming import plan
     from iceberg_daq_spark.streaming.emulator import frame_plan, with_packed_payload
+    from iceberg_daq_spark.streaming.pipeline import (
+        MLT_BUFFER_TIMEOUT_MS,
+        MLT_MAX_TD_TICKS,
+        READOUT_AFTER_TICKS,
+        READOUT_BEFORE_TICKS,
+    )
 
     n_frames, src_ids = 20_000, list(range(24))
+    repeat = int(
+        os.environ.get("BENCH_STREAM_REPEAT", os.environ.get("BENCH_REPEAT", "3"))
+    )
+
+    def best_of(df_builder) -> float:
+        # best-of-N with the SAME default repeat as the batch loop:
+        # pass 1 pays Python-worker spin-up + whole-stage-codegen JIT
+        # for the decode UDF, and a single noisy pass on a loaded host
+        # must not read the plane below its nominal source rate
+        dt = None
+        for _ in range(repeat):
+            t0 = time.perf_counter()
+            df_builder().write.mode("overwrite").format("noop").save()
+            d1 = time.perf_counter() - t0
+            dt = d1 if dt is None else min(dt, d1)
+        return dt
+
     d = tempfile.mkdtemp(prefix="bench_frames_")
     try:
         with_packed_payload(frame_plan(spark, n_frames, src_ids)).repartition(
             24
         ).write.mode("overwrite").parquet(d)
         frames = spark.read.parquet(d)
-        # best-of-N with the SAME default repeat as the batch loop:
-        # pass 1 pays Python-worker spin-up + whole-stage-codegen JIT
-        # for the decode UDF, and a single noisy pass on a loaded host
-        # must not read the plane below its nominal source rate
-        dt = None
-        for _ in range(int(os.environ.get("BENCH_STREAM_REPEAT",
-                                          os.environ.get("BENCH_REPEAT", "3")))):
-            t0 = time.perf_counter()
-            plan.ta_windows(plan.decode_hits(frames)).write.mode(
-                "overwrite"
-            ).format("noop").save()
-            d1 = time.perf_counter() - t0
-            dt = d1 if dt is None else min(dt, d1)
+
+        def plane():
+            return plan.ta_windows(plan.decode_hits(frames))
+
+        def e2e():
+            tds = plan.merge_decisions(
+                plan.ta_windows(plan.decode_hits(frames)),
+                max_gap_ticks=MLT_BUFFER_TIMEOUT_MS * 62_500,
+                max_td_ticks=MLT_MAX_TD_TICKS,
+            ).select(
+                F.col("src_id").alias("td_src"), "td_start_tick", "td_end_tick"
+            )
+            # TD rate is Hz/stream at any scale -> broadcast the
+            # decisions; the readout join is then a map-only pass over
+            # the frame stream (no shuffle of frame data)
+            return frames.select("src_id", "seq", "ts_ticks").join(
+                F.broadcast(tds),
+                (F.col("src_id") == F.col("td_src"))
+                & (F.col("ts_ticks") >= F.col("td_start_tick") - READOUT_BEFORE_TICKS)
+                & (F.col("ts_ticks") <= F.col("td_end_tick") + READOUT_AFTER_TICKS),
+            )
+
+        dt = best_of(plane)
+        dt_e2e = best_of(e2e)
         total_frames = n_frames * len(src_ids)
         return {
             "frames": total_frames,
@@ -149,6 +193,8 @@ def measure_streaming(spark) -> dict:
             "wall_sec": round(dt, 3),
             "frames_per_sec": round(total_frames / dt),
             "samples_per_sec": round(total_frames * 64 / dt),
+            "e2e_wall_sec": round(dt_e2e, 3),
+            "e2e_frames_per_sec": round(total_frames / dt_e2e),
         }
     finally:
         shutil.rmtree(d, ignore_errors=True)
