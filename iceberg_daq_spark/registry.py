@@ -68,25 +68,14 @@ def all_queries() -> dict[str, QuerySpec]:
 #   6. rows-only queries (the driver can never hash-verify these; local
 #      tests assert their semantics) - always last.
 _CHECK_FIRST = [
-    # never driver-checked (registered in round 6)
-    "q69_sequence_packing",
-    "q70_mixture_rebalance",
-    "q71_repetition_score",
-    # implementation changed in round 6 - want a fresh driver row
-    "q31_metadata_docs",
+    # implementation changed in round 7 (ETL fast-append rework +
+    # tablestore manifest layer) - want a fresh driver row
     "q37_metadata_etl_e2e",
-    # out of the window since r2 (rotated out as double-confirmed then;
-    # bring them back before anything confirmed as recently as r5)
-    "q01_scan_filter_project",
-    "q02_pushdown_shapes",
-    "q03_inner_join_agg",
-    "q04_broadcast_join",
-    "q06_left_outer_join",
-    "q11_cross_join",
-    "q13_distinct_agg",
-]
-_CHECK_LAST = [
-    # confirmed in r1 AND r5 - safest to rotate past the window
+    "q68_metadata_json_docs",
+    "q35_run_allocator",
+    # last driver-confirmed in r5, rotated out during r6 - freshest
+    # green row is 2 rounds old, bring them back before anything
+    # confirmed in r6
     "q46_text_langid",
     "q47_text_quality",
     "q48_token_count",
@@ -97,6 +86,20 @@ _CHECK_LAST = [
     "q53_audio_stats",
     "q58_corpus_profile",
     "q64_stratified_sample",
+]
+_CHECK_LAST = [
+    # confirmed in r6 AND at least two earlier rounds - safest to
+    # rotate past the window this round
+    "q01_scan_filter_project",
+    "q02_pushdown_shapes",
+    "q03_inner_join_agg",
+    "q04_broadcast_join",
+    "q05_multiway_join",
+    "q06_left_outer_join",
+    "q07_left_semi_join",
+    "q11_cross_join",
+    "q12_hash_agg_measures",
+    "q13_distinct_agg",
 ]
 
 

@@ -110,18 +110,69 @@ class _SocketEmitter:
         self._thread.join(timeout)
 
 
+class _KafkaEmitter:
+    """The real Kafka transport (``opmon_impl`` "cern",
+    iceberg_daq_eth.json:14-16): progress rows buffered on the bus
+    thread, shipped from the owning thread as JSON values through
+    Spark's Kafka sink (``format("kafka")``).  Selected whenever a
+    broker URL is configured; this container has no broker (or Kafka
+    connector jar), so ship() here can only be exercised for branch
+    selection - on a cluster it is the one write call."""
+
+    def __init__(self, spark: SparkSession, brokers: str, topic: str):
+        self._spark = spark
+        self.brokers = brokers
+        self.topic = topic
+        self._rows: list[dict] = []
+        self._lock = threading.Lock()
+
+    def emit(self, row: dict) -> None:
+        with self._lock:
+            self._rows.append(row)
+
+    def ship(self) -> int:
+        """Write buffered rows to the topic; returns rows shipped.
+        Runs on the owning thread (Spark actions are illegal on the
+        listener bus)."""
+        from pyspark.sql import functions as F
+
+        with self._lock:
+            rows, self._rows = self._rows, []
+        if not rows:
+            return 0
+        (
+            self._spark.createDataFrame(rows, OPMON_SCHEMA)
+            .select(
+                F.concat_ws("/", "query_id", "run_id", "batch_id").alias("key"),
+                F.to_json(F.struct("*")).alias("value"),
+            )
+            .write.format("kafka")
+            .option("kafka.bootstrap.servers", self.brokers)
+            .option("topic", self.topic)
+            .save()
+        )
+        return len(rows)
+
+    def close(self) -> None:
+        pass
+
+
 class OpmonMonitor(StreamingQueryListener):
     """Collects per-batch progress for every query on the session and
-    upserts it into the opmon table on flush().  With ``push_addr``
-    each progress row is ALSO pushed live over TCP (A9 transport
-    parity: the table is the queryable store, the socket feed is the
-    push pipe a Kafka topic provides in the reference)."""
+    upserts it into the opmon table on flush().  Push transport for A9
+    parity (the table is the queryable store, the push feed is the
+    pipe the reference's Kafka topic provides): with ``kafka_brokers``
+    configured, progress rows ship through Spark's Kafka sink on
+    flush(); otherwise with ``push_addr`` each row streams live as
+    newline JSON over TCP (the no-broker container analog)."""
 
     def __init__(
         self,
         spark: SparkSession,
         table_dir: str,
         push_addr: tuple[str, int] | None = None,
+        kafka_brokers: str | None = None,
+        kafka_topic: str = "opmon",
     ):
         self._spark = spark
         self.table = MergeTable(
@@ -129,7 +180,12 @@ class OpmonMonitor(StreamingQueryListener):
         )
         self._rows: list[dict] = []
         self._lock = threading.Lock()
-        self._emitter = _SocketEmitter(push_addr) if push_addr else None
+        # broker configured -> the real Kafka branch wins
+        self._emitter = (
+            _KafkaEmitter(spark, kafka_brokers, kafka_topic)
+            if kafka_brokers
+            else _SocketEmitter(push_addr) if push_addr else None
+        )
 
     # -- listener-bus callbacks (no Spark actions here) ----------------
     def onQueryStarted(self, event) -> None:
@@ -174,10 +230,13 @@ class OpmonMonitor(StreamingQueryListener):
             self._emitter.close()
 
     def flush(self):
-        """Upsert buffered progress rows into the opmon table; returns
+        """Upsert buffered progress rows into the opmon table (and
+        ship the Kafka buffer when that transport is selected); returns
         the table DataFrame (None if nothing has ever been flushed)."""
         with self._lock:
             rows, self._rows = self._rows, []
         if rows:
             self.table.merge(self._spark.createDataFrame(rows, OPMON_SCHEMA))
+        if isinstance(self._emitter, _KafkaEmitter):
+            self._emitter.ship()
         return self.table.read(self._spark)

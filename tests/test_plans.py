@@ -302,3 +302,31 @@ def test_q71_partial_agg_before_window(spark, sf_dir):
         "Generate"
     ), tree
     assert "partial_count" in plan
+
+
+def test_dedup_shingle_joins_keep_aqe_skew_applicable(spark, sf_dir):
+    """The 100 TB skew story for the dedup family is two-layered: the
+    df_max valve bounds hot-shingle blowup algorithmically, and AQE
+    skew-join splits any residual skewed partition at runtime.  The
+    second layer only engages when the shingle self-join shuffles via
+    ENSURE_REQUIREMENTS - a manual repartition() on the join key would
+    mark the exchange REPARTITION_BY_COL and exclude it from skew
+    splitting.  Assert the session flags are on and the q41/q42 plans
+    keep the join exchanges AQE-owned (no user-forced shuffle origin)."""
+    from iceberg_daq_spark.registry import all_queries
+
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    specs = all_queries()
+    spark.catalog.clearCache()
+    for name in ("q41_dedup_ngram_jaccard", "q42_dedup_minhash_lsh"):
+        plan = plan_of(specs[name].fn(spark, sf_dir))
+        assert "AdaptiveSparkPlan" in plan, f"{name}: AQE not planning the query"
+        tree = plan.split("\n\n")[0]
+        # user-forced shuffle origins (repartition/rebalance hints) on
+        # the candidate-join path would defeat skew splitting
+        assert "REPARTITION_BY_COL" not in tree, f"{name}: manual repartition"
+        assert "REPARTITION_BY_NUM" not in tree, f"{name}: manual repartition"
+        # the candidate join itself is an equi-join (skew-splittable),
+        # never a nested-loop/cartesian
+        assert "CartesianProduct" not in tree and "BroadcastNestedLoop" not in tree

@@ -461,3 +461,37 @@ def test_opmon_socket_push_feed(spark, frames_dir, tmp_path):
     # listener bus is async, same caveat the table test documents)
     pushed_keys = {(p["query_id"], p["run_id"], p["batch_id"]) for p in pushed}
     assert stored <= pushed_keys
+
+
+def test_opmon_kafka_branch_selection(spark, tmp_path):
+    """A9 transport parity: a configured broker URL selects the Kafka
+    emitter (writeStream.format('kafka') path) over the TCP analog;
+    without one the socket / no-op branches apply.  No broker or Kafka
+    connector jar ships in this container, so only selection and
+    buffering are exercised here; on a cluster ship() is the one
+    Kafka write call."""
+    from iceberg_daq_spark.streaming.monitor import (
+        OpmonMonitor,
+        _KafkaEmitter,
+        _SocketEmitter,
+    )
+
+    kafka_mon = OpmonMonitor(
+        spark,
+        str(tmp_path / "op_k"),
+        push_addr=("127.0.0.1", 1),  # broker wins even with both set
+        kafka_brokers="broker1:9092,broker2:9092",
+        kafka_topic="opmon.metrics",
+    )
+    assert isinstance(kafka_mon._emitter, _KafkaEmitter)
+    assert kafka_mon._emitter.brokers == "broker1:9092,broker2:9092"
+    assert kafka_mon._emitter.topic == "opmon.metrics"
+    # buffered rows survive until ship(); nothing to ship -> 0
+    assert kafka_mon._emitter.ship() == 0
+    kafka_mon._emitter.emit({"query_id": "q", "run_id": "r", "batch_id": 1})
+    assert len(kafka_mon._emitter._rows) == 1
+
+    sock_mon = OpmonMonitor(spark, str(tmp_path / "op_s"), push_addr=("127.0.0.1", 1))
+    assert isinstance(sock_mon._emitter, _SocketEmitter)
+    sock_mon._emitter.close()
+    assert OpmonMonitor(spark, str(tmp_path / "op_n"))._emitter is None
