@@ -798,3 +798,125 @@ def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_tokens", "n_distinct", "rep_pct", "top_token", "top_count")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q72_source_cap",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 50
+    ORDER BY source, rk
+    """,
+)
+def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source capping - bound each source/domain's contribution to
+    the corpus at K docs (longest-first, doc_id tiebreak), the
+    over-representation control every crawl-derived corpus applies
+    before mixing.
+
+    Idiomatic rank<=K window filter: Catalyst rewrites it to
+    WindowGroupLimit with a PARTIAL pass before the shuffle (asserted
+    in tests/test_plans.py), so every map task forwards at most K rows
+    per source it sees - a million-doc hot domain ships K rows per
+    task, not a million rows to one reducer.  That optimizer rewrite
+    is the whole scale story; no manual salting needed."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        d.select("source", "doc_id", "n_chars")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 50)
+        .orderBy("source", "rk")
+    )
+
+
+@register(
+    "q73_cluster_retention",
+    oracle="""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, s
+      FROM tok, LATERAL UNNEST(
+        list_transform(
+          generate_series(1, greatest(len(w) - 2, 0)),
+          i -> concat_ws(' ', w[i], w[i+1], w[i+2])
+        )
+      ) AS t(s)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT doc_a, doc_b FROM common
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.5
+    ), edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ), reach(u, v) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ), comp AS (
+      SELECT u, min(v) AS component FROM reach GROUP BY u
+    ), members AS (
+      SELECT d.doc_id, CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS component,
+             d.n_chars
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.u
+    )
+    SELECT component,
+           CAST(max_by(doc_id, n_chars * 4294967296 - doc_id) AS BIGINT) AS rep_doc,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(count(*) - 1 AS BIGINT) AS n_dropped
+    FROM members
+    GROUP BY component
+    ORDER BY component
+    """,
+)
+def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-representative retention - the step after dedup
+    clustering that keeps exactly ONE doc per near-dup cluster (the
+    longest; doc_id tiebreak) and drops the rest, turning q57's
+    components into the final keep/drop decision.
+
+    Composes the q41/q57 machinery (df_max-valved pair discovery +
+    min-label propagation), then resolves representatives with a
+    single hash aggregate: argmax via max_by on the composite key
+    n_chars * 2^32 - doc_id (longest wins, lowest doc_id breaks ties;
+    stays far under int64 at any plausible doc size) - partial+final
+    combinable, so no per-cluster sort and no window shuffle; the
+    giant-cluster case (boilerplate collapsing a corpus slice to one
+    group) costs one combiner row per map task, not a reducer-side
+    sort of the whole cluster."""
+    d = load(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.5, df_max=128)
+    members = dedup.dedup_groups(d, pairs).join(
+        d.select("doc_id", "n_chars"), "doc_id"
+    )
+    key = F.col("n_chars") * F.lit(4294967296) - F.col("doc_id")
+    return (
+        members.groupBy("component")
+        .agg(
+            F.max_by("doc_id", key).cast("long").alias("rep_doc"),
+            F.count("*").alias("n_members"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .withColumn("n_dropped", F.col("n_members") - 1)
+        .orderBy("component")
+    )

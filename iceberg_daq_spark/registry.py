@@ -68,6 +68,14 @@ def all_queries() -> dict[str, QuerySpec]:
 #   6. rows-only queries (the driver can never hash-verify these; local
 #      tests assert their semantics) - always last.
 _CHECK_FIRST = [
+    # never driver-checked (registered in round 7)
+    "q72_source_cap",
+    "q73_cluster_retention",
+    # confirmed only once (r6) - keep in the window over anything
+    # multiply-confirmed
+    "q69_sequence_packing",
+    "q70_mixture_rebalance",
+    "q71_repetition_score",
     # implementation changed in round 7 (ETL fast-append rework +
     # tablestore manifest layer) - want a fresh driver row
     "q37_metadata_etl_e2e",
@@ -100,6 +108,8 @@ _CHECK_LAST = [
     "q11_cross_join",
     "q12_hash_agg_measures",
     "q13_distinct_agg",
+    "q21_sort_limit_topk",
+    "q36_config_rewrite",
 ]
 
 

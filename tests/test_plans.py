@@ -330,3 +330,19 @@ def test_dedup_shingle_joins_keep_aqe_skew_applicable(spark, sf_dir):
         # the candidate join itself is an equi-join (skew-splittable),
         # never a nested-loop/cartesian
         assert "CartesianProduct" not in tree and "BroadcastNestedLoop" not in tree
+
+
+def test_q72_window_group_limit_partial(spark, sf_dir):
+    """Per-source cap: the rank<=K filter must plan as WindowGroupLimit
+    with a PARTIAL pass below the shuffle and FINAL above it - each map
+    task forwards at most K rows per source, so a hot domain never
+    ships its full row set to one reducer."""
+    from iceberg_daq_spark.registry import all_queries
+
+    plan = plan_of(all_queries()["q72_source_cap"].fn(spark, sf_dir))
+    i_partial = plan.index("row_number(), 50, Partial")
+    i_final = plan.index("row_number(), 50, Final")
+    # details print in execution order: Partial feeds an Exchange which
+    # feeds Final
+    i_exchange = plan.index(") Exchange", i_partial)
+    assert i_partial < i_exchange < i_final, plan
