@@ -138,7 +138,11 @@ def measure_streaming(spark) -> dict:
         READOUT_BEFORE_TICKS,
     )
 
-    n_frames, src_ids = 20_000, list(range(24))
+    # 40k frames x 24 streams: a window long enough that fixed costs
+    # (Python worker spin-up, per-job latency, the 24-group TD fold)
+    # amortize - at 20k the e2e leg's reported rate was dominated by
+    # those constants rather than the plane's actual throughput
+    n_frames, src_ids = 40_000, list(range(24))
     repeat = int(
         os.environ.get("BENCH_STREAM_REPEAT", os.environ.get("BENCH_REPEAT", "3"))
     )
