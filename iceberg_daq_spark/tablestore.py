@@ -23,6 +23,14 @@ cluster:
     name mapping, no rewrite)        manifest that reuses the current
                                      data dir; logical->physical name
                                      mapping applied on read
+  partition spec + spec            ``partition_spec`` recorded per
+    evolution (a new spec            manifest; data commits write
+    applies to future data           ``partitionBy(spec)``;
+    files only)                      :meth:`set_partition_spec` is a
+                                     metadata-only commit - old dirs
+                                     keep their layout, mixed-era
+                                     reads union per-dir scans each
+                                     with its own partition pruning
   optimistic locking               an flock'd commit section (A46,
                                      the reference's cron lockfile,
                                      createMetadatafiles...sh:45-47)
@@ -106,12 +114,16 @@ def _atomic_write(path: str, text: str) -> None:
 @dataclass
 class MergeTable:
     """A keyed table with MERGE-upsert writes, atomic versioned
-    commits, metadata-only schema evolution, and orphan-file GC.
-    ``key_cols`` is the MERGE ON clause."""
+    commits, metadata-only schema evolution, partition specs with
+    spec evolution, and orphan-file GC.  ``key_cols`` is the MERGE ON
+    clause; ``partition_spec`` seeds a NEW table's layout (an existing
+    table's manifest wins - use :meth:`set_partition_spec` to evolve
+    it)."""
 
     path: str
     key_cols: tuple[str, ...]
     keep_versions: int = 2
+    partition_spec: tuple[str, ...] = ()
 
     # -- pointers and manifests ---------------------------------------
     def _pointer(self) -> str:
@@ -161,19 +173,39 @@ class MergeTable:
                     f"{self.keep_versions})"
                 )
             return spark.read.parquet(self._version_dir(v))
-        dirs = [os.path.join(self.path, d) for d in _data_dirs(m)]
+        names = _data_dirs(m)
+        dirs = [os.path.join(self.path, d) for d in names]
         if not all(os.path.isdir(d) for d in dirs):
             raise ValueError(
                 f"version {v} not retained (current {cur}, keep_versions "
                 f"{self.keep_versions})"
             )
-        df = spark.read.parquet(*dirs)
-        # logical view: physical->logical rename; physically absent
-        # columns (added post-write) read as their default
+        dir_specs = m.get("dir_specs") or {}
+        if not any(dir_specs.get(n) for n in names):
+            # unpartitioned snapshot: one multi-path scan
+            df = spark.read.parquet(*dirs)
+        else:
+            # partitioned (possibly mixed-spec after spec evolution):
+            # per-dir scans - each dir self-describes its layout and
+            # keeps its own PartitionFilters pruning - unioned by the
+            # shared physical column set
+            from functools import reduce
+
+            phys = [f["physical"] for f in m["schema"] if f["physical"] is not None]
+            df = reduce(
+                DataFrame.unionByName,
+                (spark.read.parquet(d).select(*phys) for d in dirs),
+            )
+        # logical view: physical->logical rename (cast pins the type -
+        # partition-directory inference may narrow e.g. bigint to int);
+        # physically absent columns (added post-write) read as their
+        # default
         cols = []
         for fld in m["schema"]:
             if fld["physical"] is not None:
-                cols.append(F.col(fld["physical"]).alias(fld["name"]))
+                cols.append(
+                    F.col(fld["physical"]).cast(fld["type"]).alias(fld["name"])
+                )
             else:
                 cols.append(
                     F.lit(fld.get("default")).cast(fld["type"]).alias(fld["name"])
@@ -187,11 +219,28 @@ class MergeTable:
         with _commit_lock(self.path):
             return self._commit_locked(df)
 
+    def _current_spec(self) -> list[str]:
+        """The active partition spec: the manifest's (the table's
+        persistent property) or, for a not-yet-committed table, the
+        constructor seed."""
+        cur = self.current_version()
+        m = self._load_manifest(cur) if cur else None
+        if m is not None:
+            return list(m.get("partition_spec") or [])
+        return list(self.partition_spec)
+
+    def _write_data_dir(self, df: DataFrame, data_dir: str, spec: list[str]) -> None:
+        writer = df.write.mode("overwrite")
+        if spec:
+            writer = writer.partitionBy(*spec)
+        writer.parquet(os.path.join(self.path, data_dir))
+
     def _commit_locked(self, df: DataFrame) -> int:
         cur = self.current_version()
         v = (cur or 0) + 1
         data_dir = f"d{v:06d}"
-        df.write.mode("overwrite").parquet(os.path.join(self.path, data_dir))
+        spec = self._current_spec()
+        self._write_data_dir(df, data_dir, spec)
         # column defaults are table metadata (Iceberg keeps them across
         # snapshots): carry them forward through data rewrites so an
         # add_column default keeps applying to later old-shaped merges
@@ -208,16 +257,33 @@ class MergeTable:
             }
             for f in df.schema.fields
         ]
-        return self._commit_manifest(v, [data_dir], schema)
+        return self._commit_manifest(
+            v, [data_dir], schema, spec, {data_dir: spec} if spec else {}
+        )
 
-    def _commit_manifest(self, v: int, data_dirs: list[str], schema: list[dict]) -> int:
+    def _commit_manifest(
+        self,
+        v: int,
+        data_dirs: list[str],
+        schema: list[dict],
+        partition_spec: list[str] | None = None,
+        dir_specs: dict[str, list[str]] | None = None,
+    ) -> int:
         """Manifest first, pointer second: a crash between the two
         leaves a stale manifest the next commit overwrites (and whose
         data dir the GC reclaims once unreferenced), never a pointer
         to a missing snapshot."""
         _atomic_write(
             self._manifest_path(v),
-            json.dumps({"version": v, "data_dirs": data_dirs, "schema": schema}),
+            json.dumps(
+                {
+                    "version": v,
+                    "data_dirs": data_dirs,
+                    "schema": schema,
+                    "partition_spec": partition_spec or [],
+                    "dir_specs": dir_specs or {},
+                }
+            ),
         )
         _atomic_write(self._pointer(), str(v))
         self._expire_and_gc_locked(v)
@@ -295,7 +361,11 @@ class MergeTable:
                 {"name": name, "type": dtype, "physical": None, "default": default}
             ]
             return self._commit_manifest(
-                self.current_version() + 1, _data_dirs(m), schema
+                self.current_version() + 1,
+                _data_dirs(m),
+                schema,
+                m.get("partition_spec") or [],
+                m.get("dir_specs") or {},
             )
 
     def rename_column(self, old: str, new: str) -> int:
@@ -316,8 +386,37 @@ class MergeTable:
                 self.key_cols = tuple(
                     new if k == old else k for k in self.key_cols
                 )
+            # the spec names logical columns (it applies at write time
+            # to logical-named DataFrames), so a rename follows through
+            spec = [new if c == old else c for c in (m.get("partition_spec") or [])]
             return self._commit_manifest(
-                self.current_version() + 1, _data_dirs(m), schema
+                self.current_version() + 1,
+                _data_dirs(m),
+                schema,
+                spec,
+                m.get("dir_specs") or {},
+            )
+
+    def set_partition_spec(self, *cols: str) -> int:
+        """Iceberg partition-spec evolution analog: a metadata-only
+        commit that changes the layout for FUTURE data commits;
+        existing data dirs keep the layout they were written with
+        (reads of a mixed-era snapshot union per-dir scans, each with
+        its own partition pruning).  Pass no cols to drop
+        partitioning.  Cols must be schema columns; the spec engages
+        at the next data commit (merge/append/compact)."""
+        with _commit_lock(self.path):
+            m = self._require_manifest_locked()
+            names = {f["name"] for f in m["schema"]}
+            unknown = [c for c in cols if c not in names]
+            if unknown:
+                raise ValueError(f"partition spec references unknown columns {unknown}")
+            return self._commit_manifest(
+                self.current_version() + 1,
+                _data_dirs(m),
+                m["schema"],
+                list(cols),
+                m.get("dir_specs") or {},
             )
 
     # -- write API ----------------------------------------------------
@@ -356,10 +455,14 @@ class MergeTable:
                 )
             v = cur + 1
             data_dir = f"d{v:06d}"
-            updates.select(*names).write.mode("overwrite").parquet(
-                os.path.join(self.path, data_dir)
+            spec = list(m.get("partition_spec") or [])
+            self._write_data_dir(updates.select(*names), data_dir, spec)
+            dir_specs = dict(m.get("dir_specs") or {})
+            if spec:
+                dir_specs[data_dir] = spec
+            return self._commit_manifest(
+                v, _data_dirs(m) + [data_dir], m["schema"], spec, dir_specs
             )
-            return self._commit_manifest(v, _data_dirs(m) + [data_dir], m["schema"])
 
     def merge(self, updates: DataFrame, evolve_schema: bool = False) -> int:
         """MERGE INTO this table USING updates ON key_cols:

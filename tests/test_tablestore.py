@@ -112,6 +112,68 @@ def test_schema_evolution_metadata_only(spark, tmp_path):
     assert {r["k"] for r in t.read(spark).collect()} == {1, 2, 3, 4, 5}
 
 
+def test_partition_spec_and_evolution(spark, tmp_path):
+    """Iceberg partition-spec parity: a partitioned table writes
+    partitionBy(spec) data dirs and reads prune on the partition
+    filter; set_partition_spec is metadata-only and applies to FUTURE
+    data commits only, so a mixed-era snapshot unions per-dir scans
+    (old layout intact) and still returns exact contents; time travel
+    keeps each snapshot's own layout."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from iceberg_daq_spark.tablestore import MergeTable
+
+    t = MergeTable(
+        str(tmp_path / "pt"), key_cols=("k",), keep_versions=4,
+        partition_spec=("tier",),
+    )
+    t.merge(
+        spark.createDataFrame(
+            [(1, "raw", 10), (2, "raw", 20), (3, "tp", 30)], ["k", "tier", "v"]
+        )
+    )
+    # physical layout: tier=... partition dirs inside d000001
+    d1 = _os.path.join(t.path, "d000001")
+    assert sorted(e for e in _os.listdir(d1) if e.startswith("tier=")) == [
+        "tier=raw", "tier=tp",
+    ]
+    # partition pruning reaches the scan
+    pruned = t.read(spark).filter(F.col("tier") == "raw")
+    plan = pruned._sc._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters: [" in plan and "tier" in plan.split("PartitionFilters")[1].split("]")[0]
+    assert {r["k"] for r in pruned.collect()} == {1, 2}
+
+    # fast-append under the same spec
+    t.append(spark.createDataFrame([(4, "tp", 40)], ["k", "tier", "v"]))
+    assert {(r["k"], r["tier"]) for r in t.read(spark).collect()} == {
+        (1, "raw"), (2, "raw"), (3, "tp"), (4, "tp"),
+    }
+
+    # spec evolution: metadata-only; next data commit uses the new spec
+    v_evo = t.set_partition_spec()  # drop partitioning going forward
+    # the pre-evolution append dir keeps its partitioned layout
+    assert any(
+        e.startswith("tier=") for e in _os.listdir(_os.path.join(t.path, "d000002"))
+    )
+    t.append(spark.createDataFrame([(5, "raw", 50)], ["k", "tier", "v"]))
+    d_new = _os.path.join(t.path, f"d{v_evo + 1:06d}")
+    assert not any(e.startswith("tier=") for e in _os.listdir(d_new))
+    got = {r["k"]: (r["tier"], r["v"]) for r in t.read(spark).collect()}
+    assert got == {1: ("raw", 10), 2: ("raw", 20), 3: ("tp", 30),
+                   4: ("tp", 40), 5: ("raw", 50)}
+    # time travel to the pre-evolution snapshot
+    assert {r["k"] for r in t.read(spark, version=2).collect()} == {1, 2, 3, 4}
+
+    # rewrite materializes everything under the current (empty) spec
+    t.compact(spark)
+    got2 = {r["k"]: (r["tier"], r["v"]) for r in t.read(spark).collect()}
+    assert got2 == got
+
+
 def test_orphan_gc_after_crashed_commit(spark, tmp_path):
     """Crash-mid-commit cleanup (Iceberg expire_snapshots +
     remove_orphan_files): a data dir written without a manifest, and a
