@@ -325,6 +325,54 @@ class MergeTable:
                 removed.append(entry)
         return removed
 
+    def snapshots(self) -> list[dict]:
+        """The retained snapshots, oldest first (Iceberg's
+        ``snapshots`` metadata table): version, data dirs, partition
+        spec, and column names per retained manifest."""
+        out = []
+        for entry in sorted(os.listdir(self.path)):
+            mm = re.match(r"^v(\d{6})\.json$", entry)
+            if not mm:
+                continue
+            m = self._load_manifest(int(mm.group(1)))
+            if m is None:
+                continue
+            out.append(
+                {
+                    "version": m["version"],
+                    "data_dirs": _data_dirs(m),
+                    "partition_spec": m.get("partition_spec") or [],
+                    "columns": [f["name"] for f in m["schema"]],
+                    "current": m["version"] == self.current_version(),
+                }
+            )
+        return out
+
+    def rollback(self, version: int) -> int:
+        """Iceberg ``rollback_to_snapshot``: make a retained prior
+        ``version`` current again via a NEW metadata-only commit that
+        duplicates its manifest (versions stay monotonic; the bad
+        snapshot ages out of retention instead of being erased)."""
+        with _commit_lock(self.path):
+            cur = self.current_version()
+            if cur is None:
+                raise ValueError(f"rollback on uncommitted table {self.path}")
+            m = self._load_manifest(version)
+            if m is None or not all(
+                os.path.isdir(os.path.join(self.path, d)) for d in _data_dirs(m)
+            ):
+                raise ValueError(
+                    f"version {version} not retained (current {cur}, "
+                    f"keep_versions {self.keep_versions})"
+                )
+            return self._commit_manifest(
+                cur + 1,
+                _data_dirs(m),
+                m["schema"],
+                m.get("partition_spec") or [],
+                m.get("dir_specs") or {},
+            )
+
     def remove_orphans(self) -> list[str]:
         """Run expiry + orphan GC without committing (Iceberg
         ``remove_orphan_files`` as a standalone maintenance action);

@@ -174,6 +174,38 @@ def test_partition_spec_and_evolution(spark, tmp_path):
     assert got2 == got
 
 
+def test_snapshots_and_rollback(spark, tmp_path):
+    """Iceberg snapshots/rollback parity: snapshots() lists retained
+    versions; rollback(v) restores a prior snapshot's contents via a
+    new metadata-only commit (monotonic versions, no data rewrite)."""
+    import os as _os
+
+    from iceberg_daq_spark.tablestore import MergeTable
+
+    t = MergeTable(str(tmp_path / "rb"), key_cols=("k",), keep_versions=3)
+    t.merge(spark.createDataFrame([(1, "a")], ["k", "v"]))
+    t.merge(spark.createDataFrame([(1, "CORRUPTED"), (2, "b")], ["k", "v"]))
+    snaps = t.snapshots()
+    assert [s["version"] for s in snaps] == [1, 2]
+    assert snaps[-1]["current"] and not snaps[0]["current"]
+
+    before = sorted(_os.listdir(t.path))
+    v = t.rollback(1)
+    assert v == 3
+    # metadata-only: no new data dir appeared
+    added = set(_os.listdir(t.path)) - set(before)
+    assert added == {"v000003.json"}
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert got == {1: "a"}
+    # the bad snapshot is still retained (ages out, not erased)
+    assert {r["k"] for r in t.read(spark, version=2).collect()} == {1, 2}
+    with pytest.raises(ValueError):
+        t.rollback(99)
+    # writes continue normally on the restored lineage
+    t.merge(spark.createDataFrame([(3, "c")], ["k", "v"]))
+    assert {r["k"]: r["v"] for r in t.read(spark).collect()} == {1: "a", 3: "c"}
+
+
 def test_orphan_gc_after_crashed_commit(spark, tmp_path):
     """Crash-mid-commit cleanup (Iceberg expire_snapshots +
     remove_orphan_files): a data dir written without a manifest, and a
