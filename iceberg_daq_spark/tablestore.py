@@ -504,7 +504,17 @@ class MergeTable:
             v = cur + 1
             data_dir = f"d{v:06d}"
             spec = list(m.get("partition_spec") or [])
-            self._write_data_dir(updates.select(*names), data_dir, spec)
+            # coerce to the table's recorded types (Iceberg appends
+            # write the table schema): without the cast, an int64-typed
+            # source landing beside an int32 dir poisons every
+            # subsequent multi-dir read with a parquet type mismatch
+            aligned = updates.select(
+                *[
+                    F.col(f["name"]).cast(f["type"]).alias(f["name"])
+                    for f in m["schema"]
+                ]
+            )
+            self._write_data_dir(aligned, data_dir, spec)
             dir_specs = dict(m.get("dir_specs") or {})
             if spec:
                 dir_specs[data_dir] = spec

@@ -109,3 +109,111 @@ def test_merge_table_matches_dict_semantics(_spark, steps, tmp_path_factory):
         ref.update(dict(step))
     got = {r["k"]: r["v"] for r in t.read(_spark).collect()}
     assert got == ref
+
+
+# -- MergeTable op-sequence model test --------------------------------
+# Ops vocabulary: each entry is (tag, payload); payloads are drawn
+# small so every example stays a handful of tiny Spark jobs.
+_ops = st.lists(
+    st.one_of(
+        st.tuples(
+            st.just("merge"),
+            st.lists(
+                st.tuples(st.integers(0, 3), st.integers(0, 5)),
+                min_size=1, max_size=3,
+                unique_by=lambda kv: kv[0],
+            ),
+        ),
+        st.tuples(st.just("append"), st.integers(0, 5)),
+        st.tuples(st.just("add_column"), st.integers(0, 3)),
+        st.tuples(st.just("rollback"), st.integers(0, 100)),
+        st.tuples(st.just("compact"), st.just(0)),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(ops=_ops)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_merge_table_op_sequences_match_model(_spark, ops, tmp_path_factory):
+    """Random interleavings of merge / fast-append / add_column /
+    rollback / compact must match a straight-line python model:
+    merge replaces matched rows (missing columns -> their defaults),
+    append inserts new keys (and must REFUSE while a metadata-only
+    add_column is pending materialization), rollback restores any
+    retained snapshot, compact never changes contents."""
+    from iceberg_daq_spark.tablestore import MergeTable
+
+    t = MergeTable(
+        str(tmp_path_factory.mktemp("prop_ops") / "t"),
+        key_cols=("k",),
+        keep_versions=50,
+    )
+    # model: history[v] = (columns, defaults, data{key: {col: val}},
+    # physical_ok); index 0 = empty pre-commit state
+    cols = ["k", "v"]
+    hist = [(list(cols), {}, {}, True)]
+    fresh_key = 100
+    fresh_col = 0
+
+    def cur():
+        return hist[-1]
+
+    for tag, payload in ops:
+        columns, defaults, data, phys_ok = cur()
+        if tag == "merge":
+            rows = payload
+            new = dict(data)
+            for k, v in rows:
+                new[k] = {c: defaults.get(c) for c in columns}
+                new[k].update({"k": k, "v": v})
+            t.merge(_spark.createDataFrame(rows, "k int, v int"))
+            hist.append((list(columns), dict(defaults), new, True))
+        elif tag == "append":
+            k, v = fresh_key, payload
+            fresh_key += 1
+            row_df = _spark.createDataFrame(
+                [{c: (k if c == "k" else v if c == "v" else payload)
+                  for c in columns}]
+            ).select(*columns)
+            if not phys_ok and data:
+                with pytest.raises(ValueError, match="physical schema"):
+                    t.append(row_df)
+                continue
+            t.append(row_df)
+            new = dict(data)
+            new[k] = {c: (k if c == "k" else v if c == "v" else payload)
+                      for c in columns}
+            hist.append((list(columns), dict(defaults), new, phys_ok))
+        elif tag == "add_column":
+            if not data:
+                continue  # evolution requires a committed table
+            name = f"c{fresh_col}"
+            fresh_col += 1
+            t.add_column(name, "int", default=payload)
+            new = {k: {**r, name: payload} for k, r in data.items()}
+            hist.append(
+                (columns + [name], {**defaults, name: payload}, new, False)
+            )
+        elif tag == "rollback":
+            if len(hist) <= 1:
+                continue
+            v = payload % (len(hist) - 1) + 1  # a committed version
+            t.rollback(v)
+            hist.append(hist[v])
+        elif tag == "compact":
+            if not data:
+                continue
+            t.compact(_spark)
+            hist.append((list(columns), dict(defaults), dict(data), True))
+
+    columns, defaults, data, _ = cur()
+    out = t.read(_spark)
+    if not data:
+        assert out is None or out.count() == 0
+        return
+    assert out.columns == columns
+    got = {r["k"]: {c: r[c] for c in columns} for r in out.collect()}
+    assert got == data
