@@ -100,12 +100,26 @@ _TAIL_WINDOW = 1990
 
 
 def emit_line(out: dict) -> str:
-    for ndigits in (3, 2, 1):
+    # degrade precision, then shorten query names to their qNN prefix
+    # (still unique and joinable to BASELINE), before ever dropping
+    # per-query data
+    def variants():
+        for short in (False, True):
+            for ndigits in (3, 2, 1):
+                yield short, ndigits
+
+    for short, ndigits in variants():
         o = dict(out)
-        o["queries"] = {k: round(v, ndigits) for k, v in out["queries"].items()}
+        o["queries"] = {
+            (k.split("_")[0] if short else k): round(v, ndigits)
+            for k, v in out["queries"].items()
+        }
+        if len(o["queries"]) != len(out["queries"]):
+            continue  # prefix collision: stay with full names
         line = json.dumps(o, separators=(",", ":"))
         if len(line) <= _TAIL_WINDOW:
             return line
+    o = dict(out)
     o["queries"] = {}  # last resort: suite total + streaming only
     return json.dumps(o, separators=(",", ":"))
 

@@ -55,7 +55,7 @@ def all_queries() -> dict[str, QuerySpec]:
 
 
 # The verify driver hash-checks only the FIRST 50 entries of
-# ``__spark_entry__.queries()``.  With 66 registered queries (57
+# ``__spark_entry__.queries()``.  With 71 registered queries (62
 # oracle-backed, 9 rows-only by design) the window cannot cover
 # everything, so the projection below orders queries by how much a
 # driver row is worth this round:
