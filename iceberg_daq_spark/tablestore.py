@@ -11,6 +11,8 @@ cluster:
   MERGE INTO t USING u ON keys     :meth:`MergeTable.merge` -
     WHEN MATCHED UPDATE              updates-win anti-join union
     WHEN NOT MATCHED INSERT          (same row-level semantics)
+  DELETE FROM t WHERE cond         :meth:`MergeTable.delete_where` -
+    (copy-on-write)                  filtered snapshot rewrite
   snapshot commit (atomic           per-version JSON manifests + an
     metadata pointer swap)           atomic ``_CURRENT`` pointer
                                      rename - the same protocol the
@@ -578,6 +580,18 @@ class MergeTable:
                 current.join(updates.select(*keys), keys, "left_anti")
             )
             return self._commit_locked(merged)
+
+    def delete_where(self, spark: SparkSession, condition) -> int:
+        """Iceberg ``DELETE FROM t WHERE cond`` (copy-on-write form):
+        commit a new snapshot without the matching rows.  ``condition``
+        is a Column or SQL string; rows where it evaluates NULL are
+        KEPT (SQL delete semantics - only true deletes)."""
+        with _commit_lock(self.path):
+            df = self.read(spark)
+            if df is None:
+                raise ValueError(f"delete_where() on uncommitted table {self.path}")
+            cond = F.expr(condition) if isinstance(condition, str) else condition
+            return self._commit_locked(df.filter(~F.coalesce(cond, F.lit(False))))
 
     def compact(self, spark: SparkSession, target_files: int = 1) -> int:
         """Maintenance: rewrite the current snapshot into

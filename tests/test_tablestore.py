@@ -174,6 +174,31 @@ def test_partition_spec_and_evolution(spark, tmp_path):
     assert got2 == got
 
 
+def test_delete_where(spark, tmp_path):
+    """DELETE FROM ... WHERE (copy-on-write): matching rows vanish in a
+    new snapshot, NULL-predicate rows are kept (SQL delete semantics),
+    the prior snapshot remains time-travelable, and deleted keys can
+    re-merge afterwards."""
+    from pyspark.sql import functions as F
+
+    from iceberg_daq_spark.tablestore import MergeTable
+
+    t = MergeTable(str(tmp_path / "dw"), key_cols=("k",), keep_versions=3)
+    t.merge(
+        spark.createDataFrame(
+            [(1, 10), (2, None), (3, 30)], "k int, v int"
+        )
+    )
+    v = t.delete_where(spark, F.col("v") > 15)
+    got = {r["k"] for r in t.read(spark).collect()}
+    assert got == {1, 2}  # k=3 deleted; k=2 (NULL predicate) kept
+    assert {r["k"] for r in t.read(spark, version=v - 1).collect()} == {1, 2, 3}
+    # SQL-string condition form + re-merge of a deleted key
+    t.delete_where(spark, "k = 1")
+    t.merge(spark.createDataFrame([(3, 33)], "k int, v int"))
+    assert {r["k"]: r["v"] for r in t.read(spark).collect()} == {2: None, 3: 33}
+
+
 def test_snapshots_and_rollback(spark, tmp_path):
     """Iceberg snapshots/rollback parity: snapshots() lists retained
     versions; rollback(v) restores a prior snapshot's contents via a
