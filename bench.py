@@ -84,10 +84,12 @@ def main() -> None:
         out["streaming"] = streaming
     # Full-precision record on disk: the driver captures only the last
     # 2000 chars of stdout, so round-over-round comparison must not
-    # depend on that window.
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_last.json"), "w") as fh:
-        json.dump(out, fh, indent=1)
-        fh.write("\n")
+    # depend on that window.  Focused runs (BENCH_QUERIES) must not
+    # clobber the full-suite record.
+    if not only:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_last.json"), "w") as fh:
+            json.dump(out, fh, indent=1)
+            fh.write("\n")
     print(emit_line(out))
 
 
