@@ -13,6 +13,8 @@ cluster:
     WHEN NOT MATCHED INSERT          (same row-level semantics)
   DELETE FROM t WHERE cond         :meth:`MergeTable.delete_where` -
     (copy-on-write)                  filtered snapshot rewrite
+  UPDATE t SET .. WHERE cond       :meth:`MergeTable.update_where` -
+    (copy-on-write)                  conditional-projection rewrite
   snapshot commit (atomic           per-version JSON manifests + an
     metadata pointer swap)           atomic ``_CURRENT`` pointer
                                      rename - the same protocol the
@@ -592,6 +594,42 @@ class MergeTable:
                 raise ValueError(f"delete_where() on uncommitted table {self.path}")
             cond = F.expr(condition) if isinstance(condition, str) else condition
             return self._commit_locked(df.filter(~F.coalesce(cond, F.lit(False))))
+
+    def update_where(self, spark: SparkSession, condition, assignments: dict) -> int:
+        """Iceberg ``UPDATE t SET col = expr WHERE cond`` (copy-on-write):
+        commit a new snapshot with ``assignments`` (column -> Column or
+        SQL string, evaluated against the matching row) applied where
+        ``condition`` holds; NULL-predicate rows are untouched."""
+        with _commit_lock(self.path):
+            df = self.read(spark)
+            if df is None:
+                raise ValueError(f"update_where() on uncommitted table {self.path}")
+            unknown = [c for c in assignments if c not in df.columns]
+            if unknown:
+                raise ValueError(f"update_where() on unknown columns {unknown}")
+            cond = F.expr(condition) if isinstance(condition, str) else condition
+            hit = F.coalesce(cond, F.lit(False))
+            updated = df.select(
+                *[
+                    (
+                        F.when(
+                            hit,
+                            (
+                                F.expr(assignments[c])
+                                if isinstance(assignments[c], str)
+                                else assignments[c]
+                            ),
+                        )
+                        .otherwise(F.col(c))
+                        .cast(df.schema[c].dataType)
+                        .alias(c)
+                        if c in assignments
+                        else F.col(c)
+                    )
+                    for c in df.columns
+                ]
+            )
+            return self._commit_locked(updated)
 
     def compact(self, spark: SparkSession, target_files: int = 1) -> int:
         """Maintenance: rewrite the current snapshot into

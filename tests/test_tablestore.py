@@ -199,6 +199,27 @@ def test_delete_where(spark, tmp_path):
     assert {r["k"]: r["v"] for r in t.read(spark).collect()} == {2: None, 3: 33}
 
 
+def test_update_where(spark, tmp_path):
+    """UPDATE ... SET ... WHERE (copy-on-write): assignments apply only
+    to matching rows (expressions may reference the row), NULL
+    predicates leave rows untouched, unknown columns raise."""
+    from pyspark.sql import functions as F
+
+    from iceberg_daq_spark.tablestore import MergeTable
+
+    t = MergeTable(str(tmp_path / "uw"), key_cols=("k",), keep_versions=3)
+    t.merge(spark.createDataFrame([(1, 10), (2, None), (3, 30)], "k int, v int"))
+    t.update_where(spark, F.col("v") >= 10, {"v": "v * 2 + k"})
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert got == {1: 21, 2: None, 3: 63}
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.update_where(spark, "k = 1", {"nope": "1"})
+    # Column-valued assignment + string condition
+    t.update_where(spark, "k = 2", {"v": F.lit(0)})
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert got == {1: 21, 2: 0, 3: 63}
+
+
 def test_snapshots_and_rollback(spark, tmp_path):
     """Iceberg snapshots/rollback parity: snapshots() lists retained
     versions; rollback(v) restores a prior snapshot's contents via a
