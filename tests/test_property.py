@@ -128,6 +128,7 @@ _ops = st.lists(
         st.tuples(st.just("add_column"), st.integers(0, 3)),
         st.tuples(st.just("rollback"), st.integers(0, 100)),
         st.tuples(st.just("compact"), st.just(0)),
+        st.tuples(st.just("delete"), st.integers(0, 5)),
     ),
     min_size=1,
     max_size=6,
@@ -208,6 +209,15 @@ def test_merge_table_op_sequences_match_model(_spark, ops, tmp_path_factory):
                 continue
             t.compact(_spark)
             hist.append((list(columns), dict(defaults), dict(data), True))
+        elif tag == "delete":
+            if not data:
+                continue
+            t.delete_where(_spark, f"v >= {payload}")
+            new = {
+                k: r for k, r in data.items()
+                if not (r.get("v") is not None and r["v"] >= payload)
+            }
+            hist.append((list(columns), dict(defaults), new, True))
 
     columns, defaults, data, _ = cur()
     out = t.read(_spark)
