@@ -114,7 +114,18 @@ def ngram_jaccard_pairs(
     (q41's oracle).
     """
     sets = shingle_sets(docs, k=k).cache()
-    sh = sets.select("doc_id", F.explode("sh_set").alias("shingle"))
+    # join/shuffle on xxhash64(shingle), not the string: the inverted
+    # index shuffles hundreds of GB of ~25-byte text keys at corpus
+    # scale, and an 8-byte key shrinks the exchanges and makes the
+    # equi-join comparisons long-vs-long.  Per-doc shingles are
+    # distinct, so per-pair counts stay |A n B| exactly; a 64-bit
+    # collision (p ~ n_distinct^2 / 2^64) is the same accepted risk as
+    # the exact-dedup content hash.  The string survives alongside only
+    # where the hot-set verification needs it.
+    sh = sets.select(
+        "doc_id",
+        F.explode("sh_set").alias("shingle"),
+    ).select("doc_id", F.xxhash64("shingle").alias("h"), "shingle")
     if df_max is not None:
         # split the index by document frequency: pair DISCOVERY and
         # per-pair common counting run only over sub-hot shingles (the
@@ -123,22 +134,22 @@ def ngram_jaccard_pairs(
         # hot-shingle arrays (at most a handful of shingles exceed
         # df_max anywhere - boilerplate - so the intersect is O(hot)
         # per pair, never O(|set|) like a full-set verification).
-        freq = sh.groupBy("shingle").agg(F.count("*").alias("df")).cache()
+        freq = sh.groupBy("h").agg(F.count("*").alias("df")).cache()
         rare_idx = sh.join(
-            freq.filter(F.col("df") <= df_max).select("shingle"), "shingle"
+            freq.filter(F.col("df") <= df_max).select("h"), "h"
         )
         rare_common = (
-            rare_idx.select(F.col("doc_id").alias("doc_a"), "shingle")
+            rare_idx.select(F.col("doc_id").alias("doc_a"), "h")
             .join(
-                rare_idx.select(F.col("doc_id").alias("doc_b"), "shingle"),
-                "shingle",
+                rare_idx.select(F.col("doc_id").alias("doc_b"), "h"),
+                "h",
             )
             .filter(F.col("doc_a") < F.col("doc_b"))
             .groupBy("doc_a", "doc_b")
             .agg(F.count("*").alias("rare_common"))
         )
         hot_sets = (
-            sh.join(freq.filter(F.col("df") > df_max).select("shingle"), "shingle")
+            sh.join(freq.filter(F.col("df") > df_max).select("h"), "h")
             .groupBy("doc_id")
             .agg(F.sort_array(F.collect_list("shingle")).alias("hot_set"))
         )
@@ -166,10 +177,10 @@ def ngram_jaccard_pairs(
             )
         )
     else:
-        a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-        b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+        a = sh.select(F.col("doc_id").alias("doc_a"), "h")
+        b = sh.select(F.col("doc_id").alias("doc_b"), "h")
         common = (
-            a.join(b, "shingle")
+            a.join(b, "h")
             .filter(F.col("doc_a") < F.col("doc_b"))
             .groupBy("doc_a", "doc_b")
             .agg(F.count("*").alias("n_common"))

@@ -478,15 +478,18 @@ def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_daq_spark.operators.dedup import shingles
 
     d = load(spark, sf_dir, "documents")
-    sh = shingles(d)
+    # join on xxhash64(shingle) instead of the ~25-byte string: same
+    # counts (per-doc shingles are distinct; 64-bit collision odds are
+    # the accepted content-hash risk), far smaller shuffles at scale
+    sh = shingles(d).select("doc_id", F.xxhash64("shingle").alias("h"))
     ev = sh.filter(F.col("doc_id") % 10 == 0).select(
-        F.col("doc_id").alias("eval_doc"), "shingle"
+        F.col("doc_id").alias("eval_doc"), "h"
     )
     tr = sh.filter(F.col("doc_id") % 10 != 0).select(
-        F.col("doc_id").alias("train_doc"), "shingle"
+        F.col("doc_id").alias("train_doc"), "h"
     )
     shared = (
-        ev.join(tr, "shingle")
+        ev.join(tr, "h")
         .groupBy("eval_doc", "train_doc")
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= 5)
