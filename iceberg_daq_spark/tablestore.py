@@ -329,6 +329,47 @@ class MergeTable:
                 removed.append(entry)
         return removed
 
+    def read_changes(
+        self, spark: SparkSession, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Incremental scan (Iceberg's incremental append scan analog):
+        the rows present in ``to_version`` (default current) but not in
+        ``from_version`` - what a downstream incremental consumer must
+        process to catch up.
+
+        Fast path: when the interval's history is append-only (``to``'s
+        data-dir list extends ``from``'s), ONLY the new dirs are
+        scanned - O(delta), no diff work, any table size.  A rewrite
+        in the interval (merge/compact/update/delete) breaks dir
+        lineage, so it falls back to a full-row anti-join of the two
+        snapshots (exact, but O(table)); both versions must still be
+        retained."""
+        cur = self.current_version()
+        to_v = cur if to_version is None else to_version
+        m_from = self._load_manifest(from_version)
+        m_to = self._load_manifest(to_v)
+        if m_from is not None and m_to is not None:
+            d_from, d_to = _data_dirs(m_from), _data_dirs(m_to)
+            if (
+                d_to[: len(d_from)] == d_from
+                and len(d_to) > len(d_from)
+                and [f["name"] for f in m_from["schema"]]
+                == [f["name"] for f in m_to["schema"]]
+            ):
+                new_dirs = [os.path.join(self.path, d) for d in d_to[len(d_from):]]
+                if all(os.path.isdir(d) for d in new_dirs):
+                    df = spark.read.parquet(*new_dirs)
+                    cols = [
+                        F.col(f["physical"]).cast(f["type"]).alias(f["name"])
+                        for f in m_to["schema"]
+                        if f["physical"] is not None
+                    ]
+                    return df.select(*cols)
+        after = self.read(spark, to_v)
+        before = self.read(spark, from_version)
+        shared = [c for c in after.columns if c in before.columns]
+        return after.join(before.select(*shared), shared, "left_anti")
+
     def snapshots(self) -> list[dict]:
         """The retained snapshots, oldest first (Iceberg's
         ``snapshots`` metadata table): version, data dirs, partition

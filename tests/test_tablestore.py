@@ -199,6 +199,39 @@ def test_delete_where(spark, tmp_path):
     assert {r["k"]: r["v"] for r in t.read(spark).collect()} == {2: None, 3: 33}
 
 
+def test_read_changes_incremental(spark, tmp_path):
+    """Incremental scan: append-only intervals read ONLY the new data
+    dirs (no diff work); intervals containing a rewrite fall back to an
+    exact full-row anti-join; updated rows surface as changes."""
+    from iceberg_daq_spark.tablestore import MergeTable
+
+    t = MergeTable(str(tmp_path / "inc"), key_cols=("k",), keep_versions=10)
+    t.merge(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]))  # v1
+    t.append(spark.createDataFrame([(3, "c")], ["k", "v"]))  # v2
+    t.append(spark.createDataFrame([(4, "d")], ["k", "v"]))  # v3
+
+    # append-only interval: delta = the appended rows
+    delta = {(r["k"], r["v"]) for r in t.read_changes(spark, 1).collect()}
+    assert delta == {(3, "c"), (4, "d")}
+    assert {(r["k"], r["v"]) for r in t.read_changes(spark, 2, 3).collect()} == {
+        (4, "d")
+    }
+    # the fast path really scanned only the new dirs: the physical plan
+    # must reference d000003 but not d000001
+    df = t.read_changes(spark, 2, 3)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "d000003" in plan and "d000001" not in plan
+
+    # a rewrite in the interval -> exact anti-join fallback, updated
+    # rows count as changes
+    t.merge(spark.createDataFrame([(1, "A2")], ["k", "v"]))  # v4 rewrite
+    delta2 = {(r["k"], r["v"]) for r in t.read_changes(spark, 3).collect()}
+    assert delta2 == {(1, "A2")}
+    assert t.read_changes(spark, 4).count() == 0
+
+
 def test_update_where(spark, tmp_path):
     """UPDATE ... SET ... WHERE (copy-on-write): assignments apply only
     to matching rows (expressions may reference the row), NULL
