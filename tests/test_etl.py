@@ -68,6 +68,32 @@ def test_etl_multi_pass_limit_and_idempotency(spark, dropbox, tmp_path):
     assert sorted(map(tuple, out2.collect())) == before
 
 
+def test_etl_with_partitioned_catalog(spark, sf_dir, tmp_path):
+    """The real consumer composition: metadata_etl fast-appending into
+    a catalog partitioned by data_tier must produce exactly the same
+    rows as the unpartitioned catalog, with tier=... partition dirs on
+    disk and per-pass append commits intact."""
+    import os as _os
+
+    d = str(tmp_path / "dropbox_part")
+    build_dropbox(spark, sf_dir, d)
+    flat = MergeTable(str(tmp_path / "cat_flat"), key_cols=("file_name",))
+    part = MergeTable(
+        str(tmp_path / "cat_part"), key_cols=("file_name",),
+        partition_spec=("data_tier",),
+    )
+    out_flat, passes_flat = metadata_etl(spark, d, flat, batch_limit=16)
+    out_part, passes_part = metadata_etl(spark, d, part, batch_limit=16)
+    assert passes_part == passes_flat >= 1
+    cols = sorted(out_flat.columns)
+    rows = lambda df: sorted(map(tuple, df.select(*cols).collect()))  # noqa: E731
+    assert rows(out_part) == rows(out_flat)
+    # partitioned layout on disk for the first append dir
+    d1 = _os.path.join(part.path, "d000001")
+    tiers = sorted(e for e in _os.listdir(d1) if e.startswith("data_tier="))
+    assert tiers == ["data_tier=raw", "data_tier=trigprim"]
+
+
 def test_merge_table_upsert_semantics(spark, tmp_path):
     """MERGE INTO semantics on the parquet layer: matched keys update,
     unmatched insert, others persist; re-merging is a no-op; the
