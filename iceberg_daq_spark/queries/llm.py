@@ -923,3 +923,53 @@ def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_dropped", F.col("n_members") - 1)
         .orderBy("component")
     )
+
+
+@register(
+    "q74_exact_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(quantile_cont(l_extendedprice, 0.5), 4)  AS p50_price,
+           round(quantile_cont(l_extendedprice, 0.9), 4)  AS p90_price,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price,
+           round(quantile_cont(l_discount, 0.5), 4) AS p50_discount
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles per group (linear interpolation) - the
+    ground-truth twin of q58's percentile_approx sketch profiling.
+
+    Spark's ``percentile`` is a sort-based TypedImperativeAggregate
+    that buffers each group's values, so it is the right tool exactly
+    when the group count is small and bounded (here: a handful of
+    return flags) and the per-group row count fits an executor - the
+    calibration run you do once to validate sketch accuracy.  For
+    unbounded groups or 100 TB scans, q58's sketch (mergeable,
+    constant-size partial state) is the production path; keeping both
+    registered makes that trade explicit and lets the tests measure
+    sketch error against this exact result."""
+    li = load(spark, sf_dir, "lineitem")
+    pct = F.expr(
+        "percentile(l_extendedprice, array(0.5, 0.9, 0.99))"
+    ).alias("_p")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            pct,
+            F.expr("percentile(l_discount, 0.5)").alias("_pd"),
+        )
+        .select(
+            "l_returnflag",
+            "n_items",
+            F.round(F.element_at("_p", 1), 4).alias("p50_price"),
+            F.round(F.element_at("_p", 2), 4).alias("p90_price"),
+            F.round(F.element_at("_p", 3), 4).alias("p99_price"),
+            F.round("_pd", 4).alias("p50_discount"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -55,7 +55,7 @@ def all_queries() -> dict[str, QuerySpec]:
 
 
 # The verify driver hash-checks only the FIRST 50 entries of
-# ``__spark_entry__.queries()``.  With 71 registered queries (62
+# ``__spark_entry__.queries()``.  With 72 registered queries (63
 # oracle-backed, 9 rows-only by design) the window cannot cover
 # everything, so the projection below orders queries by how much a
 # driver row is worth this round:
@@ -71,6 +71,7 @@ _CHECK_FIRST = [
     # never driver-checked (registered in round 7)
     "q72_source_cap",
     "q73_cluster_retention",
+    "q74_exact_percentiles",
     # confirmed only once (r6) - keep in the window over anything
     # multiply-confirmed
     "q69_sequence_packing",
