@@ -77,3 +77,25 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+def write_bucketed(
+    df: DataFrame, table_name: str, bucket_col: str, n_buckets: int = 16
+) -> None:
+    """Materialize a DataFrame as a bucketed+sorted managed table - the
+    co-located-join layout for repeated large-large joins on a stable
+    key (SURVEY 4.2): two tables bucketed on their join keys with the
+    same bucket count join with NO exchange on either side (and no
+    sort, when sortBy matches), because bucket files ARE the shuffle
+    output, computed once at write time.  At 100 TB this converts every
+    recurring fact-fact join on the bucketed key from a full shuffle
+    into a per-bucket merge - the batch analog of the reference's
+    statically-routed per-stream queues (A3).  Plan-asserted in
+    tests/test_plans.py."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )

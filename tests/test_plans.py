@@ -346,3 +346,67 @@ def test_q72_window_group_limit_partial(spark, sf_dir):
     # feeds Final
     i_exchange = plan.index(") Exchange", i_partial)
     assert i_partial < i_exchange < i_final, plan
+
+
+def test_bucketed_join_no_exchange(spark, sf_dir):
+    """Co-located join layout: lineitem and orders bucketed on their
+    join keys with the same bucket count must SortMergeJoin with NO
+    Exchange on either side - the bucket files are the pre-computed
+    shuffle, so every recurring join on the key is exchange-free."""
+    from iceberg_daq_spark.tables import load, write_bucketed
+
+    import shutil as _shutil
+
+    for name in ("li_bucketed_t", "ord_bucketed_t"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        _shutil.rmtree(f"spark-warehouse/{name}", ignore_errors=True)
+    write_bucketed(
+        load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity"),
+        "li_bucketed_t", "l_orderkey", n_buckets=8,
+    )
+    write_bucketed(
+        load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice"),
+        "ord_bucketed_t", "o_orderkey", n_buckets=8,
+    )
+    # small fixture tables would broadcast; force the large-large path
+    # the layout exists for (broadcast is the right plan when one side
+    # is genuinely small - this test models both sides big)
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    for k, v in tuned.items():
+        spark.conf.set(k, v)
+    try:
+        joined = (
+            spark.table("li_bucketed_t")
+            .join(
+                spark.table("ord_bucketed_t"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderkey")
+            .agg(F.sum("l_quantity").alias("qty"))
+        )
+        plan = plan_of(joined)
+        tree = plan.split("\n\n")[0]
+        join_part = tree[: tree.index("SortMergeJoin")] if "SortMergeJoin" in tree else tree
+        assert "SortMergeJoin" in tree, tree
+        # no shuffle above the join inputs: the only allowed Exchange is
+        # the post-join aggregation one, which reuses the bucket
+        # partitioning and so should not exist either
+        assert "Exchange" not in tree, tree
+        # result sanity: one group per order that has lineitems
+        n = joined.count()
+        expect = (
+            spark.table("li_bucketed_t").select("l_orderkey").distinct().count()
+        )
+        assert n == expect
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        for name in ("li_bucketed_t", "ord_bucketed_t"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
