@@ -490,6 +490,28 @@ class MergeTable:
                 m.get("dir_specs") or {},
             )
 
+    def drop_column(self, name: str) -> int:
+        """Iceberg ``ALTER TABLE DROP COLUMN`` analog: metadata-only -
+        the field leaves the manifest schema (reads stop projecting
+        it), the data files keep their bytes until the next rewrite.
+        Key and partition columns cannot be dropped."""
+        with _commit_lock(self.path):
+            m = self._require_manifest_locked()
+            if name in self.key_cols:
+                raise ValueError(f"cannot drop key column {name!r}")
+            if name in (m.get("partition_spec") or []):
+                raise ValueError(f"cannot drop partition column {name!r}")
+            if not any(f["name"] == name for f in m["schema"]):
+                raise ValueError(f"no column {name!r}")
+            schema = [f for f in m["schema"] if f["name"] != name]
+            return self._commit_manifest(
+                self.current_version() + 1,
+                _data_dirs(m),
+                schema,
+                m.get("partition_spec") or [],
+                m.get("dir_specs") or {},
+            )
+
     def set_partition_spec(self, *cols: str) -> int:
         """Iceberg partition-spec evolution analog: a metadata-only
         commit that changes the layout for FUTURE data commits;

@@ -111,6 +111,21 @@ def test_schema_evolution_metadata_only(spark, tmp_path):
     t.compact(spark)
     assert {r["k"] for r in t.read(spark).collect()} == {1, 2, 3, 4, 5}
 
+    # drop column: metadata-only, reads stop projecting it; key and
+    # unknown columns are protected; appends continue without it
+    before_drop = data_dirs()
+    t.drop_column("lang")
+    # metadata-only: no new data dir (retention may expire old ones)
+    assert set(data_dirs()) <= set(before_drop)
+    assert set(t.read(spark).columns) == {"k", "val", "score"}
+    with pytest.raises(ValueError, match="key column"):
+        t.drop_column("k")
+    with pytest.raises(ValueError, match="no column"):
+        t.drop_column("nope")
+    t.append(spark.createDataFrame([(9, "z", 9.0)], ["k", "val", "score"]))
+    got = {r["k"]: r["val"] for r in t.read(spark).collect()}
+    assert got[9] == "z" and set(got) == {1, 2, 3, 4, 5, 9}
+
 
 def test_partition_spec_and_evolution(spark, tmp_path):
     """Iceberg partition-spec parity: a partitioned table writes
