@@ -205,6 +205,11 @@ def measure_streaming(spark) -> dict:
             )
 
         dt = best_of(plane)
+        # guard the e2e number's honesty: an upstream threshold change
+        # that empties the TD stream would otherwise time an empty
+        # readout join and report inflated throughput
+        n_tds = e2e().limit(1).count()
+        assert n_tds > 0, "e2e pipeline produced no readout rows"
         dt_e2e = best_of(e2e)
         total_frames = n_frames * len(src_ids)
         return {
