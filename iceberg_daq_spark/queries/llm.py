@@ -699,11 +699,19 @@ def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size (same discipline as q64's stratified sample)."""
     d = load(spark, sf_dir, "documents")
     counts = d.groupBy("lang").agg(F.count("*").cast("double").alias("n"))
-    from pyspark.sql import Window
-
-    tot = F.sum("n").over(Window.partitionBy())
-    rates = counts.select(
-        "lang", F.least(F.lit(1.0), (0.2 * tot) / F.col("n")).alias("rate")
+    # share-of-total over the per-language COUNTS (dimension-sized at
+    # any corpus scale): a broadcast equi-join of the 1-row total onto
+    # the counts - an unpartitioned window here would plan a
+    # single-partition WindowExec (and warn); the join keeps the whole
+    # rate computation broadcast-local
+    total = counts.agg(F.sum("n").alias("t")).withColumn("_j", F.lit(0))
+    rates = (
+        counts.withColumn("_j", F.lit(0))
+        .join(F.broadcast(total), "_j")
+        .select(
+            "lang",
+            F.least(F.lit(1.0), (0.2 * F.col("t")) / F.col("n")).alias("rate"),
+        )
     )
     u = (
         F.conv(
