@@ -358,7 +358,20 @@ class MergeTable:
             ):
                 new_dirs = [os.path.join(self.path, d) for d in d_to[len(d_from):]]
                 if all(os.path.isdir(d) for d in new_dirs):
-                    df = spark.read.parquet(*new_dirs)
+                    # per-dir scans unioned (same as read()): a single
+                    # multi-path scan cannot discover partition columns
+                    # when the delta dirs are partitionBy layouts
+                    from functools import reduce
+
+                    phys = [
+                        f["physical"]
+                        for f in m_to["schema"]
+                        if f["physical"] is not None
+                    ]
+                    df = reduce(
+                        DataFrame.unionByName,
+                        (spark.read.parquet(d).select(*phys) for d in new_dirs),
+                    )
                     cols = [
                         F.col(f["physical"]).cast(f["type"]).alias(f["name"])
                         for f in m_to["schema"]

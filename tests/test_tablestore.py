@@ -246,6 +246,17 @@ def test_read_changes_incremental(spark, tmp_path):
     assert delta2 == {(1, "A2")}
     assert t.read_changes(spark, 4).count() == 0
 
+    # fast path over PARTITIONED delta dirs (per-dir scans: a single
+    # multi-path scan would fail partition discovery)
+    tp = MergeTable(
+        str(tmp_path / "inc_p"), key_cols=("k",), keep_versions=10,
+        partition_spec=("tier",),
+    )
+    tp.merge(spark.createDataFrame([(1, "raw", 10)], ["k", "tier", "v"]))
+    tp.append(spark.createDataFrame([(2, "tp", 20), (3, "raw", 30)], ["k", "tier", "v"]))
+    dp = {(r["k"], r["tier"], r["v"]) for r in tp.read_changes(spark, 1).collect()}
+    assert dp == {(2, "tp", 20), (3, "raw", 30)}
+
 
 def test_update_where(spark, tmp_path):
     """UPDATE ... SET ... WHERE (copy-on-write): assignments apply only
