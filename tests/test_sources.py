@@ -45,3 +45,43 @@ def test_orc_scan_pushes_down(spark, sf_dir, tmp_path):
     )
     assert "PushedFilters: [" in plan
     assert "o_totalprice" in plan.split("PushedFilters")[1].split("]")[0]
+
+
+def test_hdf5_reader_gating(spark, tmp_path):
+    """Without h5py the HDF5 envelope reader must raise (the parquet
+    pseudo-file dropbox is the documented substitute), never silently
+    fake-decode."""
+    import importlib.util
+
+    from iceberg_daq_spark import hdf5
+
+    if importlib.util.find_spec("h5py") is None:
+        with pytest.raises(NotImplementedError, match="h5py"):
+            hdf5.read_hdf5_events(spark, str(tmp_path))
+
+
+def test_hdf5_reader_roundtrip(spark, tmp_path):
+    """With h5py installed, real HDF5 event files decode through the
+    binaryFile + mapInArrow plumbing (skips in h5py-free containers)."""
+    import numpy as np
+    import pytest as _pytest
+
+    h5py = _pytest.importorskip("h5py")
+
+    from iceberg_daq_spark import hdf5
+
+    truth = {}
+    for run in (1, 2):
+        name = f"iceberghd_raw_run{run:06d}_0000.hdf5"
+        ids = np.arange(run * 10, run * 10 + 5, dtype=np.int64)
+        ts = ids * 1_000_000 + 42
+        with h5py.File(tmp_path / name, "w") as f:
+            g = f.create_group("events")
+            g.create_dataset("event_id", data=ids)
+            g.create_dataset("ts_us", data=ts)
+        truth[name] = set(ids.tolist())
+    out = hdf5.read_hdf5_events(spark, str(tmp_path))
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["file_name"], set()).add(r["event_id"])
+    assert got == truth
