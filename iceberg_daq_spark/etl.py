@@ -263,10 +263,12 @@ def _drain_ranked(
     max_passes: int,
 ) -> tuple[DataFrame, int]:
     # The manifest of file names is collected in chunks of 32 passes'
-    # worth at a time (driver memory stays bounded by the chunk, never
-    # the dropbox size), then each pass claims its per-prefix rank
-    # slice from the chunk - one collect job amortized over 32 passes
-    # instead of one per pass.  Chunk size is a multiple of
+    # worth at a time, then each pass claims its per-prefix rank slice
+    # from the chunk - one collect job amortized over 32 passes
+    # instead of one per pass.  _rk is a PER-PREFIX rank, so one
+    # chunk collect returns up to chunk x n_prefixes rows: driver
+    # memory is bounded by chunk x the (small, fixed) prefix count,
+    # never by the dropbox size.  Chunk size is a multiple of
     # batch_limit, so a pass never straddles two chunks.
     chunk = 32 * batch_limit
     # explicit schema skips the footer-inference job; listing the

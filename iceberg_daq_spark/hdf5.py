@@ -79,7 +79,11 @@ def read_hdf5_events(spark: SparkSession, path: str, glob: str = "*.hdf5") -> Da
                 [
                     pa.array(out_file),
                     pa.array(ids, type=pa.int64()),
-                    pa.array(ts, type=pa.timestamp("us")),
+                    # tz-aware micros: Spark maps TimestampType to a
+                    # tz-aware Arrow timestamp in the session timezone
+                    # (UTC here); a naive batch type can mismatch the
+                    # declared mapInArrow schema on a real cluster
+                    pa.array(ts, type=pa.timestamp("us", tz="UTC")),
                 ],
                 names=["file_name", "event_id", "ts"],
             )

@@ -223,6 +223,16 @@ class MergeTable:
         with _commit_lock(self.path):
             return self._commit_locked(df)
 
+    def _effective_keys(self) -> tuple[str, ...]:
+        """The MERGE keys in force: the manifest's persisted
+        ``key_cols`` (survives rename_column across instances) or, for
+        a new / legacy-manifest table, the constructor seed."""
+        cur = self.current_version()
+        m = self._load_manifest(cur) if cur else None
+        if m is not None and m.get("key_cols"):
+            return tuple(m["key_cols"])
+        return tuple(self.key_cols)
+
     def _current_spec(self) -> list[str]:
         """The active partition spec: the manifest's (the table's
         persistent property) or, for a not-yet-committed table, the
@@ -272,11 +282,14 @@ class MergeTable:
         schema: list[dict],
         partition_spec: list[str] | None = None,
         dir_specs: dict[str, list[str]] | None = None,
+        key_cols: list[str] | None = None,
     ) -> int:
         """Manifest first, pointer second: a crash between the two
         leaves a stale manifest the next commit overwrites (and whose
         data dir the GC reclaims once unreferenced), never a pointer
-        to a missing snapshot."""
+        to a missing snapshot.  ``key_cols`` persists the MERGE keys
+        (logical names) so a rename survives reconstruction; None
+        carries the currently-effective keys forward."""
         _atomic_write(
             self._manifest_path(v),
             json.dumps(
@@ -286,6 +299,11 @@ class MergeTable:
                     "schema": schema,
                     "partition_spec": partition_spec or [],
                     "dir_specs": dir_specs or {},
+                    "key_cols": (
+                        key_cols
+                        if key_cols is not None
+                        else list(self._effective_keys())
+                    ),
                 }
             ),
         )
@@ -381,7 +399,19 @@ class MergeTable:
         after = self.read(spark, to_v)
         before = self.read(spark, from_version)
         shared = [c for c in after.columns if c in before.columns]
-        return after.join(before.select(*shared), shared, "left_anti")
+        # NULL-safe equality per shared column: a bare column-list
+        # equi-join never matches a row containing NULL (e.g. the
+        # default-NULL values merge(evolve_schema=True)/add_column
+        # produce), which would re-report identical rows as changes on
+        # every incremental read
+        from functools import reduce
+
+        before_s = before.select(*shared)
+        cond = reduce(
+            lambda x, y: x & y,
+            [after[c].eqNullSafe(before_s[c]) for c in shared],
+        )
+        return after.join(before_s, cond, "left_anti")
 
     def snapshots(self) -> list[dict]:
         """The retained snapshots, oldest first (Iceberg's
@@ -488,6 +518,11 @@ class MergeTable:
             schema = [
                 {**f, "name": new} if f["name"] == old else f for f in m["schema"]
             ]
+            # the keys are table metadata: persist the renamed form in
+            # the manifest so a MergeTable constructed later (with the
+            # pre-rename constructor seed) still resolves the right
+            # columns via _effective_keys()
+            keys = [new if k == old else k for k in self._effective_keys()]
             if old in self.key_cols:
                 self.key_cols = tuple(
                     new if k == old else k for k in self.key_cols
@@ -501,6 +536,7 @@ class MergeTable:
                 schema,
                 spec,
                 m.get("dir_specs") or {},
+                key_cols=keys,
             )
 
     def drop_column(self, name: str) -> int:
@@ -510,7 +546,7 @@ class MergeTable:
         Key and partition columns cannot be dropped."""
         with _commit_lock(self.path):
             m = self._require_manifest_locked()
-            if name in self.key_cols:
+            if name in self._effective_keys():
                 raise ValueError(f"cannot drop key column {name!r}")
             if name in (m.get("partition_spec") or []):
                 raise ValueError(f"cannot drop partition column {name!r}")
@@ -629,7 +665,7 @@ class MergeTable:
             current = self.read(spark)
             if current is None:
                 return self._commit_locked(updates)
-            keys = list(self.key_cols)
+            keys = list(self._effective_keys())
             table_cols = current.columns
             extra = [c for c in updates.columns if c not in table_cols]
             if extra and not evolve_schema:
@@ -742,7 +778,7 @@ def run_stream_to_table(
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         # dropDuplicates on the key inside the batch: MERGE requires a
         # key-unique source
-        table.merge(batch_df.dropDuplicates(list(table.key_cols)))
+        table.merge(batch_df.dropDuplicates(list(table._effective_keys())))
 
     writer = (
         stream_df.writeStream.outputMode("append")

@@ -376,3 +376,39 @@ def test_concurrent_disjoint_writers(spark, tmp_path):
     assert rows == expect
     # one version per committed merge, monotonic from 1
     assert table.current_version() == 2 * n_merges
+
+
+def test_read_changes_null_rows_not_rereported(spark, tmp_path):
+    """The anti-join fallback must be NULL-safe: rows holding NULL
+    (the default add_column gives existing rows) are identical across
+    snapshots and must NOT surface as changes on every incremental
+    read (plain column equality never matches NULL = NULL)."""
+    from iceberg_daq_spark.tablestore import MergeTable
+
+    t = MergeTable(str(tmp_path / "nullinc"), key_cols=("k",), keep_versions=10)
+    t.merge(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]))  # v1
+    t.add_column("extra", "string")  # v2: rows 1,2 read extra=NULL
+    # v3: a rewrite (merge) -> read_changes falls back to the anti-join
+    t.merge(spark.createDataFrame([(3, "c")], ["k", "v"]))
+    delta = {(r["k"], r["v"], r["extra"]) for r in t.read_changes(spark, 2, 3).collect()}
+    assert delta == {(3, "c", None)}
+    # and a no-op interval reports nothing even with NULL-laden rows
+    t.merge(spark.createDataFrame([(4, "d")], ["k", "v"]))  # v4
+    assert t.read_changes(spark, 4, 4).count() == 0
+
+
+def test_key_cols_persist_across_rename(spark, tmp_path):
+    """rename_column persists the renamed MERGE keys in the manifest:
+    a MergeTable constructed later with the PRE-rename constructor
+    seed still merges on the current (renamed) key column."""
+    from iceberg_daq_spark.tablestore import MergeTable
+
+    t = MergeTable(str(tmp_path / "keys"), key_cols=("k",), keep_versions=10)
+    t.merge(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]))
+    t.rename_column("k", "kk")
+    # fresh instance, stale constructor keys - manifest keys must win
+    t2 = MergeTable(str(tmp_path / "keys"), key_cols=("k",))
+    assert t2._effective_keys() == ("kk",)
+    t2.merge(spark.createDataFrame([(2, "B"), (3, "c")], ["kk", "v"]))
+    rows = {r["kk"]: r["v"] for r in t2.read(spark).collect()}
+    assert rows == {1: "a", 2: "B", 3: "c"}
