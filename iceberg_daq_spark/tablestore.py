@@ -35,9 +35,22 @@ cluster:
                                      keep their layout, mixed-era
                                      reads union per-dir scans each
                                      with its own partition pruning
-  optimistic locking               an flock'd commit section (A46,
-                                     the reference's cron lockfile,
-                                     createMetadatafiles...sh:45-47)
+  optimistic concurrency           lock-free staged data writes +
+    (commit conflict detection       an flock'd validate/rename/flip
+    and retry)                       section; merge rebases and
+                                     retries on conflict, appends
+                                     never conflict with appends
+                                     (the reference instead holds a
+                                     cron lockfile for the whole
+                                     pass, createMetadatafiles...
+                                     sh:45-47 - cluster-hostile; the
+                                     flock here guards metadata only)
+  hidden partitioning              partition-spec entries accept
+    (hours/days/months/years/        Iceberg's transform grammar; the
+    bucket/truncate transforms       write derives a _p_* directory
+    + scan predicate projection)     column, read(where=...) projects
+                                     source-column predicates onto it
+                                     so the scan prunes directories
   snapshot expiry +                prune manifests beyond the
     remove_orphan_files              retention window on commit, then
                                      delete data dirs no retained
@@ -85,6 +98,13 @@ from pyspark.sql import functions as F
 
 _POINTER = "_CURRENT"
 _DATA_DIR_RE = re.compile(r"^[dv]\d{6}$")
+_STAGED_RE = re.compile(r"^_staged_[0-9a-f]{12}$")
+
+
+class CommitConflict(RuntimeError):
+    """A concurrent commit invalidated this writer's staged snapshot
+    and retries were exhausted (Iceberg's CommitFailedException
+    analog)."""
 
 
 def _data_dirs(manifest: dict) -> list[str]:
@@ -115,6 +135,254 @@ def _atomic_write(path: str, text: str) -> None:
     os.replace(tmp, path)  # atomic on POSIX
 
 
+# -- hidden partitioning (Iceberg partition transforms) ----------------
+#
+# A partition-spec entry is either a plain column (identity) or a
+# transform over a source column, Iceberg's hidden-partitioning grammar
+# (SURVEY 1.3 maps the reference's per-(run, hour) dropbox layout to
+# ``(run, hours(ts))``; 7 to ``(run, bucket(src_id))``):
+#
+#   hours(ts) days(ts) months(ts) years(ts)   time grains (epoch-based)
+#   bucket(N, col)                            hash bucket in [0, N)
+#   truncate(W, col)                          width-W floor / prefix
+#
+# The transform value is DERIVED at write into a reserved physical
+# partition column (``_p_{source}_{transform}{arg}``) that never
+# appears in the logical schema - queries filter on the SOURCE column
+# and :meth:`MergeTable.read`'s ``where`` projects those predicates
+# onto the partition column so the parquet scan prunes directories
+# (Iceberg's scan-planning predicate projection).  All transforms here
+# are order-preserving (prefix/floor/time-grain monotone), so range
+# predicates project soundly to ranges; bucket projects equality/IN
+# only.  ``bucket`` uses xxhash64 (Spark-native, seed-stable), not
+# Iceberg's murmur3 - same layout properties, different file-level
+# hash, documented as a substitute.
+
+_TRANSFORM_RE = re.compile(
+    r"^\s*(hours|days|months|years|bucket|truncate)\s*\(\s*"
+    r"(?:(\d+)\s*,\s*)?([A-Za-z_]\w*)\s*\)\s*$"
+)
+
+
+@dataclass(frozen=True)
+class PartField:
+    """One parsed partition-spec entry."""
+
+    spec: str
+    transform: str  # identity|hours|days|months|years|bucket|truncate
+    source: str
+    arg: int | None
+
+    @property
+    def name(self) -> str:
+        """Physical partition-directory column name."""
+        if self.transform == "identity":
+            return self.source
+        return f"_p_{self.source}_{self.transform}{self.arg if self.arg is not None else ''}"
+
+
+def parse_partition_spec(spec) -> list[PartField]:
+    out = []
+    for s in spec:
+        m = _TRANSFORM_RE.match(s)
+        if m:
+            tr, arg, src = m.group(1), m.group(2), m.group(3)
+            if tr in ("bucket", "truncate"):
+                if arg is None or int(arg) < 1:
+                    raise ValueError(f"{tr}() needs a positive width: {s!r}")
+                out.append(PartField(s, tr, src, int(arg)))
+            else:
+                if arg is not None:
+                    raise ValueError(f"{tr}() takes only a column: {s!r}")
+                out.append(PartField(s, tr, src, None))
+        else:
+            name = s.strip()
+            if not re.match(r"^[A-Za-z_]\w*$", name):
+                raise ValueError(f"bad partition-spec entry {s!r}")
+            out.append(PartField(s, "identity", name, None))
+    return out
+
+
+def _transform_col(pf: PartField, col, dtype: str = ""):
+    """The transform as a Column expression over ``col`` (a row column
+    at write time; a literal expression at predicate-projection time,
+    where Catalyst constant-folds it so partition pruning engages)."""
+    if pf.transform == "identity":
+        return col
+    if pf.transform == "hours":
+        return F.floor(col.cast("timestamp").cast("double") / 3600).cast("long")
+    if pf.transform == "days":
+        return F.floor(col.cast("timestamp").cast("double") / 86400).cast("long")
+    if pf.transform == "months":
+        return ((F.year(col) - F.lit(1970)) * 12 + F.month(col) - 1).cast("int")
+    if pf.transform == "years":
+        return (F.year(col) - F.lit(1970)).cast("int")
+    if pf.transform == "bucket":
+        return F.pmod(F.xxhash64(col), F.lit(pf.arg)).cast("int")
+    if pf.transform == "truncate":
+        if dtype.startswith("string") or dtype.startswith("varchar"):
+            return F.substring(col, 1, pf.arg)
+        # floor-to-width via pmod (negative-safe, Iceberg semantics)
+        return col - F.pmod(col, F.lit(pf.arg))
+    raise ValueError(f"unknown transform {pf.transform!r}")
+
+
+def _kw_at(s: str, i: int, n: int) -> bool:
+    before_ok = i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_")
+    j = i + n
+    after_ok = j >= len(s) or not (s[j].isalnum() or s[j] == "_")
+    return before_ok and after_ok
+
+
+def _split_conjuncts(where: str) -> list[str]:
+    """Split a predicate on top-level AND - paren-, quote-, and
+    BETWEEN-aware (the AND inside BETWEEN..AND is not a conjunction)."""
+    s, n = where, len(where)
+    parts, depth, start, i, pending_between = [], 0, 0, 0, 0
+    while i < n:
+        ch = s[i]
+        if ch == "'":
+            i += 1
+            while i < n and s[i] != "'":
+                i += 1
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and s[i : i + 7].upper() == "BETWEEN" and _kw_at(s, i, 7):
+            pending_between += 1
+            i += 6
+        elif depth == 0 and s[i : i + 3].upper() == "AND" and _kw_at(s, i, 3):
+            if pending_between:
+                pending_between -= 1
+            else:
+                parts.append(s[start:i])
+                start = i + 3
+            i += 2
+        i += 1
+    parts.append(s[start:])
+    out = []
+    for p in parts:
+        p = p.strip()
+        # strip one layer of fully-enclosing parens
+        while p.startswith("(") and p.endswith(")"):
+            depth = 0
+            closed_early = False
+            for j, ch in enumerate(p):
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0 and j < len(p) - 1:
+                        closed_early = True
+                        break
+            if closed_early:
+                break
+            p = p[1:-1].strip()
+        if p:
+            out.append(p)
+    return out
+
+
+_CMP_RE = re.compile(r"^([A-Za-z_]\w*)\s*(>=|<=|=|<|>)\s*(.+)$", re.S)
+_BETWEEN_RE = re.compile(
+    r"^([A-Za-z_]\w*)\s+BETWEEN\s+(.+?)\s+AND\s+(.+)$", re.I | re.S
+)
+_IN_RE = re.compile(r"^([A-Za-z_]\w*)\s+IN\s*\((.+)\)\s*$", re.I | re.S)
+
+
+def _split_commas(s: str) -> list[str]:
+    """Top-level, quote-aware comma split (IN-list literals)."""
+    out, depth, start, i, n = [], 0, 0, 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch == "'":
+            i += 1
+            while i < n and s[i] != "'":
+                i += 1
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append(s[start:i])
+            start = i + 1
+        i += 1
+    out.append(s[start:])
+    return [p.strip() for p in out if p.strip()]
+
+
+def _parse_conjuncts(where: str) -> list[tuple[str, str, list[str]]]:
+    """Best-effort (col, op, literal SQL strings) triples from the
+    simple conjuncts of ``where``; unrecognized conjuncts are skipped
+    (they still apply as the row filter - only pruning is forgone)."""
+    out = []
+    for c in _split_conjuncts(where):
+        m = _BETWEEN_RE.match(c)
+        if m:
+            out.append((m.group(1), "between", [m.group(2), m.group(3)]))
+            continue
+        m = _IN_RE.match(c)
+        if m:
+            out.append((m.group(1), "in", _split_commas(m.group(2))))
+            continue
+        m = _CMP_RE.match(c)
+        if m:
+            out.append((m.group(1), m.group(2), [m.group(3).strip()]))
+    return out
+
+
+def _partition_predicate(
+    conjuncts: list[tuple[str, str, list[str]]],
+    spec: list[str],
+    phys_of: dict[str, str],
+    type_of: dict[str, str],
+):
+    """Project row-filter conjuncts onto a dir's partition columns.
+    Returns a Column predicate over the partition-directory columns,
+    or None when nothing projects.  Sound superset by transform
+    monotonicity: every row satisfying the filter lives in a kept
+    directory; the row filter still applies after."""
+    from functools import reduce
+
+    fields = parse_partition_spec(spec)
+    preds = []
+    for col, op, lits in conjuncts:
+        phys = phys_of.get(col, col)
+        dtype = type_of.get(col, "")
+        for pf in fields:
+            if pf.source != phys:
+                continue
+            part = F.col(pf.name)
+
+            def t(lit: str):
+                return _transform_col(pf, F.expr(lit), dtype)
+
+            if pf.transform == "bucket":
+                if op == "=":
+                    preds.append(part == t(lits[0]))
+                elif op == "in":
+                    preds.append(
+                        reduce(lambda x, y: x | y, [part == t(v) for v in lits])
+                    )
+            else:
+                if op == "=":
+                    preds.append(part == t(lits[0]))
+                elif op in (">", ">="):
+                    preds.append(part >= t(lits[0]))
+                elif op in ("<", "<="):
+                    preds.append(part <= t(lits[0]))
+                elif op == "between":
+                    preds.append((part >= t(lits[0])) & (part <= t(lits[1])))
+                elif op == "in":
+                    preds.append(
+                        reduce(lambda x, y: x | y, [part == t(v) for v in lits])
+                    )
+    if not preds:
+        return None
+    return reduce(lambda x, y: x & y, preds)
+
+
 @dataclass
 class MergeTable:
     """A keyed table with MERGE-upsert writes, atomic versioned
@@ -128,6 +396,9 @@ class MergeTable:
     key_cols: tuple[str, ...]
     keep_versions: int = 2
     partition_spec: tuple[str, ...] = ()
+    # staged dirs older than this are crashed writers' leftovers the
+    # GC may reclaim; in-flight writers are always younger
+    staged_ttl_s: int = 6 * 3600
 
     # -- pointers and manifests ---------------------------------------
     def _pointer(self) -> str:
@@ -158,12 +429,24 @@ class MergeTable:
         return self.current_version() is not None
 
     # -- read path ----------------------------------------------------
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame | None:
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        where: str | None = None,
+    ) -> DataFrame | None:
         """A snapshot: the current one, or - time travel - any retained
         prior ``version`` (the Iceberg ``VERSION AS OF`` analog; older
         than the retention window raises).  None before the first
         commit.  The snapshot's own schema applies: reading a
-        pre-evolution version shows the pre-evolution columns."""
+        pre-evolution version shows the pre-evolution columns.
+
+        ``where`` (a SQL predicate over the LOGICAL columns) is both
+        applied as the row filter and - Iceberg scan planning - its
+        simple conjuncts are projected through the partition spec's
+        transforms onto the hidden partition columns, so a predicate
+        like ``ts >= T1 AND ts < T2`` prunes ``hours(ts)`` directories
+        the scan never opens."""
         cur = self.current_version()
         if cur is None:
             return None
@@ -176,7 +459,8 @@ class MergeTable:
                     f"version {v} not retained (current {cur}, keep_versions "
                     f"{self.keep_versions})"
                 )
-            return spark.read.parquet(self._version_dir(v))
+            df = spark.read.parquet(self._version_dir(v))
+            return df.filter(F.expr(where)) if where else df
         names = _data_dirs(m)
         dirs = [os.path.join(self.path, d) for d in names]
         if not all(os.path.isdir(d) for d in dirs):
@@ -195,11 +479,23 @@ class MergeTable:
             # shared physical column set
             from functools import reduce
 
+            conjs = _parse_conjuncts(where) if where else []
+            phys_of = {f["name"]: f["physical"] for f in m["schema"]}
+            type_of = {f["name"]: f["type"] for f in m["schema"]}
             phys = [f["physical"] for f in m["schema"] if f["physical"] is not None]
-            df = reduce(
-                DataFrame.unionByName,
-                (spark.read.parquet(d).select(*phys) for d in dirs),
-            )
+            parts = []
+            for dname, d in zip(names, dirs):
+                sub = spark.read.parquet(d)
+                spec = dir_specs.get(dname) or []
+                if conjs and spec:
+                    pred = _partition_predicate(conjs, spec, phys_of, type_of)
+                    if pred is not None:
+                        # filter BEFORE projecting the hidden partition
+                        # columns away: this is what turns the derived
+                        # _p_* predicate into directory pruning
+                        sub = sub.filter(pred)
+                parts.append(sub.select(*phys))
+            df = reduce(DataFrame.unionByName, parts)
         # logical view: physical->logical rename (cast pins the type -
         # partition-directory inference may narrow e.g. bigint to int);
         # physically absent columns (added post-write) read as their
@@ -214,7 +510,8 @@ class MergeTable:
                 cols.append(
                     F.lit(fld.get("default")).cast(fld["type"]).alias(fld["name"])
                 )
-        return df.select(*cols)
+        out = df.select(*cols)
+        return out.filter(F.expr(where)) if where else out
 
     # -- commit machinery ---------------------------------------------
     def _commit(self, df: DataFrame) -> int:
@@ -244,25 +541,31 @@ class MergeTable:
         return list(self.partition_spec)
 
     def _write_data_dir(self, df: DataFrame, data_dir: str, spec: list[str]) -> None:
+        fields = parse_partition_spec(spec)
+        types = dict(df.dtypes)
+        for pf in fields:
+            if pf.transform != "identity":
+                # hidden partitioning: derive the physical partition
+                # value; partitionBy moves it into the directory layout
+                # so the data files carry only the logical columns
+                df = df.withColumn(
+                    pf.name,
+                    _transform_col(pf, F.col(pf.source), types.get(pf.source, "")),
+                )
         writer = df.write.mode("overwrite")
-        if spec:
-            writer = writer.partitionBy(*spec)
+        if fields:
+            writer = writer.partitionBy(*[pf.name for pf in fields])
         writer.parquet(os.path.join(self.path, data_dir))
 
-    def _commit_locked(self, df: DataFrame) -> int:
-        cur = self.current_version()
-        v = (cur or 0) + 1
-        data_dir = f"d{v:06d}"
-        spec = self._current_spec()
-        self._write_data_dir(df, data_dir, spec)
-        # column defaults are table metadata (Iceberg keeps them across
-        # snapshots): carry them forward through data rewrites so an
-        # add_column default keeps applying to later old-shaped merges
-        prev = self._load_manifest(cur) if cur else None
+    def _schema_for(self, df: DataFrame, prev: dict | None) -> list[dict]:
+        """Manifest schema entries for a full rewrite of ``df``.
+        Column defaults are table metadata (Iceberg keeps them across
+        snapshots): carry them forward through data rewrites so an
+        add_column default keeps applying to later old-shaped merges."""
         defaults = (
             {f["name"]: f.get("default") for f in prev["schema"]} if prev else {}
         )
-        schema = [
+        return [
             {
                 "name": f.name,
                 "type": f.dataType.simpleString(),
@@ -271,9 +574,47 @@ class MergeTable:
             }
             for f in df.schema.fields
         ]
+
+    def _commit_locked(self, df: DataFrame) -> int:
+        cur = self.current_version()
+        v = (cur or 0) + 1
+        data_dir = f"d{v:06d}"
+        spec = self._current_spec()
+        self._write_data_dir(df, data_dir, spec)
+        prev = self._load_manifest(cur) if cur else None
         return self._commit_manifest(
-            v, [data_dir], schema, spec, {data_dir: spec} if spec else {}
+            v,
+            [data_dir],
+            self._schema_for(df, prev),
+            spec,
+            {data_dir: spec} if spec else {},
         )
+
+    # -- optimistic staging (lock-free data writes) ---------------------
+    def _stage(self, df: DataFrame, spec: list[str]) -> str:
+        """Write df to an anonymous staged dir WITHOUT holding the
+        commit lock - the expensive part of a commit.  The committer
+        later renames it to its final d{v} name under the lock (a
+        metadata-speed operation), so two writers' data writes overlap
+        freely - Iceberg's optimistic commit protocol, replacing the
+        reference's full-pass cron lockfile (A46)."""
+        import uuid
+
+        name = f"_staged_{uuid.uuid4().hex[:12]}"
+        self._write_data_dir(df, name, spec)
+        return name
+
+    def _discard_stage(self, name: str) -> None:
+        shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+
+    def _promote_stage_locked(self, staged: str, v: int) -> str:
+        """Rename a staged dir to its committed d{v} name (cheap; under
+        the commit lock)."""
+        data_dir = f"d{v:06d}"
+        os.rename(
+            os.path.join(self.path, staged), os.path.join(self.path, data_dir)
+        )
+        return data_dir
 
     def _commit_manifest(
         self,
@@ -336,15 +677,26 @@ class MergeTable:
                 removed.append(entry)
         # legacy data dirs double as their own manifest
         referenced.update(f"v{v:06d}" for v in keep)
+        import time as _time
+
+        now = _time.time()
         for entry in sorted(os.listdir(self.path)):
             p = os.path.join(self.path, entry)
-            if (
-                os.path.isdir(p)
-                and _DATA_DIR_RE.match(entry)
-                and entry not in referenced
-            ):
+            if not os.path.isdir(p):
+                continue
+            if _DATA_DIR_RE.match(entry) and entry not in referenced:
                 shutil.rmtree(p, ignore_errors=True)
                 removed.append(entry)
+            elif _STAGED_RE.match(entry):
+                # a crashed optimistic writer's leftover; live writers'
+                # stages are always younger than the TTL
+                try:
+                    age = now - os.path.getmtime(p)
+                except OSError:
+                    continue
+                if age > self.staged_ttl_s:
+                    shutil.rmtree(p, ignore_errors=True)
+                    removed.append(entry)
         return removed
 
     def read_changes(
@@ -529,7 +881,19 @@ class MergeTable:
                 )
             # the spec names logical columns (it applies at write time
             # to logical-named DataFrames), so a rename follows through
-            spec = [new if c == old else c for c in (m.get("partition_spec") or [])]
+            # - including inside transform entries like hours(old).
+            # Existing dirs keep their old-era layout; pruning matches
+            # them through the physical-name mapping.
+            def _ren(s: str) -> str:
+                pf = parse_partition_spec([s])[0]
+                if pf.source != old:
+                    return s
+                if pf.transform == "identity":
+                    return new
+                arg = f"{pf.arg}, " if pf.arg is not None else ""
+                return f"{pf.transform}({arg}{new})"
+
+            spec = [_ren(c) for c in (m.get("partition_spec") or [])]
             return self._commit_manifest(
                 self.current_version() + 1,
                 _data_dirs(m),
@@ -548,7 +912,9 @@ class MergeTable:
             m = self._require_manifest_locked()
             if name in self._effective_keys():
                 raise ValueError(f"cannot drop key column {name!r}")
-            if name in (m.get("partition_spec") or []):
+            if name in {
+                pf.source for pf in parse_partition_spec(m.get("partition_spec") or [])
+            }:
                 raise ValueError(f"cannot drop partition column {name!r}")
             if not any(f["name"] == name for f in m["schema"]):
                 raise ValueError(f"no column {name!r}")
@@ -567,12 +933,17 @@ class MergeTable:
         existing data dirs keep the layout they were written with
         (reads of a mixed-era snapshot union per-dir scans, each with
         its own partition pruning).  Pass no cols to drop
-        partitioning.  Cols must be schema columns; the spec engages
-        at the next data commit (merge/append/compact)."""
+        partitioning.  Entries are plain schema columns or hidden-
+        partitioning transforms over them (``hours(ts)``, ``days(ts)``,
+        ``months(ts)``, ``years(ts)``, ``bucket(N, col)``,
+        ``truncate(W, col)``); the spec engages at the next data
+        commit (merge/append/compact)."""
         with _commit_lock(self.path):
             m = self._require_manifest_locked()
             names = {f["name"] for f in m["schema"]}
-            unknown = [c for c in cols if c not in names]
+            unknown = [
+                pf.spec for pf in parse_partition_spec(cols) if pf.source not in names
+            ]
             if unknown:
                 raise ValueError(f"partition spec references unknown columns {unknown}")
             return self._commit_manifest(
@@ -587,6 +958,18 @@ class MergeTable:
     def overwrite(self, df: DataFrame) -> int:
         return self._commit(df)
 
+    @staticmethod
+    def _check_append_schema(m: dict, updates: DataFrame, path: str) -> None:
+        names = [f["name"] for f in m["schema"]]
+        if sorted(names) != sorted(updates.columns) or any(
+            f["physical"] != f["name"] for f in m["schema"]
+        ):
+            raise ValueError(
+                f"append() needs a physical schema match (table {names}, "
+                f"updates {updates.columns}); use merge() after schema "
+                "evolution"
+            )
+
     def append(self, updates: DataFrame) -> int:
         """Iceberg fast-append: commit ONLY the new rows as an
         additional data dir - no read of the current snapshot, no
@@ -597,48 +980,75 @@ class MergeTable:
 
         Requires the table's physical schema to match updates (same
         column set, no pending metadata-only adds/renames); otherwise
-        raises - merge() materializes the evolved schema first."""
-        with _commit_lock(self.path):
-            cur = self.current_version()
-            if cur is None:
-                return self._commit_locked(updates)
-            m = self._load_manifest(cur)
-            if m is None:
-                raise ValueError(
-                    f"legacy table {self.path} has no manifest; run compact() "
-                    "once before append()"
-                )
-            names = [f["name"] for f in m["schema"]]
-            if sorted(names) != sorted(updates.columns) or any(
-                f["physical"] != f["name"] for f in m["schema"]
-            ):
-                raise ValueError(
-                    f"append() needs a physical schema match (table {names}, "
-                    f"updates {updates.columns}); use merge() after schema "
-                    "evolution"
-                )
-            v = cur + 1
-            data_dir = f"d{v:06d}"
-            spec = list(m.get("partition_spec") or [])
-            # coerce to the table's recorded types (Iceberg appends
-            # write the table schema): without the cast, an int64-typed
-            # source landing beside an int32 dir poisons every
-            # subsequent multi-dir read with a parquet type mismatch
-            aligned = updates.select(
-                *[
-                    F.col(f["name"]).cast(f["type"]).alias(f["name"])
-                    for f in m["schema"]
-                ]
-            )
-            self._write_data_dir(aligned, data_dir, spec)
-            dir_specs = dict(m.get("dir_specs") or {})
-            if spec:
-                dir_specs[data_dir] = spec
-            return self._commit_manifest(
-                v, _data_dirs(m) + [data_dir], m["schema"], spec, dir_specs
-            )
+        raises - merge() materializes the evolved schema first.
 
-    def merge(self, updates: DataFrame, evolve_schema: bool = False) -> int:
+        OPTIMISTIC: the data write runs OUTSIDE the commit lock (a
+        staged dir), and the lock is taken only for revalidate +
+        rename + manifest/pointer flip - so two appenders (disjoint
+        partitions or not; appends never conflict with appends,
+        Iceberg's rule) write their data concurrently and serialize
+        only on metadata.  A concurrent schema rewrite that
+        invalidates the staged files raises :class:`CommitConflict`."""
+        cur = self.current_version()
+        if cur is None:
+            with _commit_lock(self.path):
+                if self.current_version() is None:
+                    return self._commit_locked(updates)
+            cur = self.current_version()  # lost the bootstrap race
+        m = self._load_manifest(cur)
+        if m is None:
+            raise ValueError(
+                f"legacy table {self.path} has no manifest; run compact() "
+                "once before append()"
+            )
+        self._check_append_schema(m, updates, self.path)
+        spec = list(m.get("partition_spec") or [])
+        # coerce to the table's recorded types (Iceberg appends
+        # write the table schema): without the cast, an int64-typed
+        # source landing beside an int32 dir poisons every
+        # subsequent multi-dir read with a parquet type mismatch
+        aligned = updates.select(
+            *[
+                F.col(f["name"]).cast(f["type"]).alias(f["name"])
+                for f in m["schema"]
+            ]
+        )
+        staged: str | None = self._stage(aligned, spec)  # lock-free
+        try:
+            with _commit_lock(self.path):
+                cur2 = self.current_version()
+                m2 = self._load_manifest(cur2)
+                if m2 is None:
+                    raise CommitConflict(
+                        f"table {self.path} lost its manifest mid-append"
+                    )
+                if [
+                    (f["name"], f["physical"], f["type"]) for f in m2["schema"]
+                ] != [(f["name"], f["physical"], f["type"]) for f in m["schema"]]:
+                    raise CommitConflict(
+                        "a concurrent schema rewrite invalidated this "
+                        "append's staged files; re-run append()"
+                    )
+                v = cur2 + 1
+                data_dir = self._promote_stage_locked(staged, v)
+                staged = None
+                dir_specs = dict(m2.get("dir_specs") or {})
+                if spec:
+                    dir_specs[data_dir] = spec
+                return self._commit_manifest(
+                    v,
+                    _data_dirs(m2) + [data_dir],
+                    m2["schema"],
+                    list(m2.get("partition_spec") or []),
+                    dir_specs,
+                )
+        finally:
+            if staged is not None:
+                self._discard_stage(staged)
+
+    def merge(
+        self, updates: DataFrame, evolve_schema: bool = False, max_retries: int = 6
+    ) -> int:
         """MERGE INTO this table USING updates ON key_cols:
         matched rows are replaced by their update, unmatched updates
         are inserted, unmatched existing rows are kept.  Updates must
@@ -653,29 +1063,39 @@ class MergeTable:
         option), which adds them to the table with existing rows
         reading null.
 
-        The flock spans the whole read-modify-write, not just the
-        pointer flip: a commit-only lock would let two concurrent
-        mergers both base on the same snapshot and the later one erase
-        the earlier one's rows (the lost-update anomaly Iceberg's
-        optimistic retry handles; a cron lockfile held for the full
-        pass is the reference's answer, :45-47, and ours).
-        """
+        OPTIMISTIC concurrency (Iceberg's commit model, replacing the
+        full-pass cron lockfile the reference holds, :45-47): the
+        read-modify-write runs against a pinned base snapshot with NO
+        lock held; the lock is taken only to validate the base is
+        still current and flip the pointer.  A concurrent commit in
+        between invalidates the staged snapshot - the merge recomputes
+        on the new base and retries (no lost updates: the loser always
+        rebases), raising :class:`CommitConflict` after
+        ``max_retries``."""
         spark = updates.sparkSession
-        with _commit_lock(self.path):
-            current = self.read(spark)
-            if current is None:
-                return self._commit_locked(updates)
+        for _ in range(max_retries):
+            base = self.current_version()
+            if base is None:
+                with _commit_lock(self.path):
+                    if self.current_version() is None:
+                        return self._commit_locked(updates)
+                continue  # lost the bootstrap race: rebase as a real merge
+            try:
+                current = self.read(spark, base)
+            except ValueError:
+                continue  # base expired under a concurrent commit: rebase
+            ups = updates
             keys = list(self._effective_keys())
             table_cols = current.columns
-            extra = [c for c in updates.columns if c not in table_cols]
+            extra = [c for c in ups.columns if c not in table_cols]
             if extra and not evolve_schema:
                 raise ValueError(
                     f"updates carry new columns {extra}; pass "
                     "evolve_schema=True to add them (Iceberg mergeSchema)"
                 )
-            missing = [c for c in table_cols if c not in updates.columns]
+            man = self._load_manifest(base)
+            missing = [c for c in table_cols if c not in ups.columns]
             if missing:
-                man = self._load_manifest(self.current_version())
                 defaults = (
                     {f["name"]: f.get("default") for f in man["schema"]}
                     if man
@@ -683,17 +1103,45 @@ class MergeTable:
                 )
                 types = {f.name: f.dataType for f in current.schema.fields}
                 for c in missing:
-                    updates = updates.withColumn(
-                        c, F.lit(defaults.get(c)).cast(types[c])
-                    )
+                    ups = ups.withColumn(c, F.lit(defaults.get(c)).cast(types[c]))
             for c in extra:
                 current = current.withColumn(
-                    c, F.lit(None).cast(updates.schema[c].dataType)
+                    c, F.lit(None).cast(ups.schema[c].dataType)
                 )
-            merged = updates.select(table_cols + extra).unionByName(
-                current.join(updates.select(*keys), keys, "left_anti")
+            merged = ups.select(table_cols + extra).unionByName(
+                current.join(ups.select(*keys), keys, "left_anti")
             )
-            return self._commit_locked(merged)
+            spec = list((man or {}).get("partition_spec") or self.partition_spec)
+            try:
+                # the heavy part - scanning the base snapshot and
+                # writing the merged one - runs lock-free
+                staged: str | None = self._stage(merged, spec)
+            except Exception:
+                if self.current_version() != base:
+                    continue  # base GC'd mid-scan by a concurrent commit
+                raise
+            committed = False
+            try:
+                with _commit_lock(self.path):
+                    if self.current_version() == base:
+                        v = base + 1
+                        data_dir = self._promote_stage_locked(staged, v)
+                        committed = True
+                        return self._commit_manifest(
+                            v,
+                            [data_dir],
+                            self._schema_for(merged, man),
+                            spec,
+                            {data_dir: spec} if spec else {},
+                        )
+            finally:
+                if not committed and staged is not None:
+                    self._discard_stage(staged)
+            # conflict: loop rebases on the new current version
+        raise CommitConflict(
+            f"merge() on {self.path} lost {max_retries} optimistic-commit "
+            "races; raise max_retries or reduce writer contention"
+        )
 
     def delete_where(self, spark: SparkSession, condition) -> int:
         """Iceberg ``DELETE FROM t WHERE cond`` (copy-on-write form):

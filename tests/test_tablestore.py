@@ -412,3 +412,245 @@ def test_key_cols_persist_across_rename(spark, tmp_path):
     t2.merge(spark.createDataFrame([(2, "B"), (3, "c")], ["kk", "v"]))
     rows = {r["kk"]: r["v"] for r in t2.read(spark).collect()}
     assert rows == {1: "a", 2: "B", 3: "c"}
+
+
+def _pf_lines(df):
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    return [ln.strip() for ln in plan.splitlines() if "PartitionFilters" in ln]
+
+
+def test_hidden_partitioning_hours_prunes(spark, tmp_path):
+    """SURVEY 1.3's declared layout - (run, hours(ts)) - as an Iceberg
+    hidden-partitioning transform: the write derives _p_ts_hours into
+    the directory layout, and read(where=...) projects a ts range
+    predicate onto it so the scan's PartitionFilters prune hour
+    directories the query never opens."""
+    import datetime
+
+    from iceberg_daq_spark.tablestore import MergeTable
+
+    base = datetime.datetime(2024, 5, 1, 0, 0, 0)
+    rows = [
+        (i, base + datetime.timedelta(minutes=15 * i), i % 3, f"v{i}")
+        for i in range(48)
+    ]
+    t = MergeTable(
+        str(tmp_path / "hp"), key_cols=("k",), keep_versions=10,
+        partition_spec=("run", "hours(ts)"),
+    )
+    t.merge(spark.createDataFrame(rows, "k int, ts timestamp, run int, v string"))
+    # the data files carry only logical columns; the transform value
+    # lives in the directory names
+    run_dir = tmp_path / "hp" / "d000001" / "run=0"
+    assert any(e.name.startswith("_p_ts_hours=") for e in run_dir.iterdir())
+
+    w = ("ts >= TIMESTAMP '2024-05-01 01:00:00' "
+         "AND ts < TIMESTAMP '2024-05-01 03:00:00'")
+    pruned = t.read(spark, where=w)
+    # correctness: identical to the unpruned row filter
+    expect = {tuple(r) for r in t.read(spark).filter(w).collect()}
+    assert {tuple(r) for r in pruned.collect()} == expect
+    assert len(expect) == 8
+    # the hidden column never leaks into the logical schema
+    assert "_p_ts_hours" not in pruned.columns
+    # pruning really engaged: constant-folded range on _p_ts_hours
+    pf = _pf_lines(pruned)
+    assert pf and "_p_ts_hours" in pf[0] and ">=" in pf[0]
+
+
+def test_hidden_partitioning_bucket_truncate(spark, tmp_path):
+    """bucket(8, k) (SURVEY 7's (run, bucket(src_id)) layout) prunes
+    on equality/IN; truncate(2, name) prunes string ranges."""
+    from iceberg_daq_spark.tablestore import MergeTable
+
+    t = MergeTable(
+        str(tmp_path / "bk"), key_cols=("k",), keep_versions=10,
+        partition_spec=("bucket(8, k)",),
+    )
+    t.merge(spark.createDataFrame([(i, f"x{i}") for i in range(100)], "k int, v string"))
+    one = t.read(spark, where="k = 17")
+    assert [(r["k"], r["v"]) for r in one.collect()] == [(17, "x17")]
+    pf = _pf_lines(one)
+    assert pf and "_p_k_bucket8" in pf[0]
+    many = t.read(spark, where="k IN (1, 2, 63)")
+    assert {r["k"] for r in many.collect()} == {1, 2, 63}
+    assert "_p_k_bucket8" in _pf_lines(many)[0]
+
+    ts = MergeTable(
+        str(tmp_path / "tr"), key_cols=("name",), keep_versions=10,
+        partition_spec=("truncate(2, name)",),
+    )
+    ts.merge(
+        spark.createDataFrame(
+            [("aa1", 1), ("ab2", 2), ("ba3", 3), ("bb4", 4)], "name string, n int"
+        )
+    )
+    got = ts.read(spark, where="name >= 'ab' AND name < 'b'")
+    assert {r["name"] for r in got.collect()} == {"ab2"}
+    assert "_p_name_truncate2" in _pf_lines(got)[0]
+
+
+def test_hidden_partitioning_spec_evolution_and_rename(spark, tmp_path):
+    """Transform specs evolve like plain ones (metadata-only; future
+    commits only) and follow a source-column rename; mixed-era reads
+    stay correct and old-era dirs still prune through the physical
+    name mapping."""
+    import datetime
+
+    from iceberg_daq_spark.tablestore import MergeTable
+
+    base = datetime.datetime(2024, 5, 1, 0, 0, 0)
+
+    def mk(lo, hi):
+        return spark.createDataFrame(
+            [(i, base + datetime.timedelta(hours=i), i) for i in range(lo, hi)],
+            "k int, ts timestamp, v int",
+        )
+
+    t = MergeTable(str(tmp_path / "ev"), key_cols=("k",), keep_versions=10)
+    t.merge(mk(0, 4))  # v1: unpartitioned
+    t.set_partition_spec("hours(ts)")  # v2: metadata-only
+    t.append(mk(4, 8))  # v3: new dir under the transform layout
+    assert any(
+        e.name.startswith("_p_ts_hours=")
+        for e in (tmp_path / "ev" / "d000003").iterdir()
+    )
+    w = "ts >= TIMESTAMP '2024-05-01 05:00:00'"
+    got = t.read(spark, where=w)
+    assert {r["k"] for r in got.collect()} == {5, 6, 7}
+
+    # rename the source: the spec follows (hours(event_ts)); reads and
+    # pruning keep working against the old physical layout
+    t.rename_column("ts", "event_ts")
+    m = t._load_manifest(t.current_version())
+    assert m["partition_spec"] == ["hours(event_ts)"]
+    got2 = t.read(spark, where="event_ts >= TIMESTAMP '2024-05-01 05:00:00'")
+    assert {r["k"] for r in got2.collect()} == {5, 6, 7}
+    assert "_p_ts_hours" in _pf_lines(got2)[0]
+
+    # validation: unknown source / dropping a transform source rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.set_partition_spec("hours(nope)")
+    with _pytest.raises(ValueError):
+        t.drop_column("event_ts")
+
+
+def test_append_data_write_outside_lock(spark, tmp_path):
+    """Optimistic appends stage their data WITHOUT the commit lock:
+    with the flock held by someone else, an append's (expensive) data
+    write still proceeds - a _staged_* dir appears - and only the
+    final rename+pointer flip waits for the lock."""
+    import fcntl
+    import threading
+
+    from iceberg_daq_spark.tablestore import MergeTable
+
+    path = str(tmp_path / "opt")
+    t = MergeTable(path, key_cols=("k",), keep_versions=10)
+    t.merge(spark.createDataFrame([(1, "a")], ["k", "v"]))  # v1 bootstrap
+
+    fd = os.open(os.path.join(path, ".commit.lock"), os.O_CREAT | os.O_RDWR)
+    fcntl.flock(fd, fcntl.LOCK_EX)
+    done = threading.Event()
+    err: list[BaseException] = []
+
+    def run():
+        try:
+            t.append(spark.createDataFrame([(2, "b")], ["k", "v"]))
+        except BaseException as e:  # surfaced by the main thread
+            err.append(e)
+        finally:
+            done.set()
+
+    th = threading.Thread(target=run, daemon=True)
+    th.start()
+    # the staged dir must appear WHILE the lock is held
+    deadline = time.time() + 60
+    staged_seen = False
+    while time.time() < deadline:
+        if any(e.startswith("_staged_") for e in os.listdir(path)):
+            staged_seen = True
+            break
+        time.sleep(0.05)
+    assert staged_seen, "append did not stage its data while the lock was held"
+    assert not done.is_set() or err, "append committed despite the held lock"
+    fcntl.flock(fd, fcntl.LOCK_UN)
+    os.close(fd)
+    th.join(timeout=60)
+    assert not err, err
+    assert t.current_version() == 2
+    rows = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert rows == {1: "a", 2: "b"}
+    # the staged dir was promoted, not leaked
+    assert not any(e.startswith("_staged_") for e in os.listdir(path))
+
+
+_APPEND_CHILD = """
+import os, sys, time
+sys.path.insert(0, {repo!r})
+from iceberg_daq_spark.session import get_spark
+from iceberg_daq_spark.tablestore import MergeTable
+
+table_path, writer, n_rows, barrier_dir = (
+    sys.argv[1], sys.argv[2], int(sys.argv[3]), sys.argv[4]
+)
+spark = get_spark(
+    app_name=f"append_writer_{{writer}}",
+    master="local[2]",
+    shuffle_partitions=2,
+)
+table = MergeTable(table_path, key_cols=("k",))
+open(os.path.join(barrier_dir, f"ready_{{writer}}"), "w").close()
+deadline = time.time() + 120
+while len([f for f in os.listdir(barrier_dir) if f.startswith("ready_")]) < 2:
+    if time.time() > deadline:
+        raise SystemExit("barrier timeout")
+    time.sleep(0.05)
+df = spark.createDataFrame(
+    [(f"{{writer}}-{{i}}", writer) for i in range(n_rows)], "k string, writer string"
+)
+table.append(df)
+print("DONE", writer, table.current_version())
+"""
+
+
+def test_concurrent_appenders_cross_process(spark, tmp_path):
+    """Two OS-process appenders commit concurrently: appends never
+    conflict with appends (Iceberg's rule), both data dirs land, and
+    no rows are lost - without serializing on the data write."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    table_path = str(tmp_path / "table")
+    barrier = str(tmp_path / "barrier")
+    os.makedirs(barrier)
+
+    from iceberg_daq_spark.tablestore import MergeTable
+
+    t = MergeTable(table_path, key_cols=("k",), keep_versions=10)
+    t.merge(spark.createDataFrame([("seed", "s")], "k string, writer string"))
+
+    script = _APPEND_CHILD.format(repo=repo)
+    env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="2g")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script, table_path, w, "5", barrier],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            cwd=repo,
+        )
+        for w in ("a", "b")
+    ]
+    outs = [p.communicate(timeout=300)[0].decode() for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-2000:]
+
+    rows = {r["k"]: r["writer"] for r in t.read(spark).collect()}
+    expect = {"seed": "s"}
+    expect.update({f"{w}-{i}": w for w in ("a", "b") for i in range(5)})
+    assert rows == expect
+    assert t.current_version() == 3  # bootstrap + one commit per appender
+    assert not any(e.startswith("_staged_") for e in os.listdir(table_path))
