@@ -331,16 +331,29 @@ def connected_components(
     step every dedup pipeline needs after pair generation - near-dup is
     not transitive, so keep-one-per-pair over-deletes without it.
 
-    Iterative min-label propagation as pure DataFrame ops: each round
-    joins labels to the (undirected) edge list and takes the min label
-    over each node's neighborhood, until a round changes nothing.
-    Rounds = graph diameter; near-dup components are small and dense
-    (dups of dups), so this converges in a handful of rounds even at
-    corpus scale - and every round is one equi-join + one partial-agg
-    shuffle, nothing quadratic.  ``localCheckpoint`` truncates the plan
-    lineage each round so the job graph stays flat; convergence is
-    detected from sum(label), which strictly decreases while any label
-    changes (labels only ever decrease).
+    Iterative min-label propagation WITH path shortcutting as pure
+    DataFrame ops.  Each round does two steps:
+
+      1. neighbor min - join labels to the (undirected) edge list and
+         take the min label over each node's neighborhood (one
+         equi-join + one partial-agg shuffle);
+      2. pointer halving - label <- label[label] (one self equi-join):
+         since labels only decrease and label[x] <= x, following the
+         label chain one hop per round turns O(diameter) convergence
+         into O(log diameter) - the star-contraction trick from the
+         MapReduce CC literature (Kiveris et al., "Connected
+         Components in MapReduce and Beyond"), expressed with the same
+         join + partial-agg primitives.
+
+    Near-dup components are small and dense, where step 1 alone
+    converges in a couple of rounds and step 2 is one cheap extra join
+    on an already-tiny labels table; on pathological long-chain graphs
+    step 2 is what keeps the round count logarithmic instead of
+    linear.  ``localCheckpoint`` truncates the plan lineage each round
+    so the job graph stays flat; convergence is detected from
+    sum(label), which strictly decreases while any label changes
+    (labels only ever decrease).  The rounds the last call used are
+    exposed as ``connected_components.last_rounds`` (test hook).
     """
     edges = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
     edges = (
@@ -358,6 +371,7 @@ def connected_components(
     )
     prev_sum = None
     converged = False
+    rounds = 0
     for _ in range(max_iter):
         labels = labels.localCheckpoint()
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
@@ -365,6 +379,7 @@ def connected_components(
             converged = True
             break
         prev_sum = cur_sum
+        rounds += 1
         nbr_min = (
             edges.join(
                 labels.select(F.col("u").alias("v"), "label"), "v"
@@ -376,6 +391,22 @@ def connected_components(
             "u",
             F.least("label", F.coalesce("nbr_label", F.col("label"))).alias("label"),
         )
+        # pointer halving: chase the label chain one hop (label values
+        # are always node ids present in the labels table, so the left
+        # join misses nothing except already-minimal labels)
+        chase = labels.select(
+            F.col("u").alias("_t"), F.col("label").alias("_tlabel")
+        )
+        labels = (
+            labels.join(chase, labels["label"] == chase["_t"], "left")
+            .select(
+                "u",
+                F.least(
+                    "label", F.coalesce("_tlabel", F.col("label"))
+                ).alias("label"),
+            )
+        )
+    connected_components.last_rounds = rounds
     if not converged:
         # partially-merged components over-keep near-dups; make that
         # detectable instead of silently wrong (pathological long-chain

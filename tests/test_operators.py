@@ -275,6 +275,25 @@ def test_connected_components_chain(spark):
     assert groups[11] == (10, False)
 
 
+def test_connected_components_shortcut_rounds(spark):
+    """Path shortcutting keeps convergence logarithmic on long-chain
+    graphs: a 64-node chain (diameter 63, which plain min-label
+    propagation would need ~63 rounds for - past the default max_iter)
+    must converge well under the cap, with every node labeled 0."""
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["doc_a", "doc_b"]
+    )
+    comp = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert comp == {i: 0 for i in range(n)}
+    # neighbor-min alone moves the min one hop per round (~63 rounds);
+    # with label[label] chasing the chain collapses geometrically
+    assert dedup.connected_components.last_rounds <= 15
+
+
 def test_multimodal_image_roundtrip(spark, sf_dir):
     """q51's decode path vs the closed form: pixel i of doc d is
     (d*31 + i*7) % 251, so mean/max/min are computable exactly in
