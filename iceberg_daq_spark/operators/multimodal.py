@@ -590,22 +590,42 @@ def decode_audio_stats(blobs: DataFrame) -> DataFrame:
     return blobs.mapInArrow(stats, _AUD_STATS_SCHEMA)
 
 
-def decode_external(blobs: DataFrame, fmt: str) -> DataFrame:
-    """Real-codec decode to the same stats schema as
-    :func:`decode_image_stats`: JPEG/PNG payloads through PIL when it
-    is installed (gated on import, so the module never requires a
-    codec library; this container has none, in which case this raises
-    NotImplementedError).  Audio (soundfile) and video (av) formats
-    remain stubs.
+_IMAGE_FMTS = ("jpeg", "png")
+_AUDIO_FMTS = ("wav", "flac", "ogg")
+_VIDEO_FMTS = ("mp4", "mkv", "webm")
 
-    Same mapInArrow plumbing as the fake-format path - payloads stay
+
+def decode_external(blobs: DataFrame, fmt: str, every_k: int = 5) -> DataFrame:
+    """Real-codec decode through the same distributed plumbing and
+    output schemas as the fake-format operators, gated on import so
+    the module never *requires* a codec library (this container ships
+    none, in which case each family raises NotImplementedError rather
+    than silently faking):
+
+      jpeg/png       PIL        -> :data:`_IMG_STATS_SCHEMA`
+                                   (decode_image_stats twin)
+      wav/flac/ogg   soundfile  -> :data:`_AUD_STATS_SCHEMA`
+                                   (decode_audio_stats twin; rms/peak
+                                   in int16 PCM units, multichannel
+                                   stats over all channels, n_samples
+                                   = frames)
+      mp4/mkv/webm   av         -> :data:`_FRAME_SCHEMA`
+                                   (sample_video_frames twin: every
+                                   ``every_k``-th frame as raw RGB24
+                                   bytes + its mean pixel)
+
+    Same mapInArrow plumbing as the fake-format paths - payloads stay
     in executor memory as one Arrow buffer per batch; only the
-    per-blob parse is the codec's C decoder (necessarily per-image:
-    JPEG/PNG streams aren't batch-decodable)."""
-    if fmt not in ("jpeg", "png"):
+    per-blob parse is the codec's C decoder (necessarily per-blob:
+    compressed streams aren't batch-decodable)."""
+    if fmt in _AUDIO_FMTS:
+        return _decode_external_audio(blobs)
+    if fmt in _VIDEO_FMTS:
+        return _decode_external_video(blobs, every_k)
+    if fmt not in _IMAGE_FMTS:
         raise NotImplementedError(
-            f"format={fmt!r}: only jpeg/png have a real decode path; "
-            "wire soundfile (audio) or av (video) here for the rest"
+            f"format={fmt!r}: known real-codec formats are "
+            f"{_IMAGE_FMTS + _AUDIO_FMTS + _VIDEO_FMTS}"
         )
     try:
         import PIL.Image  # noqa: F401
@@ -658,3 +678,112 @@ def decode_external(blobs: DataFrame, fmt: str) -> DataFrame:
             )
 
     return blobs.mapInArrow(stats, _IMG_STATS_SCHEMA)
+
+
+def _decode_external_audio(blobs: DataFrame) -> DataFrame:
+    """Real audio decode (WAV/FLAC/OGG via soundfile/libsndfile) to the
+    SAME stats schema as the FAUD path (:func:`decode_audio_stats`):
+    per-blob n_samples (frames), duration, RMS and peak in int16 PCM
+    units (soundfile reads dtype=int16, so a 16-bit file round-trips
+    bit-exactly; other depths quantize).  Import-gated: raises instead
+    of faking when soundfile is absent (this container)."""
+    try:
+        import soundfile  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "soundfile is not installed in this environment; the FAUD "
+            "fake-format path (decode_audio_stats) is the documented "
+            "substitute"
+        ) from exc
+
+    def stats(batches):
+        import io
+
+        import pyarrow as pa
+        import soundfile as sf
+
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            names = rb.schema.names
+            pay = rb.column(names.index("payload"))
+            ns = np.zeros(n, dtype=np.int32)
+            dur = np.zeros(n, dtype=np.float64)
+            rms = np.zeros(n, dtype=np.float64)
+            peak = np.zeros(n, dtype=np.int32)
+            for i in range(n):
+                data, rate = sf.read(
+                    io.BytesIO(pay[i].as_py()), dtype="int16", always_2d=True
+                )
+                frames = data.shape[0]
+                ns[i] = frames
+                dur[i] = frames / float(rate)
+                if data.size:
+                    flat = data.astype(np.float64).ravel()
+                    rms[i] = float(np.sqrt((flat**2).mean()))
+                    peak[i] = int(np.abs(data.astype(np.int32)).max())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(names.index("doc_id")),
+                    pa.array(ns, type=pa.int32()),
+                    pa.array(dur),
+                    pa.array(rms),
+                    pa.array(peak, type=pa.int32()),
+                ],
+                names=["doc_id", "n_samples", "duration_s", "rms", "peak"],
+            )
+
+    return blobs.mapInArrow(stats, _AUD_STATS_SCHEMA)
+
+
+def _decode_external_video(blobs: DataFrame, every_k: int = 5) -> DataFrame:
+    """Real video decode (MP4/MKV/WebM via PyAV/FFmpeg) to the SAME
+    frame-sampling schema as the FVID path
+    (:func:`sample_video_frames`): every ``every_k``-th decoded frame
+    as raw RGB24 bytes plus its mean pixel.  Import-gated: raises
+    instead of faking when av is absent (this container)."""
+    try:
+        import av  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "av (PyAV) is not installed in this environment; the FVID "
+            "fake-format path (sample_video_frames) is the documented "
+            "substitute"
+        ) from exc
+
+    def sample(batches):
+        import io
+
+        import av as _av
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            doc_out, no_out, nf_out, fr_out, mean_out = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                with _av.open(io.BytesIO(bytes(payload))) as container:
+                    frames = [
+                        f.to_ndarray(format="rgb24")
+                        for f in container.decode(video=0)
+                    ]
+                total = len(frames)
+                for j in range(0, total, every_k):
+                    arr = frames[j]
+                    doc_out.append(doc_id)
+                    no_out.append(j)
+                    nf_out.append(total)
+                    fr_out.append(arr.tobytes())
+                    mean_out.append(float(arr.mean()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(doc_out, dtype="int64"),
+                    "frame_no": pd.Series(no_out, dtype="int32"),
+                    "n_frames": pd.Series(nf_out, dtype="int32"),
+                    "frame": pd.Series(fr_out, dtype=object),
+                    "mean_px": pd.Series(mean_out, dtype="float64"),
+                }
+            )
+
+    return blobs.select("doc_id", "payload").mapInPandas(sample, _FRAME_SCHEMA)

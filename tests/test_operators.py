@@ -405,10 +405,11 @@ def test_multimodal_external_decode_gating(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents").limit(1)
     with _pytest.raises(NotImplementedError):
-        mm.decode_external(mm.synth_image_blobs(d), "mp4")
-    if importlib.util.find_spec("PIL") is None:
-        with _pytest.raises(NotImplementedError):
-            mm.decode_external(mm.synth_image_blobs(d), "jpeg")
+        mm.decode_external(mm.synth_image_blobs(d), "tiff")  # unknown format
+    for fmt, lib in (("jpeg", "PIL"), ("wav", "soundfile"), ("mp4", "av")):
+        if importlib.util.find_spec(lib) is None:
+            with _pytest.raises(NotImplementedError):
+                mm.decode_external(mm.synth_image_blobs(d), fmt)
 
 
 def test_multimodal_external_decode_png():
@@ -509,3 +510,81 @@ def test_q68_docs_are_valid_canonical_json(spark, sf_dir):
         assert md["core.first_event_number"] == min(md["core.events"])
         assert md["core.last_event_number"] == max(md["core.events"])
         assert md["core.runs_subruns"] == [md["core.runs"][0] * 100000 + 1]
+
+
+def test_multimodal_external_decode_wav():
+    """With soundfile installed, decode_external must decode real WAVs
+    through the same mapInArrow plumbing to the FAUD stats schema with
+    exact int16-unit RMS/peak (skips in codec-free containers)."""
+    import io
+
+    import numpy as np
+    import pytest as _pytest
+
+    sf_lib = _pytest.importorskip("soundfile")
+
+    from iceberg_daq_spark.operators import multimodal as mm
+    from iceberg_daq_spark.session import get_spark
+
+    spark = get_spark()
+    rng = np.random.default_rng(11)
+    rows, truth = [], {}
+    for doc_id, (frames, rate, ch) in enumerate([(1600, 16000, 1), (800, 8000, 2)]):
+        pcm = rng.integers(-20000, 20000, size=(frames, ch), dtype=np.int16)
+        bio = io.BytesIO()
+        sf_lib.write(bio, pcm, rate, format="WAV", subtype="PCM_16")
+        rows.append((doc_id, bytearray(bio.getvalue())))
+        flat = pcm.astype(np.float64).ravel()
+        truth[doc_id] = (
+            frames,
+            frames / rate,
+            float(np.sqrt((flat**2).mean())),
+            int(np.abs(pcm.astype(np.int32)).max()),
+        )
+    blobs = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r["doc_id"]: (r["n_samples"], r["duration_s"], r["rms"], r["peak"])
+        for r in mm.decode_external(blobs, "wav").collect()
+    }
+    assert set(got) == set(truth)
+    for k, (ns, dur, rms, peak) in truth.items():
+        gns, gdur, grms, gpeak = got[k]
+        assert (gns, gpeak) == (ns, peak)
+        assert abs(gdur - dur) < 1e-9 and abs(grms - rms) < 1e-6
+
+
+def test_multimodal_external_decode_mp4():
+    """With PyAV installed, decode_external must decode real video
+    containers through the same mapInPandas plumbing to the FVID
+    frame-sampling schema (skips in codec-free containers)."""
+    import io
+
+    import numpy as np
+    import pytest as _pytest
+
+    av = _pytest.importorskip("av")
+
+    from iceberg_daq_spark.operators import multimodal as mm
+    from iceberg_daq_spark.session import get_spark
+
+    spark = get_spark()
+    n_frames, w, h = 12, 32, 16
+    bio = io.BytesIO()
+    with av.open(bio, "w", format="mp4") as container:
+        stream = container.add_stream("mpeg4", rate=10)
+        stream.width, stream.height, stream.pix_fmt = w, h, "yuv420p"
+        for i in range(n_frames):
+            arr = np.full((h, w, 3), i * 16, dtype=np.uint8)
+            frame = av.VideoFrame.from_ndarray(arr, format="rgb24")
+            container.mux(stream.encode(frame))
+        container.mux(stream.encode())
+    blobs = spark.createDataFrame(
+        [(7, bytearray(bio.getvalue()))], "doc_id long, payload binary"
+    )
+    rows = mm.decode_external(blobs, "mp4", every_k=5).collect()
+    # every 5th of 12 frames -> frame_no 0, 5, 10
+    assert [r["frame_no"] for r in sorted(rows, key=lambda r: r["frame_no"])] == [0, 5, 10]
+    for r in rows:
+        assert r["doc_id"] == 7 and r["n_frames"] == n_frames
+        assert len(r["frame"]) == w * h * 3
+        assert 0.0 <= r["mean_px"] <= 255.0
