@@ -68,37 +68,8 @@ def all_queries() -> dict[str, QuerySpec]:
 #   6. rows-only queries (the driver can never hash-verify these; local
 #      tests assert their semantics) - always last.
 _CHECK_FIRST = [
-    # never driver-checked (registered in round 7)
-    "q72_source_cap",
-    "q73_cluster_retention",
-    "q74_exact_percentiles",
-    # confirmed only once (r6) - keep in the window over anything
-    # multiply-confirmed
-    "q69_sequence_packing",
-    "q70_mixture_rebalance",
-    "q71_repetition_score",
-    # implementation changed in round 7 (ETL fast-append rework +
-    # tablestore manifest layer) - want a fresh driver row
-    "q37_metadata_etl_e2e",
-    "q68_metadata_json_docs",
-    "q35_run_allocator",
-    # last driver-confirmed in r5, rotated out during r6 - freshest
-    # green row is 2 rounds old, bring them back before anything
-    # confirmed in r6
-    "q46_text_langid",
-    "q47_text_quality",
-    "q48_token_count",
-    "q49_fingerprint",
-    "q63_text_clean",
-    "q50_multimodal_meta",
-    "q52_video_frame_sample",
-    "q53_audio_stats",
-    "q58_corpus_profile",
-    "q64_stratified_sample",
-]
-_CHECK_LAST = [
-    # confirmed in r6 AND at least two earlier rounds - safest to
-    # rotate past the window this round
+    # last driver-confirmed in r6, rotated out during r7 - the stalest
+    # green rows in the registry, bring them all back this round
     "q01_scan_filter_project",
     "q02_pushdown_shapes",
     "q03_inner_join_agg",
@@ -111,6 +82,32 @@ _CHECK_LAST = [
     "q13_distinct_agg",
     "q21_sort_limit_topk",
     "q36_config_rewrite",
+    "q66_vocab_topk",
+    # implementation changed in round 8 (shared pair/CC stage +
+    # shortcutting closure) - want a fresh driver row
+    "q57_dedup_components",
+    "q73_cluster_retention",
+    # confirmed only once (r7) - second confirmation beats anything
+    # multiply-confirmed
+    "q72_source_cap",
+    "q74_exact_percentiles",
+]
+_CHECK_LAST = [
+    # driver-confirmed in r7 AND earlier rounds - safest to rotate
+    # past the window this round
+    "q46_text_langid",
+    "q47_text_quality",
+    "q48_token_count",
+    "q49_fingerprint",
+    "q63_text_clean",
+    "q50_multimodal_meta",
+    "q52_video_frame_sample",
+    "q53_audio_stats",
+    "q58_corpus_profile",
+    "q64_stratified_sample",
+    "q14_rollup_grouping",
+    "q15_minmax_firstlast",
+    "q17_collect_sorted_list",
 ]
 
 

@@ -130,22 +130,31 @@ class _KafkaEmitter:
         with self._lock:
             self._rows.append(row)
 
+    def payload_df(self, rows: list[dict]):
+        """The exact DataFrame fed to ``format("kafka")``: the sink
+        contract is two columns - ``key`` (partitioning key, here
+        query_id/run_id/batch_id so redeliveries land in-order per
+        query) and ``value`` (the progress row as JSON).  Split out
+        from :meth:`ship` so the shape is testable in this
+        broker-less container (the dry-run test the write itself
+        cannot have here)."""
+        from pyspark.sql import functions as F
+
+        return self._spark.createDataFrame(rows, OPMON_SCHEMA).select(
+            F.concat_ws("/", "query_id", "run_id", "batch_id").alias("key"),
+            F.to_json(F.struct("*")).alias("value"),
+        )
+
     def ship(self) -> int:
         """Write buffered rows to the topic; returns rows shipped.
         Runs on the owning thread (Spark actions are illegal on the
         listener bus)."""
-        from pyspark.sql import functions as F
-
         with self._lock:
             rows, self._rows = self._rows, []
         if not rows:
             return 0
         (
-            self._spark.createDataFrame(rows, OPMON_SCHEMA)
-            .select(
-                F.concat_ws("/", "query_id", "run_id", "batch_id").alias("key"),
-                F.to_json(F.struct("*")).alias("value"),
-            )
+            self.payload_df(rows)
             .write.format("kafka")
             .option("kafka.bootstrap.servers", self.brokers)
             .option("topic", self.topic)

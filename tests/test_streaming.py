@@ -495,3 +495,47 @@ def test_opmon_kafka_branch_selection(spark, tmp_path):
     assert isinstance(sock_mon._emitter, _SocketEmitter)
     sock_mon._emitter.close()
     assert OpmonMonitor(spark, str(tmp_path / "op_n"))._emitter is None
+
+
+def test_opmon_kafka_payload_shape(spark, tmp_path):
+    """Dry-run of the Kafka sink contract: the DataFrame ship() feeds
+    to format('kafka') must be exactly (key string, value string) with
+    key = query_id/run_id/batch_id (per-query ordering under default
+    hash partitioning) and value = the full progress row as JSON -
+    asserted here because the write itself needs a broker."""
+    import json
+
+    from iceberg_daq_spark.streaming.monitor import OpmonMonitor, _KafkaEmitter
+
+    mon = OpmonMonitor(
+        spark, str(tmp_path / "op_k2"), kafka_brokers="broker1:9092"
+    )
+    em = mon._emitter
+    assert isinstance(em, _KafkaEmitter)
+    row = {
+        "query_id": "qid-1",
+        "run_id": "rid-9",
+        "query_name": "tp_stream",
+        "batch_id": 42,
+        "event_ts": "2026-08-14T00:00:00.000Z",
+        "num_input_rows": 1000,
+        "input_rows_per_sec": 5.5,
+        "processed_rows_per_sec": 6.5,
+        "watermark": "2026-08-14T00:00:00.000Z",
+        "state_rows": 3,
+        "batch_duration_ms": 120,
+    }
+    df = em.payload_df([row])
+    assert [(f.name, f.dataType.simpleString()) for f in df.schema.fields] == [
+        ("key", "string"),
+        ("value", "string"),
+    ]
+    out = df.collect()
+    assert len(out) == 1
+    assert out[0]["key"] == "qid-1/rid-9/42"
+    decoded = json.loads(out[0]["value"])
+    assert decoded["query_name"] == "tp_stream"
+    assert decoded["num_input_rows"] == 1000
+    assert decoded["batch_duration_ms"] == 120
+    # every OPMON column survives into the JSON payload
+    assert set(decoded) == set(row)
