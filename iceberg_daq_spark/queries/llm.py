@@ -1005,3 +1005,195 @@ def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "q75_boilerplate_shingles",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), g AS (
+      SELECT doc_id, ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS shingle
+      FROM w, UNNEST(generate_series(1, greatest(len(ws) - 2, 0))) AS t(i)
+    )
+    SELECT shingle,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+           CAST(count(*) AS BIGINT) AS n_occur
+    FROM g
+    GROUP BY shingle
+    ORDER BY df DESC, n_occur DESC, shingle
+    LIMIT 20
+    """,
+)
+def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate shingle mining: the top-20 3-gram shingles by
+    document frequency (+ total occurrences) - the survey pass that
+    CALIBRATES the df_max hot-shingle valve q41/q65 run with (you pick
+    df_max by looking at exactly this table's tail).
+
+    One explode + one hash aggregate with both measures partial-agg
+    combinable (count-distinct rewrites to a two-phase agg), then a
+    global top-k: TakeOrderedAndProject, never a full sort.  Fully
+    deterministic ordering (df desc, n_occur desc, shingle asc) so the
+    20-row cut is engine-independent."""
+    d = load(spark, sf_dir, "documents")
+    k = 3
+    w = F.split(F.col("text"), " ")
+    n_sh = F.greatest(F.size(w) - (k - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(w, 1 + j, n_sh) for j in range(k)])
+    sh = F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(k)])
+    )
+    occ = (
+        d.select("doc_id", F.explode_outer(sh).alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
+    )
+    return (
+        occ.groupBy("shingle")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count("*").alias("n_occur"),
+        )
+        .orderBy(F.desc("df"), F.desc("n_occur"), "shingle")
+        .limit(20)
+    )
+
+
+@register(
+    "q76_quality_funnel",
+    oracle="""
+    WITH t AS (
+      SELECT lang,
+             len(string_split(text, ' ')) AS nw,
+             len(list_distinct(string_split(text, ' '))) AS nd
+      FROM documents
+    ), v AS (
+      SELECT lang, nw,
+             CASE WHEN nw < 30 THEN 'short'
+                  WHEN nd * 1.0 / nw < 0.35 THEN 'repetitive'
+                  ELSE 'keep' END AS verdict
+      FROM t
+    )
+    SELECT lang, verdict,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(nw), 2) AS avg_words
+    FROM v
+    GROUP BY lang, verdict
+    ORDER BY lang, verdict
+    """,
+)
+def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter funnel: every doc gets ONE keep/drop verdict
+    (first matching rule wins - too short, then too repetitive by
+    type-token ratio) and the report counts docs per (lang, verdict) -
+    the drop-reason accounting every curation pipeline publishes next
+    to its output corpus.
+
+    Map-only rule evaluation (split + array_distinct + CASE, all JVM)
+    feeding one partial-agg groupBy; at 100 TB the verdict column is
+    also what the keep-filter pushes down on, so the funnel report and
+    the filtered write share one scan.  Thresholds (30 words, 0.35
+    TTR) sit inside this corpus's distribution so every verdict class
+    is populated."""
+    d = load(spark, sf_dir, "documents")
+    w = text.words(F.col("text"))
+    nw = F.size(w)
+    ttr = F.size(F.array_distinct(w)) / nw
+    verdict = (
+        F.when(nw < 30, F.lit("short"))
+        .when(ttr < 0.35, F.lit("repetitive"))
+        .otherwise(F.lit("keep"))
+    )
+    return (
+        d.select("lang", verdict.alias("verdict"), nw.alias("nw"))
+        .groupBy("lang", "verdict")
+        .agg(F.count("*").alias("n_docs"), F.round(F.avg("nw"), 2).alias("avg_words"))
+        .orderBy("lang", "verdict")
+    )
+
+
+@register(
+    "q77_label_centroids",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, label, i AS pos, embedding[i]::DOUBLE AS val
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+    ), cent AS (
+      SELECT label, pos, avg(val) AS c FROM ex GROUP BY label, pos
+    ), cn AS (
+      SELECT label, sqrt(sum(c * c)) AS nc FROM cent GROUP BY label
+    ), dots AS (
+      SELECT e.vec_id, e.label,
+             sum(e.val * c.c) AS dot,
+             sqrt(sum(e.val * e.val)) AS nv
+      FROM ex e JOIN cent c ON e.label = c.label AND e.pos = c.pos
+      GROUP BY e.vec_id, e.label
+    )
+    SELECT d.label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(any_value(cn.nc), 3) AS centroid_norm,
+           round(avg(d.dot / (d.nv * cn.nc)), 3) AS avg_cos,
+           round(min(d.dot / (d.nv * cn.nc)), 3) AS min_cos
+    FROM dots d JOIN cn ON d.label = cn.label
+    GROUP BY d.label
+    ORDER BY d.label
+    """,
+)
+def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids + cluster cohesion (mean/min
+    cosine of members to their centroid) - the calibration table for
+    semantic dedup and IVF cell sizing (how tight are the label
+    clusters before you trust cluster-level retention).
+
+    Centroids via posexplode + partial-agg avg per (label, dim) -
+    map-side combinable at any scale - reassembled into arrays and
+    BROADCAST back (bounded label count, the same shape as the IVF
+    probe's broadcast centroids); member cosine is then a map-only
+    zip_with fold over the embeddings scan - no second shuffle of
+    vector data."""
+    e = load(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    ).select("label", "pos", F.col("val").cast("double").alias("val"))
+    cent = ex.groupBy("label", "pos").agg(F.avg("val").alias("c"))
+    cent_arr = (
+        cent.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(
+            "label",
+            F.transform("pc", lambda s: s["c"]).alias("centroid"),
+        )
+        .withColumn(
+            "nc",
+            F.sqrt(
+                F.aggregate(
+                    "centroid", F.lit(0.0), lambda acc, x: acc + x * x
+                )
+            ),
+        )
+    )
+    j = e.join(F.broadcast(cent_arr), "label")
+    dot = F.aggregate(
+        F.zip_with("embedding", "centroid", lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nv = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    cos = dot / (nv * F.col("nc"))
+    return (
+        j.select("label", F.col("nc").alias("nc"), cos.alias("cos"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.first("nc"), 3).alias("centroid_norm"),
+            F.round(F.avg("cos"), 3).alias("avg_cos"),
+            F.round(F.min("cos"), 3).alias("min_cos"),
+        )
+        .orderBy("label")
+    )

@@ -68,6 +68,10 @@ def all_queries() -> dict[str, QuerySpec]:
 #   6. rows-only queries (the driver can never hash-verify these; local
 #      tests assert their semantics) - always last.
 _CHECK_FIRST = [
+    # never driver-checked (registered in round 8)
+    "q75_boilerplate_shingles",
+    "q76_quality_funnel",
+    "q77_label_centroids",
     # last driver-confirmed in r6, rotated out during r7 - the stalest
     # green rows in the registry, bring them all back this round
     "q01_scan_filter_project",
