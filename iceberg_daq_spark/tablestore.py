@@ -289,6 +289,20 @@ _BETWEEN_RE = re.compile(
     r"^([A-Za-z_]\w*)\s+BETWEEN\s+(.+?)\s+AND\s+(.+)$", re.I | re.S
 )
 _IN_RE = re.compile(r"^([A-Za-z_]\w*)\s+IN\s*\((.+)\)\s*$", re.I | re.S)
+# a projectable comparand must be a SIMPLE literal: number, quoted
+# string, TIMESTAMP/DATE literal, or boolean.  Anything else - and in
+# particular a conjunct-free predicate like "a = 1 OR b = 2", whose
+# whole tail would otherwise be swallowed as the "literal" by the
+# greedy _CMP_RE - must NOT project to a partition predicate (pruning
+# on one OR branch would wrongly drop the other branch's rows); it
+# still applies as the ordinary row filter.
+_LIT_RE = re.compile(
+    r"^(?:[-+]?\d+(?:\.\d+)?"
+    r"|'(?:[^']|'')*'"
+    r"|(?:TIMESTAMP|DATE)\s*'[^']*'"
+    r"|TRUE|FALSE)$",
+    re.I,
+)
 
 
 def _split_commas(s: str) -> list[str]:
@@ -316,18 +330,21 @@ def _parse_conjuncts(where: str) -> list[tuple[str, str, list[str]]]:
     """Best-effort (col, op, literal SQL strings) triples from the
     simple conjuncts of ``where``; unrecognized conjuncts are skipped
     (they still apply as the row filter - only pruning is forgone)."""
+    def lits_ok(lits: list[str]) -> bool:
+        return all(_LIT_RE.match(v.strip()) for v in lits)
+
     out = []
     for c in _split_conjuncts(where):
         m = _BETWEEN_RE.match(c)
-        if m:
+        if m and lits_ok([m.group(2), m.group(3)]):
             out.append((m.group(1), "between", [m.group(2), m.group(3)]))
             continue
         m = _IN_RE.match(c)
-        if m:
+        if m and lits_ok(_split_commas(m.group(2))):
             out.append((m.group(1), "in", _split_commas(m.group(2))))
             continue
         m = _CMP_RE.match(c)
-        if m:
+        if m and lits_ok([m.group(3)]):
             out.append((m.group(1), m.group(2), [m.group(3).strip()]))
     return out
 
@@ -811,6 +828,11 @@ class MergeTable:
                 m["schema"],
                 m.get("partition_spec") or [],
                 m.get("dir_specs") or {},
+                # restore the TARGET snapshot's keys with its schema: a
+                # rollback across a key-column rename must not leave
+                # current-named keys pointing into the restored (old-
+                # named) schema
+                key_cols=m.get("key_cols") or list(self.key_cols),
             )
 
     def remove_orphans(self) -> list[str]:

@@ -654,3 +654,57 @@ def test_concurrent_appenders_cross_process(spark, tmp_path):
     assert rows == expect
     assert t.current_version() == 3  # bootstrap + one commit per appender
     assert not any(e.startswith("_staged_") for e in os.listdir(table_path))
+
+
+def test_predicate_projection_never_overprunes(spark, tmp_path):
+    """Predicate projection is a sound superset or nothing: a
+    conjunct-free OR predicate, expression comparands, or unsupported
+    operators must NOT produce a partition predicate (pruning on one
+    OR branch would drop the other branch's rows) - the row filter
+    alone applies."""
+    import datetime
+
+    from iceberg_daq_spark.tablestore import MergeTable, _parse_conjuncts
+
+    # parser: only simple-literal comparisons project
+    assert _parse_conjuncts("a = 1 OR b = 2") == []
+    assert _parse_conjuncts("(a = 1 OR b = 2) AND k >= 5") == [("k", ">=", ["5"])]
+    assert _parse_conjuncts("a <> 1") == []
+    assert _parse_conjuncts("NOT a = 1") == []
+    assert _parse_conjuncts("a = b") == []  # column comparand
+    assert _parse_conjuncts("a > now()") == []  # function comparand
+    assert _parse_conjuncts("name = 'x AND y'") == [("name", "=", ["'x AND y'"])]
+    assert _parse_conjuncts("ts BETWEEN 1 AND 2 OR k = 3") == []
+
+    base = datetime.datetime(2024, 5, 1, 0, 0, 0)
+    t = MergeTable(
+        str(tmp_path / "orp"), key_cols=("k",), keep_versions=10,
+        partition_spec=("hours(ts)",),
+    )
+    t.merge(
+        spark.createDataFrame(
+            [(i, base + datetime.timedelta(hours=i), i % 2) for i in range(6)],
+            "k int, ts timestamp, flag int",
+        )
+    )
+    # OR across the partition source and another column: every
+    # matching row from BOTH branches must survive
+    w = "ts >= TIMESTAMP '2024-05-01 04:00:00' OR flag = 1"
+    got = {r["k"] for r in t.read(spark, where=w).collect()}
+    assert got == {1, 3, 4, 5}
+
+
+def test_rollback_across_key_rename_restores_keys(spark, tmp_path):
+    """Rolling back past a key-column rename restores that snapshot's
+    keys along with its schema - a subsequent merge targets the
+    restored column name, not the renamed one."""
+    from iceberg_daq_spark.tablestore import MergeTable
+
+    t = MergeTable(str(tmp_path / "rbk"), key_cols=("k",), keep_versions=10)
+    t.merge(spark.createDataFrame([(1, "a")], ["k", "v"]))  # v1
+    t.rename_column("k", "kk")  # v2
+    t.rollback(1)  # v3 = v1's schema and keys
+    assert t._effective_keys() == ("k",)
+    t.merge(spark.createDataFrame([(1, "A"), (2, "b")], ["k", "v"]))
+    rows = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert rows == {1: "A", 2: "b"}
