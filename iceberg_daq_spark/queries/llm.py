@@ -29,7 +29,15 @@ _DEDUP_GROUPS_CACHE: dict[tuple[str, str], DataFrame] = {}
 def _dedup_groups_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shared q41-pairs -> connected-components -> groups stage:
     df_max-valved inverted-index pair discovery + min-label/shortcut
-    propagation, persisted per (session, sf_dir)."""
+    propagation, memoized per (session, sf_dir).
+
+    No .persist() here - deliberately: the expensive part (pair
+    discovery + the closure rounds) is already materialized by the
+    localCheckpoint inside connected_components when the first
+    consumer builds the handle, so the retained lineage is one cheap
+    docs-side join; a persist() would wrap the stage in an
+    InMemoryRelation barrier that blocks AQE re-optimization of the
+    plan above it (measured ~2x on q57's bench cell)."""
     import os as _os
 
     key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
@@ -37,7 +45,7 @@ def _dedup_groups_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     if df is None:
         d = load(spark, sf_dir, "documents")
         pairs = dedup.ngram_jaccard_pairs(d, threshold=0.5, df_max=128)
-        df = dedup.dedup_groups(d, pairs).persist()
+        df = dedup.dedup_groups(d, pairs)
         _DEDUP_GROUPS_CACHE[key] = df
     return df
 
