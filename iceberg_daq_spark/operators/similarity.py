@@ -434,11 +434,34 @@ def _bucket_rows(emb: DataFrame) -> DataFrame:
     return q.mapInPandas(buckets, _BUCKET_SCHEMA)
 
 
-def _candidate_pairs(emb: DataFrame, symmetric: bool) -> DataFrame:
+# Bucket-occupancy valve for LSH candidate generation - the similarity
+# twin of the dedup df_max shingle valve: a (table, bucket) cell holding
+# d vectors emits d^2 candidate pairs, so one dense region (a hyperplane
+# cell through the data's mode) dominates the join at corpus scale.
+# Cells above the cap are skipped for PAIR GENERATION ONLY; a vector in
+# a capped cell still collides in the other N_TABLES-1 tables, so the
+# recall loss is bounded by the probability that ALL of a true
+# neighbor pair's collisions are in over-full cells (dense regions -
+# where candidates abound anyway).  Sized to never engage at test
+# scale (occupancy ~31 per cell at sf0.1); load-tested by stress_bench.
+LSH_BUCKET_MAX = 1024
+
+
+def _candidate_pairs(
+    emb: DataFrame, symmetric: bool, bucket_max: int | None = LSH_BUCKET_MAX
+) -> DataFrame:
     """(qid, cid) pairs colliding in >=1 LSH table.  symmetric=True
     keeps both (a,b) and (b,a) (top-k needs per-query candidates);
-    False keeps qid < cid (near-dup pairs)."""
+    False keeps qid < cid (near-dup pairs).  ``bucket_max`` is the
+    occupancy valve above; None disables it (complete collision
+    enumeration)."""
     n = _bucket_rows(emb)
+    if bucket_max is not None:
+        occ = n.groupBy("tbl", "bucket").agg(F.count("*").alias("_occ"))
+        n = n.join(
+            occ.filter(F.col("_occ") <= bucket_max).select("tbl", "bucket"),
+            ["tbl", "bucket"],
+        )
     a = n.select(F.col("vec_id").alias("qid"), "tbl", "bucket")
     b = n.select(F.col("vec_id").alias("cid"), "tbl", "bucket")
     cond = F.col("qid") != F.col("cid") if symmetric else F.col("qid") < F.col("cid")

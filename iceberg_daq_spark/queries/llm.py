@@ -1,4 +1,4 @@
-"""Q40-Q49: LLM-data-pipeline operators (north-star extensions).
+"""Q40-Q77: LLM-data-pipeline operators (north-star extensions).
 
 Dedup, similarity search, and text analysis over the documents /
 embeddings tables (BASELINE.json north star).  Oracle SQL is provided

@@ -633,6 +633,55 @@ class MergeTable:
         )
         return data_dir
 
+    def _optimistic_rewrite(self, spark, build, op: str, max_retries: int = 6) -> int:
+        """The optimistic-commit protocol shared by every copy-on-write
+        rewrite (merge/delete/update/compact): pin a base snapshot,
+        compute+stage ``build(current_df, base_manifest)`` with NO lock
+        held, then take the lock only to validate the base is still
+        current and flip the pointer; a concurrent commit in between
+        rebases and retries (no lost updates - the loser recomputes on
+        the new base), raising :class:`CommitConflict` after
+        ``max_retries``."""
+        for _ in range(max_retries):
+            base = self.current_version()
+            if base is None:
+                raise ValueError(f"{op}() on uncommitted table {self.path}")
+            try:
+                current = self.read(spark, base)
+            except ValueError:
+                continue  # base expired under a concurrent commit: rebase
+            man = self._load_manifest(base)
+            new_df = build(current, man)
+            spec = list((man or {}).get("partition_spec") or self.partition_spec)
+            try:
+                staged: str | None = self._stage(new_df, spec)
+            except Exception:
+                if self.current_version() != base:
+                    continue  # base GC'd mid-scan by a concurrent commit
+                raise
+            committed = False
+            try:
+                with _commit_lock(self.path):
+                    if self.current_version() == base:
+                        v = base + 1
+                        data_dir = self._promote_stage_locked(staged, v)
+                        committed = True
+                        return self._commit_manifest(
+                            v,
+                            [data_dir],
+                            self._schema_for(new_df, man),
+                            spec,
+                            {data_dir: spec} if spec else {},
+                        )
+            finally:
+                if not committed and staged is not None:
+                    self._discard_stage(staged)
+            # conflict: loop rebases on the new current version
+        raise CommitConflict(
+            f"{op}() on {self.path} lost {max_retries} optimistic-commit "
+            "races; raise max_retries or reduce writer contention"
+        )
+
     def _commit_manifest(
         self,
         v: int,
@@ -1095,17 +1144,13 @@ class MergeTable:
         rebases), raising :class:`CommitConflict` after
         ``max_retries``."""
         spark = updates.sparkSession
-        for _ in range(max_retries):
-            base = self.current_version()
-            if base is None:
-                with _commit_lock(self.path):
-                    if self.current_version() is None:
-                        return self._commit_locked(updates)
-                continue  # lost the bootstrap race: rebase as a real merge
-            try:
-                current = self.read(spark, base)
-            except ValueError:
-                continue  # base expired under a concurrent commit: rebase
+        if self.current_version() is None:
+            with _commit_lock(self.path):
+                if self.current_version() is None:
+                    return self._commit_locked(updates)
+            # lost the bootstrap race: fall through as a real merge
+
+        def build(current: DataFrame, man: dict | None) -> DataFrame:
             ups = updates
             keys = list(self._effective_keys())
             table_cols = current.columns
@@ -1115,7 +1160,6 @@ class MergeTable:
                     f"updates carry new columns {extra}; pass "
                     "evolve_schema=True to add them (Iceberg mergeSchema)"
                 )
-            man = self._load_manifest(base)
             missing = [c for c in table_cols if c not in ups.columns]
             if missing:
                 defaults = (
@@ -1130,68 +1174,41 @@ class MergeTable:
                 current = current.withColumn(
                     c, F.lit(None).cast(ups.schema[c].dataType)
                 )
-            merged = ups.select(table_cols + extra).unionByName(
+            return ups.select(table_cols + extra).unionByName(
                 current.join(ups.select(*keys), keys, "left_anti")
             )
-            spec = list((man or {}).get("partition_spec") or self.partition_spec)
-            try:
-                # the heavy part - scanning the base snapshot and
-                # writing the merged one - runs lock-free
-                staged: str | None = self._stage(merged, spec)
-            except Exception:
-                if self.current_version() != base:
-                    continue  # base GC'd mid-scan by a concurrent commit
-                raise
-            committed = False
-            try:
-                with _commit_lock(self.path):
-                    if self.current_version() == base:
-                        v = base + 1
-                        data_dir = self._promote_stage_locked(staged, v)
-                        committed = True
-                        return self._commit_manifest(
-                            v,
-                            [data_dir],
-                            self._schema_for(merged, man),
-                            spec,
-                            {data_dir: spec} if spec else {},
-                        )
-            finally:
-                if not committed and staged is not None:
-                    self._discard_stage(staged)
-            # conflict: loop rebases on the new current version
-        raise CommitConflict(
-            f"merge() on {self.path} lost {max_retries} optimistic-commit "
-            "races; raise max_retries or reduce writer contention"
-        )
+
+        return self._optimistic_rewrite(spark, build, "merge", max_retries)
 
     def delete_where(self, spark: SparkSession, condition) -> int:
         """Iceberg ``DELETE FROM t WHERE cond`` (copy-on-write form):
         commit a new snapshot without the matching rows.  ``condition``
         is a Column or SQL string; rows where it evaluates NULL are
-        KEPT (SQL delete semantics - only true deletes)."""
-        with _commit_lock(self.path):
-            df = self.read(spark)
-            if df is None:
-                raise ValueError(f"delete_where() on uncommitted table {self.path}")
-            cond = F.expr(condition) if isinstance(condition, str) else condition
-            return self._commit_locked(df.filter(~F.coalesce(cond, F.lit(False))))
+        KEPT (SQL delete semantics - only true deletes).  Optimistic
+        like every rewrite: the filtered copy stages lock-free and
+        rebases on conflict."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        return self._optimistic_rewrite(
+            spark,
+            lambda df, man: df.filter(~F.coalesce(cond, F.lit(False))),
+            "delete_where",
+        )
 
     def update_where(self, spark: SparkSession, condition, assignments: dict) -> int:
         """Iceberg ``UPDATE t SET col = expr WHERE cond`` (copy-on-write):
         commit a new snapshot with ``assignments`` (column -> Column or
         SQL string, evaluated against the matching row) applied where
-        ``condition`` holds; NULL-predicate rows are untouched."""
-        with _commit_lock(self.path):
-            df = self.read(spark)
-            if df is None:
-                raise ValueError(f"update_where() on uncommitted table {self.path}")
+        ``condition`` holds; NULL-predicate rows are untouched.
+        Optimistic like every rewrite (stage lock-free, rebase on
+        conflict)."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+
+        def build(df: DataFrame, man: dict | None) -> DataFrame:
             unknown = [c for c in assignments if c not in df.columns]
             if unknown:
                 raise ValueError(f"update_where() on unknown columns {unknown}")
-            cond = F.expr(condition) if isinstance(condition, str) else condition
             hit = F.coalesce(cond, F.lit(False))
-            updated = df.select(
+            return df.select(
                 *[
                     (
                         F.when(
@@ -1211,7 +1228,8 @@ class MergeTable:
                     for c in df.columns
                 ]
             )
-            return self._commit_locked(updated)
+
+        return self._optimistic_rewrite(spark, build, "update_where")
 
     def compact(self, spark: SparkSession, target_files: int = 1) -> int:
         """Maintenance: rewrite the current snapshot into
@@ -1219,12 +1237,12 @@ class MergeTable:
         Streaming MERGE sinks commit one small snapshot per micro-batch;
         periodic compaction keeps read amplification flat.  Contents are
         unchanged - only the file layout (and, for a post-evolution
-        table, physically materializing added/renamed columns)."""
-        with _commit_lock(self.path):
-            df = self.read(spark)
-            if df is None:
-                raise ValueError(f"compact() on uncommitted table {self.path}")
-            return self._commit_locked(df.coalesce(target_files))
+        table, physically materializing added/renamed columns).
+        Optimistic like every rewrite: maintenance never blocks
+        concurrent appenders' data writes."""
+        return self._optimistic_rewrite(
+            spark, lambda df, man: df.coalesce(target_files), "compact"
+        )
 
     def delete(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)

@@ -21,7 +21,7 @@ cross the df_max=128 valve threshold here - the run asserts the valve
 actually engages (hot shingles exist AND pair discovery excluded them)
 rather than trusting the plan test alone.
 
-Usage: python stress_bench.py   (STRESS_COPIES=10, STRESS_REPEAT=1,
+Usage: python stress_bench.py   (STRESS_COPIES=10, STRESS_REPEAT=2,
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 overridable via env).
 """
 
@@ -162,15 +162,24 @@ def assert_valve_engages(spark, stress_dir: str, df_max: int = 128) -> dict:
 
 
 def time_queries(spark, specs, names, sf_dir, repeat):
+    from iceberg_daq_spark.queries import llm
+
     out = {}
     for name in names:
         fn = specs[name].fn
         best = None
         for _ in range(repeat):
+            if name.startswith("q57"):
+                # same honesty rule as bench.py: every q57 repeat times
+                # the FULL pair+closure stage; q73 (after it) reuses
+                # the stage the last repeat left - the stored-table
+                # pipeline shape
+                llm._DEDUP_GROUPS_CACHE.clear()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
+            spark.catalog.clearCache()
         out[name] = round(best, 3)
         print(f"# {sf_dir.rsplit('/', 1)[-1]} {name}: {best:.3f}s", file=sys.stderr)
     return out
@@ -179,7 +188,7 @@ def time_queries(spark, specs, names, sf_dir, repeat):
 def main() -> None:
     base_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     copies = int(os.environ.get("STRESS_COPIES", "10"))
-    repeat = int(os.environ.get("STRESS_REPEAT", "1"))
+    repeat = int(os.environ.get("STRESS_REPEAT", "2"))
     stress_dir = os.environ.get("STRESS_DIR", "/tmp/stress_sf1")
 
     spark = get_spark(app_name="iceberg_daq_stress")
@@ -229,17 +238,15 @@ def main() -> None:
         "valve": valve,
         "queries": queries,
         "note": (
-            "best-of-%d per cell; q73 reuses q57's persisted dedup-groups "
-            "stage within each dir (the stored-table pipeline shape); "
-            "ratios are stress/base wall-clock at %dx rows. Pair-discovery "
-            "queries (q41, and q57 which contains it) are EXPECTED above "
-            "%dx: candidate volume is sum(df^2) over sub-hot shingles, "
-            "which grows ~100x when every df grows 10x - the valve caps "
-            "the per-shingle term at df_max^2 and the observed ~20x "
-            "wall-clock is sublinear in candidates; the LSH/IVF paths "
-            "(q42/q45/q56) and the bounded-output queries stay near "
-            "linear, which is exactly the scale argument for preferring "
-            "them at corpus size." % (repeat, copies, copies)
+            "best-of-%d per cell (cache cleared between executions; q57 "
+            "additionally rebuilds the shared stage every repeat); q73 "
+            "reuses q57's dedup-groups stage within each dir (the "
+            "stored-table pipeline shape); ratios are stress/base "
+            "wall-clock at %dx rows. Pair-discovery queries (q41, q57) "
+            "MAY exceed linear - candidate volume is sum(df^2) over "
+            "sub-hot shingles - but the df_max valve caps the per-shingle "
+            "term; the LSH path is bounded by the LSH_BUCKET_MAX "
+            "occupancy valve." % (repeat, copies)
         ),
     }
     repo = os.path.dirname(os.path.abspath(__file__))

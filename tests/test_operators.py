@@ -588,3 +588,21 @@ def test_multimodal_external_decode_mp4():
         assert r["doc_id"] == 7 and r["n_frames"] == n_frames
         assert len(r["frame"]) == w * h * 3
         assert 0.0 <= r["mean_px"] <= 255.0
+
+
+def test_lsh_bucket_valve_silent_at_test_scale(spark, sf_dir):
+    """The LSH bucket-occupancy valve (similarity.LSH_BUCKET_MAX) must
+    be SILENT at test scale - valved and valveless candidate pairs
+    identical - so the recall assertions measure the LSH scheme, not
+    the valve; its engagement is load-tested by stress_bench.py."""
+    from iceberg_daq_spark.tables import load as _load
+
+    e = _load(spark, sf_dir, "embeddings")
+    valved = {
+        tuple(r) for r in similarity._candidate_pairs(e, symmetric=False).collect()
+    }
+    full = {
+        tuple(r)
+        for r in similarity._candidate_pairs(e, symmetric=False, bucket_max=None).collect()
+    }
+    assert valved == full and len(full) > 0
