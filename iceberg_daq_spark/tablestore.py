@@ -51,6 +51,11 @@ cluster:
     + scan predicate projection)     column, read(where=...) projects
                                      source-column predicates onto it
                                      so the scan prunes directories
+  tags (named refs)                :meth:`create_tag`/:meth:`drop_tag`
+                                     + ``read(tag=...)``; tagged
+                                     snapshots are GC-pinned past any
+                                     retention window (the dataset-
+                                     release workflow)
   snapshot expiry +                prune manifests beyond the
     remove_orphan_files              retention window on commit, then
                                      delete data dirs no retained
@@ -442,6 +447,56 @@ class MergeTable:
         except FileNotFoundError:
             return None
 
+    # -- named refs (Iceberg tags) --------------------------------------
+    def _refs_path(self) -> str:
+        return os.path.join(self.path, "_REFS")
+
+    def tags(self) -> dict[str, int]:
+        """Named snapshot refs (Iceberg tags): tag name -> version."""
+        try:
+            with open(self._refs_path(), encoding="utf-8") as f:
+                return {k: int(v) for k, v in json.load(f).items()}
+        except FileNotFoundError:
+            return {}
+
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        """Pin a retained snapshot under ``name`` (Iceberg
+        ``create_tag``): the tagged manifest and its data dirs are
+        EXEMPT from snapshot expiry until :meth:`drop_tag`, so a tag is
+        how a dataset release survives the retention window."""
+        if not re.match(r"^[A-Za-z_][\w.-]*$", name):
+            raise ValueError(f"bad tag name {name!r}")
+        with _commit_lock(self.path):
+            cur = self.current_version()
+            if cur is None:
+                raise ValueError(f"create_tag() on uncommitted table {self.path}")
+            v = cur if version is None else version
+            m = self._load_manifest(v)
+            if m is None or not all(
+                os.path.isdir(os.path.join(self.path, d)) for d in _data_dirs(m)
+            ):
+                raise ValueError(
+                    f"version {v} not retained (current {cur}, keep_versions "
+                    f"{self.keep_versions})"
+                )
+            refs = self.tags()
+            if name in refs:
+                raise ValueError(f"tag {name!r} already exists (at v{refs[name]})")
+            refs[name] = v
+            _atomic_write(self._refs_path(), json.dumps(refs))
+            return v
+
+    def drop_tag(self, name: str) -> int:
+        """Remove a tag; its snapshot becomes expirable again at the
+        next commit's GC (nothing is deleted here)."""
+        with _commit_lock(self.path):
+            refs = self.tags()
+            if name not in refs:
+                raise ValueError(f"no tag {name!r}")
+            v = refs.pop(name)
+            _atomic_write(self._refs_path(), json.dumps(refs))
+            return v
+
     def exists(self) -> bool:
         return self.current_version() is not None
 
@@ -451,6 +506,7 @@ class MergeTable:
         spark: SparkSession,
         version: int | None = None,
         where: str | None = None,
+        tag: str | None = None,
     ) -> DataFrame | None:
         """A snapshot: the current one, or - time travel - any retained
         prior ``version`` (the Iceberg ``VERSION AS OF`` analog; older
@@ -463,10 +519,21 @@ class MergeTable:
         simple conjuncts are projected through the partition spec's
         transforms onto the hidden partition columns, so a predicate
         like ``ts >= T1 AND ts < T2`` prunes ``hours(ts)`` directories
-        the scan never opens."""
+        the scan never opens.
+
+        ``tag`` reads a named ref (Iceberg ``VERSION AS OF 'tag'``);
+        tagged snapshots are GC-pinned, so a tag read works at any
+        age."""
         cur = self.current_version()
         if cur is None:
             return None
+        if tag is not None:
+            if version is not None:
+                raise ValueError("pass version or tag, not both")
+            refs = self.tags()
+            if tag not in refs:
+                raise ValueError(f"no tag {tag!r} on table {self.path}")
+            version = refs[tag]
         v = cur if version is None else version
         m = self._load_manifest(v)
         if m is None:
@@ -727,6 +794,9 @@ class MergeTable:
         commit lock, so an in-flight commit's dir can never be
         mistaken for an orphan."""
         keep = set(range(max(1, cur - self.keep_versions + 1), cur + 1))
+        # tagged snapshots are pinned: their manifests and data dirs
+        # survive any retention window until the tag is dropped
+        keep |= set(self.tags().values())
         removed: list[str] = []
         referenced: set[str] = set()
         for entry in sorted(os.listdir(self.path)):
@@ -836,6 +906,7 @@ class MergeTable:
         ``snapshots`` metadata table): version, data dirs, partition
         spec, and column names per retained manifest."""
         out = []
+        refs = self.tags()
         for entry in sorted(os.listdir(self.path)):
             mm = re.match(r"^v(\d{6})\.json$", entry)
             if not mm:
@@ -850,6 +921,7 @@ class MergeTable:
                     "partition_spec": m.get("partition_spec") or [],
                     "columns": [f["name"] for f in m["schema"]],
                     "current": m["version"] == self.current_version(),
+                    "tags": sorted(t for t, v in refs.items() if v == m["version"]),
                 }
             )
         return out

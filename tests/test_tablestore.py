@@ -708,3 +708,44 @@ def test_rollback_across_key_rename_restores_keys(spark, tmp_path):
     t.merge(spark.createDataFrame([(1, "A"), (2, "b")], ["k", "v"]))
     rows = {r["k"]: r["v"] for r in t.read(spark).collect()}
     assert rows == {1: "A", 2: "b"}
+
+
+def test_tags_pin_snapshots_past_retention(spark, tmp_path):
+    """Iceberg tags: a named ref pins its snapshot (manifest + data
+    dirs) past the retention window until dropped - the dataset-release
+    workflow; read(tag=...) works at any age, drop_tag makes the
+    snapshot expirable again."""
+    from iceberg_daq_spark.tablestore import MergeTable
+
+    t = MergeTable(str(tmp_path / "tags"), key_cols=("k",), keep_versions=2)
+    t.merge(spark.createDataFrame([(1, "a")], ["k", "v"]))  # v1
+    assert t.create_tag("release-1") == 1
+    t.merge(spark.createDataFrame([(2, "b")], ["k", "v"]))  # v2
+    t.merge(spark.createDataFrame([(3, "c")], ["k", "v"]))  # v3
+    t.merge(spark.createDataFrame([(4, "d")], ["k", "v"]))  # v4
+
+    # untagged v2 aged out of keep_versions=2...
+    with pytest.raises(ValueError):
+        t.read(spark, 2)
+    # ...but the tagged v1 survives and reads whole
+    assert {r["k"] for r in t.read(spark, tag="release-1").collect()} == {1}
+    assert {s["version"]: s["tags"] for s in t.snapshots()}[1] == ["release-1"]
+
+    # drop -> next commit's GC reclaims it
+    t.drop_tag("release-1")
+    t.merge(spark.createDataFrame([(5, "e")], ["k", "v"]))  # v5
+    with pytest.raises(ValueError):
+        t.read(spark, 1)
+    with pytest.raises(ValueError):
+        t.read(spark, tag="release-1")
+
+    # validation: bad names, unretained targets, duplicates, both-args
+    with pytest.raises(ValueError):
+        t.create_tag("bad name!")
+    with pytest.raises(ValueError):
+        t.create_tag("gone", version=1)
+    t.create_tag("cur")
+    with pytest.raises(ValueError):
+        t.create_tag("cur")
+    with pytest.raises(ValueError):
+        t.read(spark, version=5, tag="cur")
