@@ -457,11 +457,17 @@ def _candidate_pairs(
     enumeration)."""
     n = _bucket_rows(emb)
     if bucket_max is not None:
-        occ = n.groupBy("tbl", "bucket").agg(F.count("*").alias("_occ"))
-        n = n.join(
-            occ.filter(F.col("_occ") <= bucket_max).select("tbl", "bucket"),
-            ["tbl", "bucket"],
+        # the OVER-full cells are few by construction (a handful of
+        # dense regions), so ship them as a broadcast anti-join - the
+        # bucket rows themselves never shuffle for the valve; the
+        # occupancy count is one map-combinable agg
+        hot = (
+            n.groupBy("tbl", "bucket")
+            .agg(F.count("*").alias("_occ"))
+            .filter(F.col("_occ") > bucket_max)
+            .select("tbl", "bucket")
         )
+        n = n.join(F.broadcast(hot), ["tbl", "bucket"], "left_anti")
     a = n.select(F.col("vec_id").alias("qid"), "tbl", "bucket")
     b = n.select(F.col("vec_id").alias("cid"), "tbl", "bucket")
     cond = F.col("qid") != F.col("cid") if symmetric else F.col("qid") < F.col("cid")

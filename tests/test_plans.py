@@ -410,3 +410,18 @@ def test_bucketed_join_no_exchange(spark, sf_dir):
                 spark.conf.set(k, v)
         for name in ("li_bucketed_t", "ord_bucketed_t"):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_lsh_valve_is_broadcast_anti(spark, sf_dir):
+    """The LSH bucket-occupancy valve must cost the bucket rows no
+    shuffle: the over-full-cell exclusion plans as a BROADCAST
+    left-anti join (the hot-cell list is tiny by construction), never
+    a shuffled join of the full bucket table."""
+    from iceberg_daq_spark.operators import similarity
+    from iceberg_daq_spark.tables import load as _load
+
+    e = _load(spark, sf_dir, "embeddings")
+    plan = plan_of(similarity._candidate_pairs(e, symmetric=False))
+    anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+    assert anti, "valve anti-join missing from the plan"
+    assert any("Broadcast" in ln for ln in anti), anti
