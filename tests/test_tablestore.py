@@ -749,3 +749,34 @@ def test_tags_pin_snapshots_past_retention(spark, tmp_path):
         t.create_tag("cur")
     with pytest.raises(ValueError):
         t.read(spark, version=5, tag="cur")
+
+
+def test_merge_rebases_over_concurrent_append(spark, tmp_path, monkeypatch):
+    """The lost-append anomaly: an append lands between a merge's base
+    read and its commit.  The merge must detect the moved pointer at
+    the lock, discard its stale stage, and rebase - the appended rows
+    survive in the final snapshot.  Deterministic interleaving: the
+    first _stage call fires the append before staging."""
+    from iceberg_daq_spark.tablestore import MergeTable
+
+    path = str(tmp_path / "race")
+    t = MergeTable(path, key_cols=("k",), keep_versions=10)
+    t.merge(spark.createDataFrame([(1, "a")], ["k", "v"]))  # v1
+
+    other = MergeTable(path, key_cols=("k",))
+    orig_stage = MergeTable._stage
+    fired = {"done": False}
+
+    def racing_stage(self, df, spec):
+        if not fired["done"]:
+            fired["done"] = True
+            # a concurrent writer fast-appends while the merge computes
+            other.append(spark.createDataFrame([(99, "z")], ["k", "v"]))  # v2
+        return orig_stage(self, df, spec)
+
+    monkeypatch.setattr(MergeTable, "_stage", racing_stage)
+    t.merge(spark.createDataFrame([(2, "b")], ["k", "v"]))  # rebases -> v3
+    rows = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert rows == {1: "a", 2: "b", 99: "z"}  # nothing lost
+    assert t.current_version() == 3
+    assert not any(e.startswith("_staged_") for e in os.listdir(path))
