@@ -1,4 +1,4 @@
-"""Q40-Q77: LLM-data-pipeline operators (north-star extensions).
+"""Q40-Q78: LLM-data-pipeline operators (north-star extensions).
 
 Dedup, similarity search, and text analysis over the documents /
 embeddings tables (BASELINE.json north star).  Oracle SQL is provided
@@ -1204,4 +1204,89 @@ def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("cos"), 3).alias("min_cos"),
         )
         .orderBy("label")
+    )
+
+
+@register(
+    "q78_doc_chunking",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, toks, g.start AS start
+      FROM t, UNNEST(generate_series(0, greatest(len(toks) - 1, 0), 24))
+             AS g(start)
+    ), c AS (
+      SELECT doc_id,
+             CAST(start // 24 AS BIGINT) AS chunk_idx,
+             CAST(least(32, len(toks) - start) AS BIGINT) AS n_tokens,
+             md5(array_to_string(
+               list_slice(toks, start + 1, least(start + 32, len(toks))),
+               ' ')) AS chunk_hash
+      FROM s
+    )
+    SELECT doc_id, chunk_idx, n_tokens, chunk_hash,
+           CAST(count(*) OVER (PARTITION BY chunk_hash) AS BIGINT)
+             AS n_dups,
+           (row_number() OVER (PARTITION BY chunk_hash
+                               ORDER BY doc_id, chunk_idx) = 1) AS keep
+    FROM c
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (32-token chunks, stride 24)
+    with chunk-level exact dedup: every chunk gets a content hash, a
+    corpus-wide duplicate count, and a ``keep`` bit marking the
+    canonical occurrence (first by doc_id, chunk_idx) - the op that
+    turns a curated corpus into training sequences while dropping the
+    repeated spans sequence-level dedup misses.
+
+    Chunk generation is MAP-ONLY (split + sequence + explode + slice,
+    all JVM; no shuffle, so it streams at scan speed at 100 TB); the
+    dedup pass is one hash-partitioned shuffle on chunk_hash - no
+    global ordering, bounded state per key - the same shape as exact
+    doc dedup (operators/dedup.py:83) one level down.  Reference
+    analog: corpus preparation for sequence models, SURVEY.md
+    section 2 LLM-pipeline family.
+    """
+    from pyspark.sql import Window
+
+    chunk, stride = 32, 24
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    ch = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        n.alias("n"),
+        F.explode(
+            F.sequence(
+                F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)
+            )
+        ).alias("start"),
+    ).select(
+        "doc_id",
+        (F.col("start") / stride).cast("bigint").alias("chunk_idx"),
+        F.least(F.lit(chunk), F.col("n") - F.col("start"))
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ", F.slice(F.col("toks"), F.col("start") + 1, chunk)
+            )
+        ).alias("chunk_hash"),
+    )
+    wdup = Window.partitionBy("chunk_hash")
+    wrank = Window.partitionBy("chunk_hash").orderBy("doc_id", "chunk_idx")
+    return (
+        ch.select(
+            "doc_id",
+            "chunk_idx",
+            "n_tokens",
+            "chunk_hash",
+            F.count("*").over(wdup).cast("bigint").alias("n_dups"),
+            (F.row_number().over(wrank) == 1).alias("keep"),
+        )
+        .orderBy("doc_id", "chunk_idx")
     )

@@ -69,6 +69,7 @@ def all_queries() -> dict[str, QuerySpec]:
 #      tests assert their semantics) - always last.
 _CHECK_FIRST = [
     # never driver-checked (registered in round 8)
+    "q78_doc_chunking",
     "q75_boilerplate_shingles",
     "q76_quality_funnel",
     "q77_label_centroids",

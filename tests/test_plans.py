@@ -425,3 +425,25 @@ def test_lsh_valve_is_broadcast_anti(spark, sf_dir):
     anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
     assert anti, "valve anti-join missing from the plan"
     assert any("Broadcast" in ln for ln in anti), anti
+
+
+def test_q78_chunking_single_dedup_shuffle(spark, sf_dir):
+    """Chunk generation must be map-only (no exchange below the first
+    Window) and the chunk-level dedup must reuse ONE hash exchange on
+    chunk_hash for both window passes (n_dups count + keep rank); the
+    only other exchange allowed is the final deterministic orderBy's
+    range partition.  Column pruning must reach the scan: only doc_id
+    and text are read."""
+    from iceberg_daq_spark.registry import all_queries
+
+    df = all_queries()["q78_doc_chunking"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    # scan reads exactly the two needed columns
+    assert "doc_id" in plan and "text:string" in plan
+    assert "n_chars" not in plan
+    # exactly two exchanges: hashpartitioning(chunk_hash) + the final
+    # orderBy's rangepartitioning
+    ex = [ln for ln in plan.splitlines() if "Arguments: hashpartitioning" in ln or "Arguments: rangepartitioning" in ln]
+    assert len(ex) == 2, plan
+    assert sum("hashpartitioning(chunk_hash" in ln for ln in ex) == 1, ex
+    assert sum("rangepartitioning" in ln for ln in ex) == 1, ex
