@@ -763,19 +763,23 @@ def _decode_external_video(blobs: DataFrame, every_k: int = 5) -> DataFrame:
                 continue
             doc_out, no_out, nf_out, fr_out, mean_out = [], [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                # decode streaming: only every_k-th frame is converted
+                # to an RGB24 ndarray and buffered - holding EVERY
+                # decoded frame uncompressed would be ~every_k x the
+                # sampled footprint (a 10-min 1080p clip is >100 GB raw)
+                sampled, total = [], 0
                 with _av.open(io.BytesIO(bytes(payload))) as container:
-                    frames = [
-                        f.to_ndarray(format="rgb24")
-                        for f in container.decode(video=0)
-                    ]
-                total = len(frames)
-                for j in range(0, total, every_k):
-                    arr = frames[j]
+                    for j, f in enumerate(container.decode(video=0)):
+                        if j % every_k == 0:
+                            arr = f.to_ndarray(format="rgb24")
+                            sampled.append((j, arr.tobytes(), float(arr.mean())))
+                        total = j + 1
+                for j, raw, m in sampled:
                     doc_out.append(doc_id)
                     no_out.append(j)
                     nf_out.append(total)
-                    fr_out.append(arr.tobytes())
-                    mean_out.append(float(arr.mean()))
+                    fr_out.append(raw)
+                    mean_out.append(m)
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(doc_out, dtype="int64"),

@@ -55,7 +55,7 @@ def all_queries() -> dict[str, QuerySpec]:
 
 
 # The verify driver hash-checks only the FIRST 50 entries of
-# ``__spark_entry__.queries()``.  With 75 registered queries (66
+# ``__spark_entry__.queries()``.  With 76 registered queries (67
 # oracle-backed, 9 rows-only by design) the window cannot cover
 # everything, so the projection below orders queries by how much a
 # driver row is worth this round:

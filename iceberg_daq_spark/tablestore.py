@@ -208,6 +208,13 @@ def parse_partition_spec(spec) -> list[PartField]:
     return out
 
 
+def _utc_date(col):
+    """The UTC calendar date of a timestamp, independent of the
+    session timezone (epoch-seconds -> epoch-days -> DATE)."""
+    epoch_days = F.floor(col.cast("timestamp").cast("double") / 86400).cast("int")
+    return F.date_add(F.to_date(F.lit("1970-01-01")), epoch_days)
+
+
 def _transform_col(pf: PartField, col, dtype: str = ""):
     """The transform as a Column expression over ``col`` (a row column
     at write time; a literal expression at predicate-projection time,
@@ -219,9 +226,14 @@ def _transform_col(pf: PartField, col, dtype: str = ""):
     if pf.transform == "days":
         return F.floor(col.cast("timestamp").cast("double") / 86400).cast("long")
     if pf.transform == "months":
-        return ((F.year(col) - F.lit(1970)) * 12 + F.month(col) - 1).cast("int")
+        # via the UTC epoch-day calendar (year/month of a DATE are
+        # tz-free), so writer and reader sessions with different
+        # spark.sql.session.timeZone derive the SAME partition value -
+        # hours/days get this for free from the epoch math above
+        d = _utc_date(col)
+        return ((F.year(d) - F.lit(1970)) * 12 + F.month(d) - 1).cast("int")
     if pf.transform == "years":
-        return (F.year(col) - F.lit(1970)).cast("int")
+        return (F.year(_utc_date(col)) - F.lit(1970)).cast("int")
     if pf.transform == "bucket":
         return F.pmod(F.xxhash64(col), F.lit(pf.arg)).cast("int")
     if pf.transform == "truncate":
@@ -241,7 +253,13 @@ def _kw_at(s: str, i: int, n: int) -> bool:
 
 def _split_conjuncts(where: str) -> list[str]:
     """Split a predicate on top-level AND - paren-, quote-, and
-    BETWEEN-aware (the AND inside BETWEEN..AND is not a conjunction)."""
+    BETWEEN-aware (the AND inside BETWEEN..AND is not a conjunction).
+
+    A depth-0 OR makes the WHOLE expression a disjunction (AND binds
+    tighter: ``X OR Y AND Z`` is ``X OR (Y AND Z)``), so no part of it
+    is a required conjunct and nothing may project to a partition
+    predicate - return it unsplit (the _LIT_RE guard then rejects it
+    and only the row filter applies)."""
     s, n = where, len(where)
     parts, depth, start, i, pending_between = [], 0, 0, 0, 0
     while i < n:
@@ -254,6 +272,8 @@ def _split_conjuncts(where: str) -> list[str]:
             depth += 1
         elif ch == ")":
             depth -= 1
+        elif depth == 0 and s[i : i + 2].upper() == "OR" and _kw_at(s, i, 2):
+            return [where.strip()]
         elif depth == 0 and s[i : i + 7].upper() == "BETWEEN" and _kw_at(s, i, 7):
             pending_between += 1
             i += 6
@@ -378,9 +398,22 @@ def _partition_predicate(
             part = F.col(pf.name)
 
             def t(lit: str):
-                return _transform_col(pf, F.expr(lit), dtype)
+                # Cast the literal to the SOURCE column's type first:
+                # xxhash64 (bucket) is type-sensitive, so hashing an
+                # int literal against a bigint-typed column would pick
+                # the wrong bucket and silently prune the matching
+                # directory.  Monotone transforms tolerate the cast
+                # (no-op for already-typed literals).
+                e = F.expr(lit)
+                if dtype:
+                    e = e.cast(dtype)
+                return _transform_col(pf, e, dtype)
 
             if pf.transform == "bucket":
+                if not dtype:
+                    # without the column type the hash input type is
+                    # unknowable - skip pruning (row filter still runs)
+                    continue
                 if op == "=":
                     preds.append(part == t(lits[0]))
                 elif op == "in":
@@ -685,7 +718,13 @@ class MergeTable:
         import uuid
 
         name = f"_staged_{uuid.uuid4().hex[:12]}"
-        self._write_data_dir(df, name, spec)
+        try:
+            self._write_data_dir(df, name, spec)
+        except BaseException:
+            # don't leak a partial table-sized dir until the staged-TTL
+            # sweep when the Spark write itself dies
+            self._discard_stage(name)
+            raise
         return name
 
     def _discard_stage(self, name: str) -> None:
@@ -1108,9 +1147,9 @@ class MergeTable:
             f["physical"] != f["name"] for f in m["schema"]
         ):
             raise ValueError(
-                f"append() needs a physical schema match (table {names}, "
-                f"updates {updates.columns}); use merge() after schema "
-                "evolution"
+                f"append() to {path} needs a physical schema match "
+                f"(table {names}, updates {updates.columns}); use "
+                "merge() after schema evolution"
             )
 
     def append(self, updates: DataFrame) -> int:
@@ -1224,7 +1263,13 @@ class MergeTable:
 
         def build(current: DataFrame, man: dict | None) -> DataFrame:
             ups = updates
-            keys = list(self._effective_keys())
+            # keys from the PINNED base manifest (like every other
+            # base-pinned input here), not _effective_keys(): a
+            # concurrent rename_column between pin and build would
+            # otherwise make the join target a column the base snapshot
+            # doesn't have, failing with AnalysisException instead of
+            # rebasing at the conflict check.
+            keys = list((man or {}).get("key_cols") or self.key_cols)
             table_cols = current.columns
             extra = [c for c in ups.columns if c not in table_cols]
             if extra and not evolve_schema:

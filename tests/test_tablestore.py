@@ -693,6 +693,58 @@ def test_predicate_projection_never_overprunes(spark, tmp_path):
     got = {r["k"] for r in t.read(spark, where=w).collect()}
     assert got == {1, 3, 4, 5}
 
+    # OR at top level with a trailing AND: precedence makes the whole
+    # expression a disjunction (X OR (Y AND Z)) - the ts conjunct is
+    # NOT required, so it must not project (regression: the splitter
+    # used to emit ['flag = 1 OR k = 0', 'ts >= ...'] and prune away
+    # flag=1 rows in early-hour directories)
+    assert (
+        _parse_conjuncts(
+            "flag = 1 OR k = 0 AND ts >= TIMESTAMP '2024-05-01 04:00:00'"
+        )
+        == []
+    )
+    w2 = "flag = 1 OR k = 0 AND ts >= TIMESTAMP '2024-05-01 04:00:00'"
+    got2 = {r["k"] for r in t.read(spark, where=w2).collect()}
+    assert got2 == {1, 3, 5}
+    # parenthesized OR on one side of a top-level AND still projects
+    assert _parse_conjuncts(
+        "(flag = 1 OR k = 0) AND ts >= TIMESTAMP '2024-05-01 04:00:00'"
+    ) == [("ts", ">=", ["TIMESTAMP '2024-05-01 04:00:00'"])]
+
+
+def test_bucket_pruning_literal_type_matches_column(spark, tmp_path):
+    """bucket(N, k) pruning must hash the literal AS THE COLUMN'S TYPE:
+    xxhash64 is type-sensitive, so an int-parsed literal against a
+    bigint column picks a different bucket and silently prunes away
+    the matching directory (regression)."""
+    from iceberg_daq_spark.tablestore import MergeTable
+
+    t = MergeTable(
+        str(tmp_path / "bkl"), key_cols=("k",), keep_versions=10,
+        partition_spec=("bucket(8, k)",),
+    )
+    t.merge(
+        spark.createDataFrame(
+            [(i, f"x{i}") for i in range(100)], "k bigint, v string"
+        )
+    )
+    one = t.read(spark, where="k = 17")
+    assert [(r["k"], r["v"]) for r in one.collect()] == [(17, "x17")]
+    many = t.read(spark, where="k IN (1, 2, 63)")
+    assert {r["k"] for r in many.collect()} == {1, 2, 63}
+    # string-typed bucket source: quoted literal must hash as string
+    s = MergeTable(
+        str(tmp_path / "bks"), key_cols=("name",), keep_versions=10,
+        partition_spec=("bucket(8, name)",),
+    )
+    s.merge(
+        spark.createDataFrame(
+            [(f"n{i}", i) for i in range(50)], "name string, n int"
+        )
+    )
+    assert [r["n"] for r in s.read(spark, where="name = 'n7'").collect()] == [7]
+
 
 def test_rollback_across_key_rename_restores_keys(spark, tmp_path):
     """Rolling back past a key-column rename restores that snapshot's
