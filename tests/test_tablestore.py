@@ -832,3 +832,40 @@ def test_merge_rebases_over_concurrent_append(spark, tmp_path, monkeypatch):
     assert rows == {1: "a", 2: "b", 99: "z"}  # nothing lost
     assert t.current_version() == 3
     assert not any(e.startswith("_staged_") for e in os.listdir(path))
+
+
+def test_transforms_independent_of_session_timezone(spark):
+    """months()/years() (like hours()/days()) must derive the same
+    partition value in ANY session timezone - a reader session
+    configured differently from the writer would otherwise prune
+    boundary-month rows inconsistently (regression: they used
+    session-tz F.year/F.month)."""
+    from pyspark.sql import functions as F
+
+    from iceberg_daq_spark.tablestore import PartField, _transform_col
+
+    def values(tz):
+        saved = spark.conf.get("spark.sql.session.timeZone")
+        spark.conf.set("spark.sql.session.timeZone", tz)
+        try:
+            cols = [
+                _transform_col(
+                    PartField(f"{tr}(ts)", tr, "ts", None),
+                    # a FIXED instant (2024-03-01 00:30:00 UTC): a
+                    # TIMESTAMP '...' literal would itself re-parse in
+                    # each session tz and denote different instants
+                    F.timestamp_seconds(F.lit(1709253000)),
+                    "timestamp",
+                ).alias(tr)
+                for tr in ("hours", "days", "months", "years")
+            ]
+            return spark.range(1).select(*cols).collect()[0].asDict()
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", saved)
+
+    utc = values("UTC")
+    ny = values("America/New_York")
+    tokyo = values("Asia/Tokyo")
+    assert utc == ny == tokyo
+    assert utc["months"] == (2024 - 1970) * 12 + 2  # March 2024, UTC
+    assert utc["years"] == 54
