@@ -69,3 +69,20 @@ def fingerprint(wordarr: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: (acc * 31 + x) % FINGERPRINT_MOD,
     )
+
+
+# PII patterns - restricted to the regex subset Java (Spark) and RE2
+# (DuckDB oracles) share: no backreferences, no lookaround.
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_PHONE_RE = r"\b555-[0-9]{4}\b"
+PII_IP_RE = r"\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b"
+
+
+def redact(text: Column) -> Column:
+    """Replace emails / IPv4 addresses / phone numbers with typed
+    placeholder tokens (the pre-training privacy scrub).  Three JVM
+    regexp_replace passes, map-only; email before IP before phone so a
+    placeholder can never be re-matched by a later pattern."""
+    out = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PII_IP_RE, "<IP>")
+    return F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")

@@ -22,4 +22,5 @@ from iceberg_daq_spark.queries import (  # noqa: F401
 from iceberg_daq_spark.queries import (  # noqa: F401
     llm,
     multimodal,
+    curation,
 )

@@ -1,0 +1,285 @@
+"""Q79-Q82: corpus-curation operators (training-data pipeline).
+
+PII redaction, URL/domain accounting, unigram-LM surprisal scoring,
+and keyword extraction over the documents table.  The synthetic corpus
+(TESTDATA.md) contains no natural PII/URLs, so q79/q80 first apply a
+DETERMINISTIC enrichment (explicit concat keyed on doc_id, identical
+in the Spark plan and the DuckDB oracle) and then run the real
+extraction/redaction operators over the enriched text - the operator
+logic is what is exercised and hash-checked, q68-style.
+
+All four queries are map-only or one/two-shuffle plans with partial
+aggregation; regexes are JVM-side (no Python in the hot path) and
+restricted to the syntax subset Java regex and RE2 (DuckDB) share -
+no backreferences, no lookaround.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from iceberg_daq_spark.operators import text
+from iceberg_daq_spark.registry import register
+from iceberg_daq_spark.tables import load
+
+# Shared Java/RE2 pattern subset (see operators/text.py notes).
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PHONE_RE = r"\b555-[0-9]{4}\b"
+IP_RE = r"\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b"
+URL_RE = r"https?://[a-z0-9.-]+[a-z0-9/._-]*"
+DOMAIN_RE = r"https?://([a-z0-9.-]+)"
+
+
+def _pii_enriched() -> F.Column:
+    """text + deterministic PII suffixes keyed on doc_id (q68-style
+    explicit concat; byte-identical to the oracle's || chain)."""
+    d = F.col("doc_id")
+    s = F.col("text")
+    email = F.concat(
+        F.lit(" contact user"), d.cast("string"), F.lit("@example.com now")
+    )
+    phone = F.concat(
+        F.lit(" call 555-"), F.lpad((d % 10000).cast("string"), 4, "0")
+    )
+    ip = F.concat(
+        F.lit(" host 10.0."),
+        (d % 256).cast("string"),
+        F.lit("."),
+        ((d * 7) % 256).cast("string"),
+    )
+    s = F.concat(s, F.when(d % 7 == 0, email).otherwise(F.lit("")))
+    s = F.concat(s, F.when(d % 5 == 0, phone).otherwise(F.lit("")))
+    s = F.concat(s, F.when(d % 11 == 0, ip).otherwise(F.lit("")))
+    return s
+
+
+_PII_ENRICH_SQL = """
+      text
+      || CASE WHEN doc_id % 7 = 0
+              THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+              ELSE '' END
+      || CASE WHEN doc_id % 5 = 0
+              THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE '' END
+      || CASE WHEN doc_id % 11 = 0
+              THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                   || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+              ELSE '' END
+"""
+
+
+@register(
+    "q79_pii_redaction",
+    oracle=r"""
+    WITH e AS (
+      SELECT doc_id, {enrich} AS enriched FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(enriched, '{email}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(enriched, '{phone}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(enriched, '{ip}')) AS BIGINT) AS n_ips,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(enriched, '{email}', '<EMAIL>', 'g'),
+               '{ip}', '<IP>', 'g'),
+             '{phone}', '<PHONE>', 'g') AS redacted
+    FROM e
+    ORDER BY doc_id
+    """.format(enrich=_PII_ENRICH_SQL, email=EMAIL_RE, phone=PHONE_RE, ip=IP_RE),
+)
+def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: count + redact emails / phone numbers / IPv4
+    addresses (the pre-training privacy pass).  Map-only: three JVM
+    regexp_count + three regexp_replace per row, no shuffle - streams
+    at scan speed at any corpus size."""
+    d = load(spark, sf_dir, "documents")
+    enriched = _pii_enriched()
+    red = text.redact(enriched)
+    return d.select(
+        "doc_id",
+        F.regexp_count(enriched, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(enriched, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_count(enriched, F.lit(IP_RE)).cast("long").alias("n_ips"),
+        red.alias("redacted"),
+    ).orderBy("doc_id")
+
+
+_URL_ENRICH_SQL = """
+      text
+      || CASE WHEN doc_id % 5 = 0
+              THEN ' see https://www.dom' || CAST(doc_id % 20 AS VARCHAR)
+                   || '.example.org/p/' || CAST(doc_id AS VARCHAR)
+              ELSE '' END
+      || CASE WHEN doc_id % 10 = 0
+              THEN ' and http://cdn.assets.net/x/' || CAST(doc_id AS VARCHAR)
+              ELSE '' END
+"""
+
+
+def _url_enriched() -> F.Column:
+    d = F.col("doc_id")
+    s = F.col("text")
+    site = F.concat(
+        F.lit(" see https://www.dom"),
+        (d % 20).cast("string"),
+        F.lit(".example.org/p/"),
+        d.cast("string"),
+    )
+    cdn = F.concat(F.lit(" and http://cdn.assets.net/x/"), d.cast("string"))
+    s = F.concat(s, F.when(d % 5 == 0, site).otherwise(F.lit("")))
+    s = F.concat(s, F.when(d % 10 == 0, cdn).otherwise(F.lit("")))
+    return s
+
+
+@register(
+    "q80_url_domains",
+    oracle=r"""
+    WITH e AS (
+      SELECT doc_id, {enrich} AS enriched FROM documents
+    ), u AS (
+      SELECT doc_id, unnest(regexp_extract_all(enriched, '{url}')) AS url
+      FROM e
+    )
+    SELECT regexp_extract(url, '{domain}', 1) AS domain,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CASE WHEN regexp_extract(url, '{domain}', 1) = 'cdn.assets.net'
+                THEN 'blocked' ELSE 'allowed' END AS status
+    FROM u
+    GROUP BY 1, 4
+    ORDER BY domain
+    """.format(enrich=_URL_ENRICH_SQL, url=URL_RE, domain=DOMAIN_RE),
+)
+def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL extraction + per-domain accounting with a blocklist verdict
+    (the crawl-curation domain filter).  Extraction is map-only JVM
+    regex; the only shuffle is the per-domain partial+final agg, whose
+    key cardinality is the (small) domain set."""
+    d = load(spark, sf_dir, "documents")
+    urls = d.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(_url_enriched(), F.lit(URL_RE), 0)).alias(
+            "url"
+        ),
+    )
+    dom = F.regexp_extract(F.col("url"), DOMAIN_RE, 1)
+    return (
+        urls.select("doc_id", dom.alias("domain"))
+        .withColumn(
+            "status",
+            F.when(F.col("domain") == "cdn.assets.net", "blocked").otherwise(
+                "allowed"
+            ),
+        )
+        .groupBy("domain", "status")
+        .agg(
+            F.count("*").cast("long").alias("n_urls"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .select("domain", "n_urls", "n_docs", "status")
+        .orderBy("domain")
+    )
+
+
+@register(
+    "q81_unigram_surprisal",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), freq AS (
+      SELECT w, count(*) AS cnt FROM tok GROUP BY w
+    ), tot AS (
+      SELECT sum(cnt) AS total FROM freq
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(-ln(f.cnt / tot.total)), 2) AS mean_surprisal
+    FROM tok t JOIN freq f ON t.w = f.w CROSS JOIN tot
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM surprisal scoring: corpus unigram probabilities, then
+    per-doc mean -ln p(w) (the perplexity-proxy quality filter of
+    data-curation pipelines).  The unigram table is vocabulary-sized -
+    broadcast back to the token stream, so the plan is one explode +
+    one partial+final count agg + a broadcast join + one per-doc agg;
+    no vocabulary-sized shuffle of the corpus itself."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(text.words(F.col("text"))).alias("w"))
+    freq = tok.groupBy("w").agg(F.count("*").alias("cnt"))
+    tot = freq.agg(F.sum("cnt").alias("total"))
+    scored = tok.join(F.broadcast(freq), "w").join(F.broadcast(tot))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("cnt") / F.col("total"))), 2).alias(
+                "mean_surprisal"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q82_keyword_extract",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), n AS (
+      SELECT count(*) AS n_docs FROM documents
+    ), ranked AS (
+      SELECT t.doc_id, t.term, t.tf, d.df,
+             round(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df), 2) AS tfidf,
+             row_number() OVER (
+               PARTITION BY t.doc_id
+               ORDER BY t.tf DESC, d.df ASC, t.term ASC
+             ) AS rk
+      FROM tf t JOIN df d ON t.term = d.term CROSS JOIN n
+    )
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           tfidf
+    FROM ranked WHERE rk <= 3
+    ORDER BY doc_id, tf DESC, df ASC, term ASC
+    """,
+)
+def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by (tf DESC,
+    rarity ASC, term ASC) with a tf-idf score column.  The ranking key
+    is INTEGER-only (tf, df, term) so Spark and the oracle agree
+    bit-for-bit - the float tf-idf is reported, never compared.  Plan:
+    one (doc,term) partial+final agg, a broadcast of the vocab-sized
+    df table, and a per-doc WindowGroupLimit top-k (partial below the
+    shuffle) - no global sort of the term table."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(text.words(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(F.broadcast(df_t), "term")
+        .join(F.broadcast(n))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 2
+            ).alias("tfidf"),
+        )
+        .orderBy("doc_id", F.col("tf").desc(), F.col("df").asc(), F.col("term").asc())
+    )

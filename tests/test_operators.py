@@ -606,3 +606,27 @@ def test_lsh_bucket_valve_silent_at_test_scale(spark, sf_dir):
         for r in similarity._candidate_pairs(e, symmetric=False, bucket_max=None).collect()
     }
     assert valved == full and len(full) > 0
+
+
+def test_pii_redact_known_strings(spark):
+    """redact() against hand-written ground truth: each PII class is
+    replaced everywhere it appears, non-PII text is untouched, and a
+    placeholder emitted by one pass is never re-matched by a later
+    pattern."""
+    from iceberg_daq_spark.operators.text import redact
+
+    rows = [
+        ("mail bob.smith@corp.io and ann+x@a.co end",
+         "mail <EMAIL> and <EMAIL> end"),
+        ("dial 555-0042 then 555-9999.", "dial <PHONE> then <PHONE>."),
+        ("node 10.0.3.77 and 192.168.0.1 up", "node <IP> and <IP> up"),
+        ("all x@y.zz 555-1234 1.2.3.4 mixed",
+         "all <EMAIL> <PHONE> <IP> mixed"),
+        ("plain text, no pii at all", "plain text, no pii at all"),
+        # 555-12345 has no 4-digit boundary; 1.2.3 is not an IPv4
+        ("near 555-12345 miss 1.2.3 end", "near 555-12345 miss 1.2.3 end"),
+    ]
+    df = spark.createDataFrame(rows, ["raw", "want"])
+    got = df.select("want", redact(F.col("raw")).alias("got")).collect()
+    for r in got:
+        assert r.got == r.want

@@ -447,3 +447,34 @@ def test_q78_chunking_single_dedup_shuffle(spark, sf_dir):
     assert len(ex) == 2, plan
     assert sum("hashpartitioning(chunk_hash" in ln for ln in ex) == 1, ex
     assert sum("rangepartitioning" in ln for ln in ex) == 1, ex
+
+
+def test_q79_redaction_map_only(spark, sf_dir):
+    """PII scrub is a pure map: no exchange anywhere below the
+    presentation sort - the redaction pass streams at scan speed."""
+    from iceberg_daq_spark.queries.curation import q79
+
+    plan = plan_of(q79(spark, sf_dir))
+    body = plan.split("Sort")[0] if "Sort" in plan else plan
+    assert "Exchange" not in body.replace("rangepartitioning", "")
+
+
+def test_q81_unigram_table_broadcasts(spark, sf_dir):
+    """The vocab-sized unigram table joins back to the token stream as
+    a broadcast - the corpus itself is never shuffled by vocabulary."""
+    from iceberg_daq_spark.queries.curation import q81
+
+    plan = plan_of(q81(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q82_window_group_limit(spark, sf_dir):
+    """Top-3-per-doc plans as WindowGroupLimit (partial below the
+    shuffle), and the df table broadcasts."""
+    from iceberg_daq_spark.queries.curation import q82
+
+    plan = plan_of(q82(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
