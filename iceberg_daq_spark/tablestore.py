@@ -92,6 +92,7 @@ from __future__ import annotations
 
 import fcntl
 import json
+import math
 import os
 import re
 import shutil
@@ -438,6 +439,137 @@ def _partition_predicate(
     return reduce(lambda x, y: x & y, preds)
 
 
+# -- file-level column statistics (Iceberg manifest min/max skipping) -
+
+def _stat_ok(v) -> bool:
+    """JSON-roundtrippable, totally-ordered stat values only: ints,
+    finite floats, ASCII strings (parquet string min/max are byte-lex
+    bounds, which equals Python str order only for ASCII)."""
+    if isinstance(v, bool):
+        return False
+    if isinstance(v, int):
+        return True
+    if isinstance(v, float):
+        return math.isfinite(v)
+    if isinstance(v, str):
+        return v.isascii()
+    return False
+
+
+def _collect_dir_stats(root: str) -> dict[str, dict[str, list]]:
+    """Per-data-file ``{col: [min, max]}`` from the parquet footers of
+    an immutable committed data dir (the Iceberg manifest-stats
+    analog; computed once at commit, carried forward by reference
+    afterwards).  A column missing stats in ANY row group is dropped
+    for that file; a file that cannot be statted at all records ``{}``
+    (always kept - stats only ever prune, never exclude by absence).
+
+    Footer reads are driver-side here; on a real cluster the write
+    tasks would return these with the commit message (Iceberg's
+    DataFile stats), which is a protocol change, not a plan change."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict[str, list]] = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for fn in sorted(files):
+            if not fn.endswith(".parquet"):
+                continue
+            p = os.path.join(dirpath, fn)
+            rel = os.path.relpath(p, root)
+            cols: dict[str, list] = {}
+            try:
+                md = pq.ParquetFile(p).metadata
+                bad: set[str] = set()
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        cc = g.column(ci)
+                        name = cc.path_in_schema
+                        if "." in name or name in bad:
+                            continue
+                        st = cc.statistics
+                        if (
+                            st is None
+                            or not st.has_min_max
+                            or not _stat_ok(st.min)
+                            or not _stat_ok(st.max)
+                        ):
+                            bad.add(name)
+                            cols.pop(name, None)
+                            continue
+                        if name in cols:
+                            lo, hi = cols[name]
+                            cols[name] = [min(lo, st.min), max(hi, st.max)]
+                        else:
+                            cols[name] = [st.min, st.max]
+            except Exception:
+                cols = {}
+            out[rel] = cols
+    return out
+
+
+def _lit_value(s: str):
+    """Python value of a simple SQL literal (''-escaped string or
+    number); None = not comparable against file stats (pruning is
+    forgone, the row filter still applies)."""
+    s = s.strip()
+    if len(s) >= 2 and s[0] == "'" and s[-1] == "'":
+        return s[1:-1].replace("''", "'")
+    try:
+        return int(s)
+    except ValueError:
+        pass
+    try:
+        v = float(s)
+        return v if math.isfinite(v) else None
+    except ValueError:
+        return None
+
+
+def _file_may_match(
+    colstats: dict[str, list],
+    conjuncts: list[tuple[str, str, list[str]]],
+    phys_of: dict[str, str],
+) -> bool:
+    """Can any row of a file with these [min, max] bounds satisfy every
+    conjunct?  Sound: bounds cover all non-null values, and every
+    supported operator is null-rejecting, so a skipped file provably
+    contributes no qualifying row.  Unknown columns / incomparable
+    literals keep the file."""
+    for col, op, lits in conjuncts:
+        rng = colstats.get(phys_of.get(col, col) or col)
+        if not rng:
+            continue
+        lo, hi = rng
+        vals = [_lit_value(x) for x in lits]
+        if any(v is None for v in vals):
+            continue
+        if any(isinstance(v, str) != isinstance(lo, str) for v in vals):
+            continue
+        if op == "=":
+            if not (lo <= vals[0] <= hi):
+                return False
+        elif op == ">":
+            if not hi > vals[0]:
+                return False
+        elif op == ">=":
+            if not hi >= vals[0]:
+                return False
+        elif op == "<":
+            if not lo < vals[0]:
+                return False
+        elif op == "<=":
+            if not lo <= vals[0]:
+                return False
+        elif op == "between":
+            if not (hi >= vals[0] and lo <= vals[1]):
+                return False
+        elif op == "in":
+            if not any(lo <= v <= hi for v in vals):
+                return False
+    return True
+
+
 @dataclass
 class MergeTable:
     """A keyed table with MERGE-upsert writes, atomic versioned
@@ -451,6 +583,9 @@ class MergeTable:
     key_cols: tuple[str, ...]
     keep_versions: int = 2
     partition_spec: tuple[str, ...] = ()
+    # seeds a NEW table's sort order (Iceberg SortOrder); the manifest
+    # wins for an existing table - evolve with :meth:`set_sort_order`
+    sort_order: tuple[str, ...] = ()
     # staged dirs older than this are crashed writers' leftovers the
     # GC may reclaim; in-flight writers are always younger
     staged_ttl_s: int = 6 * 3600
@@ -586,9 +721,32 @@ class MergeTable:
                 f"{self.keep_versions})"
             )
         dir_specs = m.get("dir_specs") or {}
+        conjs = _parse_conjuncts(where) if where else []
+        phys_of = {f["name"]: f["physical"] for f in m["schema"]}
+        # manifest min/max file skipping: per dir, either None (scan
+        # the whole dir - nothing prunable) or the kept-file subset
+        kept_files = (
+            {n: self._prune_files(n, conjs, m, phys_of) for n in names}
+            if conjs
+            else {}
+        )
         if not any(dir_specs.get(n) for n in names):
-            # unpartitioned snapshot: one multi-path scan
-            df = spark.read.parquet(*dirs)
+            if not any(v is not None for v in kept_files.values()):
+                # unpartitioned snapshot: one multi-path scan
+                df = spark.read.parquet(*dirs)
+            else:
+                from functools import reduce
+
+                phys = [
+                    f["physical"] for f in m["schema"] if f["physical"] is not None
+                ]
+                df = reduce(
+                    DataFrame.unionByName,
+                    [
+                        self._dir_scan(spark, d, kept_files.get(n)).select(*phys)
+                        for n, d in zip(names, dirs)
+                    ],
+                )
         else:
             # partitioned (possibly mixed-spec after spec evolution):
             # per-dir scans - each dir self-describes its layout and
@@ -596,13 +754,11 @@ class MergeTable:
             # shared physical column set
             from functools import reduce
 
-            conjs = _parse_conjuncts(where) if where else []
-            phys_of = {f["name"]: f["physical"] for f in m["schema"]}
             type_of = {f["name"]: f["type"] for f in m["schema"]}
             phys = [f["physical"] for f in m["schema"] if f["physical"] is not None]
             parts = []
             for dname, d in zip(names, dirs):
-                sub = spark.read.parquet(d)
+                sub = self._dir_scan(spark, d, kept_files.get(dname))
                 spec = dir_specs.get(dname) or []
                 if conjs and spec:
                     pred = _partition_predicate(conjs, spec, phys_of, type_of)
@@ -629,6 +785,38 @@ class MergeTable:
                 )
         out = df.select(*cols)
         return out.filter(F.expr(where)) if where else out
+
+    # -- manifest-stats file skipping ---------------------------------
+    def _prune_files(
+        self,
+        dname: str,
+        conjs: list[tuple[str, str, list[str]]],
+        m: dict,
+        phys_of: dict[str, str],
+    ) -> list[str] | None:
+        """Kept-file subset of a data dir under the where-conjuncts,
+        per the manifest's [min, max] file stats; None when nothing is
+        prunable (no stats, or every file may match) - the caller then
+        keeps the plain whole-dir scan."""
+        stats = (m.get("file_stats") or {}).get(dname)
+        if not stats:
+            return None
+        kept = [f for f, cs in stats.items() if _file_may_match(cs, conjs, phys_of)]
+        return None if len(kept) == len(stats) else kept
+
+    def _dir_scan(self, spark: SparkSession, d: str, kept: list[str] | None):
+        if kept is None:
+            return spark.read.parquet(d)
+        if not kept:
+            # every file stats-skipped: filter(false) collapses the
+            # scan to an empty LocalTableScan (schema preserved, no
+            # file reads) via PropagateEmptyRelation
+            return spark.read.parquet(d).where(F.lit(False))
+        # explicit kept files; basePath keeps the dir's partition
+        # columns deriving from the directory layout
+        return spark.read.option("basePath", d).parquet(
+            *[os.path.join(d, f) for f in kept]
+        )
 
     # -- commit machinery ---------------------------------------------
     def _commit(self, df: DataFrame) -> int:
@@ -657,7 +845,26 @@ class MergeTable:
             return list(m.get("partition_spec") or [])
         return list(self.partition_spec)
 
-    def _write_data_dir(self, df: DataFrame, data_dir: str, spec: list[str]) -> None:
+    def _current_sort(self) -> list[str]:
+        """The active sort order (Iceberg SortOrder analog): the
+        manifest's, or the constructor seed for a new table."""
+        cur = self.current_version()
+        m = self._load_manifest(cur) if cur else None
+        if m is not None:
+            return list(m.get("sort_order") or [])
+        return list(self.sort_order)
+
+    def _write_data_dir(
+        self, df: DataFrame, data_dir: str, spec: list[str], sort: list[str] = ()
+    ) -> None:
+        cluster = [c for c in sort if c in df.columns]
+        if cluster:
+            # clustered write (Iceberg write.sort-order): range-
+            # partition + sort within tasks so each data file covers a
+            # narrow, near-disjoint slice of the sort key - this is
+            # what makes the manifest [min, max] stats selective
+            # enough for point/range reads to touch O(1) files
+            df = df.repartitionByRange(*cluster).sortWithinPartitions(*cluster)
         fields = parse_partition_spec(spec)
         types = dict(df.dtypes)
         for pf in fields:
@@ -697,7 +904,7 @@ class MergeTable:
         v = (cur or 0) + 1
         data_dir = f"d{v:06d}"
         spec = self._current_spec()
-        self._write_data_dir(df, data_dir, spec)
+        self._write_data_dir(df, data_dir, spec, self._current_sort())
         prev = self._load_manifest(cur) if cur else None
         return self._commit_manifest(
             v,
@@ -708,7 +915,7 @@ class MergeTable:
         )
 
     # -- optimistic staging (lock-free data writes) ---------------------
-    def _stage(self, df: DataFrame, spec: list[str]) -> str:
+    def _stage(self, df: DataFrame, spec: list[str], sort: list[str] = ()) -> str:
         """Write df to an anonymous staged dir WITHOUT holding the
         commit lock - the expensive part of a commit.  The committer
         later renames it to its final d{v} name under the lock (a
@@ -719,7 +926,7 @@ class MergeTable:
 
         name = f"_staged_{uuid.uuid4().hex[:12]}"
         try:
-            self._write_data_dir(df, name, spec)
+            self._write_data_dir(df, name, spec, sort)
         except BaseException:
             # don't leak a partial table-sized dir until the staged-TTL
             # sweep when the Spark write itself dies
@@ -759,8 +966,9 @@ class MergeTable:
             man = self._load_manifest(base)
             new_df = build(current, man)
             spec = list((man or {}).get("partition_spec") or self.partition_spec)
+            sort = list((man or {}).get("sort_order") or self.sort_order)
             try:
-                staged: str | None = self._stage(new_df, spec)
+                staged: str | None = self._stage(new_df, spec, sort)
             except Exception:
                 if self.current_version() != base:
                     continue  # base GC'd mid-scan by a concurrent commit
@@ -796,13 +1004,32 @@ class MergeTable:
         partition_spec: list[str] | None = None,
         dir_specs: dict[str, list[str]] | None = None,
         key_cols: list[str] | None = None,
+        file_stats: dict[str, dict] | None = None,
+        sort_order: list[str] | None = None,
     ) -> int:
         """Manifest first, pointer second: a crash between the two
         leaves a stale manifest the next commit overwrites (and whose
         data dir the GC reclaims once unreferenced), never a pointer
         to a missing snapshot.  ``key_cols`` persists the MERGE keys
         (logical names) so a rename survives reconstruction; None
-        carries the currently-effective keys forward."""
+        carries the currently-effective keys forward.
+
+        ``file_stats`` (per-dir per-file [min, max] column bounds, the
+        Iceberg manifest-stats analog) defaults to: carry the previous
+        manifest's entry forward for every retained dir (dirs are
+        immutable once committed), collect from the parquet footers
+        for dirs it lacks (i.e. the dirs this commit wrote)."""
+        if file_stats is None:
+            prev = self._load_manifest(v - 1) if v > 1 else None
+            prev_stats = (prev or {}).get("file_stats") or {}
+            file_stats = {
+                d: (
+                    prev_stats[d]
+                    if d in prev_stats
+                    else _collect_dir_stats(os.path.join(self.path, d))
+                )
+                for d in data_dirs
+            }
         _atomic_write(
             self._manifest_path(v),
             json.dumps(
@@ -816,6 +1043,14 @@ class MergeTable:
                         key_cols
                         if key_cols is not None
                         else list(self._effective_keys())
+                    ),
+                    "file_stats": file_stats,
+                    # like key_cols: None carries the current order
+                    # forward (manifest's, else the constructor seed)
+                    "sort_order": (
+                        sort_order
+                        if sort_order is not None
+                        else self._current_sort()
                     ),
                 }
             ),
@@ -993,6 +1228,10 @@ class MergeTable:
                 # current-named keys pointing into the restored (old-
                 # named) schema
                 key_cols=m.get("key_cols") or list(self.key_cols),
+                # the target's stats travel with its dirs (a legacy
+                # no-stats target falls back to footer collection)
+                file_stats=m.get("file_stats"),
+                sort_order=list(m.get("sort_order") or []),
             )
 
     def remove_orphans(self) -> list[str]:
@@ -1136,6 +1375,30 @@ class MergeTable:
                 m.get("dir_specs") or {},
             )
 
+    def set_sort_order(self, *cols: str) -> int:
+        """Iceberg ``replace_sort_order`` analog: a metadata-only
+        commit that changes the clustered-write order for FUTURE data
+        commits (existing files keep the layout they were written
+        with; their manifest stats stay truthful either way).  Pass no
+        cols to drop clustering.  Clustered writes range-partition +
+        sort on these columns so each data file covers a narrow slice
+        of the key - the layout that makes manifest min/max skipping
+        selective."""
+        with _commit_lock(self.path):
+            m = self._require_manifest_locked()
+            names = {f["name"] for f in m["schema"]}
+            unknown = [c for c in cols if c not in names]
+            if unknown:
+                raise ValueError(f"sort order references unknown columns {unknown}")
+            return self._commit_manifest(
+                self.current_version() + 1,
+                _data_dirs(m),
+                m["schema"],
+                list(m.get("partition_spec") or []),
+                m.get("dir_specs") or {},
+                sort_order=list(cols),
+            )
+
     # -- write API ----------------------------------------------------
     def overwrite(self, df: DataFrame) -> int:
         return self._commit(df)
@@ -1195,7 +1458,9 @@ class MergeTable:
                 for f in m["schema"]
             ]
         )
-        staged: str | None = self._stage(aligned, spec)  # lock-free
+        staged: str | None = self._stage(
+            aligned, spec, list(m.get("sort_order") or [])
+        )  # lock-free
         try:
             with _commit_lock(self.path):
                 cur2 = self.current_version()

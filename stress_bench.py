@@ -42,7 +42,13 @@ from iceberg_daq_spark.tables import load
 
 # order matters: q57 before q73 (the retention query reads the stored
 # dedup-groups stage a real pipeline would persist - see queries/llm.py)
-STRESS_QUERIES = ["q41", "q42", "q57", "q73", "q44", "q45", "q56", "q65"]
+STRESS_QUERIES = [
+    "q41", "q42", "q57", "q73", "q44", "q45", "q56", "q65",
+    # curation additions (r8): chunk dedup's hash exchange, the
+    # map-only regex battery, and the token-explode joins - all should
+    # scale ~linearly in rows
+    "q78", "q79", "q81", "q82",
+]
 # superlinear-blowup tripwire: 10x rows may legitimately cost more than
 # 10x on the pair-counting queries (pair count itself grows with the
 # copy families), but a candidate-bounded plan must stay well under the

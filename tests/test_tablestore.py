@@ -819,12 +819,12 @@ def test_merge_rebases_over_concurrent_append(spark, tmp_path, monkeypatch):
     orig_stage = MergeTable._stage
     fired = {"done": False}
 
-    def racing_stage(self, df, spec):
+    def racing_stage(self, df, spec, sort=()):
         if not fired["done"]:
             fired["done"] = True
             # a concurrent writer fast-appends while the merge computes
             other.append(spark.createDataFrame([(99, "z")], ["k", "v"]))  # v2
-        return orig_stage(self, df, spec)
+        return orig_stage(self, df, spec, sort)
 
     monkeypatch.setattr(MergeTable, "_stage", racing_stage)
     t.merge(spark.createDataFrame([(2, "b")], ["k", "v"]))  # rebases -> v3
@@ -869,3 +869,178 @@ def test_transforms_independent_of_session_timezone(spark):
     assert utc == ny == tokyo
     assert utc["months"] == (2024 - 1970) * 12 + 2  # March 2024, UTC
     assert utc["years"] == 54
+
+
+# -- manifest file-stats skipping (Iceberg min/max data skipping) -----
+
+
+def _n_input_files(df) -> int:
+    return len(df.inputFiles())
+
+
+def test_file_stats_prune_numeric(spark, tmp_path):
+    """A range predicate reads only the part files whose [min, max]
+    span it - the manifest-stats analog of Iceberg data skipping."""
+    from pyspark.sql import functions as F
+
+    from iceberg_daq_spark.tablestore import MergeTable
+
+    t = MergeTable(str(tmp_path / "fs"), key_cols=("id",), keep_versions=5)
+    df = (
+        spark.range(0, 1000)
+        .withColumn("v", F.col("id") * 2)
+        .repartitionByRange(4, "id")
+    )
+    t.overwrite(df)
+    m = t._load_manifest(t.current_version())
+    assert m["file_stats"], "commit must record file stats"
+    (dstats,) = m["file_stats"].values()
+    assert len(dstats) == 4
+    assert all("id" in cs for cs in dstats.values())
+
+    r = t.read(spark, where="id >= 750")
+    assert r.count() == 250
+    assert _n_input_files(r) < 4
+    # the skipped files really are excluded, not just filtered
+    full = t.read(spark)
+    assert _n_input_files(full) == 4
+
+
+def test_file_stats_prune_to_empty(spark, tmp_path):
+    """A predicate outside every file's bounds collapses the scan to
+    an empty local relation - zero file reads, schema preserved."""
+    from iceberg_daq_spark.tablestore import MergeTable
+
+    t = MergeTable(str(tmp_path / "fse"), key_cols=("id",))
+    t.overwrite(spark.range(0, 100).repartitionByRange(2, "id"))
+    r = t.read(spark, where="id > 100000")
+    assert r.count() == 0
+    assert r.columns == ["id"]
+    plan = r._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan or "Scan parquet" not in plan
+
+
+def test_file_stats_prune_strings(spark, tmp_path):
+    from iceberg_daq_spark.tablestore import MergeTable
+
+    t = MergeTable(str(tmp_path / "fss"), key_cols=("k",))
+    df = spark.createDataFrame(
+        [(i, chr(ord("a") + i // 25) * 3) for i in range(100)], ["k", "s"]
+    ).repartitionByRange(4, "k")
+    t.overwrite(df)
+    r = t.read(spark, where="s = 'ddd'")
+    assert r.count() == 25
+    assert _n_input_files(r) < 4
+
+
+def test_file_stats_carry_forward_on_append(spark, tmp_path):
+    """Fast-append computes stats only for its new dir and carries the
+    old dirs' entries forward; pruning then spans both dirs."""
+    from iceberg_daq_spark.tablestore import MergeTable
+
+    t = MergeTable(str(tmp_path / "fsa"), key_cols=("id",), keep_versions=5)
+    t.overwrite(spark.range(0, 400).repartitionByRange(2, "id"))
+    m1 = t._load_manifest(t.current_version())
+    t.append(spark.range(400, 800).repartitionByRange(2, "id"))
+    m2 = t._load_manifest(t.current_version())
+    assert len(m2["file_stats"]) == 2
+    (d1,) = m1["file_stats"].keys()
+    assert m2["file_stats"][d1] == m1["file_stats"][d1]  # carried, not redone
+    r = t.read(spark, where="id BETWEEN 600 AND 799")
+    assert r.count() == 200
+    assert _n_input_files(r) == 1  # one file of one dir; three skipped
+
+
+def test_file_stats_null_column_sound(spark, tmp_path):
+    """A file whose filter column is all-NULL has no min/max for it
+    and is kept; rows with NULLs elsewhere never disappear."""
+    from iceberg_daq_spark.tablestore import MergeTable
+
+    t = MergeTable(str(tmp_path / "fsn"), key_cols=("k",))
+    df = spark.createDataFrame(
+        [(1, None, "x"), (2, None, "y")], "k int, v int, s string"
+    ).union(
+        spark.createDataFrame([(3, 30, "z"), (4, 40, "w")], "k int, v int, s string")
+    ).repartition(2, "k")
+    t.overwrite(df)
+    assert t.read(spark, where="v = 30").count() == 1
+    assert t.read(spark, where="k >= 1").count() == 4
+
+
+def test_file_stats_compose_with_partition_pruning(spark, tmp_path):
+    """Identity-partitioned table: the partition predicate prunes
+    directories, the file stats prune within the kept directory."""
+    from pyspark.sql import functions as F
+
+    from iceberg_daq_spark.tablestore import MergeTable
+
+    t = MergeTable(
+        str(tmp_path / "fsp"),
+        key_cols=("id",),
+        partition_spec=("cat",),
+        keep_versions=5,
+    )
+    df = (
+        spark.range(0, 800)
+        .withColumn("cat", (F.col("id") % 2).cast("string"))
+        .repartitionByRange(4, "id")
+    )
+    t.overwrite(df)
+    full = t.read(spark)
+    n_all = _n_input_files(full)
+    r = t.read(spark, where="cat = '1' AND id < 100")
+    got = sorted(x.id for x in r.collect())
+    assert got == list(range(1, 100, 2))
+    assert _n_input_files(r) < n_all // 2  # dir pruning AND file skipping
+
+
+def test_sort_order_clusters_files_for_skipping(spark, tmp_path):
+    """With a declared sort order, an UNSORTED incoming commit is
+    range-clustered at write, so every file covers a narrow key slice
+    and a point/range predicate reads O(1) files."""
+    from pyspark.sql import functions as F
+
+    from iceberg_daq_spark.tablestore import MergeTable
+
+    t = MergeTable(
+        str(tmp_path / "so"), key_cols=("id",), sort_order=("id",), keep_versions=5
+    )
+    # adversarial layout: round-robin partitions, every partition
+    # spans the whole key range - unclustered, stats would overlap
+    df = (
+        spark.range(0, 2000)
+        .withColumn("v", F.col("id") % 97)
+        .repartition(8)
+    )
+    t.overwrite(df)
+    m = t._load_manifest(t.current_version())
+    assert m["sort_order"] == ["id"]
+    (dstats,) = m["file_stats"].values()
+    ranges = sorted((cs["id"][0], cs["id"][1]) for cs in dstats.values())
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+        assert a_hi < b_lo  # disjoint slices: clustering really happened
+    r = t.read(spark, where="id BETWEEN 100 AND 120")
+    assert r.count() == 21
+    assert len(r.inputFiles()) == 1
+
+
+def test_sort_order_evolution_and_merge_path(spark, tmp_path):
+    """set_sort_order engages at the next data commit (including the
+    optimistic merge path) and persists across reconstruction."""
+    from iceberg_daq_spark.tablestore import MergeTable
+
+    path = str(tmp_path / "soe")
+    t = MergeTable(path, key_cols=("id",), keep_versions=10)
+    t.overwrite(spark.range(0, 500).repartition(4))
+    assert t._load_manifest(t.current_version())["sort_order"] == []
+    t.set_sort_order("id")
+    # a NEW instance without the constructor seed picks the manifest up
+    t2 = MergeTable(path, key_cols=("id",), keep_versions=10)
+    t2.merge(spark.range(500, 1000).repartition(4).withColumnRenamed("id", "id"))
+    m = t2._load_manifest(t2.current_version())
+    assert m["sort_order"] == ["id"]
+    (dstats,) = [m["file_stats"][d] for d in m["data_dirs"]]
+    ranges = sorted((cs["id"][0], cs["id"][1]) for cs in dstats.values())
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+        assert a_hi < b_lo
+    assert t2.read(spark).count() == 1000
