@@ -1,7 +1,8 @@
-"""Q79-Q82: corpus-curation operators (training-data pipeline).
+"""Q79-Q83: corpus-curation operators (training-data pipeline).
 
 PII redaction, URL/domain accounting, unigram-LM surprisal scoring,
-and keyword extraction over the documents table.  The synthetic corpus
+keyword extraction, and per-source distribution-drift scoring over
+the documents table.  The synthetic corpus
 (TESTDATA.md) contains no natural PII/URLs, so q79/q80 first apply a
 DETERMINISTIC enrichment (explicit concat keyed on doc_id, identical
 in the Spark plan and the DuckDB oracle) and then run the real
@@ -282,4 +283,70 @@ def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tfidf"),
         )
         .orderBy("doc_id", F.col("tf").desc(), F.col("df").asc(), F.col("term").asc())
+    )
+
+
+@register(
+    "q83_source_drift",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ), per AS (
+      SELECT source, w, count(*) AS n_sw FROM tok GROUP BY source, w
+    ), st AS (
+      SELECT source, sum(n_sw) AS n_s FROM per GROUP BY source
+    ), gw AS (
+      SELECT w, sum(n_sw) AS n_w FROM per GROUP BY w
+    ), tot AS (
+      SELECT sum(n_w) AS n FROM gw
+    )
+    SELECT p.source,
+           CAST(st.n_s AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           round(sum(
+             pow(p.n_sw - st.n_s * gw.n_w / tot.n, 2)
+             / (st.n_s * gw.n_w / tot.n)
+           ), 2) AS chi2_drift
+    FROM per p
+    JOIN st ON p.source = st.source
+    JOIN gw ON p.w = gw.w
+    CROSS JOIN tot
+    GROUP BY p.source, st.n_s
+    ORDER BY p.source
+    """,
+)
+def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution drift: Pearson chi-square of each
+    source's unigram counts against the corpus-wide distribution
+    (restricted to the source's observed vocabulary - the statistic a
+    curation pipeline tracks to spot a crawl source going off-mix).
+    Plan: one (source, word) partial+final agg; the global word table
+    and the per-source totals are vocabulary-/source-sized and
+    broadcast back, so the corpus is never reshuffled to score - the
+    same posture as q81."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(text.words(F.col("text"))).alias("w"))
+    per = tok.groupBy("source", "w").agg(F.count("*").alias("n_sw"))
+    st = per.groupBy("source").agg(F.sum("n_sw").alias("n_s"))
+    gw = per.groupBy("w").agg(F.sum("n_sw").alias("n_w"))
+    tot = gw.agg(F.sum("n_w").alias("n"))
+    exp = F.col("n_s") * F.col("n_w") / F.col("n")
+    return (
+        per.join(F.broadcast(st), "source")
+        .join(F.broadcast(gw), "w")
+        .join(F.broadcast(tot))
+        .groupBy("source", "n_s")
+        .agg(
+            F.count("*").cast("long").alias("n_distinct"),
+            F.round(F.sum(F.pow(F.col("n_sw") - exp, 2) / exp), 2).alias(
+                "chi2_drift"
+            ),
+        )
+        .select(
+            "source",
+            F.col("n_s").cast("long").alias("n_tokens"),
+            "n_distinct",
+            "chi2_drift",
+        )
+        .orderBy("source")
     )

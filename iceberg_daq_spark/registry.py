@@ -55,7 +55,7 @@ def all_queries() -> dict[str, QuerySpec]:
 
 
 # The verify driver hash-checks only the FIRST 50 entries of
-# ``__spark_entry__.queries()``.  With 80 registered queries (71
+# ``__spark_entry__.queries()``.  With 81 registered queries (72
 # oracle-backed, 9 rows-only by design) the window cannot cover
 # everything, so the projection below orders queries by how much a
 # driver row is worth this round:
@@ -77,6 +77,7 @@ _CHECK_FIRST = [
     "q80_url_domains",
     "q81_unigram_surprisal",
     "q82_keyword_extract",
+    "q83_source_drift",
     # last driver-confirmed in r6, rotated out during r7 - the stalest
     # green rows in the registry, bring them all back this round
     "q01_scan_filter_project",

@@ -855,7 +855,12 @@ class MergeTable:
         return list(self.sort_order)
 
     def _write_data_dir(
-        self, df: DataFrame, data_dir: str, spec: list[str], sort: list[str] = ()
+        self,
+        df: DataFrame,
+        data_dir: str,
+        spec: list[str],
+        sort: list[str] = (),
+        sort_partitions: int | None = None,
     ) -> None:
         cluster = [c for c in sort if c in df.columns]
         if cluster:
@@ -863,8 +868,14 @@ class MergeTable:
             # partition + sort within tasks so each data file covers a
             # narrow, near-disjoint slice of the sort key - this is
             # what makes the manifest [min, max] stats selective
-            # enough for point/range reads to touch O(1) files
-            df = df.repartitionByRange(*cluster).sortWithinPartitions(*cluster)
+            # enough for point/range reads to touch O(1) files.
+            # sort_partitions pins the range count (compaction's
+            # target file count); default = shuffle partitions.
+            if sort_partitions:
+                df = df.repartitionByRange(sort_partitions, *cluster)
+            else:
+                df = df.repartitionByRange(*cluster)
+            df = df.sortWithinPartitions(*cluster)
         fields = parse_partition_spec(spec)
         types = dict(df.dtypes)
         for pf in fields:
@@ -915,7 +926,13 @@ class MergeTable:
         )
 
     # -- optimistic staging (lock-free data writes) ---------------------
-    def _stage(self, df: DataFrame, spec: list[str], sort: list[str] = ()) -> str:
+    def _stage(
+        self,
+        df: DataFrame,
+        spec: list[str],
+        sort: list[str] = (),
+        sort_partitions: int | None = None,
+    ) -> str:
         """Write df to an anonymous staged dir WITHOUT holding the
         commit lock - the expensive part of a commit.  The committer
         later renames it to its final d{v} name under the lock (a
@@ -926,7 +943,7 @@ class MergeTable:
 
         name = f"_staged_{uuid.uuid4().hex[:12]}"
         try:
-            self._write_data_dir(df, name, spec, sort)
+            self._write_data_dir(df, name, spec, sort, sort_partitions)
         except BaseException:
             # don't leak a partial table-sized dir until the staged-TTL
             # sweep when the Spark write itself dies
@@ -946,7 +963,14 @@ class MergeTable:
         )
         return data_dir
 
-    def _optimistic_rewrite(self, spark, build, op: str, max_retries: int = 6) -> int:
+    def _optimistic_rewrite(
+        self,
+        spark,
+        build,
+        op: str,
+        max_retries: int = 6,
+        sort_partitions: int | None = None,
+    ) -> int:
         """The optimistic-commit protocol shared by every copy-on-write
         rewrite (merge/delete/update/compact): pin a base snapshot,
         compute+stage ``build(current_df, base_manifest)`` with NO lock
@@ -968,7 +992,7 @@ class MergeTable:
             spec = list((man or {}).get("partition_spec") or self.partition_spec)
             sort = list((man or {}).get("sort_order") or self.sort_order)
             try:
-                staged: str | None = self._stage(new_df, spec, sort)
+                staged: str | None = self._stage(new_df, spec, sort, sort_partitions)
             except Exception:
                 if self.current_version() != base:
                     continue  # base GC'd mid-scan by a concurrent commit
@@ -1613,18 +1637,72 @@ class MergeTable:
 
         return self._optimistic_rewrite(spark, build, "update_where")
 
-    def compact(self, spark: SparkSession, target_files: int = 1) -> int:
+    def compact(
+        self,
+        spark: SparkSession,
+        target_files: int = 1,
+        target_mb: int | None = None,
+    ) -> int:
         """Maintenance: rewrite the current snapshot into
-        ``target_files`` files (Iceberg ``rewrite_data_files`` analog).
-        Streaming MERGE sinks commit one small snapshot per micro-batch;
-        periodic compaction keeps read amplification flat.  Contents are
-        unchanged - only the file layout (and, for a post-evolution
-        table, physically materializing added/renamed columns).
-        Optimistic like every rewrite: maintenance never blocks
-        concurrent appenders' data writes."""
+        ``target_files`` files (Iceberg ``rewrite_data_files`` analog) -
+        or, with ``target_mb``, into ceil(table_bytes / target_mb)
+        files (the bin-pack sizing mode: pick the file count from the
+        data, not a constant).  Streaming MERGE sinks commit one small
+        snapshot per micro-batch; periodic compaction keeps read
+        amplification flat.  Contents are unchanged - only the file
+        layout (and, for a post-evolution table, physically
+        materializing added/renamed columns).  A table with a sort
+        order compacts into ``target_files`` RANGE-clustered sorted
+        files (Iceberg's sort-rewrite), so compaction tightens the
+        manifest min/max stats instead of destroying them.  Optimistic
+        like every rewrite: maintenance never blocks concurrent
+        appenders' data writes."""
+        if target_mb is not None:
+            total = self._data_bytes()
+            target_files = max(1, -(-total // (target_mb * 1024 * 1024)))
+
+        def build(df: DataFrame, man: dict | None) -> DataFrame:
+            if (man or {}).get("sort_order"):
+                return df  # the clustered write performs the layout
+            return df.coalesce(target_files)
+
         return self._optimistic_rewrite(
-            spark, lambda df, man: df.coalesce(target_files), "compact"
+            spark, build, "compact", sort_partitions=target_files
         )
+
+    def _data_bytes(self) -> int:
+        """Total parquet bytes of the current snapshot (driver-side
+        walk of the manifest's data dirs; sizing input for
+        :meth:`compact`'s target_mb mode)."""
+        cur = self.current_version()
+        m = self._load_manifest(cur) if cur else None
+        total = 0
+        for d in _data_dirs(m) if m else []:
+            for dirpath, _dirs, files in os.walk(os.path.join(self.path, d)):
+                for fn in files:
+                    if fn.endswith(".parquet"):
+                        try:
+                            total += os.path.getsize(os.path.join(dirpath, fn))
+                        except OSError:
+                            pass
+        return total
+
+    def create_view(
+        self,
+        spark: SparkSession,
+        name: str,
+        version: int | None = None,
+        tag: str | None = None,
+    ) -> DataFrame:
+        """Register a snapshot of this table as a Spark SQL temp view
+        (the catalog facade: ``spark.sql`` over MergeTables, including
+        time travel - pass ``version`` for VERSION AS OF or ``tag``
+        for a named ref).  Returns the underlying DataFrame."""
+        df = self.read(spark, version=version, tag=tag)
+        if df is None:
+            raise ValueError(f"create_view on uncommitted table {self.path}")
+        df.createOrReplaceTempView(name)
+        return df
 
     def delete(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)

@@ -184,3 +184,35 @@ def test_etl_fail_stop_on_bad_file(spark, sf_dir, tmp_path):
     assert out.count() >= n_clean_first
     assert out.filter(F.col("file_name") == "iceberghd_raw_run000001_0000.hdf5").count() == 0
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_sink_on_sorted_table(spark, tmp_path):
+    """The streaming MERGE sink composes with a table sort order:
+    every micro-batch merge clusters the snapshot, replay stays
+    idempotent, and the resulting manifest stats support file
+    skipping on the sink table."""
+    from iceberg_daq_spark.tablestore import run_stream_to_table
+
+    src = str(tmp_path / "ssrc")
+    spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    ).repartition(4).write.parquet(src)
+    t = MergeTable(
+        str(tmp_path / "ssink"), key_cols=("k",), sort_order=("k",),
+        keep_versions=3,
+    )
+    for attempt in range(2):  # second run = full redelivery
+        stream = spark.readStream.schema("k long, v long").parquet(src)
+        run_stream_to_table(stream, t, str(tmp_path / f"sckpt{attempt}"))
+    out = t.read(spark)
+    assert out.count() == 200
+    m = t._load_manifest(t.current_version())
+    assert m["sort_order"] == ["k"]
+    # per-file stats recorded and disjoint (AQE may coalesce a tiny
+    # micro-batch merge into one file - ranges still must not overlap)
+    (dstats,) = [m["file_stats"][d] for d in m["data_dirs"]]
+    ranges = sorted((cs["k"][0], cs["k"][1]) for cs in dstats.values())
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+        assert a_hi < b_lo
+    narrow = t.read(spark, where="k BETWEEN 0 AND 5")
+    assert narrow.count() == 6

@@ -478,3 +478,13 @@ def test_q82_window_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q83_drift_broadcast_only(spark, sf_dir):
+    """Drift scoring joins only broadcast-sized stats tables back to
+    the (source, word) agg - no sort-merge join of corpus data."""
+    from iceberg_daq_spark.queries.curation import q83
+
+    plan = plan_of(q83(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -1044,3 +1044,58 @@ def test_sort_order_evolution_and_merge_path(spark, tmp_path):
     for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
         assert a_hi < b_lo
     assert t2.read(spark).count() == 1000
+
+
+def test_compact_sorted_table_keeps_clustering(spark, tmp_path):
+    """Compaction of a sort-ordered table is a sort-rewrite: exactly
+    target_files range-clustered files with disjoint [min, max] - the
+    stats get tighter, not destroyed."""
+    from iceberg_daq_spark.tablestore import MergeTable
+
+    t = MergeTable(
+        str(tmp_path / "cs"), key_cols=("id",), sort_order=("id",), keep_versions=5
+    )
+    t.overwrite(spark.range(0, 300).repartition(3))
+    t.append(spark.range(300, 600).repartition(3))
+    t.compact(spark, target_files=2)
+    m = t._load_manifest(t.current_version())
+    assert len(m["data_dirs"]) == 1
+    (dstats,) = [m["file_stats"][d] for d in m["data_dirs"]]
+    assert len(dstats) == 2
+    ranges = sorted((cs["id"][0], cs["id"][1]) for cs in dstats.values())
+    assert ranges[0][1] < ranges[1][0]  # disjoint after compaction
+    assert t.read(spark).count() == 600
+    assert len(t.read(spark, where="id < 10").inputFiles()) == 1
+
+
+def test_compact_target_mb_sizing(spark, tmp_path):
+    """target_mb picks the file count from the table's byte size."""
+    from iceberg_daq_spark.tablestore import MergeTable
+
+    t = MergeTable(str(tmp_path / "cmb"), key_cols=("id",), keep_versions=5)
+    t.overwrite(spark.range(0, 10000).repartition(8))
+    total = t._data_bytes()
+    assert total > 0
+    # absurdly large target -> one file; tiny target -> several
+    t.compact(spark, target_mb=10_000)
+    m = t._load_manifest(t.current_version())
+    assert len(next(iter(m["file_stats"].values()))) == 1
+    assert t.read(spark).count() == 10000
+
+
+def test_create_view_sql_and_time_travel(spark, tmp_path):
+    """spark.sql over a MergeTable snapshot via the view facade,
+    including VERSION AS OF semantics through the version arg."""
+    from iceberg_daq_spark.tablestore import MergeTable
+
+    t = MergeTable(str(tmp_path / "cv"), key_cols=("k",), keep_versions=5)
+    t.merge(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]))
+    t.merge(spark.createDataFrame([(2, "B2"), (3, "c")], ["k", "v"]))
+    t.create_view(spark, "cv_now")
+    t.create_view(spark, "cv_v1", version=1)
+    now = {r.k: r.v for r in spark.sql("SELECT k, v FROM cv_now").collect()}
+    old = {r.k: r.v for r in spark.sql("SELECT k, v FROM cv_v1").collect()}
+    assert now == {1: "a", 2: "B2", 3: "c"}
+    assert old == {1: "a", 2: "b"}
+    n = spark.sql("SELECT count(*) AS n FROM cv_now WHERE k >= 2").collect()[0].n
+    assert n == 2
