@@ -90,6 +90,7 @@ enriched rows, with time travel back to the pre-evolution snapshot.
 
 from __future__ import annotations
 
+import datetime as _dt
 import fcntl
 import json
 import math
@@ -1010,6 +1011,7 @@ class MergeTable:
                             self._schema_for(new_df, man),
                             spec,
                             {data_dir: spec} if spec else {},
+                            op=op,
                         )
             finally:
                 if not committed and staged is not None:
@@ -1030,6 +1032,7 @@ class MergeTable:
         key_cols: list[str] | None = None,
         file_stats: dict[str, dict] | None = None,
         sort_order: list[str] | None = None,
+        op: str = "overwrite",
     ) -> int:
         """Manifest first, pointer second: a crash between the two
         leaves a stale manifest the next commit overwrites (and whose
@@ -1075,6 +1078,12 @@ class MergeTable:
                         sort_order
                         if sort_order is not None
                         else self._current_sort()
+                    ),
+                    # snapshot summary (Iceberg's snapshot operation +
+                    # timestamp metadata)
+                    "operation": op,
+                    "committed_at": _dt.datetime.now(_dt.timezone.utc).isoformat(
+                        timespec="seconds"
                     ),
                 }
             ),
@@ -1202,7 +1211,8 @@ class MergeTable:
     def snapshots(self) -> list[dict]:
         """The retained snapshots, oldest first (Iceberg's
         ``snapshots`` metadata table): version, data dirs, partition
-        spec, and column names per retained manifest."""
+        spec, column names, and the snapshot summary (operation,
+        commit timestamp, data-file count) per retained manifest."""
         out = []
         refs = self.tags()
         for entry in sorted(os.listdir(self.path)):
@@ -1212,6 +1222,7 @@ class MergeTable:
             m = self._load_manifest(int(mm.group(1)))
             if m is None:
                 continue
+            stats = m.get("file_stats") or {}
             out.append(
                 {
                     "version": m["version"],
@@ -1220,6 +1231,14 @@ class MergeTable:
                     "columns": [f["name"] for f in m["schema"]],
                     "current": m["version"] == self.current_version(),
                     "tags": sorted(t for t, v in refs.items() if v == m["version"]),
+                    # summary (absent on legacy manifests)
+                    "operation": m.get("operation"),
+                    "committed_at": m.get("committed_at"),
+                    "n_files": (
+                        sum(len(files) for files in stats.values())
+                        if stats
+                        else None
+                    ),
                 }
             )
         return out
@@ -1256,6 +1275,7 @@ class MergeTable:
                 # no-stats target falls back to footer collection)
                 file_stats=m.get("file_stats"),
                 sort_order=list(m.get("sort_order") or []),
+                op="rollback",
             )
 
     def remove_orphans(self) -> list[str]:
@@ -1299,6 +1319,7 @@ class MergeTable:
                 schema,
                 m.get("partition_spec") or [],
                 m.get("dir_specs") or {},
+                op="add-column",
             )
 
     def rename_column(self, old: str, new: str) -> int:
@@ -1346,6 +1367,7 @@ class MergeTable:
                 spec,
                 m.get("dir_specs") or {},
                 key_cols=keys,
+                op="rename-column",
             )
 
     def drop_column(self, name: str) -> int:
@@ -1370,6 +1392,7 @@ class MergeTable:
                 schema,
                 m.get("partition_spec") or [],
                 m.get("dir_specs") or {},
+                op="drop-column",
             )
 
     def set_partition_spec(self, *cols: str) -> int:
@@ -1397,6 +1420,7 @@ class MergeTable:
                 m["schema"],
                 list(cols),
                 m.get("dir_specs") or {},
+                op="set-partition-spec",
             )
 
     def set_sort_order(self, *cols: str) -> int:
@@ -1421,6 +1445,7 @@ class MergeTable:
                 list(m.get("partition_spec") or []),
                 m.get("dir_specs") or {},
                 sort_order=list(cols),
+                op="set-sort-order",
             )
 
     # -- write API ----------------------------------------------------
@@ -1512,6 +1537,7 @@ class MergeTable:
                     m2["schema"],
                     list(m2.get("partition_spec") or []),
                     dir_specs,
+                    op="append",
                 )
         finally:
             if staged is not None:

@@ -819,12 +819,12 @@ def test_merge_rebases_over_concurrent_append(spark, tmp_path, monkeypatch):
     orig_stage = MergeTable._stage
     fired = {"done": False}
 
-    def racing_stage(self, df, spec, sort=()):
+    def racing_stage(self, df, spec, *args, **kw):
         if not fired["done"]:
             fired["done"] = True
             # a concurrent writer fast-appends while the merge computes
             other.append(spark.createDataFrame([(99, "z")], ["k", "v"]))  # v2
-        return orig_stage(self, df, spec, sort)
+        return orig_stage(self, df, spec, *args, **kw)
 
     monkeypatch.setattr(MergeTable, "_stage", racing_stage)
     t.merge(spark.createDataFrame([(2, "b")], ["k", "v"]))  # rebases -> v3
@@ -1099,3 +1099,28 @@ def test_create_view_sql_and_time_travel(spark, tmp_path):
     assert old == {1: "a", 2: "b"}
     n = spark.sql("SELECT count(*) AS n FROM cv_now WHERE k >= 2").collect()[0].n
     assert n == 2
+
+
+def test_snapshot_summaries(spark, tmp_path):
+    """snapshots() reports the Iceberg-style summary: the operation
+    that produced each snapshot, its commit timestamp, and the
+    data-file count."""
+    from iceberg_daq_spark.tablestore import MergeTable
+
+    t = MergeTable(str(tmp_path / "sum"), key_cols=("k",), keep_versions=10)
+    t.merge(spark.createDataFrame([(1, "a")], ["k", "v"]))      # bootstrap
+    t.append(spark.createDataFrame([(2, "b")], ["k", "v"]))     # fast-append
+    t.merge(spark.createDataFrame([(1, "A")], ["k", "v"]))      # rewrite
+    t.add_column("s", "int", default=7)                          # evolution
+    t.set_sort_order("k")
+    t.compact(spark, target_files=1)
+    t.rollback(5)
+    ops = [s["operation"] for s in t.snapshots()]
+    assert ops == [
+        "overwrite", "append", "merge", "add-column", "set-sort-order",
+        "compact", "rollback",
+    ]
+    for s in t.snapshots():
+        assert s["committed_at"] is not None
+        assert s["n_files"] is None or s["n_files"] >= 1
+    assert t.snapshots()[-1]["current"]
