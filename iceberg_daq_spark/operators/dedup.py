@@ -541,3 +541,77 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def incremental_minhash_dedup(
+    spark,
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    index,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Incremental near-dup detection against a PERSISTED band index -
+    the 100 TB shape: a new ingest batch dedups against the whole
+    corpus without recomputing the corpus.
+
+    Bands (doc_id, band, bucket) for the NEW docs are computed map-only
+    (:func:`_minhash_bands`), bucket-joined against the stored index
+    (old-vs-new) and themselves (new-vs-new), candidates are
+    exact-verified from shingle sets, and the new docs' bands are then
+    fast-appended to the index table (an O(new) commit - see
+    MergeTable.append).  With a fixed seed the bucketing is
+    deterministic, so incremental batches produce EXACTLY the pairs the
+    full batch run produces (test-asserted).
+
+    ``corpus_docs`` supplies text for exact verification of the docs
+    the candidates touch (at scale: the stored corpus table; the join
+    pushes only candidate doc_ids into it).  ``index`` is a MergeTable
+    keyed (doc_id, band).
+    """
+    sets_new = shingle_sets(new_docs).cache()
+    bands_new = _minhash_bands(sets_new, seed)
+    stored = index.read(spark) if index.exists() else None
+    all_bands = (
+        bands_new
+        if stored is None
+        else bands_new.unionByName(stored.select("doc_id", "band", "bucket"))
+    )
+    cand = (
+        bands_new.alias("x")
+        .join(all_bands.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.doc_id") != F.col("y.doc_id"))
+        .select(
+            F.least("x.doc_id", "y.doc_id").alias("doc_a"),
+            F.greatest("x.doc_id", "y.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    # exact verification from the corpus text (candidate ids only)
+    sets_all = shingle_sets(corpus_docs)
+    sa = sets_all.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh_set").alias("set_a"),
+        F.size("sh_set").alias("n_a"),
+    )
+    sb = sets_all.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh_set").alias("set_b"),
+        F.size("sh_set").alias("n_b"),
+    )
+    exact = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    pairs = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("set_a", "set_b")))
+        .filter(exact >= threshold)
+        .select("doc_a", "doc_b", F.round(exact, 4).alias("jaccard"))
+    )
+    # materialize pairs BEFORE the index commit so the returned frame
+    # is not invalidated by snapshot expiry of the pre-append version
+    pairs = pairs.localCheckpoint()
+    if stored is None:
+        index.overwrite(bands_new)
+    else:
+        index.append(bands_new)
+    return pairs

@@ -630,3 +630,41 @@ def test_pii_redact_known_strings(spark):
     got = df.select("want", redact(F.col("raw")).alias("got")).collect()
     for r in got:
         assert r.got == r.want
+
+
+def test_incremental_minhash_dedup_equals_batch(spark, sf_dir, tmp_path):
+    """Two ingest batches against a persisted band index produce
+    EXACTLY the pairs the full batch run produces (fixed seed ->
+    deterministic buckets), and the index grows by fast-appends."""
+    from iceberg_daq_spark.operators import dedup
+    from iceberg_daq_spark.tables import load
+    from iceberg_daq_spark.tablestore import MergeTable
+
+    docs = load(spark, sf_dir, "documents")
+    half1 = docs.filter(F.col("doc_id") % 2 == 0)
+    half2 = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = MergeTable(
+        str(tmp_path / "bands"), key_cols=("doc_id", "band"), keep_versions=3
+    )
+
+    p1 = dedup.incremental_minhash_dedup(spark, half1, docs, idx)
+    p2 = dedup.incremental_minhash_dedup(spark, half2, docs, idx)
+    incremental = {
+        (r.doc_a, r.doc_b, r.jaccard) for r in p1.collect()
+    } | {(r.doc_a, r.doc_b, r.jaccard) for r in p2.collect()}
+
+    batch = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.minhash_lsh_pairs(docs).collect()
+    }
+    assert incremental == batch and len(batch) > 0
+    # the index holds every doc's bands exactly once
+    n_docs = docs.count()
+    n_banded = idx.read(spark).select("doc_id").distinct().count()
+    skipped = (
+        docs.count()
+        - dedup.shingle_sets(docs).filter(F.size("sh_set") > 0).count()
+    )
+    assert n_banded == n_docs - skipped
+    # second batch was a fast-append (operation recorded in manifest)
+    assert [s["operation"] for s in idx.snapshots()][-1] == "append"

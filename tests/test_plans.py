@@ -488,3 +488,34 @@ def test_q83_drift_broadcast_only(spark, sf_dir):
     plan = plan_of(q83(spark, sf_dir))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_dpp_through_mergetable_read(spark, tmp_path):
+    """Dynamic partition pruning survives the table layer: a star join
+    of a partitioned MergeTable snapshot against a filtered dim plants
+    a dynamicpruning expression in the fact scan's PartitionFilters -
+    at scale, the fact side reads only the dim-selected partitions."""
+    from pyspark.sql import functions as F
+
+    from iceberg_daq_spark.tablestore import MergeTable
+
+    t = MergeTable(
+        str(tmp_path / "dppf"), key_cols=("k",), partition_spec=("tier",),
+        keep_versions=3,
+    )
+    t.overwrite(
+        spark.range(0, 5000).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 20).cast("string").alias("tier"),
+            (F.col("id") * 2).alias("v"),
+        )
+    )
+    dim = spark.createDataFrame(
+        [(str(i), "keep" if i < 3 else "drop") for i in range(20)],
+        ["tier", "flag"],
+    )
+    j = t.read(spark).join(dim.filter(F.col("flag") == "keep"), "tier")
+    plan = plan_of(j)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "dynamicpruning" in pf[0].lower()
+    assert j.count() == 750  # 3 of 20 tiers

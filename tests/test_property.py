@@ -227,3 +227,85 @@ def test_merge_table_op_sequences_match_model(_spark, ops, tmp_path_factory):
     assert out.columns == columns
     got = {r["k"]: {c: r[c] for c in columns} for r in out.collect()}
     assert got == data
+
+
+# -- manifest file-stats pruning soundness ----------------------------
+#
+# The worst failure class of a scan-pruning layer is SILENT row loss:
+# a file skipped whose rows the predicate actually wanted.  Fixed
+# tables (clustered files, NULLs, strings, a partitioned layout) x
+# randomized simple-conjunct predicates; read(where=p) must equal
+# read().filter(p) row-for-row.
+
+_lit_int = st.integers(min_value=-50, max_value=1050)
+_lit_str = st.sampled_from(["aaa", "ccc", "ddd", "mmm", "zzz", "q''x"])
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+@st.composite
+def _conjunct(draw):
+    col = draw(st.sampled_from(["id", "v", "s"]))
+    if col == "s":
+        op = draw(st.sampled_from(["=", "<", ">=", "in"]))
+        if op == "in":
+            vals = draw(st.lists(_lit_str, min_size=1, max_size=3, unique=True))
+            return f"s IN ({', '.join(_sql_str(v) for v in vals)})"
+        return f"s {op} {_sql_str(draw(_lit_str))}"
+    op = draw(st.sampled_from(["=", "<", "<=", ">", ">=", "between", "in"]))
+    if op == "between":
+        a, b = sorted((draw(_lit_int), draw(_lit_int)))
+        return f"{col} BETWEEN {a} AND {b}"
+    if op == "in":
+        vals = draw(st.lists(_lit_int, min_size=1, max_size=4, unique=True))
+        return f"{col} IN ({', '.join(map(str, vals))})"
+    return f"{col} {op} {draw(_lit_int)}"
+
+
+_predicates = st.lists(_conjunct(), min_size=1, max_size=3).map(" AND ".join)
+
+
+@pytest.fixture(scope="module")
+def _stats_tables(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from iceberg_daq_spark.tablestore import MergeTable
+
+    base = tmp_path_factory.mktemp("statsprop")
+    rows = spark.range(0, 1000).select(
+        F.col("id"),
+        # v: NULL every 7th row; otherwise correlated with id
+        F.when(F.col("id") % 7 == 0, None).otherwise(F.col("id") * 2).alias("v"),
+        # s: low-cardinality string ladder + quote-bearing value
+        F.when(F.col("id") % 97 == 0, "q''x")
+        .otherwise(
+            F.element_at(
+                F.array(F.lit("aaa"), F.lit("ccc"), F.lit("ddd"), F.lit("mmm")),
+                (F.col("id") % 4 + 1).cast("int"),
+            )
+        )
+        .alias("s"),
+    )
+    flat = MergeTable(str(base / "flat"), key_cols=("id",), keep_versions=3)
+    flat.overwrite(rows.repartitionByRange(5, "id"))
+    parted = MergeTable(
+        str(base / "parted"), key_cols=("id",),
+        partition_spec=("s",), sort_order=("id",), keep_versions=3,
+    )
+    parted.overwrite(rows)
+    return flat, parted
+
+
+@settings(**_SETTINGS)
+@given(pred=_predicates)
+def test_stats_pruning_never_loses_rows(spark, _stats_tables, pred):
+    from pyspark.sql import functions as F
+
+    for t in _stats_tables:
+        pruned = t.read(spark, where=pred)
+        full = t.read(spark).filter(F.expr(pred))
+        got = sorted(map(tuple, pruned.collect()))
+        want = sorted(map(tuple, full.collect()))
+        assert got == want, f"pruning diverged for {pred!r}"
