@@ -587,12 +587,23 @@ class MergeTable:
     # seeds a NEW table's sort order (Iceberg SortOrder); the manifest
     # wins for an existing table - evolve with :meth:`set_sort_order`
     sort_order: tuple[str, ...] = ()
+    # bind this INSTANCE to a named branch (Iceberg branches): reads
+    # resolve the branch head and commits advance the branch pointer,
+    # never main - see create_branch()/for_branch()/fast_forward()
+    branch: str | None = None
     # staged dirs older than this are crashed writers' leftovers the
     # GC may reclaim; in-flight writers are always younger
     staged_ttl_s: int = 6 * 3600
 
     # -- pointers and manifests ---------------------------------------
     def _pointer(self) -> str:
+        """The pointer this instance's reads and commits resolve: main
+        (_CURRENT) or, for a branch-bound instance, the branch's own
+        pointer file - the whole branch mechanism is this one
+        indirection; every other code path already goes through
+        current_version()/_pointer()."""
+        if self.branch:
+            return os.path.join(self.path, f"_BRANCH_{self.branch}")
         return os.path.join(self.path, _POINTER)
 
     def current_version(self) -> int | None:
@@ -601,6 +612,39 @@ class MergeTable:
                 return int(f.read().strip())
         except (FileNotFoundError, ValueError):
             return None
+
+    def _ref_heads(self) -> dict[str, int]:
+        """Every live ref head: 'main' plus each branch (GC keeps all
+        of them; a branch instance's commit must never reclaim main's
+        history and vice versa)."""
+        out = {}
+        for entry in os.listdir(self.path):
+            if entry == _POINTER:
+                name = "main"
+            elif entry.startswith("_BRANCH_") and not entry.endswith(".tmp"):
+                name = entry[len("_BRANCH_"):]
+            else:
+                continue
+            try:
+                with open(os.path.join(self.path, entry), encoding="ascii") as f:
+                    out[name] = int(f.read().strip())
+            except (OSError, ValueError):
+                continue
+        return out
+
+    def _next_version(self) -> int:
+        """Globally-unique next version number across ALL refs (called
+        under the commit lock): interleaved main/branch commits must
+        never reuse a manifest/data-dir name."""
+        vs = [0]
+        for entry in os.listdir(self.path):
+            mm = re.match(r"^v(\d{6})\.json$", entry)
+            if mm:
+                vs.append(int(mm.group(1)))
+            elif _DATA_DIR_RE.match(entry):
+                vs.append(int(entry[1:]))
+        vs.extend(self._ref_heads().values())
+        return max(vs) + 1
 
     def _version_dir(self, v: int) -> str:
         """Legacy (pre-manifest) layout: data directly in v{n}."""
@@ -665,6 +709,73 @@ class MergeTable:
             v = refs.pop(name)
             _atomic_write(self._refs_path(), json.dumps(refs))
             return v
+
+    # -- branches (writable refs; the Iceberg branch / WAP pattern) ----
+    def branches(self) -> dict[str, int]:
+        """Live branches: name -> head version ('main' excluded)."""
+        return {k: v for k, v in self._ref_heads().items() if k != "main"}
+
+    def for_branch(self, name: str) -> "MergeTable":
+        """This table bound to ``name``: reads resolve the branch head,
+        commits advance the branch pointer (main untouched)."""
+        import dataclasses
+
+        return dataclasses.replace(self, branch=name)
+
+    def create_branch(self, name: str, version: int | None = None) -> int:
+        """Iceberg ``create_branch``: a WRITABLE ref starting at
+        ``version`` (default: this instance's current head).  Branch
+        commits allocate globally-unique versions, so main and branch
+        histories interleave without colliding; GC retains every ref's
+        own ancestry.  The write-audit-publish flow: create_branch ->
+        commit via for_branch(...) -> validate -> fast_forward."""
+        if not re.fullmatch(r"[A-Za-z0-9._-]+", name) or name == "main":
+            raise ValueError(f"bad branch name {name!r}")
+        with _commit_lock(self.path):
+            if name in self._ref_heads():
+                raise ValueError(f"branch {name!r} exists")
+            v = version if version is not None else self.current_version()
+            if v is None:
+                raise ValueError(f"create_branch on uncommitted table {self.path}")
+            if self._load_manifest(v) is None and not os.path.isdir(
+                self._version_dir(v)
+            ):
+                raise ValueError(f"version {v} not retained")
+            _atomic_write(os.path.join(self.path, f"_BRANCH_{name}"), str(v))
+            return v
+
+    def drop_branch(self, name: str) -> int:
+        """Remove a branch; its unmerged history becomes expirable at
+        the next commit's GC."""
+        with _commit_lock(self.path):
+            heads = self._ref_heads()
+            if name not in heads or name == "main":
+                raise ValueError(f"no branch {name!r}")
+            os.unlink(os.path.join(self.path, f"_BRANCH_{name}"))
+            return heads[name]
+
+    def fast_forward(self, from_branch: str) -> int:
+        """Advance THIS instance's ref to ``from_branch``'s head - the
+        publish step of write-audit-publish.  Requires this ref's
+        current head to be an ancestor of the branch head (walked via
+        manifest parent links); a diverged ref raises instead of
+        silently dropping commits."""
+        with _commit_lock(self.path):
+            heads = self._ref_heads()
+            if from_branch not in heads:
+                raise ValueError(f"no branch {from_branch!r}")
+            target = heads[from_branch]
+            cur = self.current_version()
+            if cur is not None and cur != target:
+                chain = self._ancestors(target, 10_000)
+                if cur not in chain:
+                    raise ValueError(
+                        f"cannot fast-forward: head {cur} is not an ancestor "
+                        f"of {from_branch!r} head {target} (diverged history)"
+                    )
+            _atomic_write(self._pointer(), str(target))
+            self._expire_and_gc_locked(target)
+            return target
 
     def exists(self) -> bool:
         return self.current_version() is not None
@@ -913,7 +1024,7 @@ class MergeTable:
 
     def _commit_locked(self, df: DataFrame) -> int:
         cur = self.current_version()
-        v = (cur or 0) + 1
+        v = self._next_version()
         data_dir = f"d{v:06d}"
         spec = self._current_spec()
         self._write_data_dir(df, data_dir, spec, self._current_sort())
@@ -1002,7 +1113,7 @@ class MergeTable:
             try:
                 with _commit_lock(self.path):
                     if self.current_version() == base:
-                        v = base + 1
+                        v = self._next_version()
                         data_dir = self._promote_stage_locked(staged, v)
                         committed = True
                         return self._commit_manifest(
@@ -1046,8 +1157,9 @@ class MergeTable:
         manifest's entry forward for every retained dir (dirs are
         immutable once committed), collect from the parquet footers
         for dirs it lacks (i.e. the dirs this commit wrote)."""
+        parent = self.current_version()  # pointer not yet flipped
         if file_stats is None:
-            prev = self._load_manifest(v - 1) if v > 1 else None
+            prev = self._load_manifest(parent) if parent else None
             prev_stats = (prev or {}).get("file_stats") or {}
             file_stats = {
                 d: (
@@ -1082,6 +1194,10 @@ class MergeTable:
                     # snapshot summary (Iceberg's snapshot operation +
                     # timestamp metadata)
                     "operation": op,
+                    # commit lineage: the ref head this commit was
+                    # built on (None for a bootstrap) - ancestry for
+                    # branch GC and fast-forward walks
+                    "parent": parent,
                     "committed_at": _dt.datetime.now(_dt.timezone.utc).isoformat(
                         timespec="seconds"
                     ),
@@ -1092,6 +1208,23 @@ class MergeTable:
         self._expire_and_gc_locked(v)
         return v
 
+    def _ancestors(self, v: int | None, n: int) -> list[int]:
+        """Up to ``n`` versions of a ref's own history, newest first,
+        following each manifest's ``parent`` link (pre-lineage legacy
+        manifests fall back to the numeric predecessor, which IS their
+        parent - they predate branching)."""
+        out: list[int] = []
+        seen: set[int] = set()
+        while v and len(out) < n and v not in seen:
+            seen.add(v)
+            out.append(v)
+            m = self._load_manifest(v)
+            if m is None or "parent" not in m:
+                v = v - 1
+            else:
+                v = m["parent"]
+        return out
+
     def _expire_and_gc_locked(self, cur: int) -> list[str]:
         """Snapshot expiry + orphan-file GC (Iceberg
         ``expire_snapshots`` + ``remove_orphan_files``): drop manifests
@@ -1100,7 +1233,13 @@ class MergeTable:
         crash between data write and manifest commit.  Runs under the
         commit lock, so an in-flight commit's dir can never be
         mistaken for an orphan."""
-        keep = set(range(max(1, cur - self.keep_versions + 1), cur + 1))
+        # retention is PER REF: each head (main + every branch) keeps
+        # keep_versions of ITS OWN ancestry (the manifest parent
+        # chain), so a commit on one ref can never reclaim another
+        # ref's history
+        keep: set[int] = set()
+        for head in {cur, *self._ref_heads().values()}:
+            keep |= set(self._ancestors(head, self.keep_versions))
         # tagged snapshots are pinned: their manifests and data dirs
         # survive any retention window until the tag is dropped
         keep |= set(self.tags().values())
@@ -1261,7 +1400,7 @@ class MergeTable:
                     f"keep_versions {self.keep_versions})"
                 )
             return self._commit_manifest(
-                cur + 1,
+                self._next_version(),
                 _data_dirs(m),
                 m["schema"],
                 m.get("partition_spec") or [],
@@ -1314,7 +1453,7 @@ class MergeTable:
                 {"name": name, "type": dtype, "physical": None, "default": default}
             ]
             return self._commit_manifest(
-                self.current_version() + 1,
+                self._next_version(),
                 _data_dirs(m),
                 schema,
                 m.get("partition_spec") or [],
@@ -1361,7 +1500,7 @@ class MergeTable:
 
             spec = [_ren(c) for c in (m.get("partition_spec") or [])]
             return self._commit_manifest(
-                self.current_version() + 1,
+                self._next_version(),
                 _data_dirs(m),
                 schema,
                 spec,
@@ -1387,7 +1526,7 @@ class MergeTable:
                 raise ValueError(f"no column {name!r}")
             schema = [f for f in m["schema"] if f["name"] != name]
             return self._commit_manifest(
-                self.current_version() + 1,
+                self._next_version(),
                 _data_dirs(m),
                 schema,
                 m.get("partition_spec") or [],
@@ -1415,7 +1554,7 @@ class MergeTable:
             if unknown:
                 raise ValueError(f"partition spec references unknown columns {unknown}")
             return self._commit_manifest(
-                self.current_version() + 1,
+                self._next_version(),
                 _data_dirs(m),
                 m["schema"],
                 list(cols),
@@ -1439,7 +1578,7 @@ class MergeTable:
             if unknown:
                 raise ValueError(f"sort order references unknown columns {unknown}")
             return self._commit_manifest(
-                self.current_version() + 1,
+                self._next_version(),
                 _data_dirs(m),
                 m["schema"],
                 list(m.get("partition_spec") or []),
@@ -1525,7 +1664,7 @@ class MergeTable:
                         "a concurrent schema rewrite invalidated this "
                         "append's staged files; re-run append()"
                     )
-                v = cur2 + 1
+                v = self._next_version()
                 data_dir = self._promote_stage_locked(staged, v)
                 staged = None
                 dir_specs = dict(m2.get("dir_specs") or {})

@@ -216,3 +216,30 @@ def test_stream_sink_on_sorted_table(spark, tmp_path):
         assert a_hi < b_lo
     narrow = t.read(spark, where="k BETWEEN 0 AND 5")
     assert narrow.count() == 6
+
+
+def test_stream_wap_branch_publish(spark, tmp_path):
+    """Streaming write-audit-publish: a stream lands on an audit
+    branch (main readers see nothing mid-ingest), validation runs on
+    the branch head, fast_forward publishes atomically."""
+    from iceberg_daq_spark.tablestore import MergeTable, run_stream_to_table
+
+    src = str(tmp_path / "wsrc")
+    spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 5).alias("v")
+    ).write.parquet(src)
+    t = MergeTable(str(tmp_path / "wsink"), key_cols=("k",), keep_versions=4)
+    t.merge(spark.createDataFrame([(-1, -5)], ["k", "v"]))  # prior published state
+    t.create_branch("ingest")
+    b = t.for_branch("ingest")
+
+    stream = spark.readStream.schema("k long, v long").parquet(src)
+    run_stream_to_table(stream, b, str(tmp_path / "wckpt"))
+
+    # audit: main still shows only the published row
+    assert t.read(spark).count() == 1
+    assert b.read(spark).count() == 51
+    # validation on the branch passes -> publish
+    assert b.read(spark).filter(F.col("v") % 5 != 0).count() == 0
+    t.fast_forward("ingest")
+    assert t.read(spark).count() == 51

@@ -1124,3 +1124,100 @@ def test_snapshot_summaries(spark, tmp_path):
         assert s["committed_at"] is not None
         assert s["n_files"] is None or s["n_files"] >= 1
     assert t.snapshots()[-1]["current"]
+
+
+# -- branches (writable refs; write-audit-publish) --------------------
+
+
+def test_branch_write_audit_publish(spark, tmp_path):
+    """The WAP flow: stage writes on an audit branch (main untouched),
+    validate, fast-forward main to the branch head."""
+    from iceberg_daq_spark.tablestore import MergeTable
+
+    t = MergeTable(str(tmp_path / "wap"), key_cols=("k",), keep_versions=4)
+    t.merge(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]))
+    main_v = t.current_version()
+
+    t.create_branch("audit")
+    b = t.for_branch("audit")
+    b.merge(spark.createDataFrame([(2, "B"), (3, "c")], ["k", "v"]))
+    b.append(spark.createDataFrame([(4, "d")], ["k", "v"]))
+
+    # main is untouched while the branch advances
+    assert t.current_version() == main_v
+    assert {r.k for r in t.read(spark).collect()} == {1, 2}
+    got_b = {r.k: r.v for r in b.read(spark).collect()}
+    assert got_b == {1: "a", 2: "B", 3: "c", 4: "d"}
+    assert t.branches() == {"audit": b.current_version()}
+
+    # audit passed: publish
+    t.fast_forward("audit")
+    assert t.current_version() == b.current_version()
+    assert {r.k: r.v for r in t.read(spark).collect()} == got_b
+    # branch ops recorded in lineage
+    ops = [s["operation"] for s in t.snapshots()]
+    assert "merge" in ops and "append" in ops
+
+
+def test_branch_divergence_rejected(spark, tmp_path):
+    """fast_forward refuses when this ref has commits the branch does
+    not contain (non-ancestor), instead of silently dropping them."""
+    import pytest as _pytest
+
+    from iceberg_daq_spark.tablestore import MergeTable
+
+    t = MergeTable(str(tmp_path / "div"), key_cols=("k",), keep_versions=6)
+    t.merge(spark.createDataFrame([(1, "a")], ["k", "v"]))
+    t.create_branch("exp")
+    b = t.for_branch("exp")
+    b.merge(spark.createDataFrame([(2, "b")], ["k", "v"]))
+    t.merge(spark.createDataFrame([(3, "c")], ["k", "v"]))  # main diverges
+    with _pytest.raises(ValueError, match="diverged"):
+        t.fast_forward("exp")
+    # both histories remain intact and independently readable
+    assert {r.k for r in t.read(spark).collect()} == {1, 3}
+    assert {r.k for r in b.read(spark).collect()} == {1, 2}
+
+
+def test_branch_gc_isolation_and_drop(spark, tmp_path):
+    """Retention is per ref: main churn cannot reclaim a live branch's
+    history; drop_branch makes it reclaimable at the next GC."""
+    import os as _os
+
+    from iceberg_daq_spark.tablestore import MergeTable
+
+    t = MergeTable(str(tmp_path / "bgc"), key_cols=("k",), keep_versions=2)
+    t.merge(spark.createDataFrame([(1, "a")], ["k", "v"]))
+    t.create_branch("keepme")
+    b = t.for_branch("keepme")
+    b.merge(spark.createDataFrame([(9, "z")], ["k", "v"]))
+    bv = b.current_version()
+    # churn main far past the retention window
+    for i in range(4):
+        t.merge(spark.createDataFrame([(10 + i, "m")], ["k", "v"]))
+    # the branch head still reads exactly (GC kept its ancestry)
+    assert {r.k for r in b.read(spark).collect()} == {1, 9}
+    t.drop_branch("keepme")
+    t.merge(spark.createDataFrame([(99, "q")], ["k", "v"]))  # triggers GC
+    assert not _os.path.exists(_os.path.join(t.path, f"v{bv:06d}.json"))
+    assert t.branches() == {}
+
+
+def test_branch_versions_interleave_uniquely(spark, tmp_path):
+    """Alternating main/branch commits allocate globally-unique
+    versions (no manifest or data-dir collisions)."""
+    from iceberg_daq_spark.tablestore import MergeTable
+
+    t = MergeTable(str(tmp_path / "bint"), key_cols=("k",), keep_versions=10)
+    t.merge(spark.createDataFrame([(1, "a")], ["k", "v"]))
+    t.create_branch("x")
+    b = t.for_branch("x")
+    seen = [t.current_version()]
+    for i in range(2):
+        b.merge(spark.createDataFrame([(100 + i, "b")], ["k", "v"]))
+        seen.append(b.current_version())
+        t.merge(spark.createDataFrame([(200 + i, "m")], ["k", "v"]))
+        seen.append(t.current_version())
+    assert len(seen) == len(set(seen))  # no version reuse
+    assert {r.k for r in t.read(spark).collect()} == {1, 200, 201}
+    assert {r.k for r in b.read(spark).collect()} == {1, 100, 101}
