@@ -787,12 +787,16 @@ class MergeTable:
         version: int | None = None,
         where: str | None = None,
         tag: str | None = None,
+        branch: str | None = None,
     ) -> DataFrame | None:
         """A snapshot: the current one, or - time travel - any retained
         prior ``version`` (the Iceberg ``VERSION AS OF`` analog; older
         than the retention window raises).  None before the first
         commit.  The snapshot's own schema applies: reading a
         pre-evolution version shows the pre-evolution columns.
+
+        ``branch`` reads a branch head (sugar for
+        ``for_branch(name).read(...)``, Iceberg's branch read).
 
         ``where`` (a SQL predicate over the LOGICAL columns) is both
         applied as the row filter and - Iceberg scan planning - its
@@ -804,6 +808,15 @@ class MergeTable:
         ``tag`` reads a named ref (Iceberg ``VERSION AS OF 'tag'``);
         tagged snapshots are GC-pinned, so a tag read works at any
         age."""
+        if branch is not None:
+            if self.branch is not None and branch != self.branch:
+                raise ValueError("instance already bound to a branch")
+            heads = self._ref_heads()
+            if branch not in heads or branch == "main":
+                raise ValueError(f"no branch {branch!r} on table {self.path}")
+            return self.for_branch(branch).read(
+                spark, version=version, where=where, tag=tag
+            )
         cur = self.current_version()
         if cur is None:
             return None

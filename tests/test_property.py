@@ -309,3 +309,100 @@ def test_stats_pruning_never_loses_rows(spark, _stats_tables, pred):
         got = sorted(map(tuple, pruned.collect()))
         want = sorted(map(tuple, full.collect()))
         assert got == want, f"pruning diverged for {pred!r}"
+
+
+# -- branch op-sequence model test ------------------------------------
+# Per-ref model: each ref holds (data dict, commit-id chain).  A
+# branch copies main's state at creation; fast_forward is legal iff
+# main's chain is a PREFIX of the branch's (the model twin of the
+# implementation's manifest-parent ancestry walk).
+
+_kv_rows = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 5)),
+    min_size=1, max_size=3, unique_by=lambda kv: kv[0],
+)
+_branch_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("merge"), st.sampled_from(["main", "b"]), _kv_rows),
+        st.tuples(
+            st.just("delete"), st.sampled_from(["main", "b"]), st.integers(0, 5)
+        ),
+        st.tuples(st.just("create"), st.just("b"), st.just(0)),
+        st.tuples(st.just("drop"), st.just("b"), st.just(0)),
+        st.tuples(st.just("ff"), st.just("main"), st.just(0)),
+    ),
+    min_size=2,
+    max_size=7,
+)
+
+
+@given(ops=_branch_ops)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_branch_op_sequences_match_model(_spark, ops, tmp_path_factory):
+    """Random interleavings of main/branch merges, deletes, branch
+    create/drop, and fast-forward must match the per-ref model; a
+    diverged fast-forward must raise and change nothing."""
+    import copy
+
+    from iceberg_daq_spark.tablestore import MergeTable
+
+    t = MergeTable(
+        str(tmp_path_factory.mktemp("prop_br") / "t"),
+        key_cols=("k",),
+        keep_versions=50,
+    )
+    t.merge(_spark.createDataFrame([(0, 0)], "k int, v int"))
+    model = {"main": {"data": {0: 0}, "chain": [0]}}
+    next_id = 1
+
+    def inst(ref):
+        return t if ref == "main" else t.for_branch("b")
+
+    for op, ref, payload in ops:
+        if op == "create":
+            if "b" in model:
+                with pytest.raises(ValueError, match="exists"):
+                    t.create_branch("b")
+            else:
+                t.create_branch("b")
+                model["b"] = copy.deepcopy(model["main"])
+        elif op == "drop":
+            if "b" not in model:
+                with pytest.raises(ValueError, match="no branch"):
+                    t.drop_branch("b")
+            else:
+                t.drop_branch("b")
+                del model["b"]
+        elif op == "ff":
+            if "b" not in model:
+                with pytest.raises(ValueError, match="no branch"):
+                    t.fast_forward("b")
+                continue
+            main_c, b_c = model["main"]["chain"], model["b"]["chain"]
+            if main_c == b_c[: len(main_c)]:
+                t.fast_forward("b")
+                model["main"] = copy.deepcopy(model["b"])
+            else:
+                with pytest.raises(ValueError, match="diverged"):
+                    t.fast_forward("b")
+        elif op == "merge":
+            if ref == "b" and "b" not in model:
+                continue
+            inst(ref).merge(_spark.createDataFrame(payload, "k int, v int"))
+            model[ref]["data"].update(dict(payload))
+            model[ref]["chain"] = model[ref]["chain"] + [next_id]
+            next_id += 1
+        elif op == "delete":
+            if ref == "b" and "b" not in model:
+                continue
+            inst(ref).delete_where(_spark, f"v >= {payload}")
+            model[ref]["data"] = {
+                k: v for k, v in model[ref]["data"].items() if v < payload
+            }
+            model[ref]["chain"] = model[ref]["chain"] + [next_id]
+            next_id += 1
+
+    for ref, state in model.items():
+        got = {r["k"]: r["v"] for r in inst(ref).read(_spark).collect()}
+        assert got == state["data"], f"ref {ref} diverged from model"

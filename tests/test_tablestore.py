@@ -1221,3 +1221,19 @@ def test_branch_versions_interleave_uniquely(spark, tmp_path):
     assert len(seen) == len(set(seen))  # no version reuse
     assert {r.k for r in t.read(spark).collect()} == {1, 200, 201}
     assert {r.k for r in b.read(spark).collect()} == {1, 100, 101}
+
+
+def test_branch_read_sugar(spark, tmp_path):
+    """read(branch=...) equals a branch-bound instance's read."""
+    import pytest as _pytest
+
+    from iceberg_daq_spark.tablestore import MergeTable
+
+    t = MergeTable(str(tmp_path / "brs"), key_cols=("k",), keep_versions=4)
+    t.merge(spark.createDataFrame([(1, "a")], ["k", "v"]))
+    t.create_branch("side")
+    t.for_branch("side").merge(spark.createDataFrame([(2, "b")], ["k", "v"]))
+    assert {r.k for r in t.read(spark, branch="side").collect()} == {1, 2}
+    assert {r.k for r in t.read(spark).collect()} == {1}
+    with _pytest.raises(ValueError, match="no branch"):
+        t.read(spark, branch="nope")
