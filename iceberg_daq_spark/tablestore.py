@@ -119,6 +119,21 @@ def _data_dirs(manifest: dict) -> list[str]:
     return manifest.get("data_dirs") or [manifest["data_dir"]]
 
 
+def _delete_entries(manifest: dict | None) -> list[dict]:
+    """The snapshot's equality-delete files (Iceberg v2 row-level
+    deletes, merge-on-read form).  Each entry:
+
+      {"dir": "d000007",                 # the delete-file dir
+       "applies_to": ["d000003", ...],   # data dirs it deletes from
+       "cols": [{"name": k, "physical": p}, ...]}  # key columns
+
+    ``applies_to`` pins the delete to the data dirs that existed when
+    it committed - the dir-granularity analog of Iceberg's sequence
+    numbers: a later append's rows are never affected by an earlier
+    delete."""
+    return list((manifest or {}).get("deletes") or [])
+
+
 @contextmanager
 def _commit_lock(path: str):
     """A46: serialize commits the way the reference's cron lockfile
@@ -839,13 +854,15 @@ class MergeTable:
             df = spark.read.parquet(self._version_dir(v))
             return df.filter(F.expr(where)) if where else df
         names = _data_dirs(m)
-        dirs = [os.path.join(self.path, d) for d in names]
+        dels = _delete_entries(m)
+        dirs = [os.path.join(self.path, d) for d in names] + [
+            os.path.join(self.path, e["dir"]) for e in dels
+        ]
         if not all(os.path.isdir(d) for d in dirs):
             raise ValueError(
                 f"version {v} not retained (current {cur}, keep_versions "
                 f"{self.keep_versions})"
             )
-        dir_specs = m.get("dir_specs") or {}
         conjs = _parse_conjuncts(where) if where else []
         phys_of = {f["name"]: f["physical"] for f in m["schema"]}
         # manifest min/max file skipping: per dir, either None (scan
@@ -855,6 +872,59 @@ class MergeTable:
             if conjs
             else {}
         )
+        if not dels:
+            out = self._read_subset(spark, m, names, conjs, kept_files, phys_of)
+        else:
+            # merge-on-read: group the data dirs by which delete files
+            # apply (sequence-number semantics at dir granularity - a
+            # dir appended AFTER a delete is outside its applies_to),
+            # anti-join each group against its deletes, union groups.
+            # The delete side is small by construction, so each
+            # anti-join broadcasts; the data plane is never rewritten.
+            from functools import reduce
+
+            groups: dict[frozenset, list[str]] = {}
+            for n in names:
+                gkey = frozenset(e["dir"] for e in dels if n in e["applies_to"])
+                groups.setdefault(gkey, []).append(n)
+            parts = []
+            for gkey in sorted(groups, key=lambda k: groups[k]):
+                sub = self._read_subset(
+                    spark, m, groups[gkey], conjs, kept_files, phys_of
+                )
+                for e in dels:
+                    if e["dir"] not in gkey:
+                        continue
+                    ddf = spark.read.parquet(
+                        os.path.join(self.path, e["dir"])
+                    ).select(
+                        *[
+                            F.col(c["physical"]).alias(c["name"])
+                            for c in e["cols"]
+                        ]
+                    )
+                    sub = sub.join(
+                        ddf, [c["name"] for c in e["cols"]], "left_anti"
+                    )
+                parts.append(sub)
+            out = reduce(DataFrame.unionByName, parts)
+        return out.filter(F.expr(where)) if where else out
+
+    def _read_subset(
+        self,
+        spark: SparkSession,
+        m: dict,
+        names: list[str],
+        conjs: list,
+        kept_files: dict,
+        phys_of: dict[str, str],
+    ) -> DataFrame:
+        """The logical frame of a subset of a snapshot's data dirs
+        (the whole snapshot in the common case): per-dir scans with
+        partition/transform pruning and manifest-stats file skipping,
+        unioned, then the physical->logical schema mapping."""
+        dir_specs = m.get("dir_specs") or {}
+        dirs = [os.path.join(self.path, d) for d in names]
         if not any(dir_specs.get(n) for n in names):
             if not any(v is not None for v in kept_files.values()):
                 # unpartitioned snapshot: one multi-path scan
@@ -908,8 +978,7 @@ class MergeTable:
                 cols.append(
                     F.lit(fld.get("default")).cast(fld["type"]).alias(fld["name"])
                 )
-        out = df.select(*cols)
-        return out.filter(F.expr(where)) if where else out
+        return df.select(*cols)
 
     # -- manifest-stats file skipping ---------------------------------
     def _prune_files(
@@ -1048,6 +1117,7 @@ class MergeTable:
             self._schema_for(df, prev),
             spec,
             {data_dir: spec} if spec else {},
+            deletes=[],  # a full overwrite obsoletes pending deletes
         )
 
     # -- optimistic staging (lock-free data writes) ---------------------
@@ -1136,6 +1206,11 @@ class MergeTable:
                             spec,
                             {data_dir: spec} if spec else {},
                             op=op,
+                            # build() read through read(), which already
+                            # applied pending equality deletes - the
+                            # rewrite MATERIALIZES them (Iceberg's
+                            # rewrite purging delete files)
+                            deletes=[],
                         )
             finally:
                 if not committed and staged is not None:
@@ -1157,6 +1232,9 @@ class MergeTable:
         file_stats: dict[str, dict] | None = None,
         sort_order: list[str] | None = None,
         op: str = "overwrite",
+        deletes: list[dict] | None = None,
+        parent_override: int | None = None,
+        abandoned_head: int | None = None,
     ) -> int:
         """Manifest first, pointer second: a crash between the two
         leaves a stale manifest the next commit overwrites (and whose
@@ -1169,8 +1247,17 @@ class MergeTable:
         Iceberg manifest-stats analog) defaults to: carry the previous
         manifest's entry forward for every retained dir (dirs are
         immutable once committed), collect from the parquet footers
-        for dirs it lacks (i.e. the dirs this commit wrote)."""
+        for dirs it lacks (i.e. the dirs this commit wrote).
+
+        ``deletes`` (equality-delete entries, see
+        :func:`_delete_entries`) defaults to carrying the parent
+        manifest's forward - right for metadata-only commits and
+        fast appends, where existing data dirs (and so their pending
+        deletes) survive.  Rewrites that materialize the deletes pass
+        ``[]`` explicitly."""
         parent = self.current_version()  # pointer not yet flipped
+        if deletes is None:
+            deletes = _delete_entries(self._load_manifest(parent) if parent else None)
         if file_stats is None:
             prev = self._load_manifest(parent) if parent else None
             prev_stats = (prev or {}).get("file_stats") or {}
@@ -1197,6 +1284,7 @@ class MergeTable:
                         else list(self._effective_keys())
                     ),
                     "file_stats": file_stats,
+                    "deletes": deletes,
                     # like key_cols: None carries the current order
                     # forward (manifest's, else the constructor seed)
                     "sort_order": (
@@ -1209,8 +1297,19 @@ class MergeTable:
                     "operation": op,
                     # commit lineage: the ref head this commit was
                     # built on (None for a bootstrap) - ancestry for
-                    # branch GC and fast-forward walks
-                    "parent": parent,
+                    # branch GC and fast-forward walks.  rollback
+                    # overrides it with the RESTORE TARGET (Iceberg:
+                    # the rolled-back-over snapshots leave the current
+                    # ancestry and age out of retention)
+                    "parent": parent if parent_override is None else parent_override,
+                    # rollback only: the head this commit abandoned
+                    # (keeps the rolled-back-over chain retained as a
+                    # roll-forward target while THIS manifest lives)
+                    **(
+                        {"abandoned_head": abandoned_head}
+                        if abandoned_head is not None
+                        else {}
+                    ),
                     "committed_at": _dt.datetime.now(_dt.timezone.utc).isoformat(
                         timespec="seconds"
                     ),
@@ -1251,8 +1350,23 @@ class MergeTable:
         # chain), so a commit on one ref can never reclaim another
         # ref's history
         keep: set[int] = set()
-        for head in {cur, *self._ref_heads().values()}:
-            keep |= set(self._ancestors(head, self.keep_versions))
+        pending = list({cur, *self._ref_heads().values()})
+        while pending:
+            head = pending.pop()
+            chain = self._ancestors(head, self.keep_versions)
+            for v in chain:
+                if v in keep:
+                    continue
+                keep.add(v)
+                # a rollback manifest records the head it abandoned:
+                # the rolled-back-over chain stays a roll-forward
+                # target until the rollback itself ages out of
+                # retention ("ages out, not erased") - crashed
+                # never-current manifests have no such link and are
+                # reclaimed as before
+                ab = (self._load_manifest(v) or {}).get("abandoned_head")
+                if ab is not None and ab not in keep:
+                    pending.append(ab)
         # tagged snapshots are pinned: their manifests and data dirs
         # survive any retention window until the tag is dropped
         keep |= set(self.tags().values())
@@ -1267,6 +1381,7 @@ class MergeTable:
                 man = self._load_manifest(v)
                 if man:
                     referenced.update(_data_dirs(man))
+                    referenced.update(e["dir"] for e in _delete_entries(man))
             else:
                 os.unlink(os.path.join(self.path, entry))
                 removed.append(entry)
@@ -1320,6 +1435,10 @@ class MergeTable:
                 and len(d_to) > len(d_from)
                 and [f["name"] for f in m_from["schema"]]
                 == [f["name"] for f in m_to["schema"]]
+                # a merge-on-read delete in the interval can remove
+                # rows from the NEW dirs too (its applies_to covers
+                # them); dir lineage alone no longer proves the delta
+                and _delete_entries(m_from) == _delete_entries(m_to)
             ):
                 new_dirs = [os.path.join(self.path, d) for d in d_to[len(d_from):]]
                 if all(os.path.isdir(d) for d in new_dirs):
@@ -1391,9 +1510,150 @@ class MergeTable:
                         if stats
                         else None
                     ),
+                    # pending merge-on-read equality-delete files
+                    "delete_dirs": [e["dir"] for e in _delete_entries(m)],
                 }
             )
         return out
+
+    # -- metadata tables (Iceberg's files/partitions/refs/history) ----
+    def files(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Iceberg ``files`` metadata table: one row per live file of
+        the snapshot - content kind (data / equality-deletes), data
+        dir, path within it, bytes, rows (parquet footer), and the
+        manifest's per-file [min, max] stats as a JSON string (data
+        files only; delete files carry no stats)."""
+        import pyarrow.parquet as pq
+
+        cur = self.current_version()
+        if cur is None:
+            raise ValueError(f"files() on uncommitted table {self.path}")
+        v = cur if version is None else version
+        m = self._load_manifest(v)
+        if m is None:
+            raise ValueError(f"version {v} has no manifest")
+        rows = []
+        kinds = [("data", d) for d in _data_dirs(m)] + [
+            ("equality-deletes", e["dir"]) for e in _delete_entries(m)
+        ]
+        for kind, d in kinds:
+            root = os.path.join(self.path, d)
+            stats = (m.get("file_stats") or {}).get(d) or {}
+            for dirpath, _dirs, fns in os.walk(root):
+                for fn in sorted(fns):
+                    if not fn.endswith(".parquet"):
+                        continue
+                    full = os.path.join(dirpath, fn)
+                    rel = os.path.relpath(full, root)
+                    n_rows = None
+                    try:
+                        n_rows = pq.ParquetFile(full).metadata.num_rows
+                    except Exception:
+                        pass
+                    st = stats.get(rel)
+                    rows.append(
+                        (
+                            kind,
+                            d,
+                            rel,
+                            os.path.getsize(full),
+                            n_rows,
+                            json.dumps(st) if st else None,
+                        )
+                    )
+        return spark.createDataFrame(
+            rows,
+            "content string, data_dir string, file_path string, "
+            "file_size_bytes bigint, record_count bigint, stats string",
+        )
+
+    def partitions(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Iceberg ``partitions`` metadata table: one row per live
+        partition of the snapshot - the partition tuple (as a
+        ``key=value`` path string, exactly the directory layout), its
+        spec, file count, total bytes, and row count.  Unpartitioned
+        dirs aggregate under partition ''."""
+        import pyarrow.parquet as pq
+
+        cur = self.current_version()
+        if cur is None:
+            raise ValueError(f"partitions() on uncommitted table {self.path}")
+        v = cur if version is None else version
+        m = self._load_manifest(v)
+        if m is None:
+            raise ValueError(f"version {v} has no manifest")
+        dir_specs = m.get("dir_specs") or {}
+        agg: dict[tuple[str, str], list[int]] = {}
+        for d in _data_dirs(m):
+            root = os.path.join(self.path, d)
+            spec = ",".join(dir_specs.get(d) or [])
+            for dirpath, _dirs, fns in os.walk(root):
+                part = "/".join(
+                    seg
+                    for seg in os.path.relpath(dirpath, root).split(os.sep)
+                    if "=" in seg
+                )
+                for fn in fns:
+                    if not fn.endswith(".parquet"):
+                        continue
+                    full = os.path.join(dirpath, fn)
+                    n_rows = 0
+                    try:
+                        n_rows = pq.ParquetFile(full).metadata.num_rows
+                    except Exception:
+                        pass
+                    a = agg.setdefault((part, spec), [0, 0, 0])
+                    a[0] += 1
+                    a[1] += os.path.getsize(full)
+                    a[2] += n_rows
+        rows = [
+            (part, spec, a[0], a[1], a[2])
+            for (part, spec), a in sorted(agg.items())
+        ]
+        return spark.createDataFrame(
+            rows,
+            "partition string, spec string, file_count bigint, "
+            "total_size_bytes bigint, record_count bigint",
+        )
+
+    def refs(self, spark: SparkSession) -> DataFrame:
+        """Iceberg ``refs`` metadata table: every named ref - main,
+        branches (writable heads), tags (GC-pinned snapshots) - with
+        its kind and the version it points at."""
+        rows = [
+            (name, "branch" if name != "main" else "main", v)
+            for name, v in sorted(self._ref_heads().items())
+        ] + [(name, "tag", v) for name, v in sorted(self.tags().items())]
+        return spark.createDataFrame(
+            rows, "name string, type string, version bigint"
+        )
+
+    def history(self, spark: SparkSession) -> DataFrame:
+        """Iceberg ``history`` metadata table: the retained commit log
+        of THIS ref (main or the bound branch), oldest first, with
+        parent links and an ``is_current_ancestor`` flag (False marks
+        rolled-back-over snapshots, exactly Iceberg's semantics)."""
+        cur = self.current_version()
+        if cur is None:
+            raise ValueError(f"history() on uncommitted table {self.path}")
+        ancestry = set(self._ancestors(cur, 10**9))
+        rows = []
+        for s in self.snapshots():
+            m = self._load_manifest(s["version"])
+            rows.append(
+                (
+                    s["version"],
+                    (m or {}).get("parent"),
+                    s.get("committed_at"),
+                    s.get("operation"),
+                    s["version"] in ancestry,
+                )
+            )
+        return spark.createDataFrame(
+            rows,
+            "version bigint, parent bigint, committed_at string, "
+            "operation string, is_current_ancestor boolean",
+        )
 
     def rollback(self, version: int) -> int:
         """Iceberg ``rollback_to_snapshot``: make a retained prior
@@ -1406,7 +1666,9 @@ class MergeTable:
                 raise ValueError(f"rollback on uncommitted table {self.path}")
             m = self._load_manifest(version)
             if m is None or not all(
-                os.path.isdir(os.path.join(self.path, d)) for d in _data_dirs(m)
+                os.path.isdir(os.path.join(self.path, d))
+                for d in _data_dirs(m)
+                + [e["dir"] for e in _delete_entries(m)]
             ):
                 raise ValueError(
                     f"version {version} not retained (current {cur}, "
@@ -1428,6 +1690,16 @@ class MergeTable:
                 file_stats=m.get("file_stats"),
                 sort_order=list(m.get("sort_order") or []),
                 op="rollback",
+                # restore the TARGET's pending deletes (its delete dirs
+                # are retention-checked above alongside its data dirs)
+                deletes=_delete_entries(m),
+                # lineage points at the restore target, not the bad
+                # head: the rolled-back-over snapshots are no longer
+                # current ancestors and expire on their own - but the
+                # abandoned chain stays retained (roll-forward target)
+                # while this rollback manifest is itself retained
+                parent_override=version,
+                abandoned_head=cur,
             )
 
     def remove_orphans(self) -> list[str]:
@@ -1512,6 +1784,19 @@ class MergeTable:
                 return f"{pf.transform}({arg}{new})"
 
             spec = [_ren(c) for c in (m.get("partition_spec") or [])]
+            # pending equality deletes reference the keys by LOGICAL
+            # name; the delete files keep the old physical column (the
+            # same field-id trick as the data files)
+            dels = [
+                {
+                    **e,
+                    "cols": [
+                        {**c, "name": new if c["name"] == old else c["name"]}
+                        for c in e["cols"]
+                    ],
+                }
+                for e in _delete_entries(m)
+            ]
             return self._commit_manifest(
                 self._next_version(),
                 _data_dirs(m),
@@ -1520,6 +1805,7 @@ class MergeTable:
                 m.get("dir_specs") or {},
                 key_cols=keys,
                 op="rename-column",
+                deletes=dels,
             )
 
     def drop_column(self, name: str) -> int:
@@ -1764,18 +2050,97 @@ class MergeTable:
 
         return self._optimistic_rewrite(spark, build, "merge", max_retries)
 
-    def delete_where(self, spark: SparkSession, condition) -> int:
-        """Iceberg ``DELETE FROM t WHERE cond`` (copy-on-write form):
-        commit a new snapshot without the matching rows.  ``condition``
-        is a Column or SQL string; rows where it evaluates NULL are
-        KEPT (SQL delete semantics - only true deletes).  Optimistic
-        like every rewrite: the filtered copy stages lock-free and
-        rebases on conflict."""
+    def delete_where(
+        self, spark: SparkSession, condition, mode: str = "copy-on-write"
+    ) -> int:
+        """Iceberg ``DELETE FROM t WHERE cond``.  ``condition`` is a
+        Column or SQL string; rows where it evaluates NULL are KEPT
+        (SQL delete semantics - only true deletes).
+
+        ``mode="copy-on-write"`` (default): commit a new snapshot
+        without the matching rows - a full rewrite, O(table), best for
+        large deletes or read-heavy tables.
+
+        ``mode="merge-on-read"`` (Iceberg v2 row-level deletes): write
+        ONLY an equality-delete file of the matching keys - O(deleted
+        rows) regardless of table size - and let :meth:`read` anti-join
+        it out.  The delete applies to the data dirs existing at
+        commit time (dir-granularity sequence numbers), so later
+        appends are unaffected even if they reuse a deleted key.  The
+        next rewrite (merge/update/compact/CoW delete) MATERIALIZES
+        pending deletes and drops the delete files - ``compact()`` is
+        the ``rewrite_position_delete_files`` analog.  Precondition:
+        rows are key-unique per the table contract, so deleting by key
+        is deleting the matched rows.  Optimistic in both modes."""
         cond = F.expr(condition) if isinstance(condition, str) else condition
-        return self._optimistic_rewrite(
-            spark,
-            lambda df, man: df.filter(~F.coalesce(cond, F.lit(False))),
-            "delete_where",
+        if mode == "copy-on-write":
+            return self._optimistic_rewrite(
+                spark,
+                lambda df, man: df.filter(~F.coalesce(cond, F.lit(False))),
+                "delete_where",
+            )
+        if mode != "merge-on-read":
+            raise ValueError(f"unknown delete mode {mode!r}")
+        return self._delete_mor(spark, cond)
+
+    def _delete_mor(self, spark: SparkSession, cond, max_retries: int = 6) -> int:
+        """Equality-delete commit: stage the matched-key file with no
+        lock held, take the lock only to validate the base snapshot is
+        still current and flip the pointer (the same optimistic
+        protocol as every writer here)."""
+        for _ in range(max_retries):
+            base = self.current_version()
+            if base is None:
+                raise ValueError(f"delete_where() on uncommitted table {self.path}")
+            m = self._load_manifest(base)
+            if m is None:
+                raise ValueError(
+                    f"legacy table {self.path} has no manifest; run compact() "
+                    "once before merge-on-read deletes"
+                )
+            try:
+                current = self.read(spark, base)
+            except ValueError:
+                continue  # base expired under a concurrent commit: rebase
+            keys = list(m.get("key_cols") or self.key_cols)
+            dels = (
+                current.filter(F.coalesce(cond, F.lit(False)))
+                .select(*keys)
+                .distinct()
+            )
+            staged: str | None = self._stage(dels.coalesce(1), [])
+            committed = False
+            try:
+                with _commit_lock(self.path):
+                    if self.current_version() == base:
+                        v = self._next_version()
+                        ddir = self._promote_stage_locked(staged, v)
+                        committed = True
+                        entry = {
+                            "dir": ddir,
+                            "applies_to": _data_dirs(m),
+                            # the delete file was WRITTEN from the
+                            # logical frame, so its physical columns
+                            # carry the logical names as of now
+                            "cols": [{"name": k, "physical": k} for k in keys],
+                        }
+                        return self._commit_manifest(
+                            v,
+                            _data_dirs(m),
+                            m["schema"],
+                            list(m.get("partition_spec") or []),
+                            m.get("dir_specs") or {},
+                            file_stats=m.get("file_stats"),
+                            op="delete-mor",
+                            deletes=_delete_entries(m) + [entry],
+                        )
+            finally:
+                if not committed and staged is not None:
+                    self._discard_stage(staged)
+            # conflict: rebase on the new current version
+        raise CommitConflict(
+            f"delete_where(mode='merge-on-read') on {self.path} lost "
+            f"{max_retries} optimistic-commit races"
         )
 
     def update_where(self, spark: SparkSession, condition, assignments: dict) -> int:

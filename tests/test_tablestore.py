@@ -1237,3 +1237,201 @@ def test_branch_read_sugar(spark, tmp_path):
     assert {r.k for r in t.read(spark).collect()} == {1}
     with _pytest.raises(ValueError, match="no branch"):
         t.read(spark, branch="nope")
+
+
+# -- merge-on-read equality deletes (Iceberg v2 row-level deletes) ----
+
+
+def _dirs_of(t):
+    return sorted(
+        d
+        for d in os.listdir(t.path)
+        if d[0] in "dv" and os.path.isdir(os.path.join(t.path, d))
+    )
+
+
+def test_mor_delete_no_rewrite(spark, tmp_path):
+    """delete_where(mode='merge-on-read') commits ONLY a delete file:
+    the data dirs are untouched (O(deleted), not O(table)), reads
+    anti-join the keys out, and time travel before the delete still
+    shows the rows."""
+    from iceberg_daq_spark.tablestore import MergeTable
+
+    t = MergeTable(str(tmp_path / "mor"), key_cols=("k",), keep_versions=4)
+    t.merge(spark.createDataFrame([(i, f"r{i}") for i in range(10)], ["k", "v"]))
+    m1 = t._load_manifest(t.current_version())
+    before_data = m1["data_dirs"]
+
+    t.delete_where(spark, "k < 3", mode="merge-on-read")
+    m2 = t._load_manifest(t.current_version())
+    # same data dirs, one new delete entry pinned to them
+    assert m2["data_dirs"] == before_data
+    assert len(m2["deletes"]) == 1
+    assert m2["deletes"][0]["applies_to"] == before_data
+    assert m2["operation"] == "delete-mor"
+
+    assert {r.k for r in t.read(spark).collect()} == set(range(3, 10))
+    # time travel: the pre-delete snapshot still has every row
+    assert {r.k for r in t.read(spark, version=1).collect()} == set(range(10))
+    # where= pushdown composes with the anti-join
+    assert {r.k for r in t.read(spark, where="k < 5").collect()} == {3, 4}
+
+
+def test_mor_delete_sequence_semantics_on_append(spark, tmp_path):
+    """A key appended AFTER a merge-on-read delete is NOT deleted
+    (applies_to pins the delete to the dirs existing at delete time -
+    the dir-granularity analog of Iceberg sequence numbers), while a
+    second delete covers both eras."""
+    from iceberg_daq_spark.tablestore import MergeTable
+
+    t = MergeTable(str(tmp_path / "seq"), key_cols=("k",), keep_versions=6)
+    t.merge(spark.createDataFrame([(1, "old1"), (2, "old2")], ["k", "v"]))
+    t.delete_where(spark, "k = 1", mode="merge-on-read")
+    # re-append the deleted key: new era, delete must not apply
+    t.append(spark.createDataFrame([(1, "new1"), (3, "new3")], ["k", "v"]))
+    got = {r.k: r.v for r in t.read(spark).collect()}
+    assert got == {1: "new1", 2: "old2", 3: "new3"}
+
+    # a later delete sees (and pins) both eras
+    t.delete_where(spark, "k = 1", mode="merge-on-read")
+    got = {r.k: r.v for r in t.read(spark).collect()}
+    assert got == {2: "old2", 3: "new3"}
+
+
+def test_mor_deletes_materialized_by_rewrites(spark, tmp_path):
+    """compact()/merge() read through the pending deletes and commit
+    with an empty delete list (rewrite_position_delete_files analog);
+    the delete dirs age out of retention afterwards."""
+    from iceberg_daq_spark.tablestore import MergeTable
+
+    t = MergeTable(str(tmp_path / "purge"), key_cols=("k",), keep_versions=1)
+    t.merge(spark.createDataFrame([(i, i * 10) for i in range(8)], ["k", "n"]))
+    t.delete_where(spark, "k >= 6", mode="merge-on-read")
+    ddir = t._load_manifest(t.current_version())["deletes"][0]["dir"]
+    assert os.path.isdir(os.path.join(t.path, ddir))
+
+    t.compact(spark)
+    m = t._load_manifest(t.current_version())
+    assert m["deletes"] == []
+    assert {r.k for r in t.read(spark).collect()} == set(range(6))
+    # one more commit pushes the delete-era manifests out of
+    # retention; the delete dir must then be GC'd as unreferenced
+    t.append(spark.createDataFrame([(100, 0)], ["k", "n"]))
+    assert not os.path.isdir(os.path.join(t.path, ddir))
+
+
+def test_mor_delete_survives_key_rename(spark, tmp_path):
+    """rename_column over a key with pending deletes: the delete file
+    keeps its physical column, the manifest maps it to the new logical
+    name, and reads keep deleting the right rows."""
+    from iceberg_daq_spark.tablestore import MergeTable
+
+    t = MergeTable(str(tmp_path / "ren"), key_cols=("k",), keep_versions=4)
+    t.merge(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["k", "v"]))
+    t.delete_where(spark, "k = 2", mode="merge-on-read")
+    t.rename_column("k", "key_id")
+    m = t._load_manifest(t.current_version())
+    assert m["deletes"][0]["cols"] == [{"name": "key_id", "physical": "k"}]
+    got = {r.key_id for r in t.read(spark).collect()}
+    assert got == {1, 3}
+    # rollback to the pre-rename, pre-delete snapshot restores both
+    t.rollback(1)
+    assert {r.k for r in t.read(spark).collect()} == {1, 2, 3}
+
+
+def test_mor_delete_rebases_over_concurrent_commit(spark, tmp_path, monkeypatch):
+    """An append landing between the MOR delete's base pin and its
+    commit forces a rebase: the retry recomputes against the new
+    current version, so applies_to covers the appended dir too."""
+    from iceberg_daq_spark import tablestore as ts
+
+    t = ts.MergeTable(str(tmp_path / "race"), key_cols=("k",), keep_versions=6)
+    t.merge(spark.createDataFrame([(1, "a"), (2, "x")], ["k", "v"]))
+
+    real_stage = ts.MergeTable._stage
+    fired = {"done": False}
+
+    def stage_with_interloper(self, df, spec, sort=(), sort_partitions=None):
+        name = real_stage(self, df, spec, sort, sort_partitions)
+        if not fired["done"]:
+            fired["done"] = True
+            other = ts.MergeTable(self.path, key_cols=("k",), keep_versions=6)
+            other.append(spark.createDataFrame([(9, "x")], ["k", "v"]))
+        return name
+
+    monkeypatch.setattr(ts.MergeTable, "_stage", stage_with_interloper)
+    t.delete_where(spark, "v = 'x'", mode="merge-on-read")
+    monkeypatch.setattr(ts.MergeTable, "_stage", real_stage)
+    got = {r.k for r in t.read(spark).collect()}
+    # both the old 'x' row AND the interloping appended 'x' row are
+    # gone: the rebase re-evaluated the predicate on the new base
+    assert got == {1}
+
+
+def test_mor_delete_incremental_read_falls_back(spark, tmp_path):
+    """read_changes across an interval containing a MOR delete must
+    not use the dir-lineage fast path (the delete removes rows from
+    dirs the lineage check would call unchanged)."""
+    from iceberg_daq_spark.tablestore import MergeTable
+
+    t = MergeTable(str(tmp_path / "inc"), key_cols=("k",), keep_versions=6)
+    t.merge(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]))
+    v1 = t.current_version()
+    t.append(spark.createDataFrame([(3, "c"), (4, "d")], ["k", "v"]))
+    t.delete_where(spark, "k = 3", mode="merge-on-read")
+    # delta vs v1: row 4 appears; row 3 was appended AND deleted in
+    # the interval, so it must NOT be reported
+    got = {r.k for r in t.read_changes(spark, v1).collect()}
+    assert got == {4}
+
+
+# -- metadata tables (Iceberg files/partitions/refs/history) ----------
+
+
+def test_metadata_tables(spark, tmp_path):
+    """files()/partitions()/refs()/history() mirror Iceberg's metadata
+    tables over the manifest + directory layout."""
+    from iceberg_daq_spark.tablestore import MergeTable
+
+    t = MergeTable(
+        str(tmp_path / "meta"),
+        key_cols=("k",),
+        keep_versions=8,
+        partition_spec=("lang",),
+    )
+    t.merge(
+        spark.createDataFrame(
+            [(1, "en", 10), (2, "de", 20), (3, "en", 30)], ["k", "lang", "n"]
+        )
+    )
+    t.delete_where(spark, "k = 3", mode="merge-on-read")
+
+    f = t.files(spark).collect()
+    kinds = {r.content for r in f}
+    assert kinds == {"data", "equality-deletes"}
+    data_rows = sum(r.record_count for r in f if r.content == "data")
+    assert data_rows == 3  # footer row counts, pre-delete (physical)
+    assert all(r.file_size_bytes > 0 for r in f)
+    # data files carry manifest stats JSON; in a partitioned layout the
+    # partition column lives in the path, not the footer stats
+    st = [r.stats for r in f if r.content == "data"]
+    assert any(s is not None for s in st)
+
+    p = t.partitions(spark).collect()
+    parts = {r.partition: r.record_count for r in p}
+    assert parts == {"lang=de": 1, "lang=en": 2}
+    assert all(r.spec == "lang" and r.file_count >= 1 for r in p)
+
+    t.create_tag("rel1")
+    t.create_branch("dev")
+    refs = {(r.name, r.type): r.version for r in t.refs(spark).collect()}
+    assert ("main", "main") in refs
+    assert ("rel1", "tag") in refs and ("dev", "branch") in refs
+
+    t.rollback(1)
+    h = {r.version: r for r in t.history(spark).collect()}
+    # the rolled-back-over delete snapshot is NOT a current ancestor
+    cur = t.current_version()
+    assert h[cur].is_current_ancestor and h[cur].operation == "rollback"
+    assert not h[2].is_current_ancestor
+    assert h[2].parent == 1
