@@ -1,0 +1,66 @@
+"""Distributed global ranking without a single-partition window.
+
+``Window.orderBy(...)`` with no partitionBy collapses every row into
+ONE task - the classic Spark scale-killer for "assign a global rank".
+The scalable idiom (the same two-pass layout TeraSort and Spark's own
+zipWithIndex use) is implemented here:
+
+  1. range-partition the rows by the order key (a shuffle that keeps
+     every partition's key range disjoint and sorted ACROSS partitions),
+  2. count rows per partition (a tiny per-partition agg - one row per
+     partition reaches the driver),
+  3. broadcast the cumulative offsets back and add them to each row's
+     WITHIN-partition row_number (an ordinary partitioned window).
+
+Every stage is bounded: the only driver materialization is one count
+per partition, and no task ever holds more than its range slice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_PID = "_rank_pid"
+_ROW = "_rank_row"
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    out: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``row_number() OVER (ORDER BY order_cols)`` as a distributed
+    two-pass plan.  ``order_cols`` must be a TOTAL order (add a unique
+    id as the last column) for the result to be deterministic - the
+    same requirement the single-partition window has, minus the single
+    partition.  Rank is 1-based, in ``out``."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    n = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "200"
+    )
+    ranged = df.repartitionByRange(int(n), *cols).withColumn(
+        _PID, F.spark_partition_id()
+    )
+    # pass 1: per-partition counts; ONE ROW PER PARTITION hits the
+    # driver, never row data
+    counts = {
+        r[_PID]: r["c"]
+        for r in ranged.groupBy(_PID).agg(F.count("*").alias("c")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    # pass 2: within-partition row_number (partitioned window - no
+    # global exchange) + the broadcast offset
+    off = F.create_map(
+        *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
+    )
+    w = Window.partitionBy(_PID).orderBy(*cols)
+    return (
+        ranged.withColumn(_ROW, F.row_number().over(w))
+        .withColumn(out, (off[F.col(_PID)] + F.col(_ROW)).cast("bigint"))
+        .drop(_PID, _ROW)
+    )

@@ -1290,3 +1290,264 @@ def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+@register(
+    "q84_bm25_search",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS ws,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, dl, w AS term, CAST(count(*) AS BIGINT) AS tf
+      FROM t, UNNEST(ws) AS u(w)
+      WHERE w IN ('scan', 'merge', 'hash')
+      GROUP BY doc_id, dl, w
+    ), stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM t
+    ), df AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    )
+    SELECT tf.doc_id,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           round(sum(
+             ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))
+           ), 3) AS bm25
+    FROM tf JOIN df USING (term) CROSS JOIN stats
+    GROUP BY tf.doc_id
+    ORDER BY bm25 DESC, tf.doc_id
+    LIMIT 20
+    """,
+)
+def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword search (k1=1.2, b=0.75) for a fixed query
+    ('scan merge hash'): the retrieval op of a RAG / corpus-inspection
+    stack, scored exactly as Okapi BM25 over whitespace tokens.
+
+    100 TB shape: the token stream is filtered to the QUERY TERMS
+    before any shuffle (explode + IN-filter is map-only), so the
+    aggregated (doc, term) tf table is bounded by docs-matching-query,
+    not corpus size; df and the corpus stats are one tiny agg each,
+    broadcast back (plan: BroadcastHashJoin, no corpus reshuffle); the
+    final top-20 is TakeOrderedAndProject, never a global sort.
+    Rounded to 3 decimals with doc_id tiebreak for engine-portable
+    ordering."""
+    terms = ["scan", "merge", "hash"]
+    k1, b = 1.2, 0.75
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    t = d.select("doc_id", toks.alias("ws"), F.size(toks).cast("bigint").alias("dl"))
+    tf = (
+        t.select("doc_id", "dl", F.explode("ws").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    stats = t.agg(
+        F.count("*").cast("bigint").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    contrib = idf * F.col("tf") * (k1 + 1) / (
+        F.col("tf") + k1 * ((1 - b) + b * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_terms"),
+            F.round(F.sum(contrib), 3).alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
+
+
+@register(
+    "q85_shard_assignment",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), r AS (
+      SELECT doc_id, n_tokens,
+             row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rn
+      FROM t
+    )
+    SELECT CAST((rn - 1) % 8 AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(min(n_tokens) AS BIGINT) AS min_tokens
+    FROM r
+    GROUP BY 1
+    ORDER BY shard
+    """,
+)
+def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced training-shard assignment: docs ranked by token count
+    (longest first, doc_id tiebreak) and dealt round-robin over 8
+    shards - the size-balancing layout step before writing training
+    shards (round-robin over a size-sorted list bounds shard skew to
+    one document).
+
+    The global rank is NOT a single-partition window: it uses the
+    two-pass range-partition + offsets plan in
+    ``operators/ranking.global_row_number`` (TeraSort's layout), so no
+    task ever sees more than its range slice and the only driver
+    traffic is one count per partition.  The per-shard rollup is an
+    ordinary 8-group partial agg."""
+    from iceberg_daq_spark.operators.ranking import global_row_number
+
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    r = global_row_number(t, [F.desc("n_tokens"), F.asc("doc_id")], out="rn")
+    return (
+        r.select(((F.col("rn") - 1) % 8).cast("bigint").alias("shard"), "n_tokens")
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.max("n_tokens").cast("bigint").alias("max_tokens"),
+            F.min("n_tokens").cast("bigint").alias("min_tokens"),
+        )
+        .orderBy("shard")
+    )
+
+
+@register(
+    "q87_quality_classifier",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), z AS (
+      SELECT doc_id,
+             len(ws) AS n_tok,
+             list_sum(list_transform(ws, w ->
+               ((((length(w) * 7 + ascii(substr(w, 1, 1))) % 64)
+                  * 37 + 11) % 97) / 97.0 - 0.5
+             )) AS acc
+      FROM t
+    )
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-(acc / n_tok * 8.0 + 0.2))), 3) AS score,
+           (1.0 / (1.0 + exp(-(acc / n_tok * 8.0 + 0.2))) >= 0.5) AS keep
+    FROM z
+    WHERE n_tok > 0
+    ORDER BY doc_id
+    """,
+)
+def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear quality classifier (the fasttext-style
+    model-based filter of crawl curation): each token hashes into one
+    of 64 buckets, each bucket carries a fixed weight, and the doc's
+    mean feature weight goes through a sigmoid into a keep/drop score.
+    The weights here are a deterministic portable stand-in (a real
+    deployment would broadcast trained weights); what is exercised is
+    the exact 100 TB execution shape.
+
+    Map-only end to end: the per-token hash + weight + fold runs as a
+    JVM higher-order function (transform + aggregate) INSIDE the scan
+    stage - no explode, no shuffle, no Python.  A trained 64-float
+    weight vector changes nothing in the plan (it would arrive as a
+    broadcast literal array)."""
+    d = load(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+
+    def _weight(w):
+        # portable stand-in hash: bucket in [0, 64) from token shape,
+        # then a fixed pseudo-weight per bucket in [-0.5, 0.5)
+        bucket = (F.length(w) * 7 + F.ascii(F.substring(w, 1, 1))) % 64
+        return ((bucket * 37 + 11) % 97) / F.lit(97.0) - 0.5
+
+    acc = F.aggregate(
+        F.transform(ws, _weight), F.lit(0.0), lambda a, x: a + x
+    )
+    z = d.select(
+        "doc_id",
+        F.size(ws).alias("n_tok"),
+        acc.alias("acc"),
+    ).filter(F.col("n_tok") > 0)
+    logit = F.col("acc") / F.col("n_tok") * 8.0 + 0.2
+    score = 1.0 / (1.0 + F.exp(-logit))
+    return (
+        z.select(
+            "doc_id",
+            F.round(score, 3).alias("score"),
+            (score >= 0.5).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q88_ngram_novelty",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), g AS (
+      SELECT DISTINCT doc_id,
+             ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS shingle
+      FROM w, UNNEST(generate_series(1, greatest(len(ws) - 2, 0))) AS t(i)
+    ), df AS (
+      SELECT shingle, CAST(count(*) AS BIGINT) AS df FROM g GROUP BY shingle
+    )
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unique,
+           round(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 3) AS novelty
+    FROM g JOIN df USING (shingle)
+    GROUP BY g.doc_id
+    ORDER BY g.doc_id
+    """,
+)
+def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's distinct
+    3-gram shingles that appear NOWHERE else in the corpus - high
+    novelty marks fresh content, low novelty marks near-boilerplate
+    (the doc-level readout of the q75 shingle survey, and the metric
+    SemDeDup-style pruning thresholds on).
+
+    Same inverted-index shape as q41/q65: one distinct (doc, shingle)
+    exchange, a combinable df agg, and a join back on the shingle key
+    (AQE handles hot shingles; at scale the join would key on
+    xxhash64(shingle) like q41 to keep shuffle keys narrow).  No
+    all-pairs anything - novelty needs only each shingle's corpus
+    df."""
+    d = load(spark, sf_dir, "documents")
+    k = 3
+    w = F.split(F.col("text"), " ")
+    n_sh = F.greatest(F.size(w) - (k - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(w, 1 + j, n_sh) for j in range(k)])
+    sh = F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(k)])
+    )
+    g = (
+        d.select("doc_id", F.explode_outer(sh).alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
+        .distinct()
+    )
+    dfreq = g.groupBy("shingle").agg(F.count("*").cast("bigint").alias("df"))
+    uniq = F.when(F.col("df") == 1, 1).otherwise(0)
+    return (
+        g.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.sum(uniq).cast("bigint").alias("n_unique"),
+            F.round(F.sum(uniq) / F.count("*"), 3).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )

@@ -69,6 +69,10 @@ def all_queries() -> dict[str, QuerySpec]:
 #      tests assert their semantics) - always last.
 _CHECK_FIRST = [
     # never driver-checked (registered in round 8)
+    "q84_bm25_search",
+    "q85_shard_assignment",
+    "q87_quality_classifier",
+    "q88_ngram_novelty",
     "q78_doc_chunking",
     "q75_boilerplate_shingles",
     "q76_quality_funnel",

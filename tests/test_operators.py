@@ -668,3 +668,27 @@ def test_incremental_minhash_dedup_equals_batch(spark, sf_dir, tmp_path):
     assert n_banded == n_docs - skipped
     # second batch was a fast-append (operation recorded in manifest)
     assert [s["operation"] for s in idx.snapshots()][-1] == "append"
+
+
+def test_global_row_number_matches_window(spark):
+    """The two-pass distributed rank equals the single-partition
+    window's row_number for any total order, including ties broken by
+    the id column."""
+    from pyspark.sql import Window, functions as F
+
+    from iceberg_daq_spark.operators.ranking import global_row_number
+
+    rows = [(i, (i * 37) % 11) for i in range(500)]
+    df = spark.createDataFrame(rows, "id bigint, v bigint").repartition(7)
+    got = {
+        r.id: r.rn
+        for r in global_row_number(
+            df, [F.desc("v"), F.asc("id")], out="rn", num_partitions=5
+        ).collect()
+    }
+    w = Window.orderBy(F.desc("v"), F.asc("id"))
+    want = {
+        r.id: r.rn
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert got == want

@@ -519,3 +519,41 @@ def test_dpp_through_mergetable_read(spark, tmp_path):
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and "dynamicpruning" in pf[0].lower()
     assert j.count() == 750  # 3 of 20 tiers
+
+
+def test_q85_global_rank_no_single_partition_window(spark, sf_dir):
+    """q85's global rank must plan as the two-pass range layout: the
+    window is partitioned by spark_partition_id over a range exchange,
+    never 'Window [... ORDER BY ...]' over Exchange SinglePartition."""
+    from iceberg_daq_spark.queries.llm import q85
+
+    plan = plan_of(q85(spark, sf_dir))
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_q84_stats_and_df_broadcast(spark, sf_dir):
+    """BM25's corpus stats and per-term df tables broadcast back to
+    the (doc, term) tf stream - the corpus is never reshuffled by the
+    tiny sides - and the top-20 is TakeOrdered, not a global sort."""
+    from iceberg_daq_spark.queries.llm import q84
+
+    plan = plan_of(q84(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 2
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q87_classifier_map_only(spark, sf_dir):
+    """The hashed-feature fold runs inside the scan stage: no
+    Exchange below the final (tiny) sort, no explode-shuffle, no
+    Python eval."""
+    from iceberg_daq_spark.queries.llm import q87
+
+    plan = plan_of(q87(spark, sf_dir))
+    assert "Generate" not in plan  # no explode - HOF fold only
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the ONLY exchange is the presentation orderBy's range partition
+    assert plan.count("Exchange (") == 1 and "rangepartitioning" in plan
+    assert "hashpartitioning" not in plan and "SinglePartition" not in plan
