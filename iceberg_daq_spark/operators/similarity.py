@@ -575,20 +575,12 @@ def ivf_assign(emb: DataFrame) -> DataFrame:
     return vecs.mapInPandas(assign, schema)
 
 
-def ivf_ann_topk(emb: DataFrame, k: int = 5) -> DataFrame:
-    """IVF approximate top-k: spherical-kmeans cells as the coarse
-    quantizer; each vector posts to its nearest cell, each query probes
-    its N_PROBE nearest cells, candidates come from a (cell) equi-join,
-    then exact cosine (id-join scored) + per-query top-k.
-
-    The IVF counterpart of lsh_ann_topk: recall comes from nprobe
-    rather than table count, and cell occupancy (~N/N_CELLS) bounds the
-    join fanout.  At 100 TB the posting lists are the partition layout
-    (write the table bucketed by cell) so probing is partition pruning,
-    not a shuffle.  Recall vs brute force asserted in tests.
-    """
-    from pyspark.sql import Window
-
+def _ivf_probes(emb: DataFrame, nprobe: int) -> DataFrame:
+    """(vec_id, cell, probe_rank): each vector's ``nprobe`` nearest
+    quantizer cells, rank 0 = the posting cell.  Trains the coarse
+    quantizer (sample-bounded), broadcasts the centroids, and ranks
+    cells in one Arrow-batched map pass - shared by the IVF ANN probe
+    side and SemDeDup's multi-probe candidate generation."""
     # cached only across the quantizer-training actions (count +
     # sample collect), released before the probe pass so repeated
     # invocations never accumulate storage blocks
@@ -599,8 +591,7 @@ def ivf_ann_topk(emb: DataFrame, k: int = 5) -> DataFrame:
         C = _ivf_centroids(vecs)
     finally:
         vecs.unpersist()
-    sc = emb.sparkSession.sparkContext
-    bc_c = sc.broadcast(C)
+    bc_c = emb.sparkSession.sparkContext.broadcast(C)
     post_schema = T.StructType(
         [
             T.StructField("vec_id", T.LongType()),
@@ -617,17 +608,36 @@ def ivf_ann_topk(emb: DataFrame, k: int = 5) -> DataFrame:
             V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
             Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
             sims = Vn @ Cb.T
-            top = np.argsort(-sims, axis=1)[:, :N_PROBE].astype(np.int32)
+            top = np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int32)
             ids = pdf["vec_id"].to_numpy()
             yield pd.DataFrame(
                 {
-                    "vec_id": np.repeat(ids, N_PROBE),
+                    "vec_id": np.repeat(ids, nprobe),
                     "cell": top.reshape(-1),
-                    "probe_rank": np.tile(np.arange(N_PROBE, dtype=np.int32), len(ids)),
+                    "probe_rank": np.tile(
+                        np.arange(nprobe, dtype=np.int32), len(ids)
+                    ),
                 }
             )
 
-    probes = vecs.mapInPandas(probe, post_schema)
+    return vecs.mapInPandas(probe, post_schema)
+
+
+def ivf_ann_topk(emb: DataFrame, k: int = 5) -> DataFrame:
+    """IVF approximate top-k: spherical-kmeans cells as the coarse
+    quantizer; each vector posts to its nearest cell, each query probes
+    its N_PROBE nearest cells, candidates come from a (cell) equi-join,
+    then exact cosine (id-join scored) + per-query top-k.
+
+    The IVF counterpart of lsh_ann_topk: recall comes from nprobe
+    rather than table count, and cell occupancy (~N/N_CELLS) bounds the
+    join fanout.  At 100 TB the posting lists are the partition layout
+    (write the table bucketed by cell) so probing is partition pruning,
+    not a shuffle.  Recall vs brute force asserted in tests.
+    """
+    from pyspark.sql import Window
+
+    probes = _ivf_probes(emb, N_PROBE)
     posts = probes.filter(F.col("probe_rank") == 0).select(
         F.col("vec_id").alias("cid"), "cell"
     )
@@ -658,3 +668,103 @@ def lsh_near_dup_pairs(emb: DataFrame, threshold: float) -> DataFrame:
     return scored.filter(F.col("cos_sim") >= float(threshold)).select(
         "qid", "cid", F.round("cos_sim", 3).alias("cos_sim")
     )
+
+
+def semantic_dedup(
+    emb: DataFrame, threshold: float = 0.85, keep_col: str = "keep"
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings with a k-means coarse
+    quantizer and pruning WITHIN-cluster near-duplicates, keeping one
+    representative (min vec_id) per connected near-dup group.
+
+    Returns (vec_id, cell, component, keep): every vector with its
+    quantizer cell, its near-dup component id (min reachable vec_id
+    over >= threshold within-cell pairs; singleton = itself), and the
+    keep bit marking the component representative.
+
+    100 TB shape - each stage is the already-bucketed machinery:
+
+      * cells come from the shared IVF quantizer (:func:`_ivf_probes`:
+        sample-trained, broadcast centroids, map-only assignment);
+        production sizes the cell count so a cell holds ~thousands of
+        vectors (SemDeDup used k=50k for 100M embeddings) - the
+        within-cell pair space is then bounded by cell occupancy,
+        never corpus^2;
+      * candidate pairs are an id-only equi-join on the cell key with
+        N_PROBE multi-probe on the query side (no vectors shuffle
+        until scoring; boundary-split near-dups are recovered the same
+        way the IVF ANN recovers boundary-split neighbors);
+      * exact cosine runs over candidates only via the id-join fold
+        (:func:`_score_pairs` - precision 1, same fold order as the
+        oracles);
+      * the transitive closure is the dedup CC operator
+        (:func:`~iceberg_daq_spark.operators.dedup.connected_components`,
+        equi-join + partial-agg rounds with pointer halving).
+
+    Recall relative to EXACT near-dup pruning is bounded by quantizer
+    quality (pairs split across cells are missed) - measured in tests
+    against :func:`cosine_near_dup_pairs`, mirroring the LSH/IVF
+    recall assertions.
+    """
+    from iceberg_daq_spark.operators.dedup import connected_components
+
+    # multi-probe cell grouping (the IVF nprobe trick): a pair is
+    # examined when either endpoint's PRIMARY cell is among the
+    # other's N_PROBE nearest cells - recovers the near-dups a single
+    # cell boundary would split
+    probes = _ivf_probes(emb, N_PROBE).localCheckpoint()
+    assign = probes.filter(F.col("probe_rank") == 0).select("vec_id", "cell")
+    # within-cell scoring as ONE similarity-matrix product per cell
+    # (the paper's own computation): vectors shuffle ONCE, keyed by
+    # probed cell - cell occupancy bounds task memory, and the matrix
+    # kernel beats per-pair folds by orders of magnitude.  A pair
+    # counts only if an endpoint POSTS to the cell (probe_rank 0), so
+    # multi-probed vectors don't form probe-probe pairs twice over.
+    thr = float(threshold)
+    members = probes.join(
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v")),
+        "vec_id",
+    )
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"qid": [], "cid": [], "cos_sim": []})
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        cos = Vn @ Vn.T
+        ids = pdf["vec_id"].to_numpy()
+        posted = (pdf["probe_rank"].to_numpy() == 0)
+        qi, ci = np.nonzero(
+            (cos >= thr)
+            & (ids[None, :] > ids[:, None])
+            & (posted[:, None] | posted[None, :])
+        )
+        return pd.DataFrame(
+            {"qid": ids[qi], "cid": ids[ci], "cos_sim": cos[qi, ci]}
+        )
+
+    pairs = (
+        members.groupBy("cell")
+        .applyInPandas(
+            lambda pdf: cell_pairs(pdf),
+            "qid bigint, cid bigint, cos_sim double",
+        )
+        # a pair can surface from up to nprobe cells: keep one row
+        .groupBy("qid", "cid")
+        .agg(F.max("cos_sim").alias("cos_sim"))
+        # materialize once: the CC rounds iterate over the edge list,
+        # and without this they would re-run cell scoring every round
+        .localCheckpoint()
+    )
+    comp = connected_components(pairs, a_col="qid", b_col="cid")
+    out = assign.join(
+        comp.withColumnRenamed("node", "vec_id"), "vec_id", "left"
+    ).select(
+        "vec_id",
+        "cell",
+        F.coalesce("component", F.col("vec_id")).alias("component"),
+    )
+    return out.withColumn(
+        keep_col, (F.col("component") == F.col("vec_id")).cast("boolean")
+    ).orderBy("vec_id")

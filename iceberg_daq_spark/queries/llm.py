@@ -1551,3 +1551,34 @@ def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register("q86_semdedup", oracle=None)
+def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication (cluster -> within-cluster
+    near-dup pruning -> one representative per group); approximate by
+    construction (k-means cells), so rows-only for the driver - recall
+    vs the exact near-dup closure is asserted in
+    tests/test_operators.py::test_semdedup_recall_and_keep.
+
+    Threshold 0.45, just under the random synthetic embeddings' max
+    pairwise cos (~0.51): high enough that components stay small and
+    local (realistic near-dup topology), low enough to exercise real
+    pruning."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(e, threshold=0.45)
+
+
+@register("q89_bpe_vocab", oracle=None)
+def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training: the learned merge table
+    (rank, left, right, merged) for 24 merges over the documents
+    corpus.  Iterative (one tiny top-1 row to the driver per round,
+    vocab-table-sized work otherwise - see operators/bpe.py for the
+    100 TB shape), so no SQL oracle; the training loop is asserted
+    EQUAL to the reference algorithm in
+    tests/test_operators.py::test_bpe_train_matches_reference."""
+    from iceberg_daq_spark.operators import bpe
+
+    d = load(spark, sf_dir, "documents")
+    return bpe.bpe_vocab(d, n_merges=24)

@@ -692,3 +692,121 @@ def test_global_row_number_matches_window(spark):
         for r in df.withColumn("rn", F.row_number().over(w)).collect()
     }
     assert got == want
+
+
+def test_semdedup_recall_and_keep(spark, sf_dir):
+    """SemDeDup invariants: (1) exactly one keeper per component and
+    the keeper is the component id; (2) every pruned vector has an
+    exact near-dup (>= threshold) SOMEWHERE in its component (pruning
+    never drops a vector without a justifying pair); (3) recall of the
+    within-cell closure vs the EXACT near-dup closure is high (cells
+    only miss pairs the quantizer splits)."""
+    from iceberg_daq_spark.operators import similarity
+    from iceberg_daq_spark.tables import load
+
+    thr = 0.45  # just under the random embeddings' max cos (~0.51)
+    e = load(spark, sf_dir, "embeddings")
+    sd = similarity.semantic_dedup(e, threshold=thr).collect()
+    comp_of = {r.vec_id: r.component for r in sd}
+    keepers = {r.vec_id for r in sd if r.keep}
+    # (1) keeper = min of its component, one per component
+    comps = {}
+    for r in sd:
+        comps.setdefault(r.component, []).append(r.vec_id)
+    for c, members in comps.items():
+        assert min(members) == c
+        assert sum(1 for m in members if m in keepers) == 1
+    # (2) every pruned vector justified by an exact >= thr pair
+    exact = {
+        (r.qid, r.cid)
+        for r in similarity.cosine_near_dup_pairs(e, thr).collect()
+    }
+    nbrs = {}
+    for q, c in exact:
+        nbrs.setdefault(q, set()).add(c)
+        nbrs.setdefault(c, set()).add(q)
+    for r in sd:
+        if not r.keep:
+            assert nbrs.get(r.vec_id), f"pruned {r.vec_id} has no near-dup"
+    # (3) recall: exact near-dup pairs whose endpoints share a
+    # component (the quantizer may split some across cells)
+    if exact:
+        hit = sum(1 for q, c in exact if comp_of[q] == comp_of[c])
+        recall = hit / len(exact)
+        assert recall >= 0.6, f"semdedup pair recall {recall}"
+
+
+def test_bpe_train_matches_reference(spark):
+    """Distributed BPE training learns EXACTLY the merges of the
+    reference algorithm (Sennrich-style pair counting over the word
+    frequency table, greedy max-freq with (freq desc, pair asc)
+    tiebreak), and bpe_encode round-trips: joining a word's tokens
+    restores word + end marker."""
+    from iceberg_daq_spark.operators import bpe
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "wide wider widest low new",
+        "low low lower new newest",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+
+    # reference implementation (driver-side, from the published
+    # algorithm: count adjacent symbol pairs weighted by word freq)
+    from collections import Counter
+
+    wc = Counter(w for t in texts for w in t.split(" ") if w)
+    vocab = {w: list(w) + [bpe.END] for w in wc}
+
+    def ref_merges(n):
+        out = []
+        v = {w: list(s) for w, s in vocab.items()}
+        for _ in range(n):
+            pc = Counter()
+            for w, syms in v.items():
+                for i in range(len(syms) - 1):
+                    pc[(syms[i], syms[i + 1])] += wc[w]
+            if not pc:
+                break
+            best = max(pc.items(), key=lambda kv: (kv[1], [-ord(c) for c in kv[0][0]], [-ord(c) for c in kv[0][1]]))
+            # tiebreak: freq desc, pair asc -> emulate with sorted
+            top_f = max(pc.values())
+            cands = sorted(p for p, f in pc.items() if f == top_f)
+            pair = cands[0]
+            if top_f < 2:
+                break
+            out.append(pair)
+            a, b = pair
+            for w, syms in v.items():
+                j, ns = 0, []
+                while j < len(syms):
+                    if j < len(syms) - 1 and syms[j] == a and syms[j + 1] == b:
+                        ns.append(a + b)
+                        j += 2
+                    else:
+                        ns.append(syms[j])
+                        j += 1
+                v[w] = ns
+            del best
+        return out
+
+    want = ref_merges(12)
+    # driver-side fast path (vocab fits) AND the fully distributed
+    # rounds must both learn exactly the reference merges
+    got = bpe.train_bpe(docs, 12)
+    assert got == want, f"\ngot  {got}\nwant {want}"
+    got_dist = bpe.train_bpe(docs, 12, max_driver_vocab=0)
+    assert got_dist == want, f"\ngot  {got_dist}\nwant {want}"
+
+    enc = {r.doc_id: r for r in bpe.bpe_encode(docs, got).collect()}
+    for i, t in enumerate(texts):
+        joined = "".join(enc[i].tokens)
+        assert joined == "".join(
+            w + bpe.END for w in t.split(" ") if w
+        )
+        assert enc[i].n_tokens == len(enc[i].tokens)
+        # merges actually compress: fewer tokens than characters
+        assert enc[i].n_tokens < sum(len(w) + 1 for w in t.split(" "))
