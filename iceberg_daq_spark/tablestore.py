@@ -803,6 +803,7 @@ class MergeTable:
         where: str | None = None,
         tag: str | None = None,
         branch: str | None = None,
+        _pos: bool = False,
     ) -> DataFrame | None:
         """A snapshot: the current one, or - time travel - any retained
         prior ``version`` (the Iceberg ``VERSION AS OF`` analog; older
@@ -822,7 +823,11 @@ class MergeTable:
 
         ``tag`` reads a named ref (Iceberg ``VERSION AS OF 'tag'``);
         tagged snapshots are GC-pinned, so a tag read works at any
-        age."""
+        age.
+
+        ``_pos`` (internal, the position-delete writer's input):
+        append each row's physical identity - table-relative file path
+        and parquet row index - as ``_pos_file`` / ``_pos_row``."""
         if branch is not None:
             if self.branch is not None and branch != self.branch:
                 raise ValueError("instance already bound to a branch")
@@ -873,7 +878,9 @@ class MergeTable:
             else {}
         )
         if not dels:
-            out = self._read_subset(spark, m, names, conjs, kept_files, phys_of)
+            out = self._read_subset(
+                spark, m, names, conjs, kept_files, phys_of, with_pos=_pos
+            )
         else:
             # merge-on-read: group the data dirs by which delete files
             # apply (sequence-number semantics at dir granularity - a
@@ -889,23 +896,43 @@ class MergeTable:
                 groups.setdefault(gkey, []).append(n)
             parts = []
             for gkey in sorted(groups, key=lambda k: groups[k]):
+                has_pos_del = any(
+                    e.get("kind") == "position"
+                    for e in dels
+                    if e["dir"] in gkey
+                )
                 sub = self._read_subset(
-                    spark, m, groups[gkey], conjs, kept_files, phys_of
+                    spark,
+                    m,
+                    groups[gkey],
+                    conjs,
+                    kept_files,
+                    phys_of,
+                    with_pos=_pos or has_pos_del,
                 )
                 for e in dels:
                     if e["dir"] not in gkey:
                         continue
-                    ddf = spark.read.parquet(
-                        os.path.join(self.path, e["dir"])
-                    ).select(
-                        *[
-                            F.col(c["physical"]).alias(c["name"])
-                            for c in e["cols"]
-                        ]
-                    )
-                    sub = sub.join(
-                        ddf, [c["name"] for c in e["cols"]], "left_anti"
-                    )
+                    droot = os.path.join(self.path, e["dir"])
+                    if e.get("kind") == "position":
+                        ddf = spark.read.parquet(droot).select(
+                            "_pos_file", "_pos_row"
+                        )
+                        sub = sub.join(
+                            ddf, ["_pos_file", "_pos_row"], "left_anti"
+                        )
+                    else:
+                        ddf = spark.read.parquet(droot).select(
+                            *[
+                                F.col(c["physical"]).alias(c["name"])
+                                for c in e["cols"]
+                            ]
+                        )
+                        sub = sub.join(
+                            ddf, [c["name"] for c in e["cols"]], "left_anti"
+                        )
+                if has_pos_del and not _pos:
+                    sub = sub.drop("_pos_file", "_pos_row")
                 parts.append(sub)
             out = reduce(DataFrame.unionByName, parts)
         return out.filter(F.expr(where)) if where else out
@@ -918,17 +945,33 @@ class MergeTable:
         conjs: list,
         kept_files: dict,
         phys_of: dict[str, str],
+        with_pos: bool = False,
     ) -> DataFrame:
         """The logical frame of a subset of a snapshot's data dirs
         (the whole snapshot in the common case): per-dir scans with
         partition/transform pruning and manifest-stats file skipping,
-        unioned, then the physical->logical schema mapping."""
+        unioned, then the physical->logical schema mapping.
+
+        ``with_pos`` threads each row's physical position - the
+        table-relative file path and the parquet row index (Spark's
+        ``_metadata`` hidden columns) - through as ``_pos_file`` /
+        ``_pos_row``: the row identity position deletes key on."""
         dir_specs = m.get("dir_specs") or {}
         dirs = [os.path.join(self.path, d) for d in names]
+        raw_pos = (
+            [
+                F.col("_metadata.file_path").alias("_raw_pos_file"),
+                F.col("_metadata.row_index").alias("_pos_row"),
+            ]
+            if with_pos
+            else []
+        )
         if not any(dir_specs.get(n) for n in names):
             if not any(v is not None for v in kept_files.values()):
                 # unpartitioned snapshot: one multi-path scan
                 df = spark.read.parquet(*dirs)
+                if with_pos:
+                    df = df.select("*", *raw_pos)
             else:
                 from functools import reduce
 
@@ -938,7 +981,9 @@ class MergeTable:
                 df = reduce(
                     DataFrame.unionByName,
                     [
-                        self._dir_scan(spark, d, kept_files.get(n)).select(*phys)
+                        self._dir_scan(spark, d, kept_files.get(n)).select(
+                            *phys, *raw_pos
+                        )
                         for n, d in zip(names, dirs)
                     ],
                 )
@@ -962,7 +1007,7 @@ class MergeTable:
                         # columns away: this is what turns the derived
                         # _p_* predicate into directory pruning
                         sub = sub.filter(pred)
-                parts.append(sub.select(*phys))
+                parts.append(sub.select(*phys, *raw_pos))
             df = reduce(DataFrame.unionByName, parts)
         # logical view: physical->logical rename (cast pins the type -
         # partition-directory inference may narrow e.g. bigint to int);
@@ -978,6 +1023,16 @@ class MergeTable:
                 cols.append(
                     F.lit(fld.get("default")).cast(fld["type"]).alias(fld["name"])
                 )
+        if with_pos:
+            # table-relative path: stable across table relocation,
+            # matches the delete files' stored identity
+            prefix = "file:" + os.path.abspath(self.path) + "/"
+            cols.append(
+                F.substring(
+                    F.col("_raw_pos_file"), len(prefix) + 1, 1_000_000
+                ).alias("_pos_file")
+            )
+            cols.append(F.col("_pos_row"))
         return df.select(*cols)
 
     # -- manifest-stats file skipping ---------------------------------
@@ -1534,7 +1589,13 @@ class MergeTable:
             raise ValueError(f"version {v} has no manifest")
         rows = []
         kinds = [("data", d) for d in _data_dirs(m)] + [
-            ("equality-deletes", e["dir"]) for e in _delete_entries(m)
+            (
+                "position-deletes"
+                if e.get("kind") == "position"
+                else "equality-deletes",
+                e["dir"],
+            )
+            for e in _delete_entries(m)
         ]
         for kind, d in kinds:
             root = os.path.join(self.path, d)
@@ -1788,13 +1849,17 @@ class MergeTable:
             # name; the delete files keep the old physical column (the
             # same field-id trick as the data files)
             dels = [
-                {
-                    **e,
-                    "cols": [
-                        {**c, "name": new if c["name"] == old else c["name"]}
-                        for c in e["cols"]
-                    ],
-                }
+                (
+                    {
+                        **e,
+                        "cols": [
+                            {**c, "name": new if c["name"] == old else c["name"]}
+                            for c in e["cols"]
+                        ],
+                    }
+                    if e.get("cols")
+                    else e  # position deletes carry no key columns
+                )
                 for e in _delete_entries(m)
             ]
             return self._commit_manifest(
@@ -2051,7 +2116,11 @@ class MergeTable:
         return self._optimistic_rewrite(spark, build, "merge", max_retries)
 
     def delete_where(
-        self, spark: SparkSession, condition, mode: str = "copy-on-write"
+        self,
+        spark: SparkSession,
+        condition,
+        mode: str = "copy-on-write",
+        form: str = "equality",
     ) -> int:
         """Iceberg ``DELETE FROM t WHERE cond``.  ``condition`` is a
         Column or SQL string; rows where it evaluates NULL are KEPT
@@ -2062,16 +2131,26 @@ class MergeTable:
         large deletes or read-heavy tables.
 
         ``mode="merge-on-read"`` (Iceberg v2 row-level deletes): write
-        ONLY an equality-delete file of the matching keys - O(deleted
-        rows) regardless of table size - and let :meth:`read` anti-join
-        it out.  The delete applies to the data dirs existing at
-        commit time (dir-granularity sequence numbers), so later
-        appends are unaffected even if they reuse a deleted key.  The
-        next rewrite (merge/update/compact/CoW delete) MATERIALIZES
-        pending deletes and drops the delete files - ``compact()`` is
-        the ``rewrite_position_delete_files`` analog.  Precondition:
-        rows are key-unique per the table contract, so deleting by key
-        is deleting the matched rows.  Optimistic in both modes."""
+        ONLY a delete file of the matching rows - O(deleted rows)
+        regardless of table size - and let :meth:`read` anti-join it
+        out.  The delete applies to the data dirs existing at commit
+        time (dir-granularity sequence numbers), so later appends are
+        unaffected even if they reuse a deleted key.  The next rewrite
+        (merge/update/compact/CoW delete) MATERIALIZES pending deletes
+        and drops the delete files - ``compact()`` is the
+        ``rewrite_position_delete_files`` analog.  Optimistic in both
+        modes.
+
+        ``form`` picks the Iceberg v2 delete-file flavor (merge-on-read
+        only):
+
+          * ``"equality"`` (default): the delete file stores the
+            matched MERGE-KEY values; removes every row with that key.
+            Right when rows are key-unique (the table contract).
+          * ``"position"``: the delete file stores (file, row-index)
+            identities from Spark's ``_metadata`` columns; removes
+            EXACTLY the matched physical rows - correct even for
+            duplicate keys, and the reads need no key columns."""
         cond = F.expr(condition) if isinstance(condition, str) else condition
         if mode == "copy-on-write":
             return self._optimistic_rewrite(
@@ -2081,13 +2160,17 @@ class MergeTable:
             )
         if mode != "merge-on-read":
             raise ValueError(f"unknown delete mode {mode!r}")
-        return self._delete_mor(spark, cond)
+        if form not in ("equality", "position"):
+            raise ValueError(f"unknown delete form {form!r}")
+        return self._delete_mor(spark, cond, form)
 
-    def _delete_mor(self, spark: SparkSession, cond, max_retries: int = 6) -> int:
-        """Equality-delete commit: stage the matched-key file with no
-        lock held, take the lock only to validate the base snapshot is
-        still current and flip the pointer (the same optimistic
-        protocol as every writer here)."""
+    def _delete_mor(
+        self, spark: SparkSession, cond, form: str, max_retries: int = 6
+    ) -> int:
+        """Merge-on-read delete commit: stage the matched-row delete
+        file (keys or positions) with no lock held, take the lock only
+        to validate the base snapshot is still current and flip the
+        pointer (the same optimistic protocol as every writer here)."""
         for _ in range(max_retries):
             base = self.current_version()
             if base is None:
@@ -2099,15 +2182,15 @@ class MergeTable:
                     "once before merge-on-read deletes"
                 )
             try:
-                current = self.read(spark, base)
+                current = self.read(spark, base, _pos=(form == "position"))
             except ValueError:
                 continue  # base expired under a concurrent commit: rebase
             keys = list(m.get("key_cols") or self.key_cols)
-            dels = (
-                current.filter(F.coalesce(cond, F.lit(False)))
-                .select(*keys)
-                .distinct()
-            )
+            hit = current.filter(F.coalesce(cond, F.lit(False)))
+            if form == "position":
+                dels = hit.select("_pos_file", "_pos_row")
+            else:
+                dels = hit.select(*keys).distinct()
             staged: str | None = self._stage(dels.coalesce(1), [])
             committed = False
             try:
@@ -2119,11 +2202,15 @@ class MergeTable:
                         entry = {
                             "dir": ddir,
                             "applies_to": _data_dirs(m),
+                            "kind": form,
+                        }
+                        if form == "equality":
                             # the delete file was WRITTEN from the
                             # logical frame, so its physical columns
                             # carry the logical names as of now
-                            "cols": [{"name": k, "physical": k} for k in keys],
-                        }
+                            entry["cols"] = [
+                                {"name": k, "physical": k} for k in keys
+                            ]
                         return self._commit_manifest(
                             v,
                             _data_dirs(m),

@@ -1435,3 +1435,65 @@ def test_metadata_tables(spark, tmp_path):
     assert h[cur].is_current_ancestor and h[cur].operation == "rollback"
     assert not h[2].is_current_ancestor
     assert h[2].parent == 1
+
+
+def test_mor_position_delete_exact_rows(spark, tmp_path):
+    """Position deletes (Iceberg v2 position delete files) remove
+    EXACTLY the matched physical rows - correct even when keys are
+    duplicated (where equality deletes would remove all copies) - with
+    no data rewrite, and rewrites materialize them."""
+    from iceberg_daq_spark.tablestore import MergeTable
+
+    t = MergeTable(str(tmp_path / "pos"), key_cols=("k",), keep_versions=6)
+    t.merge(spark.createDataFrame([(1, "a"), (2, "del-me"), (3, "c")], ["k", "v"]))
+    # append introduces a DUPLICATE key 2 (append never checks keys)
+    t.append(spark.createDataFrame([(2, "keep-me")], ["k", "v"]))
+
+    before = t._load_manifest(t.current_version())["data_dirs"]
+    t.delete_where(spark, "v = 'del-me'", mode="merge-on-read", form="position")
+    m = t._load_manifest(t.current_version())
+    assert m["data_dirs"] == before  # no rewrite
+    assert m["deletes"][0]["kind"] == "position"
+    assert "cols" not in m["deletes"][0]
+
+    got = sorted((r.k, r.v) for r in t.read(spark).collect())
+    # the OTHER k=2 row survives: position identity, not key identity
+    assert got == [(1, "a"), (2, "keep-me"), (3, "c")]
+    # time travel before the delete still shows the row
+    assert ("del-me" in {r.v for r in t.read(spark, version=2).collect()})
+
+    # a rewrite materializes and clears the position delete
+    t.compact(spark)
+    m2 = t._load_manifest(t.current_version())
+    assert m2["deletes"] == []
+    assert sorted((r.k, r.v) for r in t.read(spark).collect()) == got
+
+
+def test_mor_position_delete_partitioned_and_mixed(spark, tmp_path):
+    """Position deletes compose with partitioned layouts, where=
+    pruning, and a LATER equality delete on the same snapshot chain."""
+    from iceberg_daq_spark.tablestore import MergeTable
+
+    t = MergeTable(
+        str(tmp_path / "posp"),
+        key_cols=("k",),
+        keep_versions=8,
+        partition_spec=("lang",),
+    )
+    t.merge(
+        spark.createDataFrame(
+            [(i, "en" if i % 2 == 0 else "de", i * 10) for i in range(8)],
+            ["k", "lang", "n"],
+        )
+    )
+    t.delete_where(spark, "n = 30", mode="merge-on-read", form="position")
+    assert {r.k for r in t.read(spark).collect()} == set(range(8)) - {3}
+    # where= pruning still runs through the anti-join
+    assert {r.k for r in t.read(spark, where="lang = 'de'").collect()} == {1, 5, 7}
+    # stack an equality delete on top of the position delete
+    t.delete_where(spark, "k = 4", mode="merge-on-read")
+    assert {r.k for r in t.read(spark).collect()} == {0, 1, 2, 5, 6, 7}
+    f = t.files(spark).collect()
+    assert {r.content for r in f} == {
+        "data", "position-deletes", "equality-deletes"
+    }
