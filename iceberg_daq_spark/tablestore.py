@@ -2162,15 +2162,49 @@ class MergeTable:
             raise ValueError(f"unknown delete mode {mode!r}")
         if form not in ("equality", "position"):
             raise ValueError(f"unknown delete form {form!r}")
-        return self._delete_mor(spark, cond, form)
+
+        def build(m: dict, base: int) -> DataFrame | None:
+            try:
+                current = self.read(spark, base, _pos=(form == "position"))
+            except ValueError:
+                return None  # base expired under a concurrent commit
+            hit = current.filter(F.coalesce(cond, F.lit(False)))
+            if form == "position":
+                return hit.select("_pos_file", "_pos_row")
+            keys = list(m.get("key_cols") or self.key_cols)
+            return hit.select(*keys).distinct()
+
+        return self._delete_mor(spark, build, form)
+
+    def delete_keys(self, spark: SparkSession, keys_df: DataFrame) -> int:
+        """Merge-on-read delete BY KEY SET: commit ``keys_df`` (one
+        row per key tuple to remove) directly as an equality-delete
+        file - no table scan at all, O(keys) end to end.  The CDC
+        shape: a change stream already KNOWS the deleted keys, so
+        applying them must not cost a pass over the table
+        (:func:`apply_changes_stream` uses this).  Keys for rows not
+        present simply match nothing.  Optimistic like every writer."""
+
+        def build(m: dict, base: int) -> DataFrame:
+            keys = list(m.get("key_cols") or self.key_cols)
+            missing = [k for k in keys if k not in keys_df.columns]
+            if missing:
+                raise ValueError(f"delete_keys() missing key columns {missing}")
+            types = {f["name"]: f["type"] for f in m["schema"]}
+            return keys_df.select(
+                *[F.col(k).cast(types[k]).alias(k) for k in keys]
+            ).distinct()
+
+        return self._delete_mor(spark, build, "equality")
 
     def _delete_mor(
-        self, spark: SparkSession, cond, form: str, max_retries: int = 6
+        self, spark: SparkSession, build, form: str, max_retries: int = 6
     ) -> int:
-        """Merge-on-read delete commit: stage the matched-row delete
-        file (keys or positions) with no lock held, take the lock only
-        to validate the base snapshot is still current and flip the
-        pointer (the same optimistic protocol as every writer here)."""
+        """Merge-on-read delete commit: stage the delete file
+        (``build(manifest, base_version)`` -> keys or positions) with
+        no lock held, take the lock only to validate the base snapshot
+        is still current and flip the pointer (the same optimistic
+        protocol as every writer here)."""
         for _ in range(max_retries):
             base = self.current_version()
             if base is None:
@@ -2181,16 +2215,10 @@ class MergeTable:
                     f"legacy table {self.path} has no manifest; run compact() "
                     "once before merge-on-read deletes"
                 )
-            try:
-                current = self.read(spark, base, _pos=(form == "position"))
-            except ValueError:
-                continue  # base expired under a concurrent commit: rebase
             keys = list(m.get("key_cols") or self.key_cols)
-            hit = current.filter(F.coalesce(cond, F.lit(False)))
-            if form == "position":
-                dels = hit.select("_pos_file", "_pos_row")
-            else:
-                dels = hit.select(*keys).distinct()
+            dels = build(m, base)
+            if dels is None:
+                continue  # base expired under a concurrent commit: rebase
             staged: str | None = self._stage(dels.coalesce(1), [])
             committed = False
             try:
@@ -2362,6 +2390,64 @@ def run_stream_to_table(
         stream_df.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
         .foreachBatch(upsert)
+    )
+    q = writer.trigger(availableNow=True).start() if available_now else writer.start()
+    q.awaitTermination()
+    return q
+
+
+def apply_changes_stream(
+    stream_df: DataFrame,
+    table: MergeTable,
+    checkpoint_dir: str,
+    op_col: str = "op",
+    seq_col: str | None = None,
+    available_now: bool = True,
+):
+    """CDC apply: stream rows tagged with an operation column (``'I'``
+    / ``'U'`` upserts, ``'D'`` deletes) into the table - the
+    ``APPLY CHANGES INTO`` / Iceberg ``MERGE`` with
+    ``WHEN MATCHED AND op='D' THEN DELETE`` pattern, per micro-batch:
+
+      1. within the batch, keep only each key's LAST change (by
+         ``seq_col`` if given, the CDC ordering column; else arrival
+         order is assumed key-unique after dropDuplicates) - a key
+         inserted then deleted inside one batch nets to the delete;
+      2. upserts MERGE into the table (one snapshot);
+      3. deletes commit via :meth:`MergeTable.delete_keys` as a
+         MERGE-ON-READ EQUALITY-DELETE file - O(deleted) with NO scan
+         of the table (the reason CDC streams into big tables want
+         Iceberg v2 deletes).
+
+    Replay-idempotent like :func:`run_stream_to_table`: re-merging the
+    same upserts leaves the snapshot unchanged, and re-deleting
+    already-deleted keys matches nothing.  The ``op``/``seq`` columns
+    never reach the table."""
+    from pyspark.sql import Window
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        keys = list(table._effective_keys())
+        if seq_col is not None:
+            w = Window.partitionBy(*keys).orderBy(F.desc(seq_col))
+            last = (
+                batch_df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn", seq_col)
+            )
+        else:
+            last = batch_df.dropDuplicates(keys)
+        last = last.localCheckpoint()  # one materialization, two consumers
+        ups = last.filter(F.col(op_col) != "D").drop(op_col)
+        dels = last.filter(F.col(op_col) == "D").select(*keys)
+        if ups.limit(1).count():
+            table.merge(ups)
+        if table.current_version() is not None and dels.limit(1).count():
+            table.delete_keys(batch_df.sparkSession, dels)
+
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(apply_batch)
     )
     q = writer.trigger(availableNow=True).start() if available_now else writer.start()
     q.awaitTermination()
