@@ -1425,6 +1425,12 @@ class MergeTable:
         # tagged snapshots are pinned: their manifests and data dirs
         # survive any retention window until the tag is dropped
         keep |= set(self.tags().values())
+        return self._sweep_locked(keep)
+
+    def _sweep_locked(self, keep: set[int]) -> list[str]:
+        """Remove every manifest not in ``keep``, then every data /
+        delete dir no retained manifest references, then stale staged
+        dirs.  The physical half of both expiry policies."""
         removed: list[str] = []
         referenced: set[str] = set()
         for entry in sorted(os.listdir(self.path)):
@@ -1772,6 +1778,52 @@ class MergeTable:
             if cur is None:
                 return []
             return self._expire_and_gc_locked(cur)
+
+    def expire_snapshots(
+        self, older_than_s: float, retain_last: int = 1
+    ) -> list[str]:
+        """Time-based snapshot expiry (Iceberg ``expire_snapshots
+        (older_than=..., retain_last=...)``): drop every retained
+        snapshot older than ``older_than_s`` seconds, EXCEPT the last
+        ``retain_last`` of each ref's own history, tagged snapshots,
+        and chains a retained rollback still pins.  The count-based
+        ``keep_versions`` window keeps applying on every commit; this
+        is the maintenance action that reclaims long history on a
+        time policy.  Returns the removed entries."""
+        with _commit_lock(self.path):
+            cur = self.current_version()
+            if cur is None:
+                return []
+            cutoff = _dt.datetime.now(_dt.timezone.utc) - _dt.timedelta(
+                seconds=older_than_s
+            )
+
+            def fresh(v: int) -> bool:
+                m = self._load_manifest(v)
+                ts = (m or {}).get("committed_at")
+                if ts is None:
+                    return False  # legacy manifests have no timestamp
+                return _dt.datetime.fromisoformat(ts) >= cutoff
+
+            keep: set[int] = set()
+            pending = list({cur, *self._ref_heads().values()})
+            while pending:
+                head = pending.pop()
+                chain = self._ancestors(head, 10**9)
+                for i, v in enumerate(chain):
+                    if v in keep:
+                        continue
+                    if i < retain_last or fresh(v):
+                        keep.add(v)
+                        ab = (self._load_manifest(v) or {}).get("abandoned_head")
+                        if ab is not None and ab not in keep:
+                            pending.append(ab)
+                    else:
+                        # ancestry older than the cutoff: everything
+                        # beyond this point on the chain is older still
+                        break
+            keep |= set(self.tags().values())
+            return self._sweep_locked(keep)
 
     # -- schema evolution (metadata-only commits) ---------------------
     def _require_manifest_locked(self) -> dict:

@@ -1497,3 +1497,38 @@ def test_mor_position_delete_partitioned_and_mixed(spark, tmp_path):
     assert {r.content for r in f} == {
         "data", "position-deletes", "equality-deletes"
     }
+
+
+def test_expire_snapshots_time_based(spark, tmp_path):
+    """expire_snapshots(older_than_s): aged-out snapshots leave, the
+    last retain_last of the ref's history stay regardless of age, tags
+    pin their snapshot past any age, and the table still reads."""
+    import datetime as dt
+    import json
+
+    from iceberg_daq_spark.tablestore import MergeTable
+
+    t = MergeTable(str(tmp_path / "age"), key_cols=("k",), keep_versions=10)
+    for i in range(5):
+        t.merge(spark.createDataFrame([(i, f"v{i}")], ["k", "v"]))
+    t.create_tag("pin", version=2)
+
+    # age versions 1..3 far past any cutoff by rewriting committed_at
+    old = (
+        dt.datetime.now(dt.timezone.utc) - dt.timedelta(days=30)
+    ).isoformat(timespec="seconds")
+    for v in (1, 2, 3):
+        p = os.path.join(t.path, f"v{v:06d}.json")
+        m = json.load(open(p))
+        m["committed_at"] = old
+        json.dump(m, open(p, "w"))
+
+    removed = t.expire_snapshots(older_than_s=3600, retain_last=1)
+    left = sorted(
+        int(f[1:7]) for f in os.listdir(t.path) if f.endswith(".json")
+    )
+    # 4, 5 are fresh; 2 is tag-pinned; 1 and 3 aged out
+    assert left == [2, 4, 5]
+    assert "v000001.json" in removed and "v000003.json" in removed
+    assert {r.k for r in t.read(spark).collect()} == {0, 1, 2, 3, 4}
+    assert {r.k for r in t.read(spark, tag="pin").collect()} == {0, 1}
