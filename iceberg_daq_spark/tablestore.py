@@ -134,6 +134,47 @@ def _delete_entries(manifest: dict | None) -> list[dict]:
     return list((manifest or {}).get("deletes") or [])
 
 
+_Z_BITS = 4  # quantile-bucket rank bits per z-order column (16 buckets)
+
+
+def _zorder_layout(df: DataFrame, cols: list[str], target_files: int) -> DataFrame:
+    """Range-cluster ``df`` into ``target_files`` slices of an
+    interleaved-bit Z-value over ``cols`` (numeric/timestamp).
+
+    Rank = quantile bucket (one bounded ``approxQuantile`` driver pass
+    per rewrite - the same sample-the-distribution move as range
+    partitioning itself), so skewed columns still fill all 2^bits
+    buckets; the Z-value interleaves each column's rank bits so files
+    cover small hyper-rectangles of the combined key space and the
+    per-file [min, max] stats prune on ANY of the columns.  NULLs rank
+    lowest.  The Z-value is a derived expression - computed for the
+    shuffle + sort, never written."""
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"zorder references unknown columns {missing}")
+    n_buckets = 1 << _Z_BITS
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    tmp_names = [f"_z_{i}" for i in range(len(cols))]
+    tmp = df.select(
+        *[F.col(c).cast("double").alias(t) for c, t in zip(cols, tmp_names)]
+    )
+    cuts = tmp.stat.approxQuantile(tmp_names, probs, 0.01)
+    z = F.lit(0)
+    k = len(cols)
+    for i, (c, col_cuts) in enumerate(zip(cols, cuts)):
+        v = F.col(c).cast("double")
+        bucket = F.lit(0)
+        for q in col_cuts:
+            bucket = bucket + F.when(v > F.lit(q), 1).otherwise(0)
+        for b in range(_Z_BITS):
+            z = z + F.shiftleft(
+                F.shiftright(bucket, b).bitwiseAND(F.lit(1)), b * k + i
+            )
+    return df.repartitionByRange(target_files, z.alias("_zval")).sortWithinPartitions(
+        z.alias("_zval")
+    )
+
+
 @contextmanager
 def _commit_lock(path: str):
     """A46: serialize commits the way the reference's cron lockfile
@@ -2352,6 +2393,7 @@ class MergeTable:
         spark: SparkSession,
         target_files: int = 1,
         target_mb: int | None = None,
+        zorder: tuple[str, ...] | list[str] = (),
     ) -> int:
         """Maintenance: rewrite the current snapshot into
         ``target_files`` files (Iceberg ``rewrite_data_files`` analog) -
@@ -2366,10 +2408,35 @@ class MergeTable:
         files (Iceberg's sort-rewrite), so compaction tightens the
         manifest min/max stats instead of destroying them.  Optimistic
         like every rewrite: maintenance never blocks concurrent
-        appenders' data writes."""
+        appenders' data writes.
+
+        ``zorder=(colA, colB, ...)`` is the multi-dimension rewrite
+        strategy (Iceberg ``rewrite_data_files(strategy => 'sort',
+        sort_order => 'zorder(a, b)')``): rows cluster on an
+        interleaved-bit Z-value over the columns' quantile-bucket
+        ranks, so the manifest [min, max] stats become selective on
+        EVERY listed column at once - a linear sort order can only
+        serve its leading column.  The Z-value is derived at rewrite
+        (quantile boundaries via one approxQuantile pass, bucket +
+        interleave as JVM expressions) and never stored.  Mutually
+        exclusive with a table sort order (clear it first - the
+        clustered write would otherwise re-sort and destroy the
+        Z-layout)."""
         if target_mb is not None:
             total = self._data_bytes()
             target_files = max(1, -(-total // (target_mb * 1024 * 1024)))
+
+        if zorder:
+            if self._current_sort():
+                raise ValueError(
+                    "zorder compaction conflicts with the table sort order "
+                    f"{self._current_sort()}; set_sort_order() (no args) first"
+                )
+            return self._optimistic_rewrite(
+                spark,
+                lambda df, man: _zorder_layout(df, list(zorder), target_files),
+                "compact",
+            )
 
         def build(df: DataFrame, man: dict | None) -> DataFrame:
             if (man or {}).get("sort_order"):

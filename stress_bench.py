@@ -48,6 +48,11 @@ STRESS_QUERIES = [
     # map-only regex battery, and the token-explode joins - all should
     # scale ~linearly in rows
     "q78", "q79", "q81", "q82",
+    # r8 wave 2: SemDeDup (cell-bounded matrix scoring + CC), BM25
+    # (query-term-bounded), n-gram novelty (inverted-index df join),
+    # BPE training (vocab-sized rounds: must scale SUBlinearly - the
+    # 10x corpus has nearly the same distinct-word vocabulary)
+    "q86", "q84", "q88", "q89",
 ]
 # superlinear-blowup tripwire: 10x rows may legitimately cost more than
 # 10x on the pair-counting queries (pair count itself grows with the

@@ -1532,3 +1532,44 @@ def test_expire_snapshots_time_based(spark, tmp_path):
     assert "v000001.json" in removed and "v000003.json" in removed
     assert {r.k for r in t.read(spark).collect()} == {0, 1, 2, 3, 4}
     assert {r.k for r in t.read(spark, tag="pin").collect()} == {0, 1}
+
+
+def test_zorder_compaction_prunes_both_dims(spark, tmp_path):
+    """compact(zorder=(x, y)): the rewritten files cover small
+    hyper-rectangles of (x, y), so a point/range predicate on EITHER
+    column stats-prunes to a strict subset of files - the property a
+    linear sort order only gives its leading column."""
+    from iceberg_daq_spark.tablestore import MergeTable
+
+    t = MergeTable(str(tmp_path / "z"), key_cols=("k",), keep_versions=3)
+    # x and y deliberately uncorrelated: row i gets x=i, y=reversed bits
+    n = 4096
+    rows = [(i, i, int(format(i % 64, "06b")[::-1], 2) * 64 + i // 64) for i in range(n)]
+    t.merge(spark.createDataFrame(rows, "k long, x long, y long"))
+    t.compact(spark, target_files=8, zorder=("x", "y"))
+
+    m = t._load_manifest(t.current_version())
+    stats = m["file_stats"][m["data_dirs"][0]]
+    assert len(stats) == 8
+
+    def n_files(where):
+        df = t.read(spark, where=where)
+        return len({f for f in df.inputFiles()})
+
+    total = len(stats)
+    # a z-contiguous eighth of the key space fixes the top interleaved
+    # bits - about HALF of each dimension's range (plus one file of
+    # range-sampling boundary slop) - so a 1/16-range predicate on
+    # EITHER column prunes to a strict subset; a linear sort order
+    # would leave its non-leading column at all 8 files every time
+    nx = n_files("x >= 0 AND x < 256")
+    ny = n_files("y >= 0 AND y < 256")
+    assert nx < total and ny < total, (nx, ny, total)
+    assert nx + ny <= total + 3, (nx, ny, total)
+    # contents unchanged by the rewrite
+    assert t.read(spark).count() == n
+
+    # zorder and a linear sort order are mutually exclusive
+    t.set_sort_order("x")
+    with pytest.raises(ValueError, match="sort order"):
+        t.compact(spark, zorder=("x", "y"))
