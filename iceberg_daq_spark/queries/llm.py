@@ -1582,3 +1582,72 @@ def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return bpe.bpe_vocab(d, n_merges=24)
+
+
+@register("q90_training_prep_pipeline", oracle=None)
+def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data prep pipeline, composed from the
+    engine's own stages: exact dedup (keep the canonical copy) ->
+    Gopher-style quality gate (length + repetition) -> BPE tokenize
+    with merges TRAINED ON THE SURVIVING CORPUS -> pack the real BPE
+    token counts into 512-token windows per language -> per-language
+    packing summary (docs kept/dropped, sequences, tokens, mean fill).
+
+    Rows-only by design (the BPE stage is iterative); pipeline
+    invariants (kept-set containment, token conservation through
+    packing, fill bounds) are asserted in
+    tests/test_operators.py::test_q90_pipeline_invariants.
+
+    100 TB shape: every stage is one already-verified bounded
+    operator - dedup is the q40 hash exchange, the quality gate is
+    map-only, BPE training is vocab-sized (operators/bpe.py), encoding
+    is Arrow-batched map-only, packing is q69's per-language window +
+    partial agg.  Nothing here introduces a new shuffle class."""
+    from pyspark.sql import Window
+
+    from iceberg_daq_spark.operators import bpe
+
+    d = load(spark, sf_dir, "documents")
+    # stage 1: exact dedup - canonical copy per content hash
+    wdup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    kept = (
+        d.withColumn("_rn", F.row_number().over(wdup))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    # stage 2: quality gate (q76's first-match rules, map-only)
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)) / n_tok
+    kept = kept.filter((n_tok >= 5) & (distinct_ratio >= 0.3))
+    # stage 3: BPE merges from the SURVIVING corpus, then encode
+    merges = bpe.train_bpe(kept, n_merges=16)
+    enc = bpe.bpe_encode(kept, merges).select("doc_id", "n_tokens")
+    enc = enc.join(kept.select("doc_id", "lang"), "doc_id")
+    # stage 4: pack real token counts into 512-token windows (q69 rule)
+    wpack = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = enc.withColumn(
+        "bin_id",
+        F.floor(
+            (F.sum("n_tokens").over(wpack) - F.col("n_tokens")) / F.lit(512.0)
+        ).cast("long"),
+    )
+    # stage 5: per-language summary
+    return (
+        binned.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs_kept"),
+            F.countDistinct("bin_id").cast("bigint").alias("n_seqs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.floor(
+                F.sum("n_tokens") * 100.0 / (F.countDistinct("bin_id") * 512.0)
+            )
+            .cast("bigint")
+            .alias("mean_fill_pct"),
+        )
+        .orderBy("lang")
+    )

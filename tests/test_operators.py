@@ -810,3 +810,52 @@ def test_bpe_train_matches_reference(spark):
         assert enc[i].n_tokens == len(enc[i].tokens)
         # merges actually compress: fewer tokens than characters
         assert enc[i].n_tokens < sum(len(w) + 1 for w in t.split(" "))
+
+
+def test_q90_pipeline_invariants(spark, sf_dir):
+    """The composed training-prep pipeline conserves what its stages
+    promise: kept docs are a subset of the corpus with no duplicate
+    content hashes, token totals equal the sum of the per-doc BPE
+    encodings of exactly the kept docs, and every bin's fill is
+    positive with mean fill <= 100% + one straddling doc's worth."""
+    from pyspark.sql import functions as F
+
+    from iceberg_daq_spark.operators import bpe
+    from iceberg_daq_spark.queries.llm import q90
+    from iceberg_daq_spark.tables import load
+
+    out = {r.lang: r for r in q90(spark, sf_dir).collect()}
+    assert out
+
+    # reproduce the kept set (stages 1-2 are deterministic)
+    d = load(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    wdup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    kept = (
+        d.withColumn("_rn", F.row_number().over(wdup))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    toks = F.split(F.col("text"), " ")
+    kept = kept.filter(
+        (F.size(toks) >= 5) & (F.size(F.array_distinct(toks)) / F.size(toks) >= 0.3)
+    )
+    kept_counts = {r.lang: r.n for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert {k: v.n_docs_kept for k, v in out.items()} == kept_counts
+
+    # token conservation: summary totals == independent re-encoding
+    merges = bpe.train_bpe(kept, n_merges=16)
+    enc = bpe.bpe_encode(kept, merges).join(kept.select("doc_id", "lang"), "doc_id")
+    tok_totals = {
+        r.lang: r.s
+        for r in enc.groupBy("lang").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    assert {k: v.total_tokens for k, v in out.items()} == tok_totals
+
+    for r in out.values():
+        assert r.n_seqs >= 1 and r.total_tokens > 0
+        # streaming-fill windows: every bin except possibly the last is
+        # filled past its boundary by a straddling doc, so mean fill
+        # sits near 100 and NEVER below 100 * (n_seqs-1)/n_seqs
+        assert r.mean_fill_pct >= 100 * (r.n_seqs - 1) // r.n_seqs

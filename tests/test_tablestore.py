@@ -1573,3 +1573,53 @@ def test_zorder_compaction_prunes_both_dims(spark, tmp_path):
     t.set_sort_order("x")
     with pytest.raises(ValueError, match="sort order"):
         t.compact(spark, zorder=("x", "y"))
+
+
+def test_catalog_warehouse(spark, tmp_path):
+    """Catalog: named tables under a warehouse root - creation-time
+    properties persist in the descriptor, load_table reconstructs the
+    same table across 'sessions', list/drop/exists work, and the view
+    facade exposes the warehouse to spark.sql."""
+    from iceberg_daq_spark.catalog import Catalog
+    from iceberg_daq_spark.tablestore import CommitConflict  # noqa: F401
+
+    cat = Catalog(str(tmp_path / "wh"))
+    t = cat.create_table(
+        "daq.runs_cat", key_cols=("run",), partition_spec=("mode",)
+    )
+    t.merge(
+        spark.createDataFrame(
+            [(1, "cosmic", 10), (2, "pulser", 20)], ["run", "mode", "n"]
+        )
+    )
+    # a FRESH catalog instance (new session analog) sees properties
+    t2 = Catalog(str(tmp_path / "wh")).load_table("daq.runs_cat")
+    assert t2.key_cols == ("run",)
+    assert t2._current_spec() == ["mode"]
+    got = {r.run: r.n for r in t2.read(spark).collect()}
+    assert got == {1: 10, 2: 20}
+
+    cat.create_table("llm.docs_cat", key_cols=("doc_id",))
+    assert cat.list_tables() == ["daq.runs_cat", "llm.docs_cat"]
+    assert cat.list_tables("llm") == ["llm.docs_cat"]
+    assert cat.table_exists("daq.runs_cat")
+    with pytest.raises(ValueError, match="already exists"):
+        cat.create_table("daq.runs_cat", key_cols=("run",))
+    # idempotent create with exists_ok keeps the original properties
+    same = cat.create_table("daq.runs_cat", key_cols=("other",), exists_ok=True)
+    assert same.key_cols == ("run",)
+
+    cat.register_views(spark)
+    assert spark.sql(
+        "SELECT sum(n) AS s FROM daq_runs_cat"
+    ).collect()[0].s == 30
+
+    # default namespace sugar + drop with purge
+    cat.create_table("scratch", key_cols=("k",))
+    assert "default.scratch" in cat.list_tables()
+    cat.drop_table("scratch")
+    assert not cat.table_exists("scratch")
+    # drop without purge leaves the directory, removes the entry
+    cat.drop_table("llm.docs_cat", purge=False)
+    assert not cat.table_exists("llm.docs_cat")
+    assert os.path.isdir(str(tmp_path / "wh" / "llm" / "docs_cat"))
