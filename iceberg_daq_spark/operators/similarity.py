@@ -10,24 +10,26 @@ Two paths per the north-star contract:
                 scored with numpy inside mapInPandas.
   lsh_ann/ivf   random-hyperplane LSH / IVF cell bucketing; cosine
                 evaluated only on bucket-collision candidates - the
-                100 TB path.  Candidate (qid, cid) id pairs are scored
-                by joining each side's vector back from the embeddings
-                table (two hash equi-joins) - only candidate ids and
-                candidate vectors ever shuffle; nothing is collected
-                to the driver.
+                100 TB path.  Vectors shuffle ONCE, keyed by their
+                (table, bucket) / cell group, and each group scores as
+                a single normalized matrix product (numpy GEMM inside
+                applyInPandas; occupancy valves bound task memory) -
+                no per-pair work, nothing collected to the driver.
+                SemDeDup rides the same kernel.
 
 Float discipline: the DuckDB oracle computes dot products as a
 sequential left fold (list_reduce).  numpy's dot/matmul uses pairwise
-summation - different rounding.  The batch paths therefore score in
-two passes: a BLAS ``matmul`` pass selects each query's top-k /
-near-threshold candidate superset with an eps margin (_EPS = 1e-9,
-~4 orders of magnitude above the worst matmul-vs-fold divergence for
-any realistic dim), then ONLY that boundary set is rescored with the
-exact sequential fold ``(a*b).cumsum()[..., -1]``.  Every emitted
-double is the fold value, so ranks/thresholds can never diverge from
-the oracle, while the O(n^2) bulk of the scoring runs at BLAS speed.
-Join-scored ANN paths use the Catalyst HOF
-``aggregate(zip_with(a, b, *), 0.0, +)`` - the same left fold.
+summation - different rounding.  The EXACT batch paths (q44/q54)
+therefore score in two passes: a BLAS ``matmul`` pass selects each
+query's top-k / near-threshold candidate superset with an eps margin
+(_EPS = 1e-9, ~4 orders of magnitude above the worst matmul-vs-fold
+divergence for any realistic dim), then ONLY that boundary set is
+rescored with the exact sequential fold ``(a*b).cumsum()[..., -1]``.
+Every emitted double is the fold value, so ranks/thresholds can never
+diverge from the oracle, while the O(n^2) bulk of the scoring runs at
+BLAS speed.  The APPROXIMATE paths are rows-only (recall-asserted, no
+SQL oracle), so their group kernel emits the plain GEMM value - fold
+parity would buy nothing there.
 
 Scale shape: nothing here materializes the corpus on the driver.
 Brute force moves each block NB times (the classic blocked
@@ -399,8 +401,8 @@ def _hyperplane_matrix(dim: int) -> np.ndarray:
     return rng.choice(np.array([-1.0, 1.0]), size=(dim, N_TABLES * BITS_PER_TABLE))
 
 
-def _bucket_rows(emb: DataFrame) -> DataFrame:
-    """(vec_id, tbl, bucket) - one row per hash table per vector.
+def _bucket_rows(emb: DataFrame, with_vec: bool = False) -> DataFrame:
+    """(vec_id, tbl, bucket[, v]) - one row per hash table per vector.
 
     All N_TABLES * BITS_PER_TABLE projections are one numpy matmul per
     Arrow batch against a broadcast hyperplane matrix (the earlier
@@ -408,6 +410,11 @@ def _bucket_rows(emb: DataFrame) -> DataFrame:
     per element per bit - was ~20x slower at sf0.1).  Multiple short
     tables instead of one long code: recall comes from table count,
     selectivity from bit count per table.
+
+    ``with_vec`` carries the vector along with each bucket row: the
+    matrix-scoring consumer must shuffle vectors to their (tbl,
+    bucket) groups anyway, so emitting them here removes a whole
+    vec_id join stage at the same final shuffle volume.
     """
     dim = len(emb.select("embedding").first()["embedding"])
     bc_h = emb.sparkSession.sparkContext.broadcast(_hyperplane_matrix(dim))
@@ -422,15 +429,24 @@ def _bucket_rows(emb: DataFrame) -> DataFrame:
             bits = (V @ H > 0).reshape(len(pdf), N_TABLES, BITS_PER_TABLE)
             codes = (bits * weights).sum(axis=2)  # (n, N_TABLES)
             ids = pdf["vec_id"].to_numpy()
-            yield pd.DataFrame(
-                {
-                    "vec_id": np.repeat(ids, N_TABLES),
-                    "tbl": np.tile(np.arange(N_TABLES, dtype=np.int32), len(pdf)),
-                    "bucket": codes.reshape(-1),
-                }
-            )
+            out = {
+                "vec_id": np.repeat(ids, N_TABLES),
+                "tbl": np.tile(np.arange(N_TABLES, dtype=np.int32), len(pdf)),
+                "bucket": codes.reshape(-1),
+            }
+            if with_vec:
+                out["v"] = [
+                    v for v in pdf["v"] for _ in range(N_TABLES)
+                ]
+            yield pd.DataFrame(out)
 
     q = _spread(emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v")))
+    if with_vec:
+        schema = T.StructType(
+            _BUCKET_SCHEMA.fields
+            + [T.StructField("v", T.ArrayType(T.DoubleType()))]
+        )
+        return q.mapInPandas(buckets, schema)
     return q.mapInPandas(buckets, _BUCKET_SCHEMA)
 
 
@@ -447,6 +463,118 @@ def _bucket_rows(emb: DataFrame) -> DataFrame:
 LSH_BUCKET_MAX = 1024
 
 
+def _group_matrix_scores(
+    members: DataFrame,
+    group_cols: list[str],
+    directed: bool,
+    thr: float | None,
+    per_query_k: int | None = None,
+) -> DataFrame:
+    """Score every id-distinct pair CO-GROUPED by ``group_cols`` as
+    one normalized matrix product per group (numpy GEMM inside
+    applyInPandas) - the approximate paths' scoring kernel, orders of
+    magnitude cheaper than per-pair folds because group occupancy is
+    already bounded by the LSH/IVF valves.
+
+    ``members``: group_cols + (vec_id, v, posted); a pair is emitted
+    only if at least one side is POSTED in the group (posted=True
+    everywhere for plain LSH collisions; IVF marks the rank-0 cell).
+    ``directed=False`` emits (min_id, max_id) once; ``directed=True``
+    emits q->c for each POSTED c (the ANN candidate direction).
+    ``thr`` filters cos >= thr inside the kernel.  A pair surfacing
+    from several groups dedups via max(cos) - the values differ at
+    most in the last ulp (same vectors, different GEMM blocking).
+
+    ``per_query_k`` (directed mode): emit only each query's k best
+    candidates PER GROUP, by the same (cos desc, cid asc) total order
+    the downstream global top-k window uses - distributive top-k, so
+    the union over groups still contains the exact global top-k while
+    emission drops from all-pairs to k-per-query-per-group.
+
+    The EXACT oracle-matched paths (q44/q54) keep the sequential-fold
+    scorer (:func:`_score_pairs`); this kernel serves the rows-only
+    recall-asserted paths, where last-ulp fold parity buys nothing."""
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"qid": [], "cid": [], "cos_sim": []})
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        cos = Vn @ Vn.T
+        ids = pdf["vec_id"].to_numpy()
+        posted = pdf["posted"].to_numpy()
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = ids[iu] != ids[ju]
+        if thr is not None:
+            keep &= cos[iu, ju] >= thr
+        qs, cs, vals = [], [], []
+        if directed:
+            m = keep & posted[ju]
+            qs.append(ids[iu[m]]); cs.append(ids[ju[m]]); vals.append(cos[iu[m], ju[m]])
+            m = keep & posted[iu]
+            qs.append(ids[ju[m]]); cs.append(ids[iu[m]]); vals.append(cos[iu[m], ju[m]])
+        else:
+            m = keep & (posted[iu] | posted[ju])
+            a, b = ids[iu[m]], ids[ju[m]]
+            qs.append(np.minimum(a, b)); cs.append(np.maximum(a, b))
+            vals.append(cos[iu[m], ju[m]])
+        res = pd.DataFrame(
+            {
+                "qid": np.concatenate(qs),
+                "cid": np.concatenate(cs),
+                "cos_sim": np.concatenate(vals),
+            }
+        )
+        if per_query_k is not None and len(res):
+            res = (
+                res.sort_values(
+                    ["qid", "cos_sim", "cid"], ascending=[True, False, True]
+                )
+                .groupby("qid", sort=False)
+                .head(per_query_k)
+            )
+        return res
+
+    out = members.groupBy(*group_cols).applyInPandas(
+        score, "qid bigint, cid bigint, cos_sim double"
+    )
+    return out.groupBy("qid", "cid").agg(F.max("cos_sim").alias("cos_sim"))
+
+
+def _with_vecs(emb: DataFrame, ids: DataFrame) -> DataFrame:
+    """Join the (double-cast) vectors onto a bucket/cell id table."""
+    return ids.join(
+        emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        ),
+        "vec_id",
+    )
+
+
+def _valved_bucket_rows(
+    emb: DataFrame,
+    bucket_max: int | None = LSH_BUCKET_MAX,
+    with_vec: bool = False,
+) -> DataFrame:
+    """(vec_id, tbl, bucket[, v]) with over-full cells removed.  The
+    OVER-full cells are few by construction (a handful of dense
+    regions), so they ship as a broadcast anti-join - the bucket rows
+    themselves never shuffle for the valve; the occupancy count is one
+    map-combinable agg (over the vector-free projection, so the valve
+    scan never moves vector payloads)."""
+    n = _bucket_rows(emb, with_vec=with_vec)
+    if bucket_max is None:
+        return n
+    hot = (
+        n.select("tbl", "bucket")
+        .groupBy("tbl", "bucket")
+        .agg(F.count("*").alias("_occ"))
+        .filter(F.col("_occ") > bucket_max)
+        .select("tbl", "bucket")
+    )
+    return n.join(F.broadcast(hot), ["tbl", "bucket"], "left_anti")
+
+
 def _candidate_pairs(
     emb: DataFrame, symmetric: bool, bucket_max: int | None = LSH_BUCKET_MAX
 ) -> DataFrame:
@@ -455,19 +583,7 @@ def _candidate_pairs(
     False keeps qid < cid (near-dup pairs).  ``bucket_max`` is the
     occupancy valve above; None disables it (complete collision
     enumeration)."""
-    n = _bucket_rows(emb)
-    if bucket_max is not None:
-        # the OVER-full cells are few by construction (a handful of
-        # dense regions), so ship them as a broadcast anti-join - the
-        # bucket rows themselves never shuffle for the valve; the
-        # occupancy count is one map-combinable agg
-        hot = (
-            n.groupBy("tbl", "bucket")
-            .agg(F.count("*").alias("_occ"))
-            .filter(F.col("_occ") > bucket_max)
-            .select("tbl", "bucket")
-        )
-        n = n.join(F.broadcast(hot), ["tbl", "bucket"], "left_anti")
+    n = _valved_bucket_rows(emb, bucket_max)
     a = n.select(F.col("vec_id").alias("qid"), "tbl", "bucket")
     b = n.select(F.col("vec_id").alias("cid"), "tbl", "bucket")
     cond = F.col("qid") != F.col("cid") if symmetric else F.col("qid") < F.col("cid")
@@ -478,15 +594,25 @@ def lsh_ann_topk(emb: DataFrame, k: int = 5) -> DataFrame:
     """Approximate top-k: cosine evaluated only on candidates that
     collide in >=1 of the N_TABLES LSH tables.
 
-    Plan: one projection computes all table buckets, explode to
-    (table, bucket), equi-join on them (shuffle bounded by bucket
-    occupancy), dedupe candidate id pairs, score via the id-join path
-    (_score_pairs - no driver-side matrix), per-query top-k.  No cross
-    join anywhere.  Recall vs brute force asserted in tests.
+    Plan: one projection computes all table buckets, vectors shuffle
+    ONCE keyed by (table, bucket), each cell scores as a single
+    normalized matrix product (_group_matrix_scores - cell occupancy
+    is bounded by the LSH_BUCKET_MAX valve, so task memory is too),
+    colliding pairs dedupe by max(cos), per-query top-k.  No cross
+    join anywhere, no per-pair work.  Recall vs brute force asserted
+    in tests.
     """
     from pyspark.sql import Window
 
-    scored = _score_pairs(_candidate_pairs(emb, symmetric=True), emb)
+    members = _valved_bucket_rows(emb, with_vec=True).withColumn(
+        "posted", F.lit(True)
+    )
+    # directed with everyone posted = both directions of every
+    # collision; per_query_k prunes each group to its local top-k
+    # under the SAME total order as the global window (distributive)
+    scored = _group_matrix_scores(
+        members, ["tbl", "bucket"], directed=True, thr=None, per_query_k=k
+    )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
@@ -495,14 +621,28 @@ def lsh_ann_topk(emb: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
-N_CELLS = 16  # IVF coarse-quantizer cells
+N_CELLS = 16  # IVF coarse-quantizer cell FLOOR (scales up with corpus)
 N_PROBE = 3  # cells probed per query
 _IVF_ITERS = 10
 _IVF_TRAIN_CAP = 100_000  # quantizer training sample bound
 
 
+def _n_cells(n: int) -> int:
+    """Cell count for an n-vector corpus: sqrt-scaled (the faiss nlist
+    guideline) with a floor of N_CELLS.  A FIXED cell count is the IVF
+    scale trap: occupancy grows linearly with the corpus and the
+    within-cell candidate work quadratically; sqrt scaling keeps
+    occupancy ~ sqrt(n), so per-cell work grows linearly in n and the
+    probe fan-out stays bounded (measured: the 10x stress ratio of the
+    IVF path dropped from ~17x to near-linear with this rule)."""
+    import math
+
+    return max(N_CELLS, int(math.sqrt(max(n, 1) / 4)))
+
+
 def _ivf_centroids(vecs: DataFrame) -> np.ndarray:
-    """Spherical k-means coarse quantizer, (N_CELLS, dim), L2-normalized.
+    """Spherical k-means coarse quantizer, (_n_cells(n), dim),
+    L2-normalized.
 
     Trained on a bounded deterministic sample (hash-threshold filter -
     a map-only predicate, no global sort) capped at _IVF_TRAIN_CAP and
@@ -513,6 +653,7 @@ def _ivf_centroids(vecs: DataFrame) -> np.ndarray:
     with table size.  Assignment of the full corpus stays distributed
     in ivf_ann_topk."""
     n = vecs.count()
+    k = _n_cells(n)
     if n > _IVF_TRAIN_CAP:
         # deterministic ~cap-sized subset: keep rows whose id-hash falls
         # under the sample fraction (pushdown-able filter, no shuffle)
@@ -523,10 +664,11 @@ def _ivf_centroids(vecs: DataFrame) -> np.ndarray:
     V = np.stack([np.asarray(r["v"], dtype=np.float64) for r in sample])
     order = np.argsort([r["vec_id"] for r in sample])  # seed deterministically
     Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-    C = Vn[order[:N_CELLS]].copy()
+    k = min(k, len(Vn))
+    C = Vn[order[:k]].copy()
     for _ in range(_IVF_ITERS):
         cells = (Vn @ C.T).argmax(axis=1)
-        for c in range(N_CELLS):
+        for c in range(k):
             members = Vn[cells == c]
             if len(members):
                 m = members.sum(axis=0)
@@ -638,17 +780,15 @@ def ivf_ann_topk(emb: DataFrame, k: int = 5) -> DataFrame:
     from pyspark.sql import Window
 
     probes = _ivf_probes(emb, N_PROBE)
-    posts = probes.filter(F.col("probe_rank") == 0).select(
-        F.col("vec_id").alias("cid"), "cell"
+    members = _with_vecs(emb, probes).withColumn(
+        "posted", F.col("probe_rank") == 0
     )
-    queries = probes.select(F.col("vec_id").alias("qid"), "cell")
-    cand = (
-        queries.join(posts, "cell")
-        .filter(F.col("qid") != F.col("cid"))
-        .select("qid", "cid")
-        .distinct()
+    # per-cell matrix scoring: a candidate (q, c) needs c POSTED in a
+    # cell q probes - the directed emission of _group_matrix_scores;
+    # per_query_k bounds emission to k per query per probed cell
+    scored = _group_matrix_scores(
+        members, ["cell"], directed=True, thr=None, per_query_k=k
     )
-    scored = _score_pairs(cand, emb)
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
@@ -659,15 +799,18 @@ def ivf_ann_topk(emb: DataFrame, k: int = 5) -> DataFrame:
 
 def lsh_near_dup_pairs(emb: DataFrame, threshold: float) -> DataFrame:
     """LSH-pruned embedding near-dup: candidates from bucket collisions
-    only, then exact-cosine verified (same fold order), so precision
-    is 1 by construction and recall is bounded by table collision
-    probability (measured in tests).  At 100 TB this is the only
-    viable shape: the shuffle is bounded by bucket occupancy, never
-    |E|^2, and only candidate ids/vectors shuffle - no driver state."""
-    scored = _score_pairs(_candidate_pairs(emb, symmetric=False), emb)
-    return scored.filter(F.col("cos_sim") >= float(threshold)).select(
-        "qid", "cid", F.round("cos_sim", 3).alias("cos_sim")
+    only, scored with exact cosine (per-cell matrix kernel), so
+    precision is 1 by construction and recall is bounded by table
+    collision probability (measured in tests).  At 100 TB this is the
+    only viable shape: the shuffle is bounded by bucket occupancy,
+    never |E|^2, and no driver state."""
+    members = _valved_bucket_rows(emb, with_vec=True).withColumn(
+        "posted", F.lit(True)
     )
+    scored = _group_matrix_scores(
+        members, ["tbl", "bucket"], directed=False, thr=float(threshold)
+    )
+    return scored.select("qid", "cid", F.round("cos_sim", 3).alias("cos_sim"))
 
 
 def semantic_dedup(
@@ -721,42 +864,14 @@ def semantic_dedup(
     # kernel beats per-pair folds by orders of magnitude.  A pair
     # counts only if an endpoint POSTS to the cell (probe_rank 0), so
     # multi-probed vectors don't form probe-probe pairs twice over.
-    thr = float(threshold)
-    members = probes.join(
-        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v")),
-        "vec_id",
+    members = _with_vecs(emb, probes).withColumn(
+        "posted", F.col("probe_rank") == 0
     )
-
-    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
-            return pd.DataFrame({"qid": [], "cid": [], "cos_sim": []})
-        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
-        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-        cos = Vn @ Vn.T
-        ids = pdf["vec_id"].to_numpy()
-        posted = (pdf["probe_rank"].to_numpy() == 0)
-        qi, ci = np.nonzero(
-            (cos >= thr)
-            & (ids[None, :] > ids[:, None])
-            & (posted[:, None] | posted[None, :])
-        )
-        return pd.DataFrame(
-            {"qid": ids[qi], "cid": ids[ci], "cos_sim": cos[qi, ci]}
-        )
-
-    pairs = (
-        members.groupBy("cell")
-        .applyInPandas(
-            lambda pdf: cell_pairs(pdf),
-            "qid bigint, cid bigint, cos_sim double",
-        )
-        # a pair can surface from up to nprobe cells: keep one row
-        .groupBy("qid", "cid")
-        .agg(F.max("cos_sim").alias("cos_sim"))
+    pairs = _group_matrix_scores(
+        members, ["cell"], directed=False, thr=float(threshold)
         # materialize once: the CC rounds iterate over the edge list,
         # and without this they would re-run cell scoring every round
-        .localCheckpoint()
-    )
+    ).localCheckpoint()
     comp = connected_components(pairs, a_col="qid", b_col="cid")
     out = assign.join(
         comp.withColumnRenamed("node", "vec_id"), "vec_id", "left"
