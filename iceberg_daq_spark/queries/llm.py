@@ -1651,3 +1651,167 @@ def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "q91_pmi_collocations",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), uni AS (
+      SELECT u AS word, CAST(count(*) AS BIGINT) AS cnt
+      FROM w, UNNEST(ws) AS t(u) GROUP BY u
+    ), tot AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS n_tokens FROM uni
+    ), bi AS (
+      SELECT ws[i] AS w1, ws[i + 1] AS w2, CAST(count(*) AS BIGINT) AS cnt
+      FROM w, UNNEST(generate_series(1, greatest(len(ws) - 1, 0))) AS t(i)
+      GROUP BY ws[i], ws[i + 1]
+    ), nb AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS n_bigrams FROM bi
+    )
+    SELECT bi.w1, bi.w2, bi.cnt AS pair_count,
+           round(ln(
+             (bi.cnt * 1.0 / nb.n_bigrams)
+             / ((u1.cnt * 1.0 / tot.n_tokens) * (u2.cnt * 1.0 / tot.n_tokens))
+           ), 3) AS pmi
+    FROM bi
+    JOIN uni u1 ON bi.w1 = u1.word
+    JOIN uni u2 ON bi.w2 = u2.word
+    CROSS JOIN tot CROSS JOIN nb
+    WHERE bi.cnt >= 25
+    ORDER BY pmi DESC, w1, w2
+    LIMIT 20
+    """,
+)
+def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining: the top-20 adjacent word pairs by
+    pointwise mutual information (with a min-count floor, the standard
+    noise guard) - the corpus-linguistics pass behind multi-word
+    expression lists and tokenizer sanity checks.
+
+    100 TB shape: unigram and bigram tables are combinable aggs (the
+    corpus shuffles once per n-gram order, keyed by the gram); the
+    scoring joins attach VOCABULARY-sized tables to the BIGRAM-sized
+    table, then TakeOrdered cuts top-20.  The corpus itself is never
+    joined or re-shuffled; the count floor keeps the ranked set away
+    from the long singleton tail.
+    """
+    d = load(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    w = d.select(ws.alias("ws"))
+    uni = (
+        w.select(F.explode("ws").alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    tot = uni.agg(F.sum("cnt").cast("bigint").alias("n_tokens"))
+    n_bi = F.greatest(F.size("ws") - 1, F.lit(0))
+    pairs = F.arrays_zip(
+        F.slice("ws", 1, n_bi), F.slice("ws", 2, n_bi)
+    )
+    bi = (
+        w.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .filter(F.col("cnt") >= 25)
+    )
+    nb = (
+        w.select(F.explode(pairs).alias("p"))
+        .agg(F.count("*").cast("bigint").alias("n_bigrams"))
+    )
+    u1 = uni.select(F.col("word").alias("w1"), F.col("cnt").alias("c1"))
+    u2 = uni.select(F.col("word").alias("w2"), F.col("cnt").alias("c2"))
+    pmi = F.log(
+        (F.col("cnt") / F.col("n_bigrams"))
+        / ((F.col("c1") / F.col("n_tokens")) * (F.col("c2") / F.col("n_tokens")))
+    )
+    return (
+        bi.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "w1",
+            "w2",
+            F.col("cnt").alias("pair_count"),
+            F.round(pmi, 3).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(20)
+    )
+
+
+@register(
+    "q92_dup_cluster_sizes",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), g AS (
+      SELECT DISTINCT doc_id,
+             ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS shingle
+      FROM w, UNNEST(generate_series(1, greatest(len(ws) - 2, 0))) AS t(i)
+    ), counts AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY doc_id
+    ), pair2 AS (
+      SELECT p.doc_a, p.doc_b
+      FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS n_common
+        FROM g a JOIN g b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+      ) p
+      JOIN counts ca ON p.doc_a = ca.doc_id
+      JOIN counts cb ON p.doc_b = cb.doc_id
+      WHERE p.n_common * 1.0 / (ca.n + cb.n - p.n_common) >= 0.5
+    ), edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pair2
+      UNION ALL SELECT doc_b, doc_a FROM pair2
+    ), cc AS (
+      WITH RECURSIVE r(node, comp) AS (
+        SELECT u, least(u, min(v)) FROM edges GROUP BY u
+        UNION
+        SELECT e.u, least(r.comp, rr.comp)
+        FROM edges e JOIN r ON e.u = r.node JOIN r rr ON e.v = rr.node
+        WHERE least(r.comp, rr.comp) < r.comp
+      )
+      SELECT node, min(comp) AS comp FROM r GROUP BY node
+    ), sizes AS (
+      SELECT comp, CAST(count(*) AS BIGINT) AS cluster_size FROM cc GROUP BY comp
+    )
+    SELECT cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(cluster_size) AS BIGINT) AS n_docs
+    FROM sizes
+    GROUP BY cluster_size
+    ORDER BY cluster_size
+    """,
+)
+def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size histogram: how many dedup clusters of
+    each size the corpus contains (singletons excluded - docs in no
+    pair) - the curation dashboard number that tells you whether
+    duplication is a long tail of pairs or a few giant families, and
+    the direct input for choosing q73's retention policy.
+
+    Reuses the SHARED pair/CC stage (one computation serves q57, q73
+    and this histogram in a suite pass); the histogram itself is two
+    tiny combinable aggs over the (node, component) table.  DuckDB
+    oracle: recursive-CTE closure over the same exact pair set."""
+    groups = _dedup_groups_cached(spark, sf_dir)
+    # component size counts every member (the min-id representative
+    # included); singletons - docs in no pair - are size 1 and leave
+    sizes = (
+        groups.groupBy("component")
+        .agg(F.count("*").cast("bigint").alias("cluster_size"))
+        .filter(F.col("cluster_size") >= 2)
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count("*").cast("bigint").alias("n_clusters"),
+            F.sum("cluster_size").cast("bigint").alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )

@@ -2140,11 +2140,19 @@ class MergeTable:
                 self._discard_stage(staged)
 
     def merge(
-        self, updates: DataFrame, evolve_schema: bool = False, max_retries: int = 6
+        self,
+        updates: DataFrame,
+        evolve_schema: bool = False,
+        max_retries: int = 6,
+        when_not_matched_by_source: str = "keep",
     ) -> int:
         """MERGE INTO this table USING updates ON key_cols:
         matched rows are replaced by their update, unmatched updates
-        are inserted, unmatched existing rows are kept.  Updates must
+        are inserted, unmatched existing rows are kept - or, with
+        ``when_not_matched_by_source="delete"``, DROPPED (the SQL
+        ``WHEN NOT MATCHED BY SOURCE THEN DELETE`` clause: the merge
+        makes the table exactly mirror the source's key set, the
+        snapshot-sync pattern).  Updates must
         be key-unique (MERGE's own precondition).  Row-identical
         re-merges leave the table contents unchanged - the idempotency
         the reference gets from its sidecar-exists check (A13/A46).
@@ -2165,6 +2173,11 @@ class MergeTable:
         on the new base and retries (no lost updates: the loser always
         rebases), raising :class:`CommitConflict` after
         ``max_retries``."""
+        if when_not_matched_by_source not in ("keep", "delete"):
+            raise ValueError(
+                f"unknown when_not_matched_by_source "
+                f"{when_not_matched_by_source!r}"
+            )
         spark = updates.sparkSession
         if self.current_version() is None:
             with _commit_lock(self.path):
@@ -2202,6 +2215,9 @@ class MergeTable:
                 current = current.withColumn(
                     c, F.lit(None).cast(ups.schema[c].dataType)
                 )
+            if when_not_matched_by_source == "delete":
+                # table := exactly the source's rows (by key)
+                return ups.select(table_cols + extra)
             return ups.select(table_cols + extra).unionByName(
                 current.join(ups.select(*keys), keys, "left_anti")
             )

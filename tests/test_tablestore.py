@@ -1623,3 +1623,27 @@ def test_catalog_warehouse(spark, tmp_path):
     cat.drop_table("llm.docs_cat", purge=False)
     assert not cat.table_exists("llm.docs_cat")
     assert os.path.isdir(str(tmp_path / "wh" / "llm" / "docs_cat"))
+
+
+def test_merge_not_matched_by_source_delete(spark, tmp_path):
+    """MERGE ... WHEN NOT MATCHED BY SOURCE THEN DELETE: the table
+    mirrors the source's key set after the merge (snapshot-sync),
+    while the default keeps unmatched target rows."""
+    from iceberg_daq_spark.tablestore import MergeTable
+
+    t = MergeTable(str(tmp_path / "nms"), key_cols=("k",), keep_versions=4)
+    t.merge(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["k", "v"]))
+    t.merge(
+        spark.createDataFrame([(2, "B"), (4, "d")], ["k", "v"]),
+        when_not_matched_by_source="delete",
+    )
+    got = {r.k: r.v for r in t.read(spark).collect()}
+    assert got == {2: "B", 4: "d"}
+    # default semantics unchanged
+    t.merge(spark.createDataFrame([(5, "e")], ["k", "v"]))
+    assert {r.k for r in t.read(spark).collect()} == {2, 4, 5}
+    with pytest.raises(ValueError, match="when_not_matched_by_source"):
+        t.merge(
+            spark.createDataFrame([(9, "x")], ["k", "v"]),
+            when_not_matched_by_source="bogus",
+        )
