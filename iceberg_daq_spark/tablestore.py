@@ -1581,6 +1581,59 @@ class MergeTable:
         )
         return after.join(before_s, cond, "left_anti")
 
+    def read_changelog(
+        self, spark: SparkSession, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Changelog scan (Iceberg ``create_changelog_view`` analog):
+        every row INSERTED or DELETED between the two snapshots,
+        tagged by a ``_change_type`` column ('insert' / 'delete');
+        an update surfaces as its delete + insert pair, carried-over
+        rows appear in neither.  The complement of
+        :func:`apply_changes_stream`: one table's changelog can drive
+        another's CDC apply.
+
+        Same retention requirements and fast path as
+        :meth:`read_changes`: an append-only interval reads ONLY the
+        delta dirs for the insert side and knows the delete side is
+        empty without any diff work; a rewrite in the interval falls
+        back to two null-safe anti-joins (exact, O(table))."""
+        cur = self.current_version()
+        to_v = cur if to_version is None else to_version
+        inserts = self.read_changes(spark, from_version, to_v).select(
+            "*", F.lit("insert").alias("_change_type")
+        )
+        m_from, m_to = self._load_manifest(from_version), self._load_manifest(to_v)
+        if (
+            m_from is not None
+            and m_to is not None
+            and _data_dirs(m_to)[: len(_data_dirs(m_from))] == _data_dirs(m_from)
+            and [f["name"] for f in m_from["schema"]]
+            == [f["name"] for f in m_to["schema"]]
+            and _delete_entries(m_from) == _delete_entries(m_to)
+        ):
+            # append-only interval: nothing was deleted
+            return inserts
+        after = self.read(spark, to_v)
+        before = self.read(spark, from_version)
+        shared = [c for c in before.columns if c in after.columns]
+        from functools import reduce
+
+        after_s = after.select(*shared)
+        cond = reduce(
+            lambda x, y: x & y,
+            [before[c].eqNullSafe(after_s[c]) for c in shared],
+        )
+        deletes = before.join(after_s, cond, "left_anti").select(
+            "*", F.lit("delete").alias("_change_type")
+        )
+        # schemas may differ across an evolution: align on the union
+        for c in after.columns:
+            if c not in before.columns:
+                deletes = deletes.withColumn(
+                    c, F.lit(None).cast(after.schema[c].dataType)
+                )
+        return inserts.unionByName(deletes, allowMissingColumns=True)
+
     def snapshots(self) -> list[dict]:
         """The retained snapshots, oldest first (Iceberg's
         ``snapshots`` metadata table): version, data dirs, partition

@@ -129,6 +129,8 @@ _ops = st.lists(
         st.tuples(st.just("rollback"), st.integers(0, 100)),
         st.tuples(st.just("compact"), st.just(0)),
         st.tuples(st.just("delete"), st.integers(0, 5)),
+        st.tuples(st.just("delete_mor"), st.integers(0, 5)),
+        st.tuples(st.just("delete_pos"), st.integers(0, 5)),
     ),
     min_size=1,
     max_size=6,
@@ -218,6 +220,24 @@ def test_merge_table_op_sequences_match_model(_spark, ops, tmp_path_factory):
                 if not (r.get("v") is not None and r["v"] >= payload)
             }
             hist.append((list(columns), dict(defaults), new, True))
+        elif tag in ("delete_mor", "delete_pos"):
+            # merge-on-read deletes (equality / position files): same
+            # visible semantics as copy-on-write delete, but NO data
+            # rewrite - so a pending metadata-only add_column stays
+            # pending (phys_ok unchanged), unlike the CoW branch
+            if not data:
+                continue
+            t.delete_where(
+                _spark,
+                f"v >= {payload}",
+                mode="merge-on-read",
+                form="equality" if tag == "delete_mor" else "position",
+            )
+            new = {
+                k: r for k, r in data.items()
+                if not (r.get("v") is not None and r["v"] >= payload)
+            }
+            hist.append((list(columns), dict(defaults), new, phys_ok))
 
     columns, defaults, data, _ = cur()
     out = t.read(_spark)

@@ -1647,3 +1647,30 @@ def test_merge_not_matched_by_source_delete(spark, tmp_path):
             spark.createDataFrame([(9, "x")], ["k", "v"]),
             when_not_matched_by_source="bogus",
         )
+
+
+def test_read_changelog(spark, tmp_path):
+    """Changelog scan: inserts and deletes between snapshots with
+    _change_type tags; updates surface as delete+insert; append-only
+    intervals report inserts only (fast path)."""
+    from iceberg_daq_spark.tablestore import MergeTable
+
+    t = MergeTable(str(tmp_path / "cl"), key_cols=("k",), keep_versions=8)
+    t.merge(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["k", "v"]))
+    v1 = t.current_version()
+    # append-only interval
+    t.append(spark.createDataFrame([(4, "d")], ["k", "v"]))
+    v2 = t.current_version()
+    got = {(r.k, r.v, r._change_type) for r in t.read_changelog(spark, v1, v2).collect()}
+    assert got == {(4, "d", "insert")}
+    # update + delete interval
+    t.merge(spark.createDataFrame([(2, "B")], ["k", "v"]))
+    t.delete_where(spark, "k = 3", mode="merge-on-read")
+    got = {(r.k, r.v, r._change_type) for r in t.read_changelog(spark, v2).collect()}
+    assert got == {
+        (2, "B", "insert"),   # update: new image inserted...
+        (2, "b", "delete"),   # ...old image deleted
+        (3, "c", "delete"),   # plain delete
+    }
+    # unchanged rows (1, 4) appear in neither direction
+    assert not any(r.k in (1, 4) for r in t.read_changelog(spark, v2).collect())
