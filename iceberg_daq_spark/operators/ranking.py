@@ -40,8 +40,17 @@ def global_row_number(
     n = num_partitions or df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "200"
     )
-    ranged = df.repartitionByRange(int(n), *cols).withColumn(
-        _PID, F.spark_partition_id()
+    # materialize the range layout ONCE: RangePartitioner's boundary
+    # sampling is seeded by the RDD id, so re-executing the same plan
+    # in the counts job and the rank job could place boundaries
+    # differently - the pass-1 offsets would then be wrong for the
+    # pass-2 layout.  localCheckpoint pins a single execution (and is
+    # what makes the two passes read the same shuffle anyway instead
+    # of shuffling twice).
+    ranged = (
+        df.repartitionByRange(int(n), *cols)
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint()
     )
     # pass 1: per-partition counts; ONE ROW PER PARTITION hits the
     # driver, never row data

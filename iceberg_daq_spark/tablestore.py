@@ -1144,6 +1144,13 @@ class MergeTable:
             return list(m.get("sort_order") or [])
         return list(self.sort_order)
 
+    def _current_bloom(self) -> list[str]:
+        """Columns with parquet bloom filters enabled for future data
+        commits (a table property, like the sort order)."""
+        cur = self.current_version()
+        m = self._load_manifest(cur) if cur else None
+        return list((m or {}).get("bloom_cols") or [])
+
     def _write_data_dir(
         self,
         df: DataFrame,
@@ -1178,6 +1185,16 @@ class MergeTable:
                     _transform_col(pf, F.col(pf.source), types.get(pf.source, "")),
                 )
         writer = df.write.mode("overwrite")
+        for c in self._current_bloom():
+            if c in df.columns:
+                # parquet bloom filters (Iceberg write.parquet.bloom-
+                # filter-enabled.column.*): point lookups on high-
+                # cardinality keys prune ROW GROUPS the min/max stats
+                # can't (random keys span every file's range); the
+                # Spark/parquet reader consumes them transparently
+                writer = writer.option(
+                    f"parquet.bloom.filter.enabled#{c}", "true"
+                )
         if fields:
             writer = writer.partitionBy(*[pf.name for pf in fields])
         writer.parquet(os.path.join(self.path, data_dir))
@@ -1331,6 +1348,7 @@ class MergeTable:
         deletes: list[dict] | None = None,
         parent_override: int | None = None,
         abandoned_head: int | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> int:
         """Manifest first, pointer second: a crash between the two
         leaves a stale manifest the next commit overwrites (and whose
@@ -1387,6 +1405,14 @@ class MergeTable:
                         sort_order
                         if sort_order is not None
                         else self._current_sort()
+                    ),
+                    # like sort_order: None carries the property
+                    # forward (pointer not yet flipped, so
+                    # _current_bloom() is the parent's)
+                    "bloom_cols": (
+                        bloom_cols
+                        if bloom_cols is not None
+                        else self._current_bloom()
                     ),
                     # snapshot summary (Iceberg's snapshot operation +
                     # timestamp metadata)
@@ -2097,6 +2123,31 @@ class MergeTable:
                 op="set-sort-order",
             )
 
+    def set_bloom_filters(self, *cols: str) -> int:
+        """Enable parquet bloom filters on ``cols`` for FUTURE data
+        commits (Iceberg ``write.parquet.bloom-filter-enabled.column.
+        <col>`` analog) - a metadata-only commit, like
+        :meth:`set_sort_order`.  Blooms serve POINT lookups on
+        high-cardinality keys, where min/max stats can't prune
+        (random keys span every file's range); the parquet reader
+        consumes them transparently at row-group granularity.  Pass no
+        cols to disable."""
+        with _commit_lock(self.path):
+            m = self._require_manifest_locked()
+            names = {f["name"] for f in m["schema"]}
+            unknown = [c for c in cols if c not in names]
+            if unknown:
+                raise ValueError(f"bloom filters reference unknown columns {unknown}")
+            return self._commit_manifest(
+                self._next_version(),
+                _data_dirs(m),
+                m["schema"],
+                list(m.get("partition_spec") or []),
+                m.get("dir_specs") or {},
+                op="set-bloom-filters",
+                bloom_cols=list(cols),
+            )
+
     # -- write API ----------------------------------------------------
     def overwrite(self, df: DataFrame) -> int:
         return self._commit(df)
@@ -2559,6 +2610,7 @@ def run_stream_to_table(
     table: MergeTable,
     checkpoint_dir: str,
     available_now: bool = True,
+    compact_every: int | None = None,
 ):
     """Structured Streaming sink with MERGE semantics: every micro-batch
     upserts into the table keyed by ``table.key_cols``.
@@ -2567,12 +2619,20 @@ def run_stream_to_table(
     after a crash (checkpoint offset committed, sink action lost), the
     replayed merge upserts the same keys and the snapshot is unchanged.
     On a cluster this function body becomes a single
-    ``MERGE INTO sink USING batch`` per micro-batch."""
+    ``MERGE INTO sink USING batch`` per micro-batch.
+
+    ``compact_every=N`` runs :meth:`MergeTable.compact` after every Nth
+    micro-batch - the maintenance loop a streaming sink needs anyway
+    (each micro-batch commits a small snapshot; periodic compaction
+    keeps read amplification flat without a separate cron), Iceberg's
+    streaming + scheduled ``rewrite_data_files`` pattern in-line."""
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         # dropDuplicates on the key inside the batch: MERGE requires a
         # key-unique source
         table.merge(batch_df.dropDuplicates(list(table._effective_keys())))
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            table.compact(batch_df.sparkSession)
 
     writer = (
         stream_df.writeStream.outputMode("append")

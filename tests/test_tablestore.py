@@ -1674,3 +1674,66 @@ def test_read_changelog(spark, tmp_path):
     }
     # unchanged rows (1, 4) appear in neither direction
     assert not any(r.k in (1, 4) for r in t.read_changelog(spark, v2).collect())
+
+
+def test_bloom_filter_property_reaches_files(spark, tmp_path):
+    """set_bloom_filters: future data commits write parquet bloom
+    filters for the configured columns (observable as a per-file size
+    payload the no-bloom twin lacks), the property persists in the
+    manifest like a sort order, and unknown columns are rejected."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from iceberg_daq_spark.tablestore import MergeTable
+
+    rows = spark.range(50_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+
+    def table_bytes(t):
+        m = t._load_manifest(t.current_version())
+        return sum(
+            os.path.getsize(f)
+            for d in m["data_dirs"]
+            for f in glob.glob(os.path.join(t.path, d, "*.parquet"))
+        )
+
+    plain = MergeTable(str(tmp_path / "nb"), key_cols=("k",))
+    plain.merge(rows)
+    plain.compact(spark)
+
+    bloomed = MergeTable(str(tmp_path / "wb"), key_cols=("k",))
+    bloomed.merge(rows)
+    bloomed.set_bloom_filters("k")
+    assert bloomed._current_bloom() == ["k"]
+    bloomed.compact(spark)  # first data commit under the property
+
+    # the bloom payload is real bytes in the files
+    assert table_bytes(bloomed) > table_bytes(plain) * 1.05
+    # contents unaffected; property survives reconstruction
+    assert bloomed.read(spark).count() == 50_000
+    assert MergeTable(bloomed.path, key_cols=("k",))._current_bloom() == ["k"]
+    with pytest.raises(ValueError, match="unknown columns"):
+        bloomed.set_bloom_filters("nope")
+
+
+def test_stream_sink_auto_compaction(spark, tmp_path):
+    """run_stream_to_table(compact_every=1): the maintenance rewrite
+    runs in-line with the stream - after the drain the current
+    snapshot is compacted (single data dir) with identical contents."""
+    from pyspark.sql import functions as F2
+
+    from iceberg_daq_spark.tablestore import MergeTable, run_stream_to_table
+
+    src = str(tmp_path / "src")
+    spark.range(50).select(
+        F2.col("id").alias("k"), (F2.col("id") * 3).alias("v")
+    ).write.parquet(src)
+    t = MergeTable(str(tmp_path / "sink"), key_cols=("k",))
+    stream = spark.readStream.schema("k long, v long").parquet(src)
+    run_stream_to_table(stream, t, str(tmp_path / "ckpt"), compact_every=1)
+    m = t._load_manifest(t.current_version())
+    assert m["operation"] == "compact"
+    assert len(m["data_dirs"]) == 1
+    assert t.read(spark).count() == 50
