@@ -1815,3 +1815,97 @@ def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+@register(
+    "q93_zipf_slope",
+    oracle="""
+    WITH uni AS (
+      SELECT u AS word, CAST(count(*) AS BIGINT) AS freq
+      FROM documents, UNNEST(string_split(text, ' ')) AS t(u)
+      GROUP BY u
+    ), ranked AS (
+      SELECT freq,
+             row_number() OVER (ORDER BY freq DESC, word) AS rank
+      FROM uni
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_vocab,
+           round(regr_slope(ln(freq), ln(rank)), 3) AS zipf_slope,
+           round(regr_intercept(ln(freq), ln(rank)), 3) AS zipf_intercept
+    FROM ranked
+    """,
+)
+def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus vocabulary: the least-squares slope
+    of ln(freq) on ln(rank) (natural text sits near -1; synthetic or
+    heavily-boilerplated corpora drift off it) - a one-number corpus
+    health check curation dashboards track across crawl snapshots.
+
+    The unigram table is one combinable agg; ranking the VOCABULARY
+    (not the corpus) uses the distributed two-pass layout
+    (operators/ranking.global_row_number - no single-partition
+    window even when the vocabulary is billions of types); the fit is
+    regr_slope/regr_intercept, both map-side-combinable aggregates, so
+    nothing beyond the vocab table ever shuffles."""
+    from iceberg_daq_spark.operators.ranking import global_row_number
+
+    d = load(spark, sf_dir, "documents")
+    uni = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    ranked = global_row_number(
+        uni, [F.desc("freq"), F.asc("word")], out="rank"
+    )
+    lnf, lnr = F.log("freq"), F.log("rank")
+    return ranked.agg(
+        F.count("*").cast("bigint").alias("n_vocab"),
+        F.round(F.regr_slope(lnf, lnr), 3).alias("zipf_slope"),
+        F.round(F.regr_intercept(lnf, lnr), 3).alias("zipf_intercept"),
+    )
+
+
+@register(
+    "q94_source_dup_rates",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, source, md5(text) AS th FROM documents
+    ), dupc AS (
+      SELECT th, CAST(count(*) AS BIGINT) AS copies FROM h GROUP BY th
+    )
+    SELECT h.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN dupc.copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_docs,
+           round(sum(CASE WHEN dupc.copies > 1 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 3) AS dup_rate
+    FROM h JOIN dupc USING (th)
+    GROUP BY h.source
+    ORDER BY h.source
+    """,
+)
+def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate rates: for each crawl source, how
+    many of its docs share their content hash with ANY doc in the
+    corpus - the attribution step after q40 finds duplication (which
+    feeds are mirroring each other, who to de-prioritize).
+
+    One hash agg for corpus-wide copy counts, joined back on the
+    128-bit hash (both sides combinable; the join key is the hash, so
+    AQE's skew handling covers a mega-duplicated document), then a
+    per-source rollup."""
+    d = load(spark, sf_dir, "documents")
+    h = d.select("doc_id", "source", F.md5("text").alias("th"))
+    dupc = h.groupBy("th").agg(F.count("*").cast("bigint").alias("copies"))
+    is_dup = F.when(F.col("copies") > 1, 1).otherwise(0)
+    return (
+        h.join(dupc, "th")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(is_dup).cast("bigint").alias("n_dup_docs"),
+            F.round(F.sum(is_dup) / F.count("*"), 3).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )

@@ -69,6 +69,8 @@ def all_queries() -> dict[str, QuerySpec]:
 #      tests assert their semantics) - always last.
 _CHECK_FIRST = [
     # never driver-checked (registered in round 8)
+    "q93_zipf_slope",
+    "q94_source_dup_rates",
     "q91_pmi_collocations",
     "q92_dup_cluster_sizes",
     "q84_bm25_search",
