@@ -73,3 +73,93 @@ def global_row_number(
         .withColumn(out, (off[F.col(_PID)] + F.col(_ROW)).cast("bigint"))
         .drop(_PID, _ROW)
     )
+
+
+def grouped_ntile(
+    df: DataFrame,
+    part_cols: list[str],
+    order_cols: list[Column | str],
+    n: int,
+    out: str = "bucket",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``NTILE(n) OVER (PARTITION BY part_cols ORDER BY order_cols)``
+    without a per-group single-task sort.
+
+    A plain partitioned window puts each GROUP in one task - fine when
+    groups are many and small, a scale-killer when a handful of giant
+    groups hold the corpus (e.g. quartiles per language: 5 groups over
+    billions of docs = 5 tasks).  Here the rows are range-partitioned
+    by (group, order) so one group spans MANY ordered partitions, and
+    the same two-pass offset layout as :func:`global_row_number` turns
+    within-partition row numbers into exact within-group ranks:
+
+      1. range-shuffle on (part_cols + order_cols), pin the layout,
+      2. count rows per (physical partition x group) - the driver sees
+         one scalar per slice, never row data (bounded by
+         #partitions x #groups; this operator targets LOW-cardinality
+         grouping, where that product is tiny),
+      3. broadcast-join the per-slice rank offsets + per-group totals
+         back and evaluate NTILE's exact bucket arithmetic (the first
+         ``total mod n`` buckets get ``ceil(total/n)`` rows, the rest
+         ``floor(total/n)`` - identical to the SQL-standard NTILE, so
+         a DuckDB oracle can hash-check it).
+
+    ``order_cols`` must extend to a total order within each group (add
+    a unique id last) for determinism."""
+    ocols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    pcols = [F.col(c) for c in part_cols]
+    nparts = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "200"
+    )
+    ranged = (
+        df.repartitionByRange(int(nparts), *pcols, *ocols)
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint()
+    )
+    # pass 1: per-(partition, group) counts - scalars only
+    rows = ranged.groupBy(_PID, *part_cols).agg(F.count("*").alias("_c")).collect()
+
+    def _gkey(r):
+        return tuple((r[c] is None, r[c]) for c in part_cols)
+
+    totals: dict[tuple, int] = {}
+    for r in rows:
+        totals[_gkey(r)] = totals.get(_gkey(r), 0) + r["_c"]
+    offsets, acc, cur = [], 0, None
+    for r in sorted(rows, key=lambda r: (_gkey(r), r[_PID])):
+        if _gkey(r) != cur:
+            cur, acc = _gkey(r), 0
+        offsets.append(
+            (r[_PID], *[r[c] for c in part_cols], acc, totals[_gkey(r)])
+        )
+        acc += r["_c"]
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    base = ranged.select(_PID, *part_cols).schema
+    schema = StructType(
+        list(base.fields)
+        + [StructField("_off", LongType()), StructField("_total", LongType())]
+    )
+    offdf = df.sparkSession.createDataFrame(offsets, schema)
+    # pass 2: within-slice row_number + offset = exact within-group rank;
+    # SQL-standard NTILE: first `total mod n` buckets take q+1 rows, rest q
+    q = F.floor(F.col("_total") / n).cast("bigint")
+    rem = (F.col("_total") % n).cast("bigint")
+    # null-safe equality: a NULL group key is a group like any other
+    left, right = ranged.alias("_l"), F.broadcast(offdf).alias("_r")
+    cond = F.col(f"_l.{_PID}") == F.col(f"_r.{_PID}")
+    for c in part_cols:
+        cond = cond & F.col(f"_l.{c}").eqNullSafe(F.col(f"_r.{c}"))
+    w = Window.partitionBy(f"_l.{_PID}", *[f"_l.{c}" for c in part_cols]).orderBy(
+        *ocols
+    )
+    rank = (F.col("_off") + F.row_number().over(w)).cast("bigint")
+    bucket = F.when(
+        rank <= (q + 1) * rem, F.floor((rank - 1) / (q + 1)) + 1
+    ).otherwise(rem + F.floor((rank - (q + 1) * rem - 1) / F.greatest(q, F.lit(1))) + 1)
+    return (
+        left.join(right, cond)
+        .withColumn(out, bucket.cast("bigint"))
+        .select(*[f"_l.{c}" for c in df.columns], out)
+    )

@@ -1,4 +1,4 @@
-"""Q79-Q83: corpus-curation operators (training-data pipeline).
+"""Q79-Q83, Q95-Q96: corpus-curation operators (training-data pipeline).
 
 PII redaction, URL/domain accounting, unigram-LM surprisal scoring,
 keyword extraction, and per-source distribution-drift scoring over
@@ -24,6 +24,8 @@ from pyspark.sql.window import Window
 from iceberg_daq_spark.operators import text
 from iceberg_daq_spark.registry import register
 from iceberg_daq_spark.tables import load
+
+_STOP_SQL = "'" + "', '".join(text.STOPWORDS) + "'"
 
 # Shared Java/RE2 pattern subset (see operators/text.py notes).
 EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
@@ -349,4 +351,136 @@ def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2_drift",
         )
         .orderBy("source")
+    )
+
+
+_QUALITY_SQL = """
+      round(least(
+        0.2
+        + 0.5 * (len(list_filter(w, x -> x IN ({stop}))) * 1.0 / greatest(len(w), 1))
+        + 0.3 * least(len(w) / 200.0, 1.0)
+        - 0.2 * (len(regexp_extract_all(text, '[.!?,;]')) * 1.0 / greatest(length(text), 1)),
+        1.0), 3)
+"""
+
+
+@register(
+    "q95_readability",
+    oracle=r"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+               AS n_sentences,
+             CAST(greatest(len(regexp_extract_all(text, '[aeiou]+')), 1) AS BIGINT)
+               AS n_syllables
+      FROM documents
+    ), s AS (
+      SELECT *,
+             round(CAST(206.835 AS DOUBLE)
+                   - CAST(1.015 AS DOUBLE) * n_words / n_sentences
+                   - CAST(84.6 AS DOUBLE) * n_syllables / n_words, 2) AS flesch
+      FROM m
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables, flesch,
+           CASE WHEN flesch >= 60 THEN 'easy'
+                WHEN flesch >= 30 THEN 'medium'
+                ELSE 'hard' END AS band
+    FROM s
+    ORDER BY doc_id
+    """,
+)
+def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability scoring: Flesch reading-ease per document with a
+    vowel-group syllable proxy (the curation-pipeline complexity
+    filter; reference analog: per-document quality metadata, A34-A38).
+    Map-only - two JVM regexp_count + one split per row, no shuffle,
+    streams at scan speed at any corpus size."""
+    d = load(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.col("text"), " ")).cast("long")
+    n_sent = F.greatest(
+        F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1)
+    ).cast("long")
+    n_syll = F.greatest(
+        F.regexp_count(F.col("text"), F.lit(r"[aeiou]+")), F.lit(1)
+    ).cast("long")
+    flesch = F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * n_words / n_sent
+        - F.lit(84.6) * n_syll / n_words,
+        2,
+    )
+    return (
+        d.select(
+            "doc_id",
+            n_words.alias("n_words"),
+            n_sent.alias("n_sentences"),
+            n_syll.alias("n_syllables"),
+            flesch.alias("flesch"),
+        )
+        .withColumn(
+            "band",
+            F.when(F.col("flesch") >= 60, "easy")
+            .when(F.col("flesch") >= 30, "medium")
+            .otherwise("hard"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q96_curriculum_bins",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, lang, text, string_split(text, ' ') AS w FROM documents
+    ), s AS (
+      SELECT doc_id, lang, {quality} AS quality FROM tok
+    ), b AS (
+      SELECT lang, quality,
+             ntile(4) OVER (PARTITION BY lang ORDER BY quality, doc_id) AS bin
+      FROM s
+    )
+    SELECT lang, CAST(bin AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(min(quality), 3) AS min_q,
+           round(max(quality), 3) AS max_q,
+           round(avg(quality), 2) AS avg_q
+    FROM b
+    GROUP BY lang, bin
+    ORDER BY lang, bin
+    """.format(quality=_QUALITY_SQL.format(stop=_STOP_SQL)),
+)
+def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum binning: exact per-language quality QUARTILES
+    (NTILE(4)) with per-bin statistics - the stage that orders
+    training data easy-to-hard per language.
+
+    A naive ``ntile() OVER (PARTITION BY lang ...)`` puts each
+    language in ONE task - 5 tasks for a billion-doc corpus.  This
+    uses :func:`operators.ranking.grouped_ntile`: range-partition by
+    (lang, quality, doc_id), per-slice counts to the driver (scalars,
+    #partitions x #langs of them), broadcast offsets back, exact
+    SQL-NTILE bucket arithmetic - every language spans many ordered
+    partitions, and the DuckDB ntile() oracle hash-checks bucket
+    boundaries exactly."""
+    from iceberg_daq_spark.operators.ranking import grouped_ntile
+    from iceberg_daq_spark.operators import text as T
+
+    d = load(spark, sf_dir, "documents")
+    w = T.words(F.col("text"))
+    scored = d.select(
+        "doc_id", "lang", T.quality_score(F.col("text"), w).alias("quality")
+    )
+    binned = grouped_ntile(
+        scored, ["lang"], ["quality", "doc_id"], 4, out="bin"
+    )
+    return (
+        binned.groupBy("lang", "bin")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.min("quality"), 3).alias("min_q"),
+            F.round(F.max("quality"), 3).alias("max_q"),
+            F.round(F.avg("quality"), 2).alias("avg_q"),
+        )
+        .orderBy("lang", "bin")
     )

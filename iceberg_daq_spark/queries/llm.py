@@ -617,6 +617,16 @@ def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_ann_topk(e, k=5).orderBy("qid", "rk")
 
 
+@register("q97_sim_ann_pq", oracle=None)
+def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate top-5: product-quantized posting lists
+    (8-byte codes instead of 512-byte vectors), asymmetric-distance
+    shortlist per probed cell, exact cosine re-rank of the shortlist;
+    recall vs q44 asserted in tests (test_pq_ann_recall)."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.pq_ann_topk(e, k=5).orderBy("qid", "rk")
+
+
 @register("q55_embed_near_dup_lsh", oracle=None)
 def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-pruned embedding near-dup (the 100 TB path; recall vs q54
@@ -1908,4 +1918,59 @@ def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(is_dup) / F.count("*"), 3).alias("dup_rate"),
         )
         .orderBy("source")
+    )
+
+
+@register(
+    "q98_int8_quantization",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), s AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      FROM v
+    ), e AS (
+      SELECT vec_id, scale, len(v) AS dim,
+             list_transform(v, x -> pow(x - round(x / scale) * scale, 2)) AS err
+      FROM s
+    )
+    SELECT vec_id,
+           round(scale * 1000, 4) AS scale_x1e3,
+           round(list_reduce(err, (a, b) -> a + b) / dim * 1000000, 3)
+             AS mse_x1e6,
+           round(sqrt(list_max(err)) * 1000, 3) AS max_err_x1e3
+    FROM e
+    ORDER BY vec_id
+    """,
+)
+def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column: per-vector
+    symmetric scale (max-abs / 127), reconstruction MSE and max
+    elementwise error - the compression-accuracy audit run before
+    shipping a quantized ANN index (the stored payload drops 4x; the
+    PQ path in q97 drops ~64x).
+
+    Map-only: every column is a Catalyst higher-order-function fold
+    over the embedding array (transform / aggregate / array_max), no
+    Python, no shuffle - streams at scan speed on any corpus.  The
+    error sum is a SEQUENTIAL left fold matching the oracle's
+    list_reduce element-exactly, the same parity discipline as q44's
+    cumsum scorer."""
+    e = load(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(v, F.abs)) / F.lit(127.0)
+    err = F.transform(
+        v, lambda x: F.pow(x - F.round(x / scale) * scale, F.lit(2))
+    )
+    sse = F.aggregate(err, F.lit(0.0), lambda a, b: a + b)
+    return (
+        e.select(
+            "vec_id",
+            F.round(scale * 1000, 4).alias("scale_x1e3"),
+            F.round(sse / F.size(v) * 1000000, 3).alias("mse_x1e6"),
+            F.round(F.sqrt(F.array_max(err)) * 1000, 3).alias("max_err_x1e3"),
+        )
+        .orderBy("vec_id")
     )

@@ -69,6 +69,9 @@ def all_queries() -> dict[str, QuerySpec]:
 #      tests assert their semantics) - always last.
 _CHECK_FIRST = [
     # never driver-checked (registered in round 8)
+    "q95_readability",
+    "q96_curriculum_bins",
+    "q98_int8_quantization",
     "q93_zipf_slope",
     "q94_source_dup_rates",
     "q91_pmi_collocations",

@@ -172,6 +172,29 @@ def test_ivf_ann_recall(spark, sf_dir):
     assert mean_recall >= 0.4, f"mean recall@5 {mean_recall}"
 
 
+def test_pq_ann_recall(spark, sf_dir):
+    """IVF-PQ top-5 vs brute force: reported scores must be TRUE
+    cosines (exact re-rank of the ADC shortlist), and recall is
+    bounded below despite 8-byte codes standing in for vectors during
+    candidate scoring.  The ADC shortlist factor (_PQ_REFINE) absorbs
+    quantization error, so recall should track the full-vector IVF
+    path's - the loss budget is probing, not quantization."""
+    e = load(spark, sf_dir, "embeddings")
+    brute, scores = {}, {}
+    for r in similarity.cosine_topk_bruteforce(e, k=5).collect():
+        brute.setdefault(r["qid"], set()).add(r["cid"])
+        scores[(r["qid"], r["cid"])] = r["cos_sim"]
+    pq = {}
+    for r in similarity.pq_ann_topk(e, k=5).collect():
+        pq.setdefault(r["qid"], set()).add(r["cid"])
+        if (r["qid"], r["cid"]) in scores:
+            # exact re-rank: a shared neighbor's score matches brute force
+            assert abs(scores[(r["qid"], r["cid"])] - r["cos_sim"]) < 1e-9
+    recalls = [len(brute[q] & pq.get(q, set())) / len(brute[q]) for q in brute]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.4, f"mean recall@5 {mean_recall}"
+
+
 def test_lsh_ann_recall(spark, sf_dir):
     """LSH-ANN top-5 must overlap brute-force top-5 (recall@5 >= 0.3 on
     random-ish synthetic embeddings; buckets shrink the search space so
@@ -691,6 +714,32 @@ def test_global_row_number_matches_window(spark):
         r.id: r.rn
         for r in df.withColumn("rn", F.row_number().over(w)).collect()
     }
+    assert got == want
+
+
+def test_grouped_ntile_matches_window(spark):
+    """The two-pass distributed NTILE equals the per-group window
+    ntile() for every group shape: a giant skewed group, groups with
+    heavy ties, groups smaller than the bucket count, and a NULL group
+    key."""
+    from pyspark.sql import Window, functions as F
+
+    from iceberg_daq_spark.operators.ranking import grouped_ntile
+
+    rows = (
+        [(i, "big", (i * 37) % 11) for i in range(400)]  # giant + ties
+        + [(1000 + i, "tiny", i) for i in range(2)]  # smaller than n
+        + [(2000 + i, None, i % 3) for i in range(7)]  # NULL group
+    )
+    df = spark.createDataFrame(rows, "id bigint, g string, v bigint").repartition(7)
+    got = {
+        r.id: r.b
+        for r in grouped_ntile(
+            df, ["g"], [F.asc("v"), F.asc("id")], 4, out="b", num_partitions=5
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy(F.asc("v"), F.asc("id"))
+    want = {r.id: r.b for r in df.withColumn("b", F.ntile(4).over(w)).collect()}
     assert got == want
 
 
