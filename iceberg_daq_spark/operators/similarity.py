@@ -640,6 +640,24 @@ def _n_cells(n: int) -> int:
     return max(N_CELLS, int(math.sqrt(max(n, 1) / 4)))
 
 
+def _train_sample(vecs: DataFrame) -> tuple[np.ndarray, np.ndarray, int]:
+    """(normalized sample matrix, deterministic seed order, corpus n):
+    the shared bounded training sample both quantizer fits (IVF cells,
+    PQ codebooks) draw from - one count + one capped collect total,
+    via a deterministic hash-threshold filter (a map-only predicate,
+    no global sort)."""
+    n = vecs.count()
+    if n > _IVF_TRAIN_CAP:
+        denom = 1 << 20
+        cut = int(denom * _IVF_TRAIN_CAP / n)
+        vecs = vecs.filter(F.pmod(F.xxhash64("vec_id"), F.lit(denom)) < cut)
+    sample = vecs.limit(_IVF_TRAIN_CAP).collect()
+    V = np.stack([np.asarray(r["v"], dtype=np.float64) for r in sample])
+    order = np.argsort([r["vec_id"] for r in sample])  # seed deterministically
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    return Vn, order, n
+
+
 def _ivf_centroids(vecs: DataFrame) -> np.ndarray:
     """Spherical k-means coarse quantizer, (_n_cells(n), dim),
     L2-normalized.
@@ -652,19 +670,13 @@ def _ivf_centroids(vecs: DataFrame) -> np.ndarray:
     a representative sample, not the corpus, so the fit never scales
     with table size.  Assignment of the full corpus stays distributed
     in ivf_ann_topk."""
-    n = vecs.count()
-    k = _n_cells(n)
-    if n > _IVF_TRAIN_CAP:
-        # deterministic ~cap-sized subset: keep rows whose id-hash falls
-        # under the sample fraction (pushdown-able filter, no shuffle)
-        denom = 1 << 20
-        cut = int(denom * _IVF_TRAIN_CAP / n)
-        vecs = vecs.filter(F.pmod(F.xxhash64("vec_id"), F.lit(denom)) < cut)
-    sample = vecs.limit(_IVF_TRAIN_CAP).collect()
-    V = np.stack([np.asarray(r["v"], dtype=np.float64) for r in sample])
-    order = np.argsort([r["vec_id"] for r in sample])  # seed deterministically
-    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-    k = min(k, len(Vn))
+    Vn, order, n = _train_sample(vecs)
+    return _ivf_centroids_from(Vn, order, n)
+
+
+def _ivf_centroids_from(Vn: np.ndarray, order: np.ndarray, n: int) -> np.ndarray:
+    """Lloyd's spherical k-means on an already-collected sample."""
+    k = min(_n_cells(n), len(Vn))
     C = Vn[order[:k]].copy()
     for _ in range(_IVF_ITERS):
         cells = (Vn @ C.T).argmax(axis=1)
@@ -717,22 +729,30 @@ def ivf_assign(emb: DataFrame) -> DataFrame:
     return vecs.mapInPandas(assign, schema)
 
 
-def _ivf_probes(emb: DataFrame, nprobe: int) -> DataFrame:
+def _ivf_probes(
+    emb: DataFrame, nprobe: int, centroids: np.ndarray | None = None
+) -> DataFrame:
     """(vec_id, cell, probe_rank): each vector's ``nprobe`` nearest
     quantizer cells, rank 0 = the posting cell.  Trains the coarse
-    quantizer (sample-bounded), broadcasts the centroids, and ranks
-    cells in one Arrow-batched map pass - shared by the IVF ANN probe
-    side and SemDeDup's multi-probe candidate generation."""
+    quantizer (sample-bounded) unless ``centroids`` is supplied (the
+    IVF-PQ path trains cells + codebooks from ONE shared sample),
+    broadcasts the centroids, and ranks cells in one Arrow-batched map
+    pass - shared by the IVF ANN probe side and SemDeDup's multi-probe
+    candidate generation."""
     # cached only across the quantizer-training actions (count +
     # sample collect), released before the probe pass so repeated
     # invocations never accumulate storage blocks
     vecs = _spread(
         emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    ).cache()
-    try:
-        C = _ivf_centroids(vecs)
-    finally:
-        vecs.unpersist()
+    )
+    if centroids is not None:
+        C = centroids
+    else:
+        vecs = vecs.cache()
+        try:
+            C = _ivf_centroids(vecs)
+        finally:
+            vecs.unpersist()
     bc_c = emb.sparkSession.sparkContext.broadcast(C)
     post_schema = T.StructType(
         [
@@ -898,15 +918,12 @@ def _pq_codebooks(vecs: DataFrame) -> np.ndarray:
     approximate the cosine directly.  Same sample-cap posture as
     :func:`_ivf_centroids` - quantizer quality needs a representative
     sample, never the corpus."""
-    n = vecs.count()
-    if n > _IVF_TRAIN_CAP:
-        denom = 1 << 20
-        cut = int(denom * _IVF_TRAIN_CAP / n)
-        vecs = vecs.filter(F.pmod(F.xxhash64("vec_id"), F.lit(denom)) < cut)
-    sample = vecs.limit(_IVF_TRAIN_CAP).collect()
-    V = np.stack([np.asarray(r["v"], dtype=np.float64) for r in sample])
-    order = np.argsort([r["vec_id"] for r in sample])  # deterministic seed
-    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    Vn, order, _ = _train_sample(vecs)
+    return _pq_codebooks_from(Vn, order)
+
+
+def _pq_codebooks_from(Vn: np.ndarray, order: np.ndarray) -> np.ndarray:
+    """Per-subspace L2 k-means on an already-collected sample."""
     dim = Vn.shape[1]
     dsub = dim // PQ_M
     k = min(PQ_K, len(Vn))
@@ -985,12 +1002,15 @@ def pq_ann_topk(emb: DataFrame, k: int = 5) -> DataFrame:
         emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     ).cache()
     try:
-        B = _pq_codebooks(vecs)
+        Vn, order, n = _train_sample(vecs)
     finally:
         vecs.unpersist()
+    # ONE shared sample trains both quantizer layers
+    C = _ivf_centroids_from(Vn, order, n)
+    B = _pq_codebooks_from(Vn, order)
     bc_books = emb.sparkSession.sparkContext.broadcast(B)
     codes = _pq_codes(vecs, bc_books)
-    probes = _ivf_probes(emb, N_PROBE)
+    probes = _ivf_probes(emb, N_PROBE, centroids=C)
     members = (
         probes.join(codes, "vec_id")
         .join(vecs, "vec_id")

@@ -1952,25 +1952,125 @@ def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipping a quantized ANN index (the stored payload drops 4x; the
     PQ path in q97 drops ~64x).
 
-    Map-only: every column is a Catalyst higher-order-function fold
-    over the embedding array (transform / aggregate / array_max), no
-    Python, no shuffle - streams at scan speed on any corpus.  The
-    error sum is a SEQUENTIAL left fold matching the oracle's
-    list_reduce element-exactly, the same parity discipline as q44's
-    cumsum scorer."""
+    Map-only, no shuffle - one Arrow-batched numpy kernel per scan
+    task computes the per-element work (a Catalyst HOF formulation was
+    4s at sf0.1: the fold expression tree evaluates interpreted, ~dim
+    ops per row; the vectorized kernel is ~10x cheaper, the same
+    rewrite history as q44's scorer).  Parity discipline: the error
+    sum is ``cumsum`` - the oracle's sequential list_reduce fold,
+    element-exact - the elementwise round is half-away-from-zero
+    (``sign * floor(abs + 0.5)``, DuckDB's std::round), and the three
+    DISPLAY roundings stay in Spark's F.round so the proven
+    F.round<->DuckDB round pairing applies."""
+    import numpy as np
+    import pyarrow as pa
+
     e = load(spark, sf_dir, "embeddings")
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    scale = F.array_max(F.transform(v, F.abs)) / F.lit(127.0)
-    err = F.transform(
-        v, lambda x: F.pow(x - F.round(x / scale) * scale, F.lit(2))
+
+    def quant_stats(batches):
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            col = rb.column(1)
+            X = (
+                col.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .reshape(n, -1)
+            )
+            scale = np.abs(X).max(axis=1) / 127.0
+            Xs = X / scale[:, None]
+            codes = np.sign(Xs) * np.floor(np.abs(Xs) + 0.5)
+            err = (X - codes * scale[:, None]) ** 2
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(0),
+                    pa.array(scale),
+                    pa.array(err.cumsum(axis=1)[:, -1]),  # list_reduce parity
+                    pa.array(err.max(axis=1)),
+                    pa.array(np.full(n, X.shape[1], dtype=np.int64)),
+                ],
+                names=["vec_id", "scale", "sse", "max_err2", "dim"],
+            )
+
+    stats = e.select("vec_id", "embedding").mapInArrow(
+        quant_stats,
+        "vec_id bigint, scale double, sse double, max_err2 double, dim bigint",
     )
-    sse = F.aggregate(err, F.lit(0.0), lambda a, b: a + b)
+    return stats.select(
+        "vec_id",
+        F.round(F.col("scale") * 1000, 4).alias("scale_x1e3"),
+        F.round(F.col("sse") / F.col("dim") * 1000000, 3).alias("mse_x1e6"),
+        F.round(F.sqrt("max_err2") * 1000, 3).alias("max_err_x1e3"),
+    ).orderBy("vec_id")
+
+
+@register(
+    "q99_weighted_sample",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             (CAST(concat('0x', substr(md5(concat('es17:',
+                CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) + 1)
+               / 4294967296.0 AS u
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, lang, n_chars,
+             round(ln(u) / n_chars * 1000, 7) AS es_key
+      FROM keyed
+    ), ranked AS (
+      SELECT *,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY es_key DESC, doc_id
+             ) AS rk
+      FROM scored
+    )
+    SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars, es_key,
+           CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 32
+    ORDER BY lang, rk
+    """,
+)
+def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, per language stratum:
+    the Efraimidis-Spirakis A-ES scheme - each doc draws a
+    DETERMINISTIC hash-uniform u and is ranked by ln(u)/weight (the
+    log of the classic u^(1/w) key; here weight = n_chars, i.e.
+    length-proportional inclusion).  The top-32 per stratum IS an
+    exact weighted sample, reproducible across engines and runs -
+    the distributed answer to "sample k docs per language,
+    probability proportional to size" that rand()-based sampling
+    can't give (not repeatable, not oracle-checkable).
+
+    Scale shape: the key is a map-only expression (md5 + ln), and the
+    per-stratum top-k plans as WindowGroupLimit with a partial pass
+    below the shuffle - hot strata ship k rows per map task, never
+    their full membership.  The key is ROUNDED to 7 decimals with
+    doc_id tie-break so libm ulp differences between engines cannot
+    reorder the cut."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("es17:"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + 1
+    ) / F.lit(4294967296.0)
+    es_key = F.round(F.log(u) / F.col("n_chars") * 1000, 7)
+    w = Window.partitionBy("lang").orderBy(F.desc("es_key"), F.asc("doc_id"))
     return (
-        e.select(
-            "vec_id",
-            F.round(scale * 1000, 4).alias("scale_x1e3"),
-            F.round(sse / F.size(v) * 1000000, 3).alias("mse_x1e6"),
-            F.round(F.sqrt(F.array_max(err)) * 1000, 3).alias("max_err_x1e3"),
+        d.select(
+            "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"),
+            es_key.alias("es_key"),
         )
-        .orderBy("vec_id")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 32)
+        .select("lang", "doc_id", "n_chars", "es_key", "rk")
+        .orderBy("lang", "rk")
     )

@@ -72,6 +72,7 @@ _CHECK_FIRST = [
     "q95_readability",
     "q96_curriculum_bins",
     "q98_int8_quantization",
+    "q99_weighted_sample",
     "q93_zipf_slope",
     "q94_source_dup_rates",
     "q91_pmi_collocations",

@@ -53,6 +53,10 @@ STRESS_QUERIES = [
     # BPE training (vocab-sized rounds: must scale SUBlinearly - the
     # 10x corpus has nearly the same distinct-word vocabulary)
     "q86", "q84", "q88", "q89",
+    # r8 wave 3: IVF-PQ ANN (code-compressed posting lists - should
+    # track q56's ratio), per-group NTILE (two-pass range layout:
+    # ~linear), int8 quantization audit (map-only HOF: ~linear)
+    "q97", "q96", "q98",
 ]
 # superlinear-blowup tripwire: 10x rows may legitimately cost more than
 # 10x on the pair-counting queries (pair count itself grows with the
