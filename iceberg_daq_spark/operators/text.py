@@ -86,3 +86,53 @@ def redact(text: Column) -> Column:
     out = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
     out = F.regexp_replace(out, PII_IP_RE, "<IP>")
     return F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")
+
+
+def heavy_hitters(tokens, count_floor: int, summary_size: int = 4096):
+    """Exact heavy hitters WITHOUT a vocabulary-wide shuffle: the
+    two-pass Misra-Gries layout.
+
+    Pass 1 runs a size-``summary_size`` Misra-Gries summary per
+    partition (an Arrow-batched pandas Counter with decrements - the
+    classic streaming frequent-items sketch) and unions the candidate
+    keys: if an item's GLOBAL count exceeds n/summary_size it must
+    exceed its share in at least one partition, so the union is a
+    superset of every global heavy hitter at that threshold.  Pass 2
+    broadcast-semi-joins the (bounded, <= partitions x summary_size)
+    candidate set back and recounts EXACTLY, keeping count >=
+    ``count_floor``.
+
+    Why it matters at 100 TB: the naive ``groupBy(token)`` shuffles
+    the full vocabulary (billions of types for web corpora); here the
+    only shuffle is the exact recount of a candidate set whose size is
+    independent of the corpus - the same two-pass discipline as
+    TeraSort's sampling pass.  EXACT output (not a sketch estimate):
+    callers must pick ``count_floor`` > n/summary_size for the
+    no-false-negative guarantee, which pass 2's recount then makes
+    precise.
+
+    ``tokens``: DataFrame with one ``token`` string column."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    def mg_candidates(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tok, cnt in pdf["token"].value_counts().items():
+                counters[tok] = counters.get(tok, 0) + int(cnt)
+                if len(counters) > summary_size:
+                    # decrement-all: drop the min count from everyone
+                    dec = min(counters.values())
+                    counters = {
+                        t: c - dec for t, c in counters.items() if c > dec
+                    }
+        yield pd.DataFrame({"token": list(counters.keys())})
+
+    cand = tokens.mapInPandas(mg_candidates, "token string").distinct()
+    return (
+        tokens.join(F.broadcast(cand), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .filter(F.col("cnt") >= count_floor)
+    )

@@ -2074,3 +2074,119 @@ def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id", "n_chars", "es_key", "rk")
         .orderBy("lang", "rk")
     )
+
+
+@register(
+    "q100_heavy_hitters",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ), tot AS (
+      SELECT count(*) AS n FROM tok
+    )
+    SELECT token, CAST(count(*) AS BIGINT) AS cnt
+    FROM tok CROSS JOIN tot
+    GROUP BY token, tot.n
+    HAVING count(*) >= greatest(CAST(floor(n / 100.0) AS BIGINT), 1)
+    ORDER BY cnt DESC, token
+    """,
+)
+def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters (tokens holding >= 1% of all token
+    mass) WITHOUT a vocabulary-wide shuffle: two-pass Misra-Gries -
+    per-partition frequent-items summaries union into a bounded
+    candidate set (a superset of every >= n/4096 item, so a fortiori
+    of the 1% hitters), then an exact broadcast-semi-join recount.
+    The oracle is the plain exact GROUP BY ... HAVING - the two plans
+    must agree row-for-row, which is precisely the MG no-false-
+    negative guarantee under test.  The only corpus-wide costs are
+    the map-side summaries and one scalar count; the shuffle carries
+    candidates only.  See operators/text.heavy_hitters for the 100 TB
+    rationale."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+    total = tok.count()  # one scalar action, the oracle's tot CTE
+    floor = max(total // 100, 1)
+    return (
+        text.heavy_hitters(tok, count_floor=floor)
+        .orderBy(F.desc("cnt"), F.asc("token"))
+    )
+
+
+@register(
+    "q101_contrastive_pairs",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), n AS (
+      SELECT vec_id, v,
+             sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)),
+                              (acc, x) -> acc + x)) AS norm
+      FROM v
+    ), scored AS (
+      SELECT a.vec_id AS qid, b.vec_id AS cid,
+             list_reduce(
+               list_prepend(0.0, list_transform(generate_series(1, len(a.v)),
+                                                i -> a.v[i] * b.v[i])),
+               (acc, x) -> acc + x) / (a.norm * b.norm) AS cos
+      FROM n a JOIN n b ON a.vec_id <> b.vec_id
+    ), pos AS (
+      SELECT qid, cid AS pos_id, round(cos, 3) AS pos_sim,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+      FROM scored
+    ), tot AS (
+      SELECT count(*) AS nv FROM v
+    ), raw AS (
+      SELECT p.qid, p.pos_id, p.pos_sim,
+             (p.qid * 40503 + 1 * 997) % tot.nv AS r1,
+             (p.qid * 40503 + 2 * 997) % tot.nv AS r2,
+             (p.qid * 40503 + 3 * 997) % tot.nv AS r3,
+             tot.nv AS nv
+      FROM pos p CROSS JOIN tot WHERE p.rk = 1
+    )
+    SELECT qid, pos_id, pos_sim,
+           CAST(CASE WHEN r1 IN (qid, pos_id) THEN (r1 + 1) % nv ELSE r1 END
+                AS BIGINT) AS neg_1,
+           CAST(CASE WHEN r2 IN (qid, pos_id) THEN (r2 + 1) % nv ELSE r2 END
+                AS BIGINT) AS neg_2,
+           CAST(CASE WHEN r3 IN (qid, pos_id) THEN (r3 + 1) % nv ELSE r3 END
+                AS BIGINT) AS neg_3
+    FROM raw
+    ORDER BY qid
+    """,
+)
+def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining: for every anchor embedding,
+    its EXACT nearest neighbor as the positive (true cosine, from the
+    blocked all-pairs scorer) plus three DETERMINISTIC hash negatives
+    (modular-arithmetic draws over the dense id space, bumped once on
+    anchor/positive collision) - the (anchor, positive, negatives)
+    tuples a contrastive embedding trainer consumes.
+
+    Hash negatives instead of rand(): reproducible across engines and
+    runs, so the whole mining stage is oracle-checkable; a residual
+    double-collision after the bump is possible but identical on both
+    engines by construction.  Scale shape: positives ride the q44
+    blocked scorer (at real scale, swap in the IVF-PQ ANN from q97 -
+    the contract is per-anchor top-1); negatives are map-only
+    arithmetic."""
+    e = load(spark, sf_dir, "embeddings")
+    nv = e.count()  # one scalar action, the oracle's tot CTE
+    pos = similarity.cosine_topk_bruteforce(e, k=1).select(
+        "qid",
+        F.col("cid").alias("pos_id"),
+        F.col("cos_sim").alias("pos_sim"),
+    )
+
+    def neg(j: int) -> F.Column:
+        r = (F.col("qid") * 40503 + j * 997) % nv
+        return (
+            F.when(r.isin(F.col("qid"), F.col("pos_id")), (r + 1) % nv)
+            .otherwise(r)
+            .cast("long")
+            .alias(f"neg_{j}")
+        )
+
+    return pos.select("qid", "pos_id", "pos_sim", neg(1), neg(2), neg(3)).orderBy(
+        "qid"
+    )

@@ -55,8 +55,8 @@ def all_queries() -> dict[str, QuerySpec]:
 
 
 # The verify driver hash-checks only the FIRST 50 entries of
-# ``__spark_entry__.queries()``.  With 81 registered queries (72
-# oracle-backed, 9 rows-only by design) the window cannot cover
+# ``__spark_entry__.queries()``.  With 99 registered queries (86
+# oracle-backed, 13 rows-only by design) the window cannot cover
 # everything, so the projection below orders queries by how much a
 # driver row is worth this round:
 #   1. oracle-backed queries with no driver CORRECTNESS row yet,
@@ -73,6 +73,8 @@ _CHECK_FIRST = [
     "q96_curriculum_bins",
     "q98_int8_quantization",
     "q99_weighted_sample",
+    "q100_heavy_hitters",
+    "q101_contrastive_pairs",
     "q93_zipf_slope",
     "q94_source_dup_rates",
     "q91_pmi_collocations",

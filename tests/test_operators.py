@@ -717,6 +717,35 @@ def test_global_row_number_matches_window(spark):
     assert got == want
 
 
+def test_heavy_hitters_forced_decrements(spark):
+    """Misra-Gries two-pass heavy hitters must equal the exact
+    GROUP BY ... HAVING even when the summary is tiny enough that
+    decrements actually fire (vocab 200 >> summary 8): any token with
+    count >= n/8 must survive pass 1, and pass 2's recount makes the
+    output exact.  Zipf-ish skew so real hitters exist."""
+    from iceberg_daq_spark.operators.text import heavy_hitters
+
+    rows = []
+    for t in range(200):
+        reps = 1000 // (t + 1)  # zipf-ish: token 0 is 1000x token 199
+        rows += [(f"tok{t}",)] * max(reps, 1)
+    tok = spark.createDataFrame(rows, "token string").repartition(5)
+    n = tok.count()
+    floor = n // 8 + 1  # strictly above the n/summary_size guarantee line
+    got = {
+        (r["token"], r["cnt"])
+        for r in heavy_hitters(tok, count_floor=floor, summary_size=8).collect()
+    }
+    want = {
+        (r["token"], r["cnt"])
+        for r in tok.groupBy("token")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .filter(F.col("cnt") >= floor)
+        .collect()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_grouped_ntile_matches_window(spark):
     """The two-pass distributed NTILE equals the per-group window
     ntile() for every group shape: a giant skewed group, groups with
