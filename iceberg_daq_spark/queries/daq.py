@@ -415,3 +415,99 @@ def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("]}}"),
     )
     return agg.select("file_name", doc.alias("json_doc")).orderBy("file_name")
+
+
+@register(
+    "q102_data_quality_checks",
+    oracle="""
+    WITH rep AS (
+      SELECT 'orders' AS table_name, 'orderkey_not_null' AS check_name,
+             CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violations
+      FROM orders
+      UNION ALL
+      SELECT 'orders', 'orderkey_unique',
+             CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'orders', 'orderstatus_domain',
+             CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'orders', 'totalprice_range',
+             CAST(sum(CASE WHEN o_totalprice < 0 OR o_totalprice > 400000
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'orders', 'custkey_fk_customer',
+             CAST((SELECT count(*) FROM orders o
+                   WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                     WHERE c.c_custkey = o.o_custkey))
+                  AS BIGINT)
+      UNION ALL
+      SELECT 'lineitem', 'quantity_range',
+             CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem', 'discount_cap',
+             CAST(sum(CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem', 'linenumber_positive',
+             CAST(sum(CASE WHEN l_linenumber <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem
+    )
+    SELECT table_name, check_name, n_violations,
+           CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END AS status
+    FROM rep
+    ORDER BY table_name, check_name
+    """,
+)
+def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (the Deequ/expectations family;
+    reference analog: pre-run config/metadata validation, A33/A40):
+    null, domain, range, exact-uniqueness, and referential constraints
+    over orders/lineitem, one report row per constraint.
+
+    All row-level checks on a table fold into ONE conditional-agg scan
+    (map-side combinable), uniqueness rides the same pass, the FK
+    check is a broadcast anti-join - 8 constraints, 2 scans + 1
+    anti-join at any scale.  The report is deliberately mixed: the
+    range/discount caps FAIL on this data, proving the gate actually
+    fires.  See operators/checks.py."""
+    from iceberg_daq_spark.operators.checks import Check, run_checks
+
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    customer = load(spark, sf_dir, "customer")
+    checks = [
+        Check("orders", "orderkey_not_null", violation=F.col("o_orderkey").isNull()),
+        Check("orders", "orderkey_unique", unique_col="o_orderkey"),
+        Check(
+            "orders",
+            "orderstatus_domain",
+            violation=~F.col("o_orderstatus").isin("O", "F", "P"),
+        ),
+        Check(
+            "orders",
+            "totalprice_range",
+            violation=(F.col("o_totalprice") < 0) | (F.col("o_totalprice") > 400000),
+        ),
+        Check("orders", "custkey_fk_customer", fk=(customer, "o_custkey", "c_custkey")),
+        Check(
+            "lineitem",
+            "quantity_range",
+            violation=(F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+        ),
+        Check("lineitem", "discount_cap", violation=F.col("l_discount") > 0.08),
+        Check(
+            "lineitem",
+            "linenumber_positive",
+            violation=F.col("l_linenumber") <= 0,
+        ),
+    ]
+    return run_checks({"orders": orders, "lineitem": lineitem}, checks).orderBy(
+        "table_name", "check_name"
+    )

@@ -557,3 +557,20 @@ def test_q87_classifier_map_only(spark, sf_dir):
     # the ONLY exchange is the presentation orderBy's range partition
     assert plan.count("Exchange (") == 1 and "rangepartitioning" in plan
     assert "hashpartitioning" not in plan and "SinglePartition" not in plan
+
+
+def test_q102_one_scan_per_table(spark, sf_dir):
+    """The data-quality battery must consolidate: 8 constraints plan
+    as ONE conditional-agg scan per table plus the FK anti-join's two
+    scans - never a scan per check - and the anti-join's dimension
+    side broadcasts."""
+    from iceberg_daq_spark.queries.daq import q102
+
+    import re
+
+    plan = plan_of(q102(spark, sf_dir))
+    # numbered operator-tree nodes only (the formatted output repeats
+    # nodes in the AQE / reused-subtree sections without numbers)
+    n_scans = len(re.findall(r"Scan parquet\s+\(\d+\)", plan))
+    assert n_scans <= 4  # orders, lineitem, orders+customer (FK)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
