@@ -275,3 +275,69 @@ def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("trigger_id")
     )
+
+
+@register(
+    "q103_metric_anomalies",
+    oracle="""
+    WITH w AS (
+      SELECT event_id, event_type, value,
+             avg(value) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING) AS mu,
+             stddev_samp(value) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING) AS sd,
+             count(*) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING) AS n_prev
+      FROM events
+    ), z AS (
+      SELECT event_id, event_type, value,
+             round((value - mu) / sd, 2) AS zscore
+      FROM w
+      WHERE n_prev >= 30 AND sd > 0
+    )
+    SELECT event_id, event_type, round(value, 2) AS value, zscore
+    FROM z WHERE abs(zscore) >= 3.0
+    ORDER BY event_type, event_id
+    """,
+)
+def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric anomaly flagging: each event's value z-scored against
+    the TRAILING 100 events of its type (frame excludes the current
+    row, warm-up gated at 30 observations), |z| >= 3 flagged - the
+    opmon-style outlier detector a pipeline runs over its own metric
+    stream (reference analog: the monitoring plane's alarm rules,
+    A44).
+
+    The filter compares the ROUNDED z on both engines, so libm/fold
+    ulp differences in the rolling stddev cannot flip membership
+    except exactly at the quantized boundary the hash itself checks.
+    Scale: the window partitions by event_type - bounded-frame rolling
+    aggs stream in one pass per partition; for few giant types,
+    sub-partition by (event_type, day) and stitch frame edges, the
+    same discipline as q20's islands."""
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-100, -1)
+    )
+    e = load(spark, sf_dir, "events")
+    z = (
+        e.select(
+            "event_id",
+            "event_type",
+            "value",
+            F.avg("value").over(w).alias("mu"),
+            F.stddev_samp("value").over(w).alias("sd"),
+            F.count("*").over(w).alias("n_prev"),
+        )
+        .filter((F.col("n_prev") >= 30) & (F.col("sd") > 0))
+        .withColumn("zscore", F.round((F.col("value") - F.col("mu")) / F.col("sd"), 2))
+    )
+    return (
+        z.filter(F.abs(F.col("zscore")) >= 3.0)
+        .select("event_id", "event_type", F.round("value", 2).alias("value"), "zscore")
+        .orderBy("event_type", "event_id")
+    )

@@ -85,3 +85,38 @@ def test_hdf5_reader_roundtrip(spark, tmp_path):
     for r in out.collect():
         got.setdefault(r["file_name"], set()).add(r["event_id"])
     assert got == truth
+
+
+def test_jsonl_quarantine_split(spark, tmp_path):
+    """Malformed JSONL lines land in quarantine with their raw bytes;
+    parseable lines come back typed; blank lines are dropped; nothing
+    is silently lost (good + quarantine == non-blank input)."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from iceberg_daq_spark.sources import read_jsonl_quarantine
+
+    lines = [
+        '{"doc_id": 1, "text": "alpha"}',
+        '{"doc_id": 2, "text": "beta"}',
+        "{not json at all",
+        '{"wrong_fields": true}',
+        "",
+        '["an", "array"]',
+        '{"doc_id": 3, "text": null}',  # partial but has a schema field
+    ]
+    p = tmp_path / "docs.jsonl"
+    p.write_text("\n".join(lines))
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    good, quar = read_jsonl_quarantine(spark, str(p), schema)
+    g = sorted((r["doc_id"], r["text"]) for r in good.collect())
+    assert g == [(1, "alpha"), (2, "beta"), (3, None)]
+    q = sorted(r["raw_line"] for r in quar.collect())
+    assert q == sorted(["{not json at all", '{"wrong_fields": true}', '["an", "array"]'])
+    assert all(r["input_file"].endswith("docs.jsonl") for r in quar.collect())
