@@ -97,6 +97,7 @@ import math
 import os
 import re
 import shutil
+import urllib.parse
 from contextlib import contextmanager
 from dataclasses import dataclass
 
@@ -494,6 +495,45 @@ def _partition_predicate(
     if not preds:
         return None
     return reduce(lambda x, y: x & y, preds)
+
+
+def _leaf_partition_dirs(root: str, depth: int) -> list[str]:
+    """Relative ``k=v/k=v`` leaf paths exactly ``depth`` levels under
+    ``root`` (the partition directories a Spark partitionBy write
+    lays out)."""
+    out: list[str] = []
+
+    def walk(cur: str, lvl: int, rel: str) -> None:
+        if lvl == depth:
+            out.append(rel)
+            return
+        try:
+            entries = sorted(os.listdir(cur))
+        except OSError:
+            return
+        for name in entries:
+            p = os.path.join(cur, name)
+            if os.path.isdir(p) and "=" in name:
+                walk(p, lvl + 1, os.path.join(rel, name) if rel else name)
+
+    walk(root, 0, "")
+    return out
+
+
+def _part_value_type(pf: PartField, type_of: dict[str, str]) -> str:
+    """The Spark type a directory-encoded partition VALUE carries -
+    mirrors the return types of :func:`_transform_col` so a
+    driver-built frame of parsed dir values compares correctly under
+    the projected predicate."""
+    if pf.transform == "identity":
+        return type_of.get(pf.source, "string")
+    if pf.transform in ("hours", "days"):
+        return "bigint"
+    if pf.transform in ("months", "years", "bucket"):
+        return "int"
+    if pf.transform == "truncate":
+        return type_of.get(pf.source, "string")
+    return "string"
 
 
 # -- file-level column statistics (Iceberg manifest min/max skipping) -
@@ -2514,6 +2554,7 @@ class MergeTable:
         target_files: int = 1,
         target_mb: int | None = None,
         zorder: tuple[str, ...] | list[str] = (),
+        where: str | None = None,
     ) -> int:
         """Maintenance: rewrite the current snapshot into
         ``target_files`` files (Iceberg ``rewrite_data_files`` analog) -
@@ -2541,7 +2582,21 @@ class MergeTable:
         interleave as JVM expressions) and never stored.  Mutually
         exclusive with a table sort order (clear it first - the
         clustered write would otherwise re-sort and destroy the
-        Z-layout)."""
+        Z-layout).
+
+        ``where`` scopes the rewrite (Iceberg ``rewrite_data_files``
+        with a filter): only partition directories the predicate MAY
+        match are read and rewritten; every other partition's files
+        carry over untouched - see :meth:`_scoped_compact`.  At 100 TB
+        this is the difference between compacting yesterday's
+        streaming micro-batches and re-shuffling the whole table."""
+        if where is not None:
+            if zorder or target_mb is not None:
+                raise ValueError(
+                    "where= composes with target_files only (scoped "
+                    "rewrites keep untouched partitions' layout)"
+                )
+            return self._scoped_compact(spark, where, target_files)
         if target_mb is not None:
             total = self._data_bytes()
             target_files = max(1, -(-total // (target_mb * 1024 * 1024)))
@@ -2565,6 +2620,187 @@ class MergeTable:
 
         return self._optimistic_rewrite(
             spark, build, "compact", sort_partitions=target_files
+        )
+
+    def _scoped_compact(
+        self, spark: SparkSession, where: str, target_files: int
+    ) -> int:
+        """Partition-scoped rewrite (Iceberg ``rewrite_data_files``
+        with a filter), at partition-DIRECTORY granularity: the
+        ``where`` conjuncts project through the partition spec's
+        transforms exactly as scan pruning does, the leaf directories
+        that MAY match are read fully and rewritten compacted, and
+        every other leaf's files carry into the new snapshot as
+        HARDLINKS - a metadata-speed operation on a shared filesystem
+        (the local-parquet stand-in for Iceberg's manifest-level file
+        reuse; prior snapshots keep reading the original inodes, so
+        time travel and snapshot GC are untouched).
+
+        Like Iceberg's filtered rewrite this is a LAYOUT operation on
+        whole files: a boundary directory containing both matching and
+        non-matching rows is rewritten in full, never row-filtered.
+
+        Preconditions (ValueError otherwise - run a full ``compact()``
+        first): a partitioned table whose dirs all carry the current
+        spec; no pending RENAME/ADD schema mappings (carried-over files
+        must already be physically current); no pending position
+        deletes (they key on file paths, which hardlinking changes;
+        pending equality deletes carry forward - they mask by key, so
+        they apply identically to rewritten and carried files)."""
+        conjs = _parse_conjuncts(where)
+        if not conjs:
+            raise ValueError(f"no projectable conjuncts in {where!r}")
+        for _ in range(6):
+            base = self.current_version()
+            if base is None:
+                raise ValueError(f"compact() on uncommitted table {self.path}")
+            m = self._load_manifest(base)
+            if m is None:
+                raise ValueError("scoped compaction needs a manifest table")
+            spec = list(m.get("partition_spec") or [])
+            if not spec:
+                raise ValueError("scoped compaction needs a partitioned table")
+            names = _data_dirs(m)
+            dir_specs = m.get("dir_specs") or {}
+            if any((dir_specs.get(n) or []) != spec for n in names):
+                raise ValueError(
+                    "mixed partition specs across data dirs; run compact() "
+                    "(full) first"
+                )
+            if any(
+                f["physical"] != f["name"] or f.get("default") is not None
+                for f in m["schema"]
+                if f["physical"] is not None
+            ) or any(f["physical"] is None for f in m["schema"]):
+                raise ValueError(
+                    "pending schema mappings (rename/add); run compact() "
+                    "(full) first"
+                )
+            dels = _delete_entries(m)
+            if any(e.get("kind") == "position" for e in dels):
+                raise ValueError(
+                    "pending position deletes key on file paths; run "
+                    "compact() (full) first"
+                )
+            phys_of = {f["name"]: f["physical"] for f in m["schema"]}
+            type_of = {f["name"]: f["type"] for f in m["schema"]}
+            pred = _partition_predicate(conjs, spec, phys_of, type_of)
+            if pred is None:
+                raise ValueError(
+                    f"{where!r} does not project onto partition spec {spec} - "
+                    "a scoped rewrite would touch every directory"
+                )
+            fields = parse_partition_spec(spec)
+            # classify each leaf partition dir: may-match -> rewrite,
+            # else -> carry (hardlink).  Evaluation uses the SAME
+            # predicate Column scan pruning uses, applied to a tiny
+            # driver-built frame of the directory-encoded values.
+            rewrite: list[tuple[str, str]] = []  # (data_dir, leaf rel)
+            carry: list[tuple[str, str]] = []
+            for n in names:
+                root = os.path.join(self.path, n)
+                leaves = _leaf_partition_dirs(root, len(fields))
+                if not leaves:
+                    continue
+                rows = []
+                for leaf in leaves:
+                    vals = {}
+                    for part in leaf.split(os.sep):
+                        k, _, v = part.partition("=")
+                        vals[k] = (
+                            None
+                            if v == "__HIVE_DEFAULT_PARTITION__"
+                            else urllib.parse.unquote(v)
+                        )
+                    rows.append((*[vals.get(pf.name) for pf in fields], leaf))
+                from pyspark.sql.types import StringType, StructField, StructType
+
+                tiny = spark.createDataFrame(
+                    rows,
+                    StructType(
+                        [StructField(pf.name, StringType()) for pf in fields]
+                        + [StructField("__leaf", StringType())]
+                    ),
+                )
+                for pf in fields:
+                    tiny = tiny.withColumn(
+                        pf.name,
+                        F.col(pf.name).cast(_part_value_type(pf, type_of)),
+                    )
+                hit = {r["__leaf"] for r in tiny.filter(pred).collect()}
+                for leaf in leaves:
+                    (rewrite if leaf in hit else carry).append((n, leaf))
+            if not rewrite:
+                return base  # nothing in scope: the snapshot stands
+            # read EXACTLY the rewrite leaves (explicit paths, so the
+            # row partition between rewritten and carried files cannot
+            # drift from the classification above), map to the logical
+            # schema
+            parts = []
+            for n, leaf in rewrite:
+                d = os.path.join(self.path, n)
+                sub = spark.read.option("basePath", d).parquet(
+                    os.path.join(d, leaf)
+                )
+                parts.append(
+                    sub.select(
+                        *[
+                            F.col(f["physical"]).cast(f["type"]).alias(f["name"])
+                            for f in m["schema"]
+                        ]
+                    )
+                )
+            from functools import reduce
+
+            new_df = reduce(DataFrame.unionByName, parts).coalesce(target_files)
+            sort = list(m.get("sort_order") or [])
+            try:
+                staged = self._stage(new_df, spec, sort, target_files)
+            except Exception:
+                if self.current_version() != base:
+                    continue
+                raise
+            committed = False
+            try:
+                # carry side: hardlink untouched leaves into the stage
+                for n, leaf in carry:
+                    src = os.path.join(self.path, n, leaf)
+                    dst = os.path.join(self.path, staged, leaf)
+                    os.makedirs(dst, exist_ok=True)
+                    for fn in os.listdir(src):
+                        sp = os.path.join(src, fn)
+                        if not (os.path.isfile(sp) and fn.endswith(".parquet")):
+                            continue
+                        dp = os.path.join(dst, fn)
+                        if os.path.exists(dp):  # same leaf from two dirs
+                            stem, ext = os.path.splitext(fn)
+                            dp = os.path.join(dst, f"{stem}-{n}{ext}")
+                        try:
+                            os.link(sp, dp)
+                        except OSError:
+                            shutil.copy2(sp, dp)  # cross-device fallback
+                with _commit_lock(self.path):
+                    if self.current_version() == base:
+                        v = self._next_version()
+                        data_dir = self._promote_stage_locked(staged, v)
+                        committed = True
+                        carried_dels = [
+                            {**e, "applies_to": [data_dir]} for e in dels
+                        ]
+                        return self._commit_manifest(
+                            v,
+                            [data_dir],
+                            m["schema"],
+                            spec,
+                            {data_dir: spec},
+                            op="compact",
+                            deletes=carried_dels,
+                        )
+            finally:
+                if not committed:
+                    self._discard_stage(staged)
+        raise CommitConflict(
+            f"compact(where=...) on {self.path} lost 6 optimistic-commit races"
         )
 
     def _data_bytes(self) -> int:

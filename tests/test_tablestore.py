@@ -1737,3 +1737,83 @@ def test_stream_sink_auto_compaction(spark, tmp_path):
     assert m["operation"] == "compact"
     assert len(m["data_dirs"]) == 1
     assert t.read(spark).count() == 50
+
+
+def test_scoped_compact_partition_filter(spark, tmp_path):
+    """compact(where=...) - the Iceberg rewrite_data_files(filter)
+    analog: only partition dirs the projected predicate may match are
+    rewritten; every other leaf carries over as hardlinks (same
+    inode), contents and time travel are byte-identical, pending
+    equality deletes keep masking, GC of the source snapshot leaves
+    the carried files alive, and the preconditions raise instead of
+    silently degrading."""
+    import datetime as dt
+    import os as _os
+
+    from iceberg_daq_spark.tablestore import MergeTable
+
+    t = MergeTable(
+        str(tmp_path / "sc"), key_cols=("k",), keep_versions=2,
+        partition_spec=("tier", "hours(ts)"),
+    )
+    rows = [
+        (i, "raw" if i % 2 else "tp", dt.datetime(2024, 1, 1, i % 3), i * 10)
+        for i in range(30)
+    ]
+    t.merge(spark.createDataFrame(rows, "k int, tier string, ts timestamp, v int"))
+    t.delete_keys(spark, spark.createDataFrame([(1,), (3,)], "k int"))  # equality deletes
+    before = sorted(map(tuple, t.read(spark).collect()))
+    assert len(before) == 28
+
+    v = t.compact(
+        spark,
+        where="tier = 'raw' AND ts >= TIMESTAMP'2024-01-01 01:00:00' "
+        "AND ts < TIMESTAMP'2024-01-01 02:00:00'",
+    )
+    after = sorted(map(tuple, t.read(spark).collect()))
+    assert after == before  # layout-only: contents identical, deletes mask
+    nd = _os.path.join(t.path, f"d{v:06d}")
+    touched, carried = [], []
+    for root, _dirs, files in _os.walk(nd):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            nlink = _os.stat(_os.path.join(root, f)).st_nlink
+            # the projected range is a sound SUPERSET: hour 473353 plus
+            # the boundary hour 473354 are in scope, tp and hour 473352
+            # carry over
+            in_scope = "tier=raw" in root and (
+                "473353" in root or "473354" in root
+            )
+            (touched if in_scope else carried).append(nlink)
+    assert touched and all(n == 1 for n in touched)  # fresh rewrite
+    assert carried and all(n >= 2 for n in carried)  # hardlinked carry
+
+    # predicate out of scope of the spec -> refuse (would touch all dirs)
+    with pytest.raises(ValueError):
+        t.compact(spark, where="v > 100")
+    # nothing in scope -> the snapshot stands
+    assert t.compact(spark, where="tier = 'nope'") == v
+
+    # GC: push the pre-compact snapshots out of retention; carried
+    # files must survive via their remaining link
+    t.merge(
+        spark.createDataFrame(
+            [(900, "tp", dt.datetime(2024, 1, 1, 0), 1)],
+            "k int, tier string, ts timestamp, v int",
+        )
+    )
+    t.merge(
+        spark.createDataFrame(
+            [(901, "tp", dt.datetime(2024, 1, 1, 0), 1)],
+            "k int, tier string, ts timestamp, v int",
+        )
+    )
+    live = sorted(map(tuple, t.read(spark).collect()))
+    assert len(live) == 30  # 28 + 2 new; nothing lost to GC
+
+    # unpartitioned table refuses scoped compaction
+    u = MergeTable(str(tmp_path / "un"), key_cols=("k",))
+    u.merge(spark.createDataFrame([(1, 1)], "k int, v int"))
+    with pytest.raises(ValueError):
+        u.compact(spark, where="k = 1")
