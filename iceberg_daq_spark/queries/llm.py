@@ -2190,3 +2190,36 @@ def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pos.select("qid", "pos_id", "pos_sim", neg(1), neg(2), neg(3)).orderBy(
         "qid"
     )
+
+
+@register("q104_hll_sketch_union", oracle=None)
+def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-(lang, source) Datasketches HLL
+    sketches of the distinct-token sets, UNIONED per language - the
+    two-level pattern a 100 TB pipeline stores (leaf sketches persist
+    per ingest partition; any rollup - per language, per day, global -
+    is a cheap union of kilobyte payloads, never a re-scan of the
+    corpus).  Both levels are map-side combinable JVM aggregates
+    (hll_sketch_agg / hll_union_agg).
+
+    Rows-only by design: the sketch binary is engine-specific, so no
+    DuckDB oracle - tests assert the unioned estimate EQUALS the
+    direct whole-language sketch estimate (union exactness) and tracks
+    the exact distinct count within HLL error."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "lang", "source", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    leaf = tok.groupBy("lang", "source").agg(
+        F.hll_sketch_agg("w").alias("sk")
+    )
+    return (
+        leaf.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_sources"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk"))
+            .cast("long")
+            .alias("est_distinct_tokens"),
+        )
+        .orderBy("lang")
+    )

@@ -55,8 +55,8 @@ def all_queries() -> dict[str, QuerySpec]:
 
 
 # The verify driver hash-checks only the FIRST 50 entries of
-# ``__spark_entry__.queries()``.  With 101 registered queries (88
-# oracle-backed, 13 rows-only by design) the window cannot cover
+# ``__spark_entry__.queries()``.  With 102 registered queries (88
+# oracle-backed, 14 rows-only by design) the window cannot cover
 # everything, so the projection below orders queries by how much a
 # driver row is worth this round:
 #   1. oracle-backed queries with no driver CORRECTNESS row yet,

@@ -21,14 +21,15 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
-def read_jsonl_quarantine(
-    spark: SparkSession, path: str, schema: StructType
-) -> tuple[DataFrame, DataFrame]:
-    """(good, quarantine): ``good`` carries the parsed columns of every
-    line that parses AND has at least one schema field present;
-    ``quarantine`` carries (raw_line, input_file) for every line that
-    does not.  Blank lines are dropped (not data, not corruption)."""
-    raw = spark.read.text(path).filter(F.length(F.trim(F.col("value"))) > 0)
+def split_jsonl(raw: DataFrame, schema: StructType) -> tuple[DataFrame, DataFrame]:
+    """(good, quarantine) from a ``value``-column line frame - batch OR
+    streaming (the expressions are all map-only, so the same split
+    serves ``spark.read.text`` and ``spark.readStream.text``): ``good``
+    carries the parsed columns of every line that parses AND has at
+    least one schema field present; ``quarantine`` carries (raw_line,
+    input_file) for every line that does not.  Blank lines are dropped
+    (not data, not corruption)."""
+    raw = raw.filter(F.length(F.trim(F.col("value"))) > 0)
     parsed = raw.select(
         F.col("value").alias("raw_line"),
         F.from_json(F.col("value"), schema).alias("r"),
@@ -44,3 +45,10 @@ def read_jsonl_quarantine(
     good = parsed.filter(ok).select("r.*")
     quarantine = parsed.filter(~ok).select("raw_line", "input_file")
     return good, quarantine
+
+
+def read_jsonl_quarantine(
+    spark: SparkSession, path: str, schema: StructType
+) -> tuple[DataFrame, DataFrame]:
+    """Batch entry point: :func:`split_jsonl` over ``spark.read.text``."""
+    return split_jsonl(spark.read.text(path), schema)

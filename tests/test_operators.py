@@ -937,3 +937,37 @@ def test_q90_pipeline_invariants(spark, sf_dir):
         # filled past its boundary by a straddling doc, so mean fill
         # sits near 100 and NEVER below 100 * (n_seqs-1)/n_seqs
         assert r.mean_fill_pct >= 100 * (r.n_seqs - 1) // r.n_seqs
+
+
+def test_hll_union_matches_direct_sketch(spark, sf_dir):
+    """Sketch-union correctness: per-source HLL sketches unioned per
+    language must estimate EXACTLY what a direct whole-language sketch
+    estimates (union merges registers losslessly at equal lgK), and
+    both must track the exact distinct count within HLL error."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "lang", "source", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    via_union = {
+        r["lang"]: r["est"]
+        for r in tok.groupBy("lang", "source")
+        .agg(F.hll_sketch_agg("w").alias("sk"))
+        .groupBy("lang")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("est"))
+        .collect()
+    }
+    direct = {
+        r["lang"]: r["est"]
+        for r in tok.groupBy("lang")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("w")).cast("long").alias("est"))
+        .collect()
+    }
+    exact = {
+        r["lang"]: r["n"]
+        for r in tok.groupBy("lang")
+        .agg(F.countDistinct("w").alias("n"))
+        .collect()
+    }
+    assert via_union == direct
+    for lang, n in exact.items():
+        assert abs(via_union[lang] - n) <= max(0.05 * n, 1)
