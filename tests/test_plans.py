@@ -574,3 +574,46 @@ def test_q102_one_scan_per_table(spark, sf_dir):
     n_scans = len(re.findall(r"Scan parquet\s+\(\d+\)", plan))
     assert n_scans <= 4  # orders, lineitem, orders+customer (FK)
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_q95_readability_map_only(spark, sf_dir):
+    """Flesch scoring is pure rowwise compute: no exchange anywhere
+    except the presentation sort."""
+    from iceberg_daq_spark.queries.curation import q95
+
+    plan = plan_of(q95(spark, sf_dir))
+    body = plan.split("Sort")[0] if "Sort" in plan else plan
+    assert "Exchange hashpartitioning" not in body
+
+
+def test_q96_grouped_ntile_no_single_partition_window(spark, sf_dir):
+    """Curriculum binning must never plan a per-language
+    single-partition window: the window key is (slice id, lang), so
+    every Window operator's partition spec includes the physical
+    slice column."""
+    from iceberg_daq_spark.queries.curation import q96
+
+    plan = plan_of(q96(spark, sf_dir))
+    assert "_rank_pid" in plan  # the two-pass slice id is in the window key
+    # the offsets frame joins as a broadcast, not a shuffle
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q99_weighted_sample_window_group_limit(spark, sf_dir):
+    """Per-stratum ES top-k must plan as WindowGroupLimit with a
+    Partial pass below the shuffle - hot strata ship k rows per map
+    task, never their membership."""
+    from iceberg_daq_spark.queries.llm import q99
+
+    plan = plan_of(q99(spark, sf_dir))
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_q100_candidate_recount_broadcasts(spark, sf_dir):
+    """Heavy hitters' exact recount must semi-join the bounded
+    candidate set as a broadcast - the corpus-side tokens never
+    shuffle for membership."""
+    from iceberg_daq_spark.queries.llm import q100
+
+    plan = plan_of(q100(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
