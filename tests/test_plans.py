@@ -617,3 +617,32 @@ def test_q100_candidate_recount_broadcasts(spark, sf_dir):
 
     plan = plan_of(q100(spark, sf_dir))
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+    """Spark's runtime bloom-filter injection (the row-level runtime
+    filtering that saves a 100 TB fact scan from shuffling rows a
+    selective dim filter will drop): with the application-side size
+    threshold scaled down to the test corpus - at production sizes the
+    10 GB default engages by itself - a selective orders filter must
+    inject might_contain() onto the lineitem side of the join."""
+    from iceberg_daq_spark.tables import load
+
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "1KB",
+    )
+    try:
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = plan_of(j)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
+    assert "might_contain" in plan
