@@ -107,6 +107,32 @@ def grouped_ntile(
 
     ``order_cols`` must extend to a total order within each group (add
     a unique id last) for determinism."""
+    ranked = grouped_rank(df, part_cols, order_cols, num_partitions)
+    q = F.floor(F.col("_gtotal") / n).cast("bigint")
+    rem = (F.col("_gtotal") % n).cast("bigint")
+    rank = F.col("_grank")
+    # SQL-standard NTILE: first `total mod n` buckets take q+1 rows, rest q
+    bucket = F.when(
+        rank <= (q + 1) * rem, F.floor((rank - 1) / (q + 1)) + 1
+    ).otherwise(rem + F.floor((rank - (q + 1) * rem - 1) / F.greatest(q, F.lit(1))) + 1)
+    return (
+        ranked.withColumn(out, bucket.cast("bigint"))
+        .select(*df.columns, out)
+    )
+
+
+def grouped_rank(
+    df: DataFrame,
+    part_cols: list[str],
+    order_cols: list[Column | str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact within-group rank + group total as the two-pass range
+    layout (see :func:`grouped_ntile` for the full rationale):
+    returns ``df``'s columns plus ``_grank`` (1-based rank within the
+    (part_cols) group under order_cols) and ``_gtotal`` (group row
+    count) - the shared substrate for grouped NTILE, percent_rank,
+    and chunked rolling windows over few-giant-group data."""
     ocols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     pcols = [F.col(c) for c in part_cols]
     nparts = num_partitions or df.sparkSession.conf.get(
@@ -142,11 +168,8 @@ def grouped_ntile(
         + [StructField("_off", LongType()), StructField("_total", LongType())]
     )
     offdf = df.sparkSession.createDataFrame(offsets, schema)
-    # pass 2: within-slice row_number + offset = exact within-group rank;
-    # SQL-standard NTILE: first `total mod n` buckets take q+1 rows, rest q
-    q = F.floor(F.col("_total") / n).cast("bigint")
-    rem = (F.col("_total") % n).cast("bigint")
-    # null-safe equality: a NULL group key is a group like any other
+    # pass 2: within-slice row_number + offset = exact within-group rank
+    # (null-safe join: a NULL group key is a group like any other)
     left, right = ranged.alias("_l"), F.broadcast(offdf).alias("_r")
     cond = F.col(f"_l.{_PID}") == F.col(f"_r.{_PID}")
     for c in part_cols:
@@ -154,12 +177,9 @@ def grouped_ntile(
     w = Window.partitionBy(f"_l.{_PID}", *[f"_l.{c}" for c in part_cols]).orderBy(
         *ocols
     )
-    rank = (F.col("_off") + F.row_number().over(w)).cast("bigint")
-    bucket = F.when(
-        rank <= (q + 1) * rem, F.floor((rank - 1) / (q + 1)) + 1
-    ).otherwise(rem + F.floor((rank - (q + 1) * rem - 1) / F.greatest(q, F.lit(1))) + 1)
     return (
         left.join(right, cond)
-        .withColumn(out, bucket.cast("bigint"))
-        .select(*[f"_l.{c}" for c in df.columns], out)
+        .withColumn("_grank", (F.col("_off") + F.row_number().over(w)).cast("bigint"))
+        .withColumn("_gtotal", F.col("_total").cast("bigint"))
+        .select(*[f"_l.{c}" for c in df.columns], "_grank", "_gtotal")
     )

@@ -1,0 +1,99 @@
+"""Bounded-memory rolling windows over few-giant-group data.
+
+``avg(x) OVER (PARTITION BY g ORDER BY t ROWS n PRECEDING)`` puts each
+GROUP in one task: for a metric stream with 5 event types and billions
+of rows, that is 5 tasks however large the cluster (the caveat q103
+documents).  The distributed layout implemented here:
+
+  1. exact within-group ranks via the two-pass range layout
+     (:func:`ranking.grouped_rank` - no single-task group anywhere),
+  2. chunk each group by rank (``chunk = (rank-1) // chunk_size``),
+  3. replicate each chunk's LAST ``window`` rows into the next chunk
+     as context (rank-contiguous, so a chunk + its context hold every
+     trailing-window predecessor of every own row),
+  4. one Arrow-batched pass per (group, chunk) computes the trailing
+     stats with numpy prefix sums and emits own rows only.
+
+Parallelism = total rows / chunk_size, independent of group count;
+per-task memory = chunk_size + window rows.  The context replication
+costs ``window / chunk_size`` extra shuffle volume (2% at the
+defaults).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from iceberg_daq_spark.operators.ranking import grouped_rank
+
+DEFAULT_CHUNK = 65536
+
+
+def rolling_stats(
+    df: DataFrame,
+    part_cols: list[str],
+    order_cols: list[Column | str],
+    value_col: str,
+    window: int,
+    chunk_size: int = DEFAULT_CHUNK,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``df`` plus ``mu`` / ``sd`` / ``n_prev`` over the TRAILING
+    ``window`` rows per (part_cols) group under order_cols, current
+    row excluded - the frame ``ROWS BETWEEN window PRECEDING AND 1
+    PRECEDING``.  ``sd`` is the sample standard deviation (NULL when
+    n_prev < 2, matching stddev_samp).  Exact equivalence to the
+    single-task window formulation is test-asserted."""
+    if chunk_size < window:
+        raise ValueError(f"chunk_size {chunk_size} must be >= window {window}")
+    ranked = grouped_rank(df, part_cols, order_cols, num_partitions)
+    chunk = F.floor((F.col("_grank") - 1) / chunk_size).cast("bigint")
+    own = ranked.withColumn("_chunk", chunk).withColumn("_own", F.lit(True))
+    # context: a chunk's last `window` rows ride along into the next
+    # chunk (only when a next chunk exists)
+    pos_in_chunk = ((F.col("_grank") - 1) % chunk_size) + 1
+    ctx = (
+        ranked.filter(
+            (pos_in_chunk > chunk_size - window)
+            & (chunk + 1 <= F.floor((F.col("_gtotal") - 1) / chunk_size))
+        )
+        .withColumn("_chunk", chunk + 1)
+        .withColumn("_own", F.lit(False))
+    )
+    both = own.unionByName(ctx)
+
+    keep = [c for c in df.columns]
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
+        + ["mu double", "sd double", "n_prev bigint"]
+    )
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_grank")
+        v = pdf[value_col].to_numpy(dtype=np.float64)
+        m = len(v)
+        cs = np.concatenate(([0.0], np.cumsum(v)))
+        cs2 = np.concatenate(([0.0], np.cumsum(v * v)))
+        idx = np.arange(m)
+        lo = np.maximum(idx - window, 0)
+        n_prev = (idx - lo).astype(np.int64)
+        s = cs[idx] - cs[lo]
+        s2 = cs2[idx] - cs2[lo]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mu = s / n_prev
+            var = (s2 - s * s / n_prev) / (n_prev - 1)
+            sd = np.sqrt(np.maximum(var, 0.0))
+        ownmask = pdf["_own"].to_numpy()
+        res = pdf.loc[ownmask, keep].copy()
+        np_o, mu_o, sd_o = n_prev[ownmask], mu[ownmask], sd[ownmask]
+        # NULL (not NaN) below the frame minimums, matching avg /
+        # stddev_samp window semantics
+        res["mu"] = [float(x) if c >= 1 else None for x, c in zip(mu_o, np_o)]
+        res["sd"] = [float(x) if c >= 2 else None for x, c in zip(sd_o, np_o)]
+        res["n_prev"] = np_o
+        return res
+
+    return both.groupBy(*part_cols, "_chunk").applyInPandas(stats, out_schema)

@@ -315,9 +315,12 @@ def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
     ulp differences in the rolling stddev cannot flip membership
     except exactly at the quantized boundary the hash itself checks.
     Scale: the window partitions by event_type - bounded-frame rolling
-    aggs stream in one pass per partition; for few giant types,
-    sub-partition by (event_type, day) and stitch frame edges, the
-    same discipline as q20's islands."""
+    aggs stream in one pass per partition.  Few giant types put each
+    type in ONE task; the distributed form is
+    :func:`operators.rolling.rolling_stats` (rank-chunked frames with
+    window-sized context replication - parallelism rows/chunk, not
+    #types), window-equivalence test-asserted; the oracle-matched plan
+    here keeps the plain window so DuckDB hash-checks the semantics."""
     w = (
         Window.partitionBy("event_type")
         .orderBy("ts", "event_id")

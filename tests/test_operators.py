@@ -971,3 +971,48 @@ def test_hll_union_matches_direct_sketch(spark, sf_dir):
     assert via_union == direct
     for lang, n in exact.items():
         assert abs(via_union[lang] - n) <= max(0.05 * n, 1)
+
+
+def test_rolling_stats_equals_window(spark):
+    """The chunked rolling operator must equal the single-task window
+    formulation exactly (same n_prev, mu/sd to float tolerance, NULLs
+    below the frame minimums) across chunk boundaries, a group smaller
+    than the window, and multiple groups - with a chunk size small
+    enough that context replication actually fires."""
+    from pyspark.sql import Window
+
+    from iceberg_daq_spark.operators.rolling import rolling_stats
+
+    rows = [(g, i, float((i * 37 + g * 11) % 100)) for g in range(3) for i in range(500)]
+    rows += [("tiny", i, float(i)) for i in range(3)]  # group < window
+    df = spark.createDataFrame(
+        [(str(g), i, v) for g, i, v in rows], "g string, t bigint, v double"
+    ).repartition(7)
+
+    got = {
+        (r["g"], r["t"]): (r["n_prev"], r["mu"], r["sd"])
+        for r in rolling_stats(
+            df, ["g"], ["t"], "v", window=50, chunk_size=64, num_partitions=5
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy("t").rowsBetween(-50, -1)
+    want = {
+        (r["g"], r["t"]): (r["n_prev"], r["mu"], r["sd"])
+        for r in df.select(
+            "g",
+            "t",
+            F.count("*").over(w).alias("n_prev"),
+            F.avg("v").over(w).alias("mu"),
+            F.stddev_samp("v").over(w).alias("sd"),
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k, (n, mu, sd) in want.items():
+        gn, gmu, gsd = got[k]
+        assert gn == n, k
+        assert (mu is None) == (gmu is None) and (
+            mu is None or abs(mu - gmu) < 1e-9
+        ), k
+        assert (sd is None) == (gsd is None) and (
+            sd is None or abs(sd - gsd) < 1e-9
+        ), k
