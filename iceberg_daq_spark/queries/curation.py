@@ -1,4 +1,4 @@
-"""Q79-Q83, Q95-Q96: corpus-curation operators (training-data pipeline).
+"""Q79-Q83, Q95-Q96, Q105: corpus-curation operators (training-data pipeline).
 
 PII redaction, URL/domain accounting, unigram-LM surprisal scoring,
 keyword extraction, and per-source distribution-drift scoring over
@@ -483,4 +483,57 @@ def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("quality"), 2).alias("avg_q"),
         )
         .orderBy("lang", "bin")
+    )
+
+
+@register(
+    "q105_quality_percentile_rank",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, lang, text, string_split(text, ' ') AS w FROM documents
+    ), s AS (
+      SELECT doc_id, lang, {quality} AS quality FROM tok
+    )
+    SELECT lang, doc_id, quality,
+           round(percent_rank() OVER (
+             PARTITION BY lang ORDER BY quality, doc_id), 4) AS pct_rank,
+           round(cume_dist() OVER (
+             PARTITION BY lang ORDER BY quality, doc_id), 4) AS cume
+    FROM s
+    ORDER BY lang, doc_id
+    """.format(quality=_QUALITY_SQL.format(stop=_STOP_SQL)),
+)
+def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality percentile ranks (percent_rank +
+    cume_dist) - the normalized score a curation pipeline stores so
+    downstream mixture weights are comparable across languages.
+
+    Computed on the SAME distributed substrate as q96
+    (ranking.grouped_rank: two-pass range layout, no per-language
+    single task): under a TOTAL order (quality, doc_id) SQL's
+    percent_rank equals (rank-1)/(total-1) and cume_dist equals
+    rank/total, so the DuckDB window-function oracle hash-checks the
+    distributed layout exactly."""
+    from iceberg_daq_spark.operators import text as T
+    from iceberg_daq_spark.operators.ranking import grouped_rank
+
+    d = load(spark, sf_dir, "documents")
+    w = T.words(F.col("text"))
+    scored = d.select(
+        "doc_id", "lang", T.quality_score(F.col("text"), w).alias("quality")
+    )
+    ranked = grouped_rank(scored, ["lang"], ["quality", "doc_id"])
+    pr = F.when(
+        F.col("_gtotal") > 1,
+        (F.col("_grank") - 1) / (F.col("_gtotal") - 1),
+    ).otherwise(F.lit(0.0))
+    return (
+        ranked.select(
+            "lang",
+            "doc_id",
+            "quality",
+            F.round(pr, 4).alias("pct_rank"),
+            F.round(F.col("_grank") / F.col("_gtotal"), 4).alias("cume"),
+        )
+        .orderBy("lang", "doc_id")
     )

@@ -55,7 +55,7 @@ def all_queries() -> dict[str, QuerySpec]:
 
 
 # The verify driver hash-checks only the FIRST 50 entries of
-# ``__spark_entry__.queries()``.  With 102 registered queries (88
+# ``__spark_entry__.queries()``.  With 103 registered queries (89
 # oracle-backed, 14 rows-only by design) the window cannot cover
 # everything, so the projection below orders queries by how much a
 # driver row is worth this round:
@@ -77,6 +77,7 @@ _CHECK_FIRST = [
     "q101_contrastive_pairs",
     "q102_data_quality_checks",
     "q103_metric_anomalies",
+    "q105_quality_percentile_rank",
     "q93_zipf_slope",
     "q94_source_dup_rates",
     "q91_pmi_collocations",
