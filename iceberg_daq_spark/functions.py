@@ -63,3 +63,45 @@ def register_sql_functions(spark: SparkSession) -> None:
         "RETURNS BIGINT "
         "RETURN unix_micros(ts) * 125 DIV 2"
     )
+
+
+def register_text_sql_functions(spark: SparkSession) -> None:
+    """The text battery for SQL users: the same expressions
+    operators/text.py builds as Columns, registered as declarative SQL
+    UDFs (Catalyst inlines the RETURN body - lambdas and all - into
+    the calling plan; zero Python).  Column-API equivalence is
+    asserted in tests/test_functions.py."""
+    stop = "'the', 'a', 'of', 'and', 'to', 'in'"  # operators/text.STOPWORDS
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION stop_ratio(text STRING) "
+        "RETURNS DOUBLE RETURN "
+        f"size(filter(split(text, ' '), x -> x IN ({stop}))) "
+        "/ greatest(size(split(text, ' ')), 1)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION langid(text STRING) "
+        "RETURNS STRING RETURN "
+        f"CASE WHEN size(filter(split(text, ' '), x -> x IN ({stop}))) "
+        "/ greatest(size(split(text, ' ')), 1) >= 0.05 "
+        "THEN 'en' ELSE 'unk' END"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION quality_score(text STRING) "
+        "RETURNS DOUBLE RETURN round(least("
+        "  0.2"
+        f"  + 0.5 * (size(filter(split(text, ' '), x -> x IN ({stop})))"
+        "           / greatest(size(split(text, ' ')), 1))"
+        "  + 0.3 * least(size(split(text, ' ')) / 200.0, 1.0)"
+        "  - 0.2 * (regexp_count(text, '[.!?,;]')"
+        "           / greatest(length(text), 1)),"
+        "  1.0), 3)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION flesch(text STRING) "
+        "RETURNS DOUBLE RETURN round("
+        "  CAST(206.835 AS DOUBLE)"
+        "  - CAST(1.015 AS DOUBLE) * size(split(text, ' '))"
+        "          / greatest(regexp_count(text, '[.!?]+'), 1)"
+        "  - CAST(84.6 AS DOUBLE) * greatest(regexp_count(text, '[aeiou]+'), 1)"
+        "         / size(split(text, ' ')), 2)"
+    )

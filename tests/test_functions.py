@@ -52,3 +52,48 @@ def test_sql_form_stays_in_codegen(spark):
     # formatted explain marks codegen'd operators with a leading '*',
     # and the UDF body must appear inlined as the div expression
     assert "* Project" in plan and "div 125" in plan
+
+
+def test_text_sql_functions_match_column_api(spark, sf_dir):
+    """The SQL-facade text functions must equal the Column builders
+    row for row (same stopword list, same formulas), and stay
+    declarative - no PythonUDF node in the plan."""
+    from iceberg_daq_spark.functions import register_text_sql_functions
+    from iceberg_daq_spark.operators import text as T
+    from iceberg_daq_spark.tables import load
+
+    register_text_sql_functions(spark)
+    d = load(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("docs_sqlfn")
+    via_sql = spark.sql(
+        "SELECT doc_id, round(stop_ratio(text), 4) AS sr, langid(text) AS lid, "
+        "quality_score(text) AS q, flesch(text) AS fl FROM docs_sqlfn ORDER BY doc_id"
+    ).collect()
+    w = T.words(F.col("text"))
+    via_col = (
+        d.select(
+            "doc_id",
+            F.round(T.stopword_ratio(w), 4).alias("sr"),
+            T.langid(w).alias("lid"),
+            T.quality_score(F.col("text"), w).alias("q"),
+            F.round(
+                F.lit(206.835)
+                - F.lit(1.015)
+                * F.size(w)
+                / F.greatest(F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1))
+                - F.lit(84.6)
+                * F.greatest(
+                    F.regexp_count(F.col("text"), F.lit(r"[aeiou]+")), F.lit(1)
+                )
+                / F.size(w),
+                2,
+            ).alias("fl"),
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [tuple(r) for r in via_sql] == [tuple(r) for r in via_col]
+    plan = spark.sql(
+        "SELECT quality_score(text) FROM docs_sqlfn"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
