@@ -183,3 +183,79 @@ def grouped_rank(
         .withColumn("_gtotal", F.col("_total").cast("bigint"))
         .select(*[f"_l.{c}" for c in df.columns], "_grank", "_gtotal")
     )
+
+
+def prefix_max(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    value_col: str,
+    out_incl: str = "pmax_incl",
+    out_strict: str = "pmax_strict",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Running maximum of ``value_col`` over a GLOBAL order, without a
+    single-partition window - the prefix-scan sibling of
+    :func:`global_row_number` (same two-pass range layout).
+
+    Adds two columns:
+      - ``out_incl``:  max(value) over all rows at-or-before this row
+        in ``order_cols`` order (``ROWS UNBOUNDED PRECEDING..CURRENT``),
+      - ``out_strict``: the same excluding the current row (NULL for
+        the globally first row) - the pair a 2-D skyline/Pareto filter
+        needs (dominated iff an earlier point already reached your
+        value).
+
+    ``order_cols`` must be a total order for determinism.  Pass 1
+    ships ONE scalar (the partition max) per range slice to the
+    driver; pass 2 is an ordinary partitioned running-max window plus
+    the broadcast exclusive prefix of the slice maxima - no task ever
+    holds more than its range slice, so the scan distributes at any
+    scale."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    n = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "200"
+    )
+    ranged = (
+        df.repartitionByRange(int(n), *cols)
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint()
+    )
+    # pass 1: one max per partition reaches the driver (scalars only)
+    pmax = {
+        r[_PID]: r["m"]
+        for r in ranged.groupBy(_PID).agg(F.max(value_col).alias("m")).collect()
+    }
+    vtype0 = ranged.schema[value_col].dataType
+    if not pmax:  # empty input: just shape the output schema
+        return (
+            ranged.withColumn(out_incl, F.lit(None).cast(vtype0))
+            .withColumn(out_strict, F.lit(None).cast(vtype0))
+            .drop(_PID)
+        )
+    # exclusive running max over the partition maxima, in range order
+    prefix, acc = {}, None
+    for pid in sorted(pmax):
+        prefix[pid] = acc
+        if pmax[pid] is not None and (acc is None or pmax[pid] > acc):
+            acc = pmax[pid]
+    vtype = ranged.schema[value_col].dataType
+    off = F.create_map(
+        *[
+            c
+            for pid in sorted(prefix)
+            for c in (F.lit(pid), F.lit(prefix[pid]).cast(vtype))
+        ]
+    )
+    w = Window.partitionBy(_PID).orderBy(*cols)
+    incl_local = F.max(value_col).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    strict_local = F.max(value_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    part_prefix = off[F.col(_PID)]
+    return (
+        ranged.withColumn(out_incl, F.greatest(incl_local, part_prefix))
+        .withColumn(out_strict, F.greatest(strict_local, part_prefix))
+        .drop(_PID)
+    )

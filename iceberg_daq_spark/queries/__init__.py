@@ -23,4 +23,5 @@ from iceberg_daq_spark.queries import (  # noqa: F401
     llm,
     multimodal,
     curation,
+    matching,
 )

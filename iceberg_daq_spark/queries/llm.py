@@ -1345,8 +1345,20 @@ def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
     final top-20 is TakeOrderedAndProject, never a global sort.
     Rounded to 3 decimals with doc_id tiebreak for engine-portable
     ordering."""
-    terms = ["scan", "merge", "hash"]
-    k1, b = 1.2, 0.75
+    return (
+        bm25_scores(spark, sf_dir, ["scan", "merge", "hash"])
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
+
+
+def bm25_scores(
+    spark: SparkSession, sf_dir: str, terms: list[str], k1: float = 1.2, b: float = 0.75
+) -> DataFrame:
+    """Okapi BM25 scores per matching document (the shared lexical leg
+    of q84 and the q108 hybrid-retrieval fusion): (doc_id, n_terms,
+    bm25 rounded 3), unordered.  Map-only term filter before any
+    shuffle; df/corpus stats broadcast back (see q84 docstring)."""
     d = load(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     t = d.select("doc_id", toks.alias("ws"), F.size(toks).cast("bigint").alias("dl"))
@@ -1374,8 +1386,6 @@ def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_terms"),
             F.round(F.sum(contrib), 3).alias("bm25"),
         )
-        .orderBy(F.desc("bm25"), "doc_id")
-        .limit(20)
     )
 
 

@@ -1,0 +1,294 @@
+"""Q106-Q108: record matching, Pareto selection, hybrid retrieval.
+
+Three curation-stack operators the earlier inventory lacked:
+
+  - q106: fuzzy record matching (entity resolution) - multi-attribute
+    blocking + edit-distance verification, the classic record-linkage
+    shape (block -> compare -> aggregate) over the part names.
+  - q107: 2-D Pareto-frontier (skyline) selection over the documents
+    table - "keep every document no other document beats on BOTH
+    quality and length", the multi-objective data-selection step of a
+    curation pipeline, computed with a distributed prefix-max scan
+    instead of the quadratic NOT EXISTS the oracle uses.
+  - q108: hybrid retrieval - reciprocal-rank fusion (RRF, k=60) of the
+    BM25 lexical ranking (q84's scorer) and a dense cosine ranking
+    against a query embedding, the standard RAG retrieval fusion.
+
+Reference analog: the curation/query family of SURVEY.md section 2's
+LLM-pipeline extension; all scoring is JVM-side (levenshtein,
+zip_with/aggregate folds), no Python in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iceberg_daq_spark.operators import text as T
+from iceberg_daq_spark.queries.curation import _QUALITY_SQL, _STOP_SQL
+from iceberg_daq_spark.registry import register
+from iceberg_daq_spark.tables import load
+
+
+@register(
+    "q106_fuzzy_match",
+    oracle="""
+    WITH t AS (
+      SELECT p_partkey, p_name, p_brand,
+             split_part(p_name, ' ', 1) AS tok1
+      FROM part
+    ), p AS (
+      SELECT a.p_partkey AS k, levenshtein(a.p_name, b.p_name) AS d
+      FROM t a JOIN t b
+        ON a.tok1 = b.tok1 AND a.p_brand = b.p_brand
+       AND a.p_partkey <> b.p_partkey
+    )
+    SELECT k AS p_partkey,
+           CAST(count(*) FILTER (WHERE d = 0) AS BIGINT) AS n_exact,
+           CAST(count(*) FILTER (WHERE d BETWEEN 1 AND 4) AS BIGINT) AS n_near,
+           CAST(min(CASE WHEN d > 0 THEN d END) AS BIGINT) AS nearest_d
+    FROM p
+    GROUP BY k
+    ORDER BY p_partkey
+    """,
+)
+def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy record matching (entity resolution) over part names:
+    multi-attribute blocking on (first name token, brand) - the
+    standard linkage move that bounds the quadratic compare step -
+    then exact Levenshtein verification inside each block, aggregated
+    to per-record match statistics (exact-duplicate count, near-match
+    count at edit distance 1-4, nearest non-identical distance).
+
+    100 TB shape: the self-join key is the COMPOSITE blocking key, so
+    candidate volume is sum over blocks of |block|^2, not n^2 - the
+    same valve shape as the shingle df_max cap (operators/dedup.py).
+    Blocks are hash-partitioned (one shuffle each side); a hot block
+    (skewed first token) is exactly the AQE skew-join / salting case
+    covered by operators/skew.py, and the per-record rollup is an
+    ordinary partial agg on the left key.  Levenshtein is the JVM
+    built-in - no Python, no UDF."""
+    t = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("tok1"),
+    )
+    a, b = t.alias("a"), t.alias("b")
+    d = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    pairs = a.join(
+        b,
+        (F.col("a.tok1") == F.col("b.tok1"))
+        & (F.col("a.p_brand") == F.col("b.p_brand"))
+        & (F.col("a.p_partkey") != F.col("b.p_partkey")),
+    ).select(F.col("a.p_partkey").alias("k"), d.alias("d"))
+    return (
+        pairs.groupBy("k")
+        .agg(
+            F.count(F.when(F.col("d") == 0, 1)).cast("bigint").alias("n_exact"),
+            F.count(F.when(F.col("d").between(1, 4), 1))
+            .cast("bigint")
+            .alias("n_near"),
+            F.min(F.when(F.col("d") > 0, F.col("d")))
+            .cast("bigint")
+            .alias("nearest_d"),
+        )
+        .select(F.col("k").alias("p_partkey"), "n_exact", "n_near", "nearest_d")
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "q107_pareto_frontier",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+    ), s AS (
+      SELECT doc_id, {quality} AS q,
+             CAST(len(w) AS BIGINT) AS n_tokens
+      FROM tok
+    )
+    SELECT a.doc_id, a.q AS quality, a.n_tokens
+    FROM s a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM s b
+      WHERE (b.q > a.q AND b.n_tokens >= a.n_tokens)
+         OR (b.q >= a.q AND b.n_tokens > a.n_tokens)
+    )
+    ORDER BY quality DESC, doc_id
+    """.format(quality=_QUALITY_SQL.format(stop=_STOP_SQL)),
+)
+def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-frontier (skyline) document selection: keep every
+    document no other document dominates on BOTH quality score and
+    token count - the multi-objective "best data" selection step
+    (quality vs. length here; quality vs. diversity in production).
+
+    The oracle states the contract quadratically (NOT EXISTS over all
+    pairs); the Spark plan is the O(n) scan shape that survives 100 TB:
+
+      1. reduce to one row per distinct (rounded) quality value with
+         the group's max token count - a partial-agg shuffle that
+         collapses the corpus to <=1001 rows (quality rounds to 3
+         decimals in [0,1], so the reduced set is bounded by
+         construction, NOT by data size),
+      2. :func:`operators.ranking.prefix_max` over quality-descending
+         order gives each quality level the running max token count of
+         all strictly-better / at-least-as-good levels (two-pass range
+         layout - no single-partition window),
+      3. broadcast the reduced frontier table back and keep rows
+         neither condition dominates: an earlier level already reached
+         your token count (strict) or any >=-level exceeds it (incl).
+
+    Dominance is evaluated on the SAME rounded quality both engines
+    emit, so the frontier sets agree bit-for-bit."""
+    from iceberg_daq_spark.operators.ranking import prefix_max
+
+    d = load(spark, sf_dir, "documents")
+    w = T.words(F.col("text"))
+    s = d.select(
+        "doc_id",
+        T.quality_score(F.col("text"), w).alias("q"),
+        F.size(w).cast("bigint").alias("n_tokens"),
+    )
+    per_q = s.groupBy("q").agg(F.max("n_tokens").alias("mq"))
+    pm = prefix_max(
+        per_q, [F.desc("q")], "mq", out_incl="incl", out_strict="strict"
+    )
+    dominated = (F.col("strict") >= F.col("n_tokens")) | (
+        F.col("incl") > F.col("n_tokens")
+    )
+    return (
+        s.join(F.broadcast(pm.select("q", "incl", "strict")), "q")
+        .filter(~F.coalesce(dominated, F.lit(False)))
+        .select("doc_id", F.col("q").alias("quality"), "n_tokens")
+        .orderBy(F.desc("quality"), "doc_id")
+    )
+
+
+@register(
+    "q108_hybrid_rrf",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS ws,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, dl, w AS term, CAST(count(*) AS BIGINT) AS tf
+      FROM t, UNNEST(ws) AS u(w)
+      WHERE w IN ('scan', 'merge', 'hash')
+      GROUP BY doc_id, dl, w
+    ), stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM t
+    ), df AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), bm AS (
+      SELECT tf.doc_id,
+             round(sum(
+               ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))
+             ), 3) AS bm25
+      FROM tf JOIN df USING (term) CROSS JOIN stats
+      GROUP BY tf.doc_id
+    ), btop AS (
+      SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rn_b
+      FROM bm QUALIFY rn_b <= 50
+    ), v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), n AS (
+      SELECT vec_id, v,
+             sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)),
+                              (acc, x) -> acc + x)) AS norm
+      FROM v
+    ), qv AS (
+      SELECT v, norm FROM n WHERE vec_id = 0
+    ), sc AS (
+      SELECT n.vec_id,
+             round(list_reduce(
+               list_prepend(0.0, list_transform(generate_series(1, len(n.v)),
+                                                i -> n.v[i] * qv.v[i])),
+               (acc, x) -> acc + x) / (n.norm * qv.norm), 6) AS cos
+      FROM n CROSS JOIN qv
+    ), dtop AS (
+      SELECT vec_id AS doc_id,
+             row_number() OVER (ORDER BY cos DESC, vec_id) AS rn_d
+      FROM sc QUALIFY rn_d <= 50
+    )
+    SELECT COALESCE(btop.doc_id, dtop.doc_id) AS doc_id,
+           CAST(btop.rn_b AS BIGINT) AS bm25_rank,
+           CAST(dtop.rn_d AS BIGINT) AS cos_rank,
+           round(COALESCE(1.0 / (60 + btop.rn_b), 0)
+                 + COALESCE(1.0 / (60 + dtop.rn_d), 0), 5) AS rrf
+    FROM btop FULL OUTER JOIN dtop ON btop.doc_id = dtop.doc_id
+    ORDER BY rrf DESC, doc_id
+    LIMIT 20
+    """,
+)
+def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (RRF, k=60) of the
+    BM25 lexical top-50 (q84's scorer, shared via
+    :func:`llm.bm25_scores`) and the dense cosine top-50 against a
+    query embedding (vec_id 0's vector standing in for the encoded
+    query; the embeddings table holds the corpus's vectors keyed by
+    doc id).  The standard RAG fusion: rrf = sum over legs of
+    1/(60 + rank), a full outer join of the two candidate lists.
+
+    100 TB shape: each leg reduces to a FIXED top-K (TakeOrdered, not
+    a global sort) before any ranking window, so the fusion operates
+    on <=2K rows however large the corpus - the windows and the outer
+    join are bounded by construction.  The dense leg is a map-only
+    zip_with/aggregate fold against the broadcast query vector (one
+    row), and the lexical leg's plan is q84's (term filter before any
+    shuffle, broadcast df/stats).  Cosine is rounded to 6 decimals
+    BEFORE ranking on both engines so rank order is ulp-stable."""
+    from iceberg_daq_spark.queries.llm import bm25_scores
+
+    bm = (
+        bm25_scores(spark, sf_dir, ["scan", "merge", "hash"])
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(50)
+    )
+    # ranking windows below run over <=50 rows by construction (post-
+    # limit), so the unpartitioned window is bounded, not a scale risk
+    wb = Window.orderBy(F.desc("bm25"), "doc_id")
+    btop = bm.select(
+        "doc_id", F.row_number().over(wb).cast("bigint").alias("bm25_rank")
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    n = emb.withColumn("norm", norm(F.col("v")))
+    qv = n.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"), F.col("norm").alias("qnorm")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), F.col("qv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sc = n.crossJoin(F.broadcast(qv)).select(
+        "vec_id", F.round(dot / (F.col("norm") * F.col("qnorm")), 6).alias("cos")
+    )
+    dtop50 = sc.orderBy(F.desc("cos"), "vec_id").limit(50)
+    wd = Window.orderBy(F.desc("cos"), "vec_id")
+    dtop = dtop50.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(wd).cast("bigint").alias("cos_rank"),
+    )
+
+    rrf = F.round(
+        F.coalesce(1.0 / (60 + F.col("bm25_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (60 + F.col("cos_rank")), F.lit(0.0)),
+        5,
+    )
+    return (
+        btop.join(dtop, "doc_id", "full_outer")
+        .select("doc_id", "bm25_rank", "cos_rank", rrf.alias("rrf"))
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(20)
+    )

@@ -55,7 +55,7 @@ def all_queries() -> dict[str, QuerySpec]:
 
 
 # The verify driver hash-checks only the FIRST 50 entries of
-# ``__spark_entry__.queries()``.  With 103 registered queries (89
+# ``__spark_entry__.queries()``.  With 106 registered queries (92
 # oracle-backed, 14 rows-only by design) the window cannot cover
 # everything, so the projection below orders queries by how much a
 # driver row is worth this round:
@@ -69,6 +69,9 @@ def all_queries() -> dict[str, QuerySpec]:
 #      tests assert their semantics) - always last.
 _CHECK_FIRST = [
     # never driver-checked (registered in round 8)
+    "q106_fuzzy_match",
+    "q107_pareto_frontier",
+    "q108_hybrid_rrf",
     "q95_readability",
     "q96_curriculum_bins",
     "q98_int8_quantization",

@@ -717,6 +717,41 @@ def test_global_row_number_matches_window(spark):
     assert got == want
 
 
+def test_prefix_max_matches_window(spark):
+    """The two-pass distributed prefix max equals the single-partition
+    running-max window (inclusive AND strict frames), including a
+    partition whose rows are all smaller than an earlier partition's
+    max (the broadcast-prefix path must win there)."""
+    from pyspark.sql import Window, functions as F
+
+    from iceberg_daq_spark.operators.ranking import prefix_max
+
+    # values spike early so later range slices depend on the prefix
+    rows = [(i, 1000 - i if i < 50 else (i * 13) % 97) for i in range(400)]
+    df = spark.createDataFrame(rows, "id bigint, v bigint").repartition(7)
+    got = {
+        r.id: (r.pmax_incl, r.pmax_strict)
+        for r in prefix_max(
+            df, [F.asc("id")], "v", num_partitions=5
+        ).collect()
+    }
+    w = Window.orderBy(F.asc("id"))
+    want = {
+        r.id: (r.i, r.s)
+        for r in df.withColumn(
+            "i",
+            F.max("v").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn(
+            "s",
+            F.max("v").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        )
+        .collect()
+    }
+    assert got == want
+    assert got[0][1] is None  # globally first row has no strict prefix
+
+
 def test_heavy_hitters_forced_decrements(spark):
     """Misra-Gries two-pass heavy hitters must equal the exact
     GROUP BY ... HAVING even when the summary is tiny enough that
