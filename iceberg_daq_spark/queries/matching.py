@@ -292,3 +292,91 @@ def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf"), "doc_id")
         .limit(20)
     )
+
+
+_PR_ITER_SQL = """
+    , i{k} AS (
+      SELECT ed.dst AS id, sum(r{j}.r / ed.deg) AS inc
+      FROM r{j} JOIN ed ON r{j}.id = ed.src
+      GROUP BY ed.dst
+    ), r{k} AS (
+      SELECT d.doc_id AS id,
+             0.15 / nn.n + 0.85 * COALESCE(i{k}.inc, 0) AS r
+      FROM documents d CROSS JOIN nn LEFT JOIN i{k} ON i{k}.id = d.doc_id
+    )
+"""
+
+
+@register(
+    "q109_pagerank",
+    oracle="""
+    WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    e0 AS (
+      SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst
+      FROM documents CROSS JOIN nn
+      UNION ALL
+      SELECT doc_id AS src, (doc_id * 13 + 5) % nn.n AS dst
+      FROM documents CROSS JOIN nn
+    ), e1 AS (
+      SELECT src,
+             CASE WHEN dst = src THEN (src + 1) % nn.n ELSE dst END AS dst
+      FROM e0 CROSS JOIN nn
+    ), e AS (
+      SELECT DISTINCT src, dst FROM e1
+    ), deg AS (
+      SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src
+    ), ed AS (
+      SELECT e.src, e.dst, deg.deg FROM e JOIN deg USING (src)
+    ), r0 AS (
+      SELECT doc_id AS id, 1.0 / nn.n AS r FROM documents CROSS JOIN nn
+    )
+    {i1} {i2} {i3}
+    SELECT r3.id AS doc_id, round(r3.r * nn.n, 6) AS rank_rel
+    FROM r3 CROSS JOIN nn
+    ORDER BY rank_rel DESC, doc_id
+    LIMIT 20
+    """.format(
+        i1=_PR_ITER_SQL.format(k=1, j=0),
+        i2=_PR_ITER_SQL.format(k=2, j=1),
+        i3=_PR_ITER_SQL.format(k=3, j=2),
+    ),
+)
+def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 power iterations, d=0.85) over a deterministic
+    citation graph derived from the corpus (each document links to
+    two affine-map neighbors; self-loops remapped so out-degree >= 1
+    and no mass dangles) - the link-authority scorer of a web-corpus
+    curation stack, scored by :func:`operators.graph.pagerank`.
+
+    The oracle UNROLLS the same three iterations in SQL; the Spark
+    side is the real iterative operator - one equi-join + one
+    partial-agg shuffle per round, both keyed on the node id (the
+    partitioning is reused round to round), lineage checkpointed so
+    the plan stays flat however many rounds run.  Ranks are reported
+    relative to N (sum ~ N) rounded to 6 so cross-engine float
+    summation cannot flip the hash: in-degrees here are ~2, so each
+    rank is a sum of <=3 addends - no long-chain reassociation."""
+    from iceberg_daq_spark.operators.graph import pagerank
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    nodes = d.select(F.col("doc_id").alias("id"))
+
+    def target(mult: int, add: int) -> F.Column:
+        t = (F.col("doc_id") * mult + add) % n
+        return F.when(t == F.col("doc_id"), (F.col("doc_id") + 1) % n).otherwise(t)
+
+    e = (
+        d.select(F.col("doc_id").alias("src"), target(7, 1).alias("dst"))
+        .union(d.select(F.col("doc_id").alias("src"), target(13, 5).alias("dst")))
+        .distinct()
+    )
+    ranks = pagerank(nodes, e, iterations=3, damping=0.85)
+    return (
+        ranks.select(
+            F.col("id").alias("doc_id"),
+            F.round(F.col("rank") * n, 6).alias("rank_rel"),
+        )
+        .orderBy(F.desc("rank_rel"), "doc_id")
+        .limit(20)
+    )

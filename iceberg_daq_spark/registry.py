@@ -55,7 +55,7 @@ def all_queries() -> dict[str, QuerySpec]:
 
 
 # The verify driver hash-checks only the FIRST 50 entries of
-# ``__spark_entry__.queries()``.  With 106 registered queries (92
+# ``__spark_entry__.queries()``.  With 107 registered queries (93
 # oracle-backed, 14 rows-only by design) the window cannot cover
 # everything, so the projection below orders queries by how much a
 # driver row is worth this round:
@@ -70,6 +70,7 @@ def all_queries() -> dict[str, QuerySpec]:
 _CHECK_FIRST = [
     # never driver-checked (registered in round 8)
     "q106_fuzzy_match",
+    "q109_pagerank",
     "q107_pareto_frontier",
     "q108_hybrid_rrf",
     "q95_readability",
