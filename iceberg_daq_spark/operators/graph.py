@@ -50,21 +50,27 @@ def pagerank(
     base = (1.0 - damping) / n_nodes
     ranks = nodes.select("id", F.lit(1.0 / n_nodes).alias("rank"))
     for _ in range(iterations):
-        contrib = (
-            ranks.join(ed, ranks["id"] == ed["src"])
-            .select(F.col("dst").alias("id"), (F.col("rank") / F.col("_deg")).alias("_c"))
-            .groupBy("id")
-            .agg(F.sum("_c").alias("_inc"))
-        )
-        ranks = (
-            nodes.join(contrib, "id", "left_outer")
-            .select(
-                "id",
-                (
-                    F.lit(base)
-                    + F.lit(damping) * F.coalesce(F.col("_inc"), F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint()
-        )
+        ranks = _round(ranks, ed, nodes, base, damping).localCheckpoint()
     return ranks
+
+
+def _round(
+    ranks: DataFrame, ed: DataFrame, nodes: DataFrame, base: float, damping: float
+) -> DataFrame:
+    """One un-checkpointed power iteration (factored out so the plan
+    tests can assert the per-round physical shape - the checkpointed
+    loop's final plan is just a scan of the pinned RDD)."""
+    contrib = (
+        ranks.join(ed, ranks["id"] == ed["src"])
+        .select(
+            F.col("dst").alias("id"), (F.col("rank") / F.col("_deg")).alias("_c")
+        )
+        .groupBy("id")
+        .agg(F.sum("_c").alias("_inc"))
+    )
+    return nodes.join(contrib, "id", "left_outer").select(
+        "id",
+        (
+            F.lit(base) + F.lit(damping) * F.coalesce(F.col("_inc"), F.lit(0.0))
+        ).alias("rank"),
+    )

@@ -877,6 +877,31 @@ class MergeTable:
         return self.current_version() is not None
 
     # -- read path ----------------------------------------------------
+    def version_as_of(self, ts) -> int:
+        """The newest snapshot on this ref's own history committed at
+        or before ``ts`` (Iceberg ``TIMESTAMP AS OF``).  ``ts`` is a
+        datetime or ISO-8601 string; naive values are taken as UTC
+        (the zone commit timestamps are written in).  Raises if every
+        retained ancestor is newer - same contract as Iceberg when the
+        timestamp predates the oldest retained snapshot."""
+        import datetime as _dt
+
+        if isinstance(ts, str):
+            ts = _dt.datetime.fromisoformat(ts)
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=_dt.timezone.utc)
+        cur = self.current_version()
+        if cur is None:
+            raise ValueError(f"table {self.path} has no commits")
+        for v in self._ancestors(cur, 10**9):  # newest first
+            m = self._load_manifest(v)
+            c = (m or {}).get("committed_at")
+            if c is not None and _dt.datetime.fromisoformat(c) <= ts:
+                return v
+        raise ValueError(
+            f"no retained snapshot of {self.path} at or before {ts.isoformat()}"
+        )
+
     def read(
         self,
         spark: SparkSession,
@@ -884,6 +909,7 @@ class MergeTable:
         where: str | None = None,
         tag: str | None = None,
         branch: str | None = None,
+        as_of=None,
         _pos: bool = False,
     ) -> DataFrame | None:
         """A snapshot: the current one, or - time travel - any retained
@@ -904,7 +930,9 @@ class MergeTable:
 
         ``tag`` reads a named ref (Iceberg ``VERSION AS OF 'tag'``);
         tagged snapshots are GC-pinned, so a tag read works at any
-        age.
+        age.  ``as_of`` (datetime or ISO string) reads the newest
+        snapshot committed at or before that time - Iceberg's
+        ``TIMESTAMP AS OF`` - resolved via :meth:`version_as_of`.
 
         ``_pos`` (internal, the position-delete writer's input):
         append each row's physical identity - table-relative file path
@@ -916,18 +944,20 @@ class MergeTable:
             if branch not in heads or branch == "main":
                 raise ValueError(f"no branch {branch!r} on table {self.path}")
             return self.for_branch(branch).read(
-                spark, version=version, where=where, tag=tag
+                spark, version=version, where=where, tag=tag, as_of=as_of
             )
         cur = self.current_version()
         if cur is None:
             return None
+        if sum(x is not None for x in (version, tag, as_of)) > 1:
+            raise ValueError("pass at most one of version / tag / as_of")
         if tag is not None:
-            if version is not None:
-                raise ValueError("pass version or tag, not both")
             refs = self.tags()
             if tag not in refs:
                 raise ValueError(f"no tag {tag!r} on table {self.path}")
             version = refs[tag]
+        if as_of is not None:
+            version = self.version_as_of(as_of)
         v = cur if version is None else version
         m = self._load_manifest(v)
         if m is None:

@@ -646,3 +646,68 @@ def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
         )
     assert "might_contain" in plan
+
+
+def test_q106_blocked_join_is_equi(spark, sf_dir):
+    """The fuzzy-match self-join must hash-join on the composite
+    blocking key (never a cartesian/nested-loop with levenshtein as
+    the only predicate), and the per-record rollup must partial-agg."""
+    from iceberg_daq_spark.queries.matching import q106
+
+    plan = plan_of(q106(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q107_skyline_broadcasts_reduced_frontier(spark, sf_dir):
+    """The skyline's dominance filter must join the corpus against the
+    BROADCAST reduced per-quality table (bounded <=1001 rows by the
+    rounding), never reshuffle the corpus, and the prefix scan must be
+    the range layout, not a single-partition window."""
+    from iceberg_daq_spark.queries.matching import q107
+
+    plan = plan_of(q107(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_q108_rrf_legs_are_take_ordered(spark, sf_dir):
+    """Both retrieval legs must reduce with TakeOrderedAndProject
+    (fixed K), and the dense leg's query vector must broadcast - no
+    global sort of the corpus anywhere in the fused plan."""
+    from iceberg_daq_spark.queries.matching import q108
+
+    plan = plan_of(q108(spark, sf_dir))
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q109_pagerank_round_is_join_plus_partial_agg(spark, sf_dir):
+    """Each PageRank round must be an equi-join + partial/final hash
+    aggregate on the node id - no cartesian, no single-partition
+    exchange (asserted on the un-checkpointed round; the full query's
+    final plan is just a scan of the pinned RDD plus TakeOrdered,
+    which is itself asserted)."""
+    from iceberg_daq_spark.operators import graph
+    from iceberg_daq_spark.queries.matching import q109
+    from iceberg_daq_spark.tables import load
+
+    d = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    e = d.select(
+        F.col("id").alias("src"), ((F.col("id") * 7 + 1) % 100).alias("dst")
+    )
+    ed = e.join(e.groupBy("src").agg(F.count("*").alias("_deg")), "src")
+    ranks = d.select("id", F.lit(0.01).alias("rank"))
+    plan = plan_of(graph._round(ranks, ed, d, 0.001, 0.85))
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+    assert "HashAggregate" in plan
+
+    # the registered query's terminal plan: checkpoint scan + top-k
+    full = plan_of(q109(spark, sf_dir))
+    assert "TakeOrderedAndProject" in full

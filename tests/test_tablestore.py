@@ -746,6 +746,32 @@ def test_bucket_pruning_literal_type_matches_column(spark, tmp_path):
     assert [r["n"] for r in s.read(spark, where="name = 'n7'").collect()] == [7]
 
 
+def test_timestamp_as_of_read(spark, tmp_path):
+    """TIMESTAMP AS OF time travel: read(as_of=ts) resolves the
+    newest snapshot committed at or before ts on the ref's own
+    history; pre-history timestamps raise, mid-interval timestamps
+    pick the earlier snapshot, and current-time reads see the head."""
+    import datetime as dt
+
+    from iceberg_daq_spark.tablestore import MergeTable
+
+    t = MergeTable(str(tmp_path / "asof"), key_cols=("k",), keep_versions=10)
+    before_all = dt.datetime.now(dt.timezone.utc)
+    t.merge(spark.createDataFrame([(1, "a")], ["k", "v"]))  # v1
+    after_v1 = dt.datetime.now(dt.timezone.utc)
+    t.merge(spark.createDataFrame([(2, "b")], ["k", "v"]))  # v2
+    after_v2 = dt.datetime.now(dt.timezone.utc)
+
+    assert t.version_as_of(after_v1) == 1
+    assert t.version_as_of(after_v2.isoformat()) == 2  # ISO string form
+    assert {r["k"] for r in t.read(spark, as_of=after_v1).collect()} == {1}
+    assert {r["k"] for r in t.read(spark, as_of=after_v2).collect()} == {1, 2}
+    with pytest.raises(ValueError, match="no retained snapshot"):
+        t.version_as_of(before_all)
+    with pytest.raises(ValueError, match="at most one"):
+        t.read(spark, version=1, as_of=after_v1)
+
+
 def test_rollback_across_key_rename_restores_keys(spark, tmp_path):
     """Rolling back past a key-column rename restores that snapshot's
     keys along with its schema - a subsequent merge targets the
