@@ -86,13 +86,22 @@ class _SocketEmitter:
             row = self._queue.get()
             if row is None:
                 break
-            try:
-                if self._sock is None:
-                    self._sock = socket.create_connection(self.addr, timeout=1.0)
-                self._sock.sendall((json.dumps(row) + "\n").encode("utf-8"))
-            except OSError:
-                self.dropped += 1
-                self._close_sock()
+            payload = (json.dumps(row) + "\n").encode("utf-8")
+            # two attempts with a reconnect in between: a stale/half-open
+            # socket or a slow accept (loaded host) costs a retry, not a
+            # dropped row; still strictly bounded time per row
+            for attempt in (0, 1):
+                try:
+                    if self._sock is None:
+                        self._sock = socket.create_connection(
+                            self.addr, timeout=5.0
+                        )
+                    self._sock.sendall(payload)
+                    break
+                except OSError:
+                    self._close_sock()
+                    if attempt:
+                        self.dropped += 1
         self._close_sock()
 
     def _close_sock(self) -> None:

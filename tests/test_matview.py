@@ -131,3 +131,56 @@ def test_matview_model_random_ops(spark, tmp_path):
             )
         mv.refresh(spark)
         assert _got(spark, mv) == _expected(spark, src), f"step {_step} ({op})"
+
+
+def test_matview_tracks_cdc_stream(spark, tmp_path):
+    """End-to-end CDC -> view maintenance: a change stream applied via
+    apply_changes_stream (MERGE upserts + equality-delete commits)
+    advances the source through rewrite AND merge-on-read-delete
+    snapshots; a single incremental refresh afterwards must land the
+    view exactly on the recomputed summary."""
+    import os as _os
+
+    src = MergeTable(str(tmp_path / "cdc_src"), key_cols=("k",), keep_versions=20)
+    src.merge(_mkrows(spark, [(i, f"g{i % 2}", i) for i in range(8)]))
+
+    mv = MaterializedAggView(
+        source=src,
+        path=str(tmp_path / "cdc_mv"),
+        group_cols=("g",),
+        measures=(
+            ("count", "", "n"),
+            ("sum", "v", "total"),
+            ("min", "v", "vmin"),
+            ("max", "v", "vmax"),
+        ),
+    )
+    mv.full_refresh(spark)
+
+    from iceberg_daq_spark.tablestore import apply_changes_stream
+
+    feed = str(tmp_path / "cdc_feed")
+    _os.makedirs(feed)
+    spark.createDataFrame(
+        [
+            (0, "g0", 500, "U", 1),   # moves g0's max
+            (7, "g1", 7, "D", 2),     # deletes g1's current max
+            (20, "g2", -3, "I", 3),   # new group
+        ],
+        "k bigint, g string, v bigint, op string, seq bigint",
+    ).coalesce(1).write.parquet(feed, mode="append")
+
+    stream = (
+        spark.readStream.schema("k bigint, g string, v bigint, op string, seq bigint")
+        .parquet(feed)
+    )
+    apply_changes_stream(
+        stream, src, str(tmp_path / "cdc_ck"), op_col="op", seq_col="seq"
+    )
+
+    mv.refresh(spark)
+    assert _got(spark, mv) == _expected(spark, src)
+    got = {t[0]: t for t in _got(spark, mv)}
+    assert got["g0"][4] == 500        # new max folded in
+    assert got["g2"] == ("g2", 1, -3, -3, -3)
+    assert got["g1"][1] == 3          # one row gone from g1
