@@ -24,4 +24,5 @@ from iceberg_daq_spark.queries import (  # noqa: F401
     multimodal,
     curation,
     matching,
+    behavior,
 )

@@ -1,0 +1,176 @@
+"""Q110-Q111: behavioral event analytics (cohorts, funnels).
+
+The classic product-analytics pair every OLAP engine ships, over the
+events table: weekly cohort retention (first-seen week x activity
+age) and a strictly-ordered conversion funnel (each step's FIRST
+occurrence after the previous step's).  Both are pure
+DataFrame-declarative plans - every stage is a hash agg or an
+equi-join on ``user_id``, so consecutive stages reuse the same key
+partitioning and nothing ever needs a global window or a driver
+collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_daq_spark.registry import register
+from iceberg_daq_spark.tables import load
+
+_EPOCH = "2024-01-01"  # cohort origin (the corpus's first day)
+
+
+@register(
+    "q110_cohort_retention",
+    oracle=f"""
+    WITH wks AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(date_diff('day', TIMESTAMP '{_EPOCH}', ts) / 7.0)
+                  AS BIGINT) AS wk
+      FROM events
+    ), f AS (
+      SELECT user_id, min(wk) AS cohort_wk FROM wks GROUP BY user_id
+    ), cs AS (
+      SELECT cohort_wk, CAST(count(*) AS BIGINT) AS n_users
+      FROM f GROUP BY cohort_wk
+    )
+    SELECT f.cohort_wk AS cohort_wk,
+           w.wk - f.cohort_wk AS age_weeks,
+           CAST(count(*) AS BIGINT) AS n_active,
+           round(count(*) * 100.0 / max(cs.n_users), 2) AS retention_pct
+    FROM wks w JOIN f USING (user_id)
+    JOIN cs ON cs.cohort_wk = f.cohort_wk
+    GROUP BY f.cohort_wk, age_weeks
+    ORDER BY f.cohort_wk, age_weeks
+    """,
+)
+def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-seen week,
+    activity counted per (cohort, age-in-weeks), retention as percent
+    of the cohort's size - the retention-triangle query.
+
+    100 TB shape: reduce first (DISTINCT (user, week) collapses the
+    event stream to at most users x weeks), then every stage is a
+    partial-aggregated shuffle or equi-join on ``user_id`` /
+    ``cohort_wk``; cohort sizes are a tiny table the final join
+    broadcasts.  Week indexes are day-arithmetic (no timezone-
+    dependent truncation to disagree across engines)."""
+    e = load(spark, sf_dir, "events")
+    wk = F.floor(
+        F.datediff(F.to_date("ts"), F.to_date(F.lit(_EPOCH))) / 7
+    ).cast("bigint")
+    wks = e.select("user_id", wk.alias("wk")).distinct()
+    first = wks.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    cs = first.groupBy("cohort_wk").agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )
+    return (
+        wks.join(first, "user_id")
+        .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("age_weeks"))
+        .agg(F.count("*").cast("bigint").alias("n_active"))
+        .join(F.broadcast(cs), "cohort_wk")
+        .select(
+            "cohort_wk",
+            "age_weeks",
+            "n_active",
+            F.round(F.col("n_active") * 100.0 / F.col("n_users"), 2).alias(
+                "retention_pct"
+            ),
+        )
+        .orderBy("cohort_wk", "age_weeks")
+    )
+
+
+_FUNNEL = [("signup", 1), ("view", 2), ("click", 3), ("purchase", 4)]
+
+
+@register(
+    "q111_event_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY e.user_id
+    ), s4 AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN s3 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY e.user_id
+    ), counts AS (
+      SELECT 1 AS step, 'signup' AS step_name, CAST(count(*) AS BIGINT) AS n_users FROM s1
+      UNION ALL
+      SELECT 2, 'view', CAST(count(*) AS BIGINT) FROM s2
+      UNION ALL
+      SELECT 3, 'click', CAST(count(*) AS BIGINT) FROM s3
+      UNION ALL
+      SELECT 4, 'purchase', CAST(count(*) AS BIGINT) FROM s4
+    ), base AS (
+      SELECT n_users AS n0 FROM counts WHERE step = 1
+    )
+    SELECT CAST(step AS BIGINT) AS step, step_name, n_users,
+           round(n_users * 100.0 / base.n0, 2) AS pct_of_first
+    FROM counts CROSS JOIN base
+    ORDER BY step
+    """,
+)
+def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered conversion funnel signup -> view -> click ->
+    purchase: each step counts users whose FIRST qualifying event
+    follows their previous step's first event (min-ts-after-previous,
+    the sequential-funnel semantics, not mere set intersection).
+
+    100 TB shape: each step is one equi-join on ``user_id`` (the
+    previous step's per-user timestamps, shrinking monotonically)
+    plus a partial-agg min - four same-key shuffles that AQE plans as
+    broadcasts as the funnel narrows; the final percentages are a
+    4-row cross join against the 1-row base count.  No windows, no
+    per-user event-array materialization."""
+    e = load(spark, sf_dir, "events")
+
+    prev = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    stages = [prev]
+    for name, _step in _FUNNEL[1:]:
+        p = stages[-1].select("user_id", F.col("t").alias("_pt"))
+        nxt = (
+            e.filter(F.col("event_type") == name)
+            .join(p, "user_id")
+            .filter(F.col("ts") > F.col("_pt"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+        )
+        stages.append(nxt)
+
+    counts = None
+    for (name, step), st in zip(_FUNNEL, stages):
+        c = st.agg(F.count("*").cast("bigint").alias("n_users")).select(
+            F.lit(step).cast("bigint").alias("step"),
+            F.lit(name).alias("step_name"),
+            "n_users",
+        )
+        counts = c if counts is None else counts.union(c)
+    base = counts.filter(F.col("step") == 1).select(
+        F.col("n_users").alias("n0")
+    )
+    return (
+        counts.crossJoin(F.broadcast(base))
+        .select(
+            "step",
+            "step_name",
+            "n_users",
+            F.round(F.col("n_users") * 100.0 / F.col("n0"), 2).alias(
+                "pct_of_first"
+            ),
+        )
+        .orderBy("step")
+    )

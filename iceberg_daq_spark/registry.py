@@ -55,7 +55,7 @@ def all_queries() -> dict[str, QuerySpec]:
 
 
 # The verify driver hash-checks only the FIRST 50 entries of
-# ``__spark_entry__.queries()``.  With 107 registered queries (93
+# ``__spark_entry__.queries()``.  With 109 registered queries (95
 # oracle-backed, 14 rows-only by design) the window cannot cover
 # everything, so the projection below orders queries by how much a
 # driver row is worth this round:
@@ -71,6 +71,8 @@ _CHECK_FIRST = [
     # never driver-checked (registered in round 8)
     "q106_fuzzy_match",
     "q109_pagerank",
+    "q110_cohort_retention",
+    "q111_event_funnel",
     "q107_pareto_frontier",
     "q108_hybrid_rrf",
     "q95_readability",

@@ -711,3 +711,29 @@ def test_q109_pagerank_round_is_join_plus_partial_agg(spark, sf_dir):
     # the registered query's terminal plan: checkpoint scan + top-k
     full = plan_of(q109(spark, sf_dir))
     assert "TakeOrderedAndProject" in full
+
+
+def test_q110_cohort_reduces_before_joining(spark, sf_dir):
+    """Cohort retention must pre-reduce the event stream (distinct
+    (user, week)) before any join, broadcast the tiny cohort-size
+    table, and partial-agg every rollup - never reshuffle raw events
+    per stage."""
+    from iceberg_daq_spark.queries.behavior import q110
+
+    plan = plan_of(q110(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 4  # distinct + three rollups
+    assert "CartesianProduct" not in plan
+
+
+def test_q111_funnel_steps_are_equi_joins(spark, sf_dir):
+    """Each funnel step must join on user_id (equi, no nested loop
+    over events); the only cross join is the 4-row x 1-row percentage
+    base."""
+    from iceberg_daq_spark.queries.behavior import q111
+
+    plan = plan_of(q111(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the 4x1 base join may plan as BNLJ (formatted explain mentions
+    # each operator twice: tree + details) - anything more must not
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
