@@ -259,3 +259,56 @@ def prefix_max(
         .withColumn(out_strict, F.greatest(strict_local, part_prefix))
         .drop(_PID)
     )
+
+
+def prefix_sum(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    value_col: str,
+    out: str = "psum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Running sum of ``value_col`` over a GLOBAL order - the scan
+    primitive behind sweep-line algorithms (interval concurrency,
+    inventory balances, gap accounting) - with the same two-pass range
+    layout as :func:`prefix_max`: pass 1 ships one per-partition sum
+    to the driver, pass 2 adds the broadcast exclusive prefix to an
+    ordinary partitioned running-sum window.  ``order_cols`` must be a
+    total order for determinism.  NULL values count as zero."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    n = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "200"
+    )
+    ranged = (
+        df.repartitionByRange(int(n), *cols)
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint()
+    )
+    psums = {
+        r[_PID]: r["s"]
+        for r in ranged.groupBy(_PID).agg(F.sum(value_col).alias("s")).collect()
+    }
+    vtype = ranged.schema[value_col].dataType
+    if not psums:
+        return ranged.withColumn(out, F.lit(None).cast(vtype)).drop(_PID)
+    prefix, acc = {}, 0
+    for pid in sorted(psums):
+        prefix[pid] = acc
+        acc += psums[pid] or 0
+    off = F.create_map(
+        *[
+            c
+            for pid in sorted(prefix)
+            for c in (F.lit(pid), F.lit(prefix[pid]).cast(vtype))
+        ]
+    )
+    w = Window.partitionBy(_PID).orderBy(*cols)
+    local = F.sum(value_col).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranged.withColumn(
+            out, F.coalesce(local, F.lit(0).cast(vtype)) + off[F.col(_PID)]
+        )
+        .drop(_PID)
+    )

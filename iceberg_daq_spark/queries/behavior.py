@@ -174,3 +174,60 @@ def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("step")
     )
+
+
+@register(
+    "q112_peak_concurrency",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, min(ts) AS s, max(ts) AS e
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ), pts AS (
+      SELECT d, s AS t, 1 AS delta, user_id FROM iv
+      UNION ALL
+      SELECT d, e AS t, -1 AS delta, user_id FROM iv
+    ), run AS (
+      SELECT d, CAST(sum(delta) OVER (
+               ORDER BY t, delta DESC, user_id
+             ) AS BIGINT) AS conc
+      FROM pts
+    )
+    SELECT d AS day, max(conc) AS peak_concurrency
+    FROM run GROUP BY d ORDER BY day
+    """,
+)
+def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak session concurrency per day - the sweep-line query: each
+    user's daily activity span [first event, last event] becomes a
+    +1/-1 boundary pair, the global running sum of boundaries in time
+    order is the live-session count, and the per-day max of that
+    curve is the peak (ties order arrivals before departures, so
+    touching spans count as concurrent).
+
+    The oracle's running sum is an unpartitioned window (single task);
+    the Spark plan is :func:`operators.ranking.prefix_sum` - the
+    two-pass range-partitioned scan, so the sweep distributes at any
+    event volume.  Spans never cross midnight by construction, so the
+    curve returns to zero at each day boundary and the per-day max
+    needs no day partitioning in the sweep itself."""
+    from iceberg_daq_spark.operators.ranking import prefix_sum
+
+    e = load(spark, sf_dir, "events")
+    iv = e.groupBy(
+        "user_id", F.to_date("ts").alias("d")
+    ).agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    pts = iv.select(
+        "d", F.col("s").alias("t"), F.lit(1).cast("bigint").alias("delta"), "user_id"
+    ).union(
+        iv.select(
+            "d", F.col("e").alias("t"), F.lit(-1).cast("bigint").alias("delta"), "user_id"
+        )
+    )
+    run = prefix_sum(
+        pts, [F.asc("t"), F.desc("delta"), F.asc("user_id")], "delta", out="conc"
+    )
+    return (
+        run.groupBy(F.col("d").alias("day"))
+        .agg(F.max("conc").cast("bigint").alias("peak_concurrency"))
+        .orderBy("day")
+    )

@@ -55,7 +55,7 @@ def all_queries() -> dict[str, QuerySpec]:
 
 
 # The verify driver hash-checks only the FIRST 50 entries of
-# ``__spark_entry__.queries()``.  With 109 registered queries (95
+# ``__spark_entry__.queries()``.  With 110 registered queries (96
 # oracle-backed, 14 rows-only by design) the window cannot cover
 # everything, so the projection below orders queries by how much a
 # driver row is worth this round:
@@ -73,6 +73,7 @@ _CHECK_FIRST = [
     "q109_pagerank",
     "q110_cohort_retention",
     "q111_event_funnel",
+    "q112_peak_concurrency",
     "q107_pareto_frontier",
     "q108_hybrid_rrf",
     "q95_readability",

@@ -752,6 +752,27 @@ def test_prefix_max_matches_window(spark):
     assert got[0][1] is None  # globally first row has no strict prefix
 
 
+def test_prefix_sum_matches_window(spark):
+    """The two-pass distributed running sum equals the
+    single-partition window sum, including negative deltas (sweep-line
+    boundaries) and a total crossing zero mid-partition."""
+    from pyspark.sql import Window, functions as F
+
+    from iceberg_daq_spark.operators.ranking import prefix_sum
+
+    rows = [(i, 1 if i % 3 else -2) for i in range(400)]
+    df = spark.createDataFrame(rows, "id bigint, v bigint").repartition(7)
+    got = {
+        r.id: r.psum
+        for r in prefix_sum(df, [F.asc("id")], "v", num_partitions=5).collect()
+    }
+    w = Window.orderBy(F.asc("id")).rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r.id: r.s for r in df.withColumn("s", F.sum("v").over(w)).collect()
+    }
+    assert got == want
+
+
 def test_heavy_hitters_forced_decrements(spark):
     """Misra-Gries two-pass heavy hitters must equal the exact
     GROUP BY ... HAVING even when the summary is tiny enough that
