@@ -231,3 +231,128 @@ def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("conc").cast("bigint").alias("peak_concurrency"))
         .orderBy("day")
     )
+
+
+@register(
+    "q113_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS nxt
+      FROM events
+    ), pairs AS (
+      SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ), tot AS (
+      SELECT cur, CAST(sum(n) AS BIGINT) AS n_out FROM pairs GROUP BY cur
+    )
+    SELECT p.cur, p.nxt, p.n,
+           round(p.n * 1.0 / t.n_out, 4) AS p_next
+    FROM pairs p JOIN tot t USING (cur)
+    ORDER BY cur, nxt
+    """,
+)
+def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix between event types: each
+    user's event stream in time order yields (current, next) bigrams,
+    aggregated to transition counts and conditional probabilities -
+    the user-journey model behind "what happens after a click".
+
+    100 TB shape: the ONLY window is partitioned by user_id (bounded
+    per-user state, millions of partitions - never a global order),
+    then two partial-agg shuffles on the tiny (cur, nxt) / (cur) keys
+    and a broadcast join of the 5x5 matrix against its marginals.
+    Tiebreak on event_id makes the sequence a total order, so both
+    engines see identical bigrams."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    )
+    pairs = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    tot = pairs.groupBy("cur").agg(F.sum("n").cast("bigint").alias("n_out"))
+    return (
+        pairs.join(F.broadcast(tot), "cur")
+        .select(
+            "cur",
+            "nxt",
+            "n",
+            F.round(F.col("n") * 1.0 / F.col("n_out"), 4).alias("p_next"),
+        )
+        .orderBy("cur", "nxt")
+    )
+
+
+@register(
+    "q114_top_journeys",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS rn
+      FROM events
+    ), heads AS (
+      SELECT user_id,
+             array_to_string(list(event_type ORDER BY rn), '>') AS path
+      FROM seq WHERE rn <= 4 GROUP BY user_id
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_users
+    FROM heads
+    GROUP BY path
+    ORDER BY n_users DESC, path
+    LIMIT 15
+    """,
+)
+def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys: each user's FIRST FOUR events in time order
+    joined into a path string, ranked by how many users share the
+    path - the "most common onboarding flows" query.
+
+    100 TB shape: rank within user (bounded per-user window), keep
+    rank <= 4 BEFORE any aggregation (WindowGroupLimit pushes the
+    top-4 below the shuffle), collect_list over at most 4 elements
+    per user with an explicit sort (array_sort on (rn, type) pairs -
+    collect_list order is partition-dependent, sorting makes it
+    deterministic), then one partial-agg count on the path string and
+    a TakeOrdered top-15."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    heads = (
+        e.select(
+            "user_id",
+            "event_type",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 4)
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        heads.groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+        .limit(15)
+    )
