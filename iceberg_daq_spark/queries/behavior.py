@@ -356,3 +356,54 @@ def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_users"), "path")
         .limit(15)
     )
+
+
+@register(
+    "q115_metric_correlation",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY day, event_type
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           round(corr(a.n, b.n), 4) AS pearson_r,
+           CAST(count(*) AS BIGINT) AS n_days
+    FROM d a JOIN d b
+      ON a.day = b.day AND a.event_type < b.event_type
+    GROUP BY a.event_type, b.event_type
+    ORDER BY type_a, type_b
+    """,
+)
+def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation between event types' daily
+    activity series - "do errors co-move with purchases?" - the
+    metric-correlation matrix an ops dashboard computes.
+
+    100 TB shape: the event stream pre-reduces to (day, type) counts
+    (one partial-agg shuffle; output is days x types rows however
+    large the input), the pair join is an equi-join on day over that
+    reduced table, and corr() is a single-pass combinable aggregate
+    (sum/sum-sq/cross-moment partials) in both engines - no
+    per-series materialization anywhere."""
+    e = load(spark, sf_dir, "events")
+    d = e.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(
+            F.round(F.corr(F.col("a.n"), F.col("b.n")), 4).alias("pearson_r"),
+            F.count("*").cast("bigint").alias("n_days"),
+        )
+        .orderBy("type_a", "type_b")
+    )

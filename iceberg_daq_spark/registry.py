@@ -55,7 +55,7 @@ def all_queries() -> dict[str, QuerySpec]:
 
 
 # The verify driver hash-checks only the FIRST 50 entries of
-# ``__spark_entry__.queries()``.  With 112 registered queries (98
+# ``__spark_entry__.queries()``.  With 113 registered queries (99
 # oracle-backed, 14 rows-only by design) the window cannot cover
 # everything, so the projection below orders queries by how much a
 # driver row is worth this round:
@@ -76,6 +76,7 @@ _CHECK_FIRST = [
     "q112_peak_concurrency",
     "q113_event_transitions",
     "q114_top_journeys",
+    "q115_metric_correlation",
     "q107_pareto_frontier",
     "q108_hybrid_rrf",
     "q95_readability",

@@ -1502,8 +1502,11 @@ class MergeTable:
                         if abandoned_head is not None
                         else {}
                     ),
+                    # microsecond precision: second-truncation made
+                    # TIMESTAMP AS OF resolve to snapshots committed
+                    # *later* within the same wall-clock second
                     "committed_at": _dt.datetime.now(_dt.timezone.utc).isoformat(
-                        timespec="seconds"
+                        timespec="microseconds"
                     ),
                 }
             ),

@@ -57,6 +57,11 @@ STRESS_QUERIES = [
     # track q56's ratio), per-group NTILE (two-pass range layout:
     # ~linear), int8 quantization audit (map-only HOF: ~linear)
     "q97", "q96", "q98",
+    # r8 wave 4: Pareto skyline (reduces to <=1001 rounded-quality
+    # rows before the prefix scan - must be ~linear in the scan),
+    # hybrid RRF (TakeOrdered-bounded legs: ~linear), PageRank (3
+    # join+agg rounds over 10x nodes/edges: ~linear)
+    "q107", "q108", "q109",
 ]
 # superlinear-blowup tripwire: 10x rows may legitimately cost more than
 # 10x on the pair-counting queries (pair count itself grows with the
