@@ -25,4 +25,5 @@ from iceberg_daq_spark.queries import (  # noqa: F401
     curation,
     matching,
     behavior,
+    timeseries,
 )

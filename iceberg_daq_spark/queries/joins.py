@@ -357,3 +357,69 @@ def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY p.p_brand
         ORDER BY p_brand
     """)
+
+
+@register(
+    "q119_full_outer_reconcile",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, day
+    ), x AS (
+      SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE event_type = 'error' GROUP BY user_id, day
+    )
+    SELECT coalesce(p.user_id, x.user_id) AS user_id,
+           coalesce(p.day, x.day)         AS day,
+           coalesce(p.n, 0)               AS n_purchase,
+           coalesce(x.n, 0)               AS n_error,
+           CASE WHEN p.user_id IS NULL THEN 'error_only'
+                WHEN x.user_id IS NULL THEN 'purchase_only'
+                ELSE 'both' END           AS status
+    FROM p FULL OUTER JOIN x
+      ON p.user_id = x.user_id AND p.day = x.day
+    ORDER BY user_id, day
+    """,
+)
+def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER reconciliation of two sparse per-(user, day)
+    series - purchases vs errors - the ledger-vs-ledger diff every
+    reconciliation job runs: rows present on either side survive,
+    absent sides zero-fill, and a status column says which.
+    Completes the join family: inner/broadcast/left-outer/semi/
+    anti/cross/range/as-of are q03-q11, full outer is here.
+
+    100 TB shape: both inputs pre-reduce to (user, day) cells before
+    the join (partial-agg shuffles), then ONE sort-merge full outer
+    join on the composite key; both sides arrive hash-partitioned on
+    that same key so the join reuses the aggregation exchange.  The
+    coalesce/status projection is map-side.  Day indexes are
+    epoch-day arithmetic (timezone-proof across engines)."""
+    e = load(spark, sf_dir, "events")
+    day = F.floor(F.col("ts").cast("double") / 86400).cast("bigint").alias("day")
+
+    def side(kind: str) -> DataFrame:
+        return (
+            e.filter(F.col("event_type") == kind)
+            .groupBy("user_id", day)
+            .agg(F.count("*").cast("bigint").alias("n"))
+        )
+
+    p = side("purchase").withColumnRenamed("n", "np")
+    x = side("error").withColumnRenamed("n", "nx")
+    return (
+        p.join(x, ["user_id", "day"], "full_outer")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce(F.col("np"), F.lit(0).cast("bigint")).alias("n_purchase"),
+            F.coalesce(F.col("nx"), F.lit(0).cast("bigint")).alias("n_error"),
+            F.when(F.col("np").isNull(), F.lit("error_only"))
+            .when(F.col("nx").isNull(), F.lit("purchase_only"))
+            .otherwise(F.lit("both"))
+            .alias("status"),
+        )
+        .orderBy("user_id", "day")
+    )

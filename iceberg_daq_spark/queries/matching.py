@@ -380,3 +380,68 @@ def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_rel"), "doc_id")
         .limit(20)
     )
+
+
+@register(
+    "q117_triangle_count",
+    oracle="""
+    WITH cells AS (
+      SELECT DISTINCT event_type,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+             user_id
+      FROM events
+    ), e AS (
+      SELECT DISTINCT a.user_id AS u, b.user_id AS v
+      FROM cells a
+      JOIN cells b ON a.event_type = b.event_type AND a.d = b.d
+                  AND a.user_id < b.user_id
+    ), nodes AS (
+      SELECT u AS id FROM e UNION SELECT v FROM e
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes)  AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM e)      AS n_edges,
+           (SELECT CAST(count(*) AS BIGINT)
+              FROM e e1
+              JOIN e e2 ON e2.u = e1.v
+              JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)  AS n_triangles
+    """,
+)
+def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the user co-presence graph (users who
+    acted on the same event type the same day are linked) - the
+    clustering-structure probe of social/interaction analytics, and
+    the third graph primitive next to connected components and
+    PageRank.
+
+    The Spark side is :func:`operators.graph.triangle_count`:
+    degree-ordered orientation generates each wedge at its
+    smallest-(degree, id) corner, bounding per-node fan-out by
+    O(sqrt(m)) instead of the hot vertex's degree^2 - THE difference
+    between finishing and dying on a power-law graph at 100 TB.  The
+    oracle counts the same triangles with the naive a<b<c three-way
+    self-join, which is fine at oracle scale; both count each
+    triangle exactly once so the totals agree.  Edge construction
+    pre-reduces the event stream to DISTINCT (type, day, user) cells
+    before pairing, so pair fan-out is bounded by cell occupancy,
+    never raw event counts (day is epoch-day arithmetic - no
+    timezone-dependent truncation)."""
+    from iceberg_daq_spark.operators.graph import triangle_count
+
+    e = load(spark, sf_dir, "events")
+    cells = e.select(
+        "event_type",
+        F.floor(F.col("ts").cast("double") / 86400).cast("bigint").alias("d"),
+        "user_id",
+    ).distinct()
+    a, b = cells.alias("a"), cells.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.d") == F.col("b.d"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
+        .distinct()
+    )
+    return triangle_count(edges)

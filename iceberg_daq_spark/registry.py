@@ -55,7 +55,7 @@ def all_queries() -> dict[str, QuerySpec]:
 
 
 # The verify driver hash-checks only the FIRST 50 entries of
-# ``__spark_entry__.queries()``.  With 113 registered queries (99
+# ``__spark_entry__.queries()``.  With 117 registered queries (103
 # oracle-backed, 14 rows-only by design) the window cannot cover
 # everything, so the projection below orders queries by how much a
 # driver row is worth this round:
@@ -77,6 +77,10 @@ _CHECK_FIRST = [
     "q113_event_transitions",
     "q114_top_journeys",
     "q115_metric_correlation",
+    "q116_gapfill_resample",
+    "q117_triangle_count",
+    "q118_trend_slope",
+    "q119_full_outer_reconcile",
     "q107_pareto_frontier",
     "q108_hybrid_rrf",
     "q95_readability",

@@ -737,3 +737,63 @@ def test_q111_funnel_steps_are_equi_joins(spark, sf_dir):
     # the 4x1 base join may plan as BNLJ (formatted explain mentions
     # each operator twice: tree + details) - anything more must not
     assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_q116_gapfill_window_partitioned_not_global(spark, sf_dir):
+    """The forward-fill window must partition by event_type (no
+    single-partition global window), and the cell pre-reduce must be
+    a partial+final hash agg pair."""
+    from iceberg_daq_spark.queries.timeseries import q116
+
+    plan = plan_of(q116(spark, sf_dir))
+    assert "Window" in plan
+    assert "partial_count" in plan or "Partial" in plan
+    # a global (unpartitioned) window plans SinglePartition right
+    # above the Window's sort - must not appear here
+    assert "SinglePartition" not in plan.split("Window")[0].splitlines()[-1]
+
+
+def test_q117_triangle_joins_all_equi(spark, sf_dir):
+    """Degree orientation, wedge generation, and closure must all be
+    hash/sort-merge EQUI joins - a nested-loop anywhere here is the
+    deg^2 blowup the orientation exists to prevent."""
+    from iceberg_daq_spark.queries.matching import q117
+
+    plan = plan_of(q117(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the final 1x1x1 count assembly is two cross joins of single
+    # rows (tree + details = up to 4 mentions); the data-plane wedge
+    # machinery must contribute none
+    assert plan.count("BroadcastNestedLoopJoin") <= 4
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_q118_trend_is_two_partial_aggs_no_window(spark, sf_dir):
+    """regr_slope/r2 must plan as combinable partial+final aggregates
+    over the (type, day) cells - no Window, no sort of the series."""
+    from iceberg_daq_spark.queries.timeseries import q118
+
+    plan = plan_of(q118(spark, sf_dir))
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 4  # two partial+final pairs
+
+
+def test_q119_full_outer_reuses_agg_partitioning(spark, sf_dir):
+    """The full outer join must be sort-merge on (user_id, day) and
+    reuse each side's aggregation exchange: exactly two data
+    exchanges (one per side), none between agg and join."""
+    from iceberg_daq_spark.queries.joins import q119
+
+    plan = plan_of(q119(spark, sf_dir))
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    # hashpartitioning(user_id, day) exchanges: one per pre-agg side;
+    # the join itself must not add a third
+    import re
+
+    data_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "user_id" in ln
+    ]
+    assert len(data_exchanges) <= 2, data_exchanges
