@@ -109,8 +109,18 @@ _CHECK_FIRST = [
     "q81_unigram_surprisal",
     "q82_keyword_extract",
     "q83_source_drift",
+    # implementation changed in round 8 (shared pair/CC stage +
+    # shortcutting closure) - want a fresh driver row
+    "q57_dedup_components",
+    "q73_cluster_retention",
+    # confirmed only once (r7) - second confirmation beats anything
+    # multiply-confirmed
+    "q72_source_cap",
+    "q74_exact_percentiles",
     # last driver-confirmed in r6, rotated out during r7 - the stalest
-    # green rows in the registry, bring them all back this round
+    # green rows in the registry; the tail of this block spills past
+    # the 50-window now that q115-q119 joined, which is the right
+    # trade: everything below is multiply-confirmed
     "q01_scan_filter_project",
     "q02_pushdown_shapes",
     "q03_inner_join_agg",
@@ -124,14 +134,6 @@ _CHECK_FIRST = [
     "q21_sort_limit_topk",
     "q36_config_rewrite",
     "q66_vocab_topk",
-    # implementation changed in round 8 (shared pair/CC stage +
-    # shortcutting closure) - want a fresh driver row
-    "q57_dedup_components",
-    "q73_cluster_retention",
-    # confirmed only once (r7) - second confirmation beats anything
-    # multiply-confirmed
-    "q72_source_cap",
-    "q74_exact_percentiles",
 ]
 _CHECK_LAST = [
     # driver-confirmed in r7 AND earlier rounds - safest to rotate
