@@ -407,3 +407,142 @@ def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@register(
+    "q121_funnel_timing",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(epoch(ts)) AS t0
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), p AS (
+      SELECT s.user_id, s.t0, min(epoch(e.ts)) AS t1
+      FROM s JOIN events e ON e.user_id = s.user_id
+       AND e.event_type = 'purchase' AND epoch(e.ts) >= s.t0
+      GROUP BY s.user_id, s.t0
+    ), g AS (
+      SELECT CAST(floor(t0 / 86400) AS BIGINT) AS signup_day,
+             (t1 - t0) / 3600.0 AS gap_h
+      FROM p
+    )
+    SELECT signup_day,
+           CAST(count(*) AS BIGINT) AS n_converted,
+           round(CAST(quantile_cont(gap_h, 0.5) AS DOUBLE), 2) AS p50_h,
+           round(CAST(quantile_cont(gap_h, 0.9) AS DOUBLE), 2) AS p90_h,
+           round(avg(gap_h), 2) AS mean_h
+    FROM g GROUP BY signup_day ORDER BY signup_day
+    """,
+)
+def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per signup day, the median /
+    p90 / mean hours between a user's first signup and their first
+    purchase at-or-after it - the follow-on every funnel (q111)
+    report gets asked for next.
+
+    100 TB shape: first-signup is a partial-agg min per user; the
+    conversion probe is one user_id equi-join against the (already
+    reduced) signup table with the time predicate as a residual;
+    per-day percentiles are exact interpolated percentiles over
+    small day groups (the q74 argument: exact as the oracle-matched
+    calibration path, `percentile_approx` as the documented
+    unbounded-group substitute).  Seconds arithmetic, no timezone
+    truncation."""
+    e = load(spark, sf_dir, "events")
+    sec = F.col("ts").cast("double")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(sec).alias("t0"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", sec.alias("t1"))
+        .join(s, "user_id")
+        .where(F.col("t1") >= F.col("t0"))
+        .groupBy("user_id", "t0")
+        .agg(F.min("t1").alias("t1"))
+    )
+    g = p.select(
+        F.floor(F.col("t0") / 86400).cast("bigint").alias("signup_day"),
+        ((F.col("t1") - F.col("t0")) / 3600.0).alias("gap_h"),
+    )
+    return (
+        g.groupBy("signup_day")
+        .agg(
+            F.count("*").cast("bigint").alias("n_converted"),
+            F.round(F.percentile("gap_h", F.lit(0.5)), 2).alias("p50_h"),
+            F.round(F.percentile("gap_h", F.lit(0.9)), 2).alias("p90_h"),
+            F.round(F.avg("gap_h"), 2).alias("mean_h"),
+        )
+        .orderBy("signup_day")
+    )
+
+
+@register(
+    "q122_ab_welch",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, user_id % 2 AS grp, value FROM events
+    ), s AS (
+      SELECT event_type,
+             count(CASE WHEN grp = 0 THEN 1 END) AS na,
+             count(CASE WHEN grp = 1 THEN 1 END) AS nb,
+             avg(CASE WHEN grp = 0 THEN value END) AS ma,
+             avg(CASE WHEN grp = 1 THEN value END) AS mb,
+             var_samp(CASE WHEN grp = 0 THEN value END) AS va,
+             var_samp(CASE WHEN grp = 1 THEN value END) AS vb
+      FROM m GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(ma, 4) AS mean_a, round(mb, 4) AS mean_b,
+           round((ma - mb) / sqrt(va / na + vb / nb), 4) AS t_welch,
+           round(pow(va / na + vb / nb, 2)
+                 / (pow(va / na, 2) / (na - 1)
+                    + pow(vb / nb, 2) / (nb - 1)), 2) AS df_welch
+    FROM s ORDER BY event_type
+    """,
+)
+def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test per event type between the
+    two experiment arms (deterministic user_id parity split): the
+    A/B-test readout - group means, the t statistic, and the
+    Welch-Satterthwaite degrees of freedom.
+
+    100 TB shape: the entire test is count/avg/var_samp - one-pass
+    COMBINABLE aggregates with conditional projection, so the plan
+    is a single partial+final agg pair over the raw stream and a
+    map-side formula on the 5-row result.  No window, no join, no
+    second scan; a trillion-event experiment costs exactly one
+    shuffle of 5 x #partitions partial rows."""
+    e = load(spark, sf_dir, "events")
+    grp = (F.col("user_id") % 2).alias("grp")
+    m = e.select("event_type", grp, "value")
+    va_na = F.col("va") / F.col("na")
+    vb_nb = F.col("vb") / F.col("nb")
+    s = m.groupBy("event_type").agg(
+        F.count(F.when(F.col("grp") == 0, 1)).alias("na"),
+        F.count(F.when(F.col("grp") == 1, 1)).alias("nb"),
+        F.avg(F.when(F.col("grp") == 0, F.col("value"))).alias("ma"),
+        F.avg(F.when(F.col("grp") == 1, F.col("value"))).alias("mb"),
+        F.var_samp(F.when(F.col("grp") == 0, F.col("value"))).alias("va"),
+        F.var_samp(F.when(F.col("grp") == 1, F.col("value"))).alias("vb"),
+    )
+    return s.select(
+        "event_type",
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.round("ma", 4).alias("mean_a"),
+        F.round("mb", 4).alias("mean_b"),
+        F.round(
+            (F.col("ma") - F.col("mb")) / F.sqrt(va_na + vb_nb), 4
+        ).alias("t_welch"),
+        F.round(
+            F.pow(va_na + vb_nb, 2)
+            / (
+                F.pow(va_na, 2) / (F.col("na") - 1)
+                + F.pow(vb_nb, 2) / (F.col("nb") - 1)
+            ),
+            2,
+        ).alias("df_welch"),
+    ).orderBy("event_type")

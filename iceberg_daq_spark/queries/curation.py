@@ -537,3 +537,79 @@ def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "doc_id")
     )
+
+
+@register(
+    "q120_source_vocab_overlap",
+    oracle="""
+    WITH vocab AS (
+      SELECT DISTINCT source, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ), v AS (
+      SELECT source, token FROM vocab WHERE token <> ''
+    ), sizes AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY source
+    ), inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM v a JOIN v b ON a.token = b.token AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT i.source_a, i.source_b, i.n_common,
+           round(i.n_common * 1.0 / (sa.n + sb.n - i.n_common), 4) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.source_a
+    JOIN sizes sb ON sb.source = i.source_b
+    ORDER BY source_a, source_b
+    """,
+)
+def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources - "how much does
+    crawl A's lexicon overlap crawl B's?" - the source-redundancy map
+    a corpus curator reads before deciding mixture weights.
+
+    100 TB shape: vocab pre-reduces to DISTINCT (source, token)
+    (partial-agg shuffle; output bounded by vocabulary size, not
+    corpus size), the intersection is a token-keyed inverted-index
+    self-join whose per-token fan-out is bounded by
+    C(#sources, 2) - a few hundred rows per token however many
+    documents share it - and the union sizes arrive by broadcast
+    (tiny per-source table).  Nothing scales with document count
+    past the first reduce."""
+    d = load(spark, sf_dir, "documents")
+    v = (
+        d.select("source", F.explode(F.split("text", " ")).alias("token"))
+        .where(F.col("token") != "")
+        .distinct()
+    )
+    sizes = v.groupBy("source").agg(F.count("*").cast("bigint").alias("n"))
+    a, b = v.alias("a"), v.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    sa = F.broadcast(sizes.select(F.col("source").alias("source_a"), F.col("n").alias("_na")))
+    sb = F.broadcast(sizes.select(F.col("source").alias("source_b"), F.col("n").alias("_nb")))
+    return (
+        inter.join(sa, "source_a")
+        .join(sb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("_na") + F.col("_nb") - F.col("n_common")),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )

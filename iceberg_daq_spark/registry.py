@@ -55,7 +55,7 @@ def all_queries() -> dict[str, QuerySpec]:
 
 
 # The verify driver hash-checks only the FIRST 50 entries of
-# ``__spark_entry__.queries()``.  With 117 registered queries (103
+# ``__spark_entry__.queries()``.  With 120 registered queries (106
 # oracle-backed, 14 rows-only by design) the window cannot cover
 # everything, so the projection below orders queries by how much a
 # driver row is worth this round:
@@ -81,6 +81,9 @@ _CHECK_FIRST = [
     "q117_triangle_count",
     "q118_trend_slope",
     "q119_full_outer_reconcile",
+    "q120_source_vocab_overlap",
+    "q121_funnel_timing",
+    "q122_ab_welch",
     "q107_pareto_frontier",
     "q108_hybrid_rrf",
     "q95_readability",

@@ -797,3 +797,27 @@ def test_q119_full_outer_reuses_agg_partitioning(spark, sf_dir):
         if "Exchange hashpartitioning" in ln and "user_id" in ln
     ]
     assert len(data_exchanges) <= 2, data_exchanges
+
+
+def test_q120_vocab_overlap_broadcasts_sizes(spark, sf_dir):
+    """The intersection must be a token-keyed equi self-join (no
+    cartesian pair enumeration) and the union-size joins must
+    broadcast the tiny per-source table."""
+    from iceberg_daq_spark.queries.curation import q120
+
+    plan = plan_of(q120(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q122_welch_is_single_agg_pair_no_join(spark, sf_dir):
+    """Welch's t must plan as ONE partial+final aggregate pair over
+    the raw stream - no join, no window, no second scan."""
+    from iceberg_daq_spark.queries.behavior import q122
+
+    plan = plan_of(q122(spark, sf_dir))
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("Scan parquet") <= 1 or plan.count("FileScan") <= 1
+    assert "partial" in plan.lower()
