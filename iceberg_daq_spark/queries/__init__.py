@@ -26,4 +26,5 @@ from iceberg_daq_spark.queries import (  # noqa: F401
     matching,
     behavior,
     timeseries,
+    spatial,
 )

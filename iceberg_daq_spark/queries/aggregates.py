@@ -315,3 +315,54 @@ def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").asc_nulls_first(),
         )
     )
+
+
+@register(
+    "q124_top_supplier_view",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2)
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): a quarterly revenue view over
+    lineitem, then the supplier(s) whose revenue equals the view's
+    max - the classic view + scalar-subquery-on-aggregate shape.
+
+    100 TB shape: the revenue view is one filtered partial-agg
+    shuffle (the shipdate predicate pushes to the parquet scan); the
+    scalar max is an aggregation of the ALREADY-REDUCED per-supplier
+    table broadcast back as a one-row filter, and the supplier join
+    is a dim-side hash join.  Revenue is rounded to 2 on both
+    engines BEFORE the max-equality compare so float summation
+    order cannot split the tie."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    li.createOrReplaceTempView("v_q124_lineitem")
+    s.createOrReplaceTempView("v_q124_supplier")
+    return spark.sql("""
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   AS total_revenue
+          FROM v_q124_lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM v_q124_supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+        ORDER BY s_suppkey
+    """)

@@ -546,3 +546,92 @@ def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("df_welch"),
     ).orderBy("event_type")
+
+
+@register(
+    "q125_association_rules",
+    oracle="""
+    WITH basket AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+             event_type
+      FROM events
+    ), nb AS (
+      SELECT count(*) AS n FROM (
+        SELECT DISTINCT user_id, day FROM basket
+      )
+    ), supp AS (
+      SELECT event_type, count(*) AS s FROM basket GROUP BY event_type
+    ), pair AS (
+      SELECT a.event_type AS ante, b.event_type AS cons,
+             count(*) AS s_ab
+      FROM basket a
+      JOIN basket b ON a.user_id = b.user_id AND a.day = b.day
+                   AND a.event_type < b.event_type
+      GROUP BY ante, cons
+    )
+    SELECT p.ante, p.cons,
+           CAST(p.s_ab AS BIGINT)                    AS n_both,
+           round(p.s_ab * 1.0 / sa.s, 4)             AS conf_ante_cons,
+           round(p.s_ab * 1.0 / sb.s, 4)             AS conf_cons_ante,
+           round(p.s_ab * 1.0 * nb.n / (sa.s * sb.s), 4) AS lift
+    FROM pair p
+    JOIN supp sa ON sa.event_type = p.ante
+    JOIN supp sb ON sb.event_type = p.cons
+    CROSS JOIN nb
+    ORDER BY ante, cons
+    """,
+)
+def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over daily activity baskets
+    (basket = the set of event types a user touched in a day):
+    pair support, both conditional confidences, and lift - the
+    "users who view also purchase?" co-occurrence readout.
+
+    100 TB shape: baskets pre-reduce to DISTINCT (user, day, type)
+    cells; pair support is a basket-keyed self-join whose per-basket
+    fan-out is bounded by C(#item-types, 2) - item vocabularies are
+    small by construction, so this never approaches the d^2-in-rows
+    blowup - and the single-item supports plus the basket count are
+    tiny tables broadcast into the final projection.  Day indexes
+    are epoch-day arithmetic (timezone-proof)."""
+    e = load(spark, sf_dir, "events")
+    basket = e.select(
+        "user_id",
+        F.floor(F.col("ts").cast("double") / 86400).cast("bigint").alias("day"),
+        "event_type",
+    ).distinct()
+    n_baskets = basket.select("user_id", "day").distinct().count()
+    supp = basket.groupBy("event_type").agg(F.count("*").alias("s"))
+    a, b = basket.alias("a"), basket.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("ante"),
+            F.col("b.event_type").alias("cons"),
+        )
+        .agg(F.count("*").alias("s_ab"))
+    )
+    sa = F.broadcast(supp.select(F.col("event_type").alias("ante"), F.col("s").alias("_sa")))
+    sb = F.broadcast(supp.select(F.col("event_type").alias("cons"), F.col("s").alias("_sb")))
+    return (
+        pair.join(sa, "ante")
+        .join(sb, "cons")
+        .select(
+            "ante",
+            "cons",
+            F.col("s_ab").cast("bigint").alias("n_both"),
+            F.round(F.col("s_ab") / F.col("_sa"), 4).alias("conf_ante_cons"),
+            F.round(F.col("s_ab") / F.col("_sb"), 4).alias("conf_cons_ante"),
+            F.round(
+                F.col("s_ab") * F.lit(float(n_baskets)) / (F.col("_sa") * F.col("_sb")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy("ante", "cons")
+    )

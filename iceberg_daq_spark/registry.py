@@ -55,7 +55,7 @@ def all_queries() -> dict[str, QuerySpec]:
 
 
 # The verify driver hash-checks only the FIRST 50 entries of
-# ``__spark_entry__.queries()``.  With 120 registered queries (106
+# ``__spark_entry__.queries()``.  With 123 registered queries (109
 # oracle-backed, 14 rows-only by design) the window cannot cover
 # everything, so the projection below orders queries by how much a
 # driver row is worth this round:
@@ -84,6 +84,9 @@ _CHECK_FIRST = [
     "q120_source_vocab_overlap",
     "q121_funnel_timing",
     "q122_ab_welch",
+    "q123_spatial_radius_join",
+    "q124_top_supplier_view",
+    "q125_association_rules",
     "q107_pareto_frontier",
     "q108_hybrid_rrf",
     "q95_readability",

@@ -821,3 +821,28 @@ def test_q122_welch_is_single_agg_pair_no_join(spark, sf_dir):
     assert "Window" not in plan
     assert plan.count("Scan parquet") <= 1 or plan.count("FileScan") <= 1
     assert "partial" in plan.lower()
+
+
+def test_q123_spatial_join_is_equi_on_cells(spark, sf_dir):
+    """Candidate generation must be an equi join on the grid-cell
+    key - the all-pairs product the oracle writes must never appear
+    in the Spark plan."""
+    from iceberg_daq_spark.queries.spatial import q123
+
+    plan = plan_of(q123(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "pcx" in plan  # joined on the exploded neighbor-cell key
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q124_shipdate_pushed_and_scalar_subquery(spark, sf_dir):
+    """The quarter predicate must reach the parquet scan and the
+    max-revenue compare must plan as a scalar subquery over the
+    reduced view - not a re-scan join of lineitem."""
+    from iceberg_daq_spark.queries.aggregates import q124
+
+    plan = plan_of(q124(spark, sf_dir))
+    assert "GreaterThanOrEqual(l_shipdate" in plan  # pushed to the scan
+    assert "LessThan(l_shipdate" in plan
+    assert "Subquery" in plan or "scalar-subquery" in plan
