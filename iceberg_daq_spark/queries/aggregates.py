@@ -366,3 +366,69 @@ def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
         ORDER BY s_suppkey
     """)
+
+
+_PROFILE_COLS = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    "l_returnflag", "l_linestatus", "l_shipdate",
+]
+
+
+@register(
+    "q127_column_profile",
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS col_name,
+            CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+            CAST(count(DISTINCT {c}) AS BIGINT)   AS n_distinct
+            FROM lineitem"""
+        for c in _PROFILE_COLS
+    )
+    + "\nORDER BY col_name",
+)
+def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the ANALYZE TABLE shape): per column of
+    lineitem, null count and exact distinct count - the statistics
+    pass every warehouse runs before cost-based planning, and the
+    data-quality profile every ingestion job logs.
+
+    100 TB shape: the Spark side computes ALL columns' null counts
+    in ONE scan (a single partial+final agg row), and the distinct
+    counts as one count-distinct agg per column over the same
+    cached scan - the oracle re-scans per column, which is exactly
+    the n-passes-for-n-columns cost this formulation avoids.  At
+    true scale the documented substitute for exact distincts is
+    approx_count_distinct (q16's HLL sketch, one pass for ALL
+    columns); exact is the oracle-matched calibration path here."""
+    li = load(spark, sf_dir, "lineitem").select(*_PROFILE_COLS)
+    nulls_row = li.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.count(c).alias(f"nn_{c}") for c in _PROFILE_COLS],
+    )
+    # distinct counts: one expand-based agg (Spark plans multiple
+    # count-distincts as a single Expand + two-level aggregate - one
+    # scan, not len(cols) scans)
+    dist_row = li.agg(
+        *[F.countDistinct(c).alias(f"nd_{c}") for c in _PROFILE_COLS]
+    )
+    row = nulls_row.crossJoin(F.broadcast(dist_row))
+    pairs = []
+    for c in _PROFILE_COLS:
+        pairs += [
+            F.lit(c),
+            F.struct(
+                (F.col("_n") - F.col(f"nn_{c}")).cast("bigint").alias("n_nulls"),
+                F.col(f"nd_{c}").cast("bigint").alias("n_distinct"),
+            ),
+        ]
+    return (
+        row.select(
+            F.explode(F.create_map(*pairs)).alias("col_name", "stats")
+        )
+        .select(
+            "col_name",
+            F.col("stats.n_nulls").alias("n_nulls"),
+            F.col("stats.n_distinct").alias("n_distinct"),
+        )
+        .orderBy("col_name")
+    )

@@ -12,7 +12,7 @@ collect.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from iceberg_daq_spark.registry import register
@@ -634,4 +634,71 @@ def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
         .orderBy("ante", "cons")
+    )
+
+
+@register(
+    "q126_last_touch_attribution",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, value, ts, event_id,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch
+      FROM events
+    ), attr AS (
+      SELECT coalesce(touch, 'direct') AS touch_type, value
+      FROM seq WHERE event_type = 'purchase'
+    ), tot AS (
+      SELECT count(*) AS n FROM attr
+    )
+    SELECT a.touch_type,
+           CAST(count(*) AS BIGINT)              AS n_purchases,
+           round(sum(a.value), 2)                AS attributed_value,
+           round(count(*) * 100.0 / max(t.n), 2) AS pct
+    FROM attr a CROSS JOIN tot t
+    GROUP BY a.touch_type ORDER BY touch_type
+    """,
+)
+def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the user's most
+    recent preceding non-purchase event type ('direct' when none) -
+    the marketing-attribution query behind every channel-ROI
+    report.
+
+    100 TB shape: ONE user-partitioned window (bounded per-user
+    state, no global sort) carries the last non-purchase touch
+    forward; everything after is a partial-agg shuffle on the
+    ~#channels-row result plus a broadcast of the 1-row total.
+    Ties broken by (ts, event_id) so both engines walk the same
+    sequence."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = e.withColumn(
+        "touch",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    attr = seq.filter(F.col("event_type") == "purchase").select(
+        F.coalesce(F.col("touch"), F.lit("direct")).alias("touch_type"),
+        "value",
+    )
+    tot = attr.agg(F.count("*").alias("n"))
+    return (
+        attr.crossJoin(F.broadcast(tot))
+        .groupBy("touch_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("attributed_value"),
+            F.round(F.count("*") * 100.0 / F.max("n"), 2).alias("pct"),
+        )
+        .orderBy("touch_type")
     )

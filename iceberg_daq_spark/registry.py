@@ -55,7 +55,7 @@ def all_queries() -> dict[str, QuerySpec]:
 
 
 # The verify driver hash-checks only the FIRST 50 entries of
-# ``__spark_entry__.queries()``.  With 123 registered queries (109
+# ``__spark_entry__.queries()``.  With 125 registered queries (111
 # oracle-backed, 14 rows-only by design) the window cannot cover
 # everything, so the projection below orders queries by how much a
 # driver row is worth this round:
@@ -87,6 +87,8 @@ _CHECK_FIRST = [
     "q123_spatial_radius_join",
     "q124_top_supplier_view",
     "q125_association_rules",
+    "q126_last_touch_attribution",
+    "q127_column_profile",
     "q107_pareto_frontier",
     "q108_hybrid_rrf",
     "q95_readability",

@@ -846,3 +846,30 @@ def test_q124_shipdate_pushed_and_scalar_subquery(spark, sf_dir):
     assert "GreaterThanOrEqual(l_shipdate" in plan  # pushed to the scan
     assert "LessThan(l_shipdate" in plan
     assert "Subquery" in plan or "scalar-subquery" in plan
+
+
+def test_q126_attribution_window_user_partitioned(spark, sf_dir):
+    """The touch-carry window must partition by user_id (bounded
+    per-user state) - never a single-partition global window; the
+    totals join must broadcast the 1-row total."""
+    from iceberg_daq_spark.queries.behavior import q126
+
+    plan = plan_of(q126(spark, sf_dir))
+    assert "Window" in plan
+    assert "partial_count" in plan or "Partial" in plan
+    window_head = plan.split("Window")[0].splitlines()[-1]
+    assert "SinglePartition" not in window_head
+
+
+def test_q127_profile_null_counts_single_scan(spark, sf_dir):
+    """All null counts must land in one agg pair over one scan (the
+    oracle's per-column UNION ALL re-scan is the shape this avoids);
+    the count-distincts plan through Expand, not per-column scans."""
+    from iceberg_daq_spark.queries.aggregates import q127
+
+    plan = plan_of(q127(spark, sf_dir))
+    n_scans = max(plan.count("Scan parquet"), 1)
+    # two agg legs (nulls + distincts) share at most 2 scans vs the
+    # oracle's 11
+    assert n_scans <= 4, n_scans
+    assert "Expand" in plan
