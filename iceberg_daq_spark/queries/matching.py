@@ -382,19 +382,44 @@ def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CELL_MEMBER_MAX = 64
+"""q117 co-presence valve: per-(event_type, day) cell member cap.
+
+Cell occupancy grows linearly with data (every user active on a type
+that day lands in one cell), so an unvalved pair build is quadratic
+and - because each cell is a near-clique - the downstream wedge stage
+is CUBIC in occupancy.  The valve keeps, per cell, the
+CELL_MEMBER_MAX members with the smallest (md5(user_id), user_id) -
+a deterministic, engine-agnostic sample (Spark and DuckDB md5 agree
+byte-for-byte on the decimal string form) - bounding pairs per cell
+at C(64,2)=2016 and wedges at C(64,3) whatever the data volume.
+Same valve shape as LSH_BUCKET_MAX (operators/similarity.py) and the
+shingle df_max cap (operators/dedup.py); mirrored IDENTICALLY in the
+DuckDB oracle so the hash check verifies the valved graph itself
+(at sf0.01 max cell occupancy is ~67, so the valve ENGAGES at oracle
+scale and its behavior is hash-checked, not just asserted)."""
+
+
 @register(
     "q117_triangle_count",
-    oracle="""
+    oracle=f"""
     WITH cells AS (
       SELECT DISTINCT event_type,
              CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
              user_id
       FROM events
+    ), kept AS (
+      SELECT event_type, d, user_id
+      FROM cells
+      QUALIFY row_number() OVER (
+        PARTITION BY event_type, d
+        ORDER BY md5(CAST(user_id AS VARCHAR)), user_id
+      ) <= {CELL_MEMBER_MAX}
     ), e AS (
       SELECT DISTINCT a.user_id AS u, b.user_id AS v
-      FROM cells a
-      JOIN cells b ON a.event_type = b.event_type AND a.d = b.d
-                  AND a.user_id < b.user_id
+      FROM kept a
+      JOIN kept b ON a.event_type = b.event_type AND a.d = b.d
+                 AND a.user_id < b.user_id
     ), nodes AS (
       SELECT u AS id FROM e UNION SELECT v FROM e
     )
@@ -420,11 +445,19 @@ def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
     between finishing and dying on a power-law graph at 100 TB.  The
     oracle counts the same triangles with the naive a<b<c three-way
     self-join, which is fine at oracle scale; both count each
-    triangle exactly once so the totals agree.  Edge construction
-    pre-reduces the event stream to DISTINCT (type, day, user) cells
-    before pairing, so pair fan-out is bounded by cell occupancy,
-    never raw event counts (day is epoch-day arithmetic - no
-    timezone-dependent truncation)."""
+    triangle exactly once so the totals agree.
+
+    Edge construction pre-reduces the event stream to DISTINCT
+    (type, day, user) cells, then applies the CELL_MEMBER_MAX valve
+    (see module constant above): keep the 64 smallest-md5 members per
+    cell before pairing.  Without the valve, cell occupancy - and
+    therefore pair fan-out (occupancy^2) and wedge fan-out
+    (occupancy^3, the cells are near-cliques) - grows linearly with
+    data volume; with it, per-cell work is a constant.  The
+    row_number + <= filter compiles to WindowGroupLimit (per-partition
+    top-k, no full sort), and the valve is mirrored verbatim in the
+    oracle SQL so both engines count triangles of the SAME graph.
+    Day is epoch-day arithmetic - no timezone-dependent truncation."""
     from iceberg_daq_spark.operators.graph import triangle_count
 
     e = load(spark, sf_dir, "events")
@@ -433,7 +466,15 @@ def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("ts").cast("double") / 86400).cast("bigint").alias("d"),
         "user_id",
     ).distinct()
-    a, b = cells.alias("a"), cells.alias("b")
+    w = Window.partitionBy("event_type", "d").orderBy(
+        F.md5(F.col("user_id").cast("string")), "user_id"
+    )
+    kept = (
+        cells.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= CELL_MEMBER_MAX)
+        .drop("_rn")
+    )
+    a, b = kept.alias("a"), kept.alias("b")
     edges = (
         a.join(
             b,

@@ -8,6 +8,7 @@ sort, and the interval join is an equi join (not a nested loop).
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from iceberg_daq_spark.queries.aggregates import q12
@@ -766,6 +767,56 @@ def test_q117_triangle_joins_all_equi(spark, sf_dir):
     # machinery must contribute none
     assert plan.count("BroadcastNestedLoopJoin") <= 4
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    # the CELL_MEMBER_MAX valve must compile to a per-partition
+    # group limit (row_number + <= k), not a full per-cell sort of
+    # unbounded occupancy
+    assert "WindowGroupLimit" in plan
+
+
+def test_q117_valve_bounds_edge_and_wedge_fanout(spark):
+    """Row-budget assertion for the co-presence valve: a synthetic
+    input whose single cell holds 5x CELL_MEMBER_MAX users must
+    produce at most C(64,2) edges and C(64,3) wedges - the unvalved
+    build would emit C(320,2)=51k edges and C(320,3)=5.4M wedges.
+    This is the fan-out guard the all-equi plan test cannot express
+    (equi joins bound the JOIN ALGORITHM, not the output rows)."""
+    import math
+
+    from iceberg_daq_spark.queries.matching import CELL_MEMBER_MAX
+
+    k = CELL_MEMBER_MAX
+    n = 5 * k
+    cells = spark.createDataFrame(
+        [("click", 0, u) for u in range(n)], "event_type string, d long, user_id long"
+    )
+    w = Window.partitionBy("event_type", "d").orderBy(
+        F.md5(F.col("user_id").cast("string")), "user_id"
+    )
+    kept = (
+        cells.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.d") == F.col("b.d"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
+        .distinct()
+    )
+    n_edges = edges.count()
+    assert n_edges == math.comb(k, 2)  # exactly one capped clique
+    # wedge stage of triangle_count on the valved edges: a 64-clique
+    # generates exactly C(64,3) wedges under degree orientation
+    from iceberg_daq_spark.operators.graph import triangle_count
+
+    row = triangle_count(edges).collect()[0]
+    assert row.n_nodes == k
+    assert row.n_triangles == math.comb(k, 3)
 
 
 def test_q118_trend_is_two_partial_aggs_no_window(spark, sf_dir):
