@@ -115,7 +115,11 @@ class MaterializedAggView:
         v = self.source.current_version()
         if v is None:
             raise ValueError(f"source table {self.source.path} is empty")
-        agg = self._aggregate(self.source.read(spark))
+        # pin the scan to the version recorded as the watermark: a
+        # concurrent source commit between current_version() and the
+        # read would otherwise bake v->v' rows into the view, and the
+        # next refresh() would fold that delta AGAIN (double-apply)
+        agg = self._aggregate(self.source.read(spark, v))
         self.view.merge(agg, when_not_matched_by_source="delete")
         self._save_state(v)
         return v
@@ -198,8 +202,11 @@ class MaterializedAggView:
             # delete may have removed a stored extreme: re-aggregate
             # exactly the affected groups, scoped by a key semi-join
             affected = j.filter(needs_recompute).select(*gk)
+            # pinned to v1, the snapshot the changelog fold ends at -
+            # reading CURRENT here would race a concurrent source
+            # commit and double-apply its delta on the next refresh
             rescored = self._aggregate(
-                self.source.read(spark).join(affected, gk, "left_semi")
+                self.source.read(spark, v1).join(affected, gk, "left_semi")
             )
             upserts = incremental.unionByName(rescored)
 

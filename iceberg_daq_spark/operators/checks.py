@@ -103,6 +103,12 @@ def run_checks(tables: dict[str, DataFrame], checks: list[Check]) -> DataFrame:
                         F.col("v").alias("n_violations"),
                     )
                 )
+    if not reports:
+        raise ValueError(
+            "no checks matched the supplied tables: "
+            f"tables={sorted(tables)} check tables="
+            f"{sorted({c.table for c in checks})}"
+        )
     out = reports[0]
     for r in reports[1:]:
         out = out.unionByName(r)

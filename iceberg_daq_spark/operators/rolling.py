@@ -73,26 +73,36 @@ def rolling_stats(
 
     def stats(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("_grank")
-        v = pdf[value_col].to_numpy(dtype=np.float64)
+        raw = pdf[value_col].to_numpy(dtype=np.float64)
+        # NULL-skipping to match avg/stddev_samp window semantics:
+        # sums run over zero-filled values, a separate prefix count of
+        # VALID rows supplies the divisor, so a NULL neither poisons
+        # the cumulative sums nor counts toward mu/sd - while n_prev
+        # stays count(*) over the frame (rows, not valid values).
+        valid = ~np.isnan(raw)
+        v = np.where(valid, raw, 0.0)
         m = len(v)
         cs = np.concatenate(([0.0], np.cumsum(v)))
         cs2 = np.concatenate(([0.0], np.cumsum(v * v)))
+        cn = np.concatenate(([0], np.cumsum(valid.astype(np.int64))))
         idx = np.arange(m)
         lo = np.maximum(idx - window, 0)
         n_prev = (idx - lo).astype(np.int64)
+        nv = cn[idx] - cn[lo]  # valid (non-null) rows in the frame
         s = cs[idx] - cs[lo]
         s2 = cs2[idx] - cs2[lo]
         with np.errstate(invalid="ignore", divide="ignore"):
-            mu = s / n_prev
-            var = (s2 - s * s / n_prev) / (n_prev - 1)
+            mu = s / nv
+            var = (s2 - s * s / nv) / (nv - 1)
             sd = np.sqrt(np.maximum(var, 0.0))
         ownmask = pdf["_own"].to_numpy()
         res = pdf.loc[ownmask, keep].copy()
-        np_o, mu_o, sd_o = n_prev[ownmask], mu[ownmask], sd[ownmask]
+        np_o, nv_o, mu_o, sd_o = n_prev[ownmask], nv[ownmask], mu[ownmask], sd[ownmask]
         # NULL (not NaN) below the frame minimums, matching avg /
-        # stddev_samp window semantics
-        res["mu"] = [float(x) if c >= 1 else None for x, c in zip(mu_o, np_o)]
-        res["sd"] = [float(x) if c >= 2 else None for x, c in zip(sd_o, np_o)]
+        # stddev_samp window semantics (gated on VALID count: avg is
+        # NULL when every frame row is NULL, stddev below 2 values)
+        res["mu"] = [float(x) if c >= 1 else None for x, c in zip(mu_o, nv_o)]
+        res["sd"] = [float(x) if c >= 2 else None for x, c in zip(sd_o, nv_o)]
         res["n_prev"] = np_o
         return res
 

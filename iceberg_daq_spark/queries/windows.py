@@ -314,21 +314,52 @@ def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
     The filter compares the ROUNDED z on both engines, so libm/fold
     ulp differences in the rolling stddev cannot flip membership
     except exactly at the quantized boundary the hash itself checks.
-    Scale: the window partitions by event_type - bounded-frame rolling
-    aggs stream in one pass per partition.  Few giant types put each
-    type in ONE task; the distributed form is
-    :func:`operators.rolling.rolling_stats` (rank-chunked frames with
-    window-sized context replication - parallelism rows/chunk, not
-    #types), window-equivalence test-asserted; the oracle-matched plan
-    here keeps the plain window so DuckDB hash-checks the semantics."""
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-100, -1)
-    )
+
+    Scale: the registered plan is SIZE-AWARE.  A partition-by-type
+    window puts each event type in ONE task - fine below
+    Q103_GIANT_GROUP_ROWS rows per type (and oracle-comparable, so
+    the sf0.01 driver check exercises this branch), but a 5-type
+    metric stream at 100 TB would run on 5 cores forever.  Above the
+    threshold the plan switches to
+    :func:`operators.rolling.rolling_stats` - rank-chunked frames
+    with window-sized context replication, parallelism = rows/chunk
+    independent of group count - whose window-equivalence (including
+    NULL handling) is test-asserted, so the switch cannot change the
+    answer.  The probe is one partial-agg scan collecting a single
+    scalar (max rows per type)."""
     e = load(spark, sf_dir, "events")
-    z = (
-        e.select(
+    return _q103_impl(e)
+
+
+Q103_GIANT_GROUP_ROWS = 15_000
+
+
+def _q103_impl(e: DataFrame) -> DataFrame:
+    """q103 core over an arbitrary events DataFrame (factored out so
+    tests can drive the giant-group branch with synthetic input)."""
+    max_group = (
+        e.groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .agg(F.max("n").alias("m"))
+        .collect()[0]["m"]
+    ) or 0
+    if max_group > Q103_GIANT_GROUP_ROWS:
+        from iceberg_daq_spark.operators.rolling import rolling_stats
+
+        z = rolling_stats(
+            e.select("event_id", "event_type", "ts", "value"),
+            ["event_type"],
+            ["ts", "event_id"],
+            "value",
+            window=100,
+        )
+    else:
+        w = (
+            Window.partitionBy("event_type")
+            .orderBy("ts", "event_id")
+            .rowsBetween(-100, -1)
+        )
+        z = e.select(
             "event_id",
             "event_type",
             "value",
@@ -336,7 +367,8 @@ def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.stddev_samp("value").over(w).alias("sd"),
             F.count("*").over(w).alias("n_prev"),
         )
-        .filter((F.col("n_prev") >= 30) & (F.col("sd") > 0))
+    z = (
+        z.filter((F.col("n_prev") >= 30) & (F.col("sd") > 0))
         .withColumn("zscore", F.round((F.col("value") - F.col("mu")) / F.col("sd"), 2))
     )
     return (

@@ -2954,6 +2954,17 @@ def apply_changes_stream(
         else:
             last = batch_df.dropDuplicates(keys)
         last = last.localCheckpoint()  # one materialization, two consumers
+        # a NULL op would satisfy NEITHER filter below (both predicates
+        # evaluate NULL to false) and the row would vanish without a
+        # signal - a malformed CDC feed must be loud, matching the
+        # quarantine-over-silent-drop posture of sources.py
+        n_null_op = last.filter(F.col(op_col).isNull()).count()
+        if n_null_op:
+            raise ValueError(
+                f"apply_changes_stream batch {batch_id}: {n_null_op} row(s) "
+                f"with NULL {op_col!r} - every change row must carry an op "
+                "('D' deletes, anything else upserts)"
+            )
         ups = last.filter(F.col(op_col) != "D").drop(op_col)
         dels = last.filter(F.col(op_col) == "D").select(*keys)
         if ups.limit(1).count():

@@ -289,3 +289,37 @@ def test_apply_changes_stream_cdc(spark, tmp_path):
     assert any(e.get("kind", "equality") == "equality" for e in m["deletes"])
     # op/seq never reached the table schema
     assert set(t.read(spark).columns) == {"k", "v"}
+
+
+def test_apply_changes_stream_null_op_raises(spark, tmp_path):
+    """A NULL op row satisfies neither the upsert nor the delete
+    filter and would silently vanish - the batch must fail loudly
+    instead (quarantine-over-silent-drop posture)."""
+    import pytest
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from iceberg_daq_spark.tablestore import MergeTable, apply_changes_stream
+
+    src = str(tmp_path / "cdc_null_src")
+    spark.createDataFrame(
+        [(1, "a", "I", 1), (2, "b", None, 2)],
+        "k long, v string, op string, seq long",
+    ).write.parquet(src)
+    t = MergeTable(str(tmp_path / "cdc_null_sink"), key_cols=("k",))
+    stream = spark.readStream.schema("k long, v string, op string, seq long").parquet(src)
+    with pytest.raises((StreamingQueryException, ValueError), match="NULL 'op'"):
+        apply_changes_stream(stream, t, str(tmp_path / "cdc_null_ckpt"), seq_col="seq")
+
+
+def test_run_checks_empty_match_raises(spark):
+    """checks that match none of the supplied tables must raise a
+    usable error, not IndexError on reports[0]."""
+    import pytest
+
+    from iceberg_daq_spark.operators.checks import Check, run_checks
+
+    df = spark.range(3)
+    with pytest.raises(ValueError, match="no checks matched"):
+        run_checks({"t": df}, [Check(table="other", name="c", unique_col="id")])
+    with pytest.raises(ValueError, match="no checks matched"):
+        run_checks({"t": df}, [])

@@ -1041,6 +1041,10 @@ def test_rolling_stats_equals_window(spark):
 
     rows = [(g, i, float((i * 37 + g * 11) % 100)) for g in range(3) for i in range(500)]
     rows += [("tiny", i, float(i)) for i in range(3)]  # group < window
+    # NULL values must be skipped by mu/sd (not poison the prefix
+    # sums) while still counting toward n_prev - window semantics
+    rows = [(g, i, None if (g != "tiny" and i % 7 == 3) else v) for g, i, v in rows]
+    rows += [("allnull", i, None) for i in range(5)]  # avg of empty => NULL
     df = spark.createDataFrame(
         [(str(g), i, v) for g, i, v in rows], "g string, t bigint, v double"
     ).repartition(7)

@@ -924,3 +924,31 @@ def test_q127_profile_null_counts_single_scan(spark, sf_dir):
     # oracle's 11
     assert n_scans <= 4, n_scans
     assert "Expand" in plan
+
+
+def test_q103_giant_group_switches_to_rolling_substrate(spark):
+    """Above Q103_GIANT_GROUP_ROWS rows in a single event type, the
+    registered q103 plan must leave the partition-by-type window
+    (one task per type) for the rank-chunked rolling substrate -
+    visible as FlatMapGroupsInPandas in the physical plan with NO
+    type-partitioned bounded-frame Window doing the stats."""
+    from iceberg_daq_spark.queries.windows import Q103_GIANT_GROUP_ROWS, _q103_impl
+
+    n = Q103_GIANT_GROUP_ROWS + 500
+    giant = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.lit("click").alias("event_type"),
+        F.timestamp_seconds(F.lit(1_600_000_000) + F.col("id")).alias("ts"),
+        (F.col("id") % 97).cast("double").alias("value"),
+    )
+    plan = plan_of(_q103_impl(giant))
+    assert "FlatMapGroupsInPandas" in plan
+    small = spark.range(100).select(
+        F.col("id").alias("event_id"),
+        F.lit("click").alias("event_type"),
+        F.timestamp_seconds(F.lit(1_600_000_000) + F.col("id")).alias("ts"),
+        (F.col("id") % 97).cast("double").alias("value"),
+    )
+    plan_small = plan_of(_q103_impl(small))
+    assert "FlatMapGroupsInPandas" not in plan_small
+    assert "Window" in plan_small
