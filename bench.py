@@ -35,6 +35,20 @@ def sf_from_dir(sf_dir: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+def find_regressions(
+    prev: dict[str, float], timings: dict[str, float]
+) -> dict[str, list[float]]:
+    """Queries more than 2x slower than the previous committed record
+    (sub-50 ms priors are skipped: those flip on scheduler noise).
+    Returns {name: [prev_sec, now_sec]}."""
+    out: dict[str, list[float]] = {}
+    for name, t in timings.items():
+        p = prev.get(name)
+        if p is not None and p > 0.05 and t > 2.0 * p:
+            out[name] = [round(p, 3), round(t, 3)]
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     repeat = int(os.environ.get("BENCH_REPEAT", "3"))
@@ -79,6 +93,29 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
+    # regression tripwire: a per-query slowdown > 2x vs the previous
+    # committed record is almost never noise on a best-of-n run - it is
+    # a plan change (q117's 62 s co-presence blow-up ran two full
+    # rounds of local benches without this being called out).  Loud on
+    # stderr, and recorded in the JSON so the round artifact shows it.
+    last_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_last.json"
+    )
+    prev = {}
+    if os.path.exists(last_path):
+        try:
+            with open(last_path) as fh:
+                prev = json.load(fh).get("queries", {})
+        except (ValueError, OSError):
+            prev = {}
+    regressions = find_regressions(prev, timings)
+    for name, (p, t) in regressions.items():
+        print(
+            f"# !!! REGRESSION {name}: {p:.3f}s -> {t:.3f}s "
+            f"({t / p:.1f}x) - plan change? check .explain()",
+            file=sys.stderr,
+        )
+
     streaming = None
     if os.environ.get("BENCH_STREAMING", "1") != "0" and not only:
         streaming = measure_streaming(spark)
@@ -93,6 +130,8 @@ def main() -> None:
     }
     if streaming:
         out["streaming"] = streaming
+    if regressions:
+        out["regressions"] = regressions
     # Full-precision record on disk: the driver captures only the last
     # 2000 chars of stdout, so round-over-round comparison must not
     # depend on that window.  Focused runs (BENCH_QUERIES) must not

@@ -97,3 +97,21 @@ def test_text_sql_functions_match_column_api(spark, sf_dir):
         "SELECT quality_score(text) FROM docs_sqlfn"
     )._jdf.queryExecution().executedPlan().toString()
     assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+def test_bench_regression_tripwire():
+    """The per-query >2x tripwire fires on a real slowdown, skips
+    noise-band priors (<50 ms), new queries, and improvements."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    prev = {"q_slow": 1.0, "q_noise": 0.01, "q_fast": 2.0, "q_same": 0.5}
+    now = {"q_slow": 2.5, "q_noise": 0.4, "q_fast": 0.3, "q_same": 0.6, "q_new": 9.0}
+    got = bench.find_regressions(prev, now)
+    assert got == {"q_slow": [1.0, 2.5]}
