@@ -30,18 +30,34 @@ from iceberg_daq_spark.registry import register
 from iceberg_daq_spark.tables import load
 
 
+SNM_WINDOW = 10
+"""q106 sorted-neighborhood window: each record is compared with its
++-10 name-sorted neighbors WITHIN its block.  Candidate volume is
+n * 2W - LINEAR in rows - where the round-8 all-pairs-per-block form
+was sum(|block|^2) with block sizes growing linearly in data (the
+part table has a FIXED ~200 (tok1, brand) blocks, so 10x rows meant
+100x comparisons; at 100 TB it was q117's disease again).  Classic
+Hernandez-Stolfo merge/purge; the window is mirrored verbatim in the
+DuckDB oracle."""
+
+
 @register(
     "q106_fuzzy_match",
-    oracle="""
+    oracle=f"""
     WITH t AS (
       SELECT p_partkey, p_name, p_brand,
              split_part(p_name, ' ', 1) AS tok1
       FROM part
+    ), r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY tok1, p_brand ORDER BY p_name, p_partkey) AS rn
+      FROM t
     ), p AS (
       SELECT a.p_partkey AS k, levenshtein(a.p_name, b.p_name) AS d
-      FROM t a JOIN t b
+      FROM r a JOIN r b
         ON a.tok1 = b.tok1 AND a.p_brand = b.p_brand
-       AND a.p_partkey <> b.p_partkey
+       AND b.rn BETWEEN a.rn - {SNM_WINDOW} AND a.rn + {SNM_WINDOW}
+       AND a.rn <> b.rn
     )
     SELECT k AS p_partkey,
            CAST(count(*) FILTER (WHERE d = 0) AS BIGINT) AS n_exact,
@@ -54,33 +70,51 @@ from iceberg_daq_spark.tables import load
 )
 def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy record matching (entity resolution) over part names:
-    multi-attribute blocking on (first name token, brand) - the
-    standard linkage move that bounds the quadratic compare step -
-    then exact Levenshtein verification inside each block, aggregated
-    to per-record match statistics (exact-duplicate count, near-match
-    count at edit distance 1-4, nearest non-identical distance).
+    multi-attribute blocking on (first name token, brand), then
+    SORTED-NEIGHBORHOOD matching inside each block - order by name
+    and Levenshtein-verify each record against its +-SNM_WINDOW
+    neighbors only - aggregated to per-record match statistics
+    (exact-duplicate count, near-match count at edit distance 1-4,
+    nearest non-identical distance).
 
-    100 TB shape: the self-join key is the COMPOSITE blocking key, so
-    candidate volume is sum over blocks of |block|^2, not n^2 - the
-    same valve shape as the shingle df_max cap (operators/dedup.py).
-    Blocks are hash-partitioned (one shuffle each side); a hot block
-    (skewed first token) is exactly the AQE skew-join / salting case
-    covered by operators/skew.py, and the per-record rollup is an
-    ordinary partial agg on the left key.  Levenshtein is the JVM
-    built-in - no Python, no UDF."""
+    100 TB shape: candidates are n * 2W rows, LINEAR in data (the
+    all-pairs-per-block form is quadratic once block sizes grow with
+    the corpus, which they do here - the blocking vocabulary is
+    fixed).  The within-block ranks come from
+    :func:`operators.ranking.grouped_rank` (two-pass range layout -
+    no single-task giant block anywhere), and the neighbor join is an
+    EQUI join on (block, rn-bucket): the probe side replicates each
+    row into its own and the two adjacent W-width buckets (3x
+    fan-out, constant), so |rn diff| <= W pairs land in the same hash
+    bucket and the residual range filter runs post-join.  Exact
+    duplicates sort adjacent, so n_exact is complete up to W copies;
+    Levenshtein is the JVM built-in - no Python anywhere."""
+    from iceberg_daq_spark.operators.ranking import grouped_rank
+
     t = load(spark, sf_dir, "part").select(
         "p_partkey",
         "p_name",
         "p_brand",
         F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("tok1"),
     )
-    a, b = t.alias("a"), t.alias("b")
+    r = grouped_rank(t, ["tok1", "p_brand"], ["p_name", "p_partkey"]).withColumnRenamed(
+        "_grank", "rn"
+    )
+    bkt = F.floor(F.col("rn") / SNM_WINDOW)
+    a = r.withColumn("_bkt", bkt).alias("a")
+    b = (
+        r.withColumn("_bkt", F.explode(F.array(bkt - 1, bkt, bkt + 1)))
+        .alias("b")
+    )
     d = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
     pairs = a.join(
         b,
         (F.col("a.tok1") == F.col("b.tok1"))
         & (F.col("a.p_brand") == F.col("b.p_brand"))
-        & (F.col("a.p_partkey") != F.col("b.p_partkey")),
+        & (F.col("a._bkt") == F.col("b._bkt"))
+        & (F.col("b.rn") >= F.col("a.rn") - SNM_WINDOW)
+        & (F.col("b.rn") <= F.col("a.rn") + SNM_WINDOW)
+        & (F.col("a.rn") != F.col("b.rn")),
     ).select(F.col("a.p_partkey").alias("k"), d.alias("d"))
     return (
         pairs.groupBy("k")

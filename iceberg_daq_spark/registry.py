@@ -80,6 +80,7 @@ _CHECK_FIRST = [
     # (b) implementation changed in round 9 - want fresh green rows
     "q117_triangle_count",  # CELL_MEMBER_MAX co-presence valve
     "q103_metric_anomalies",  # size-aware rolling-substrate switch
+    "q106_fuzzy_match",  # sorted-neighborhood redesign (linear candidates)
     # (c) stalest oracle-backed rows in the registry (last green r6)
     "q01_scan_filter_project",
     "q02_pushdown_shapes",
@@ -126,7 +127,6 @@ _CHECK_FIRST = [
 _CHECK_LAST = [
     # all 50 queries driver-confirmed green in round 8 - the freshest
     # rows in the registry, safest to spill past the window this round
-    "q106_fuzzy_match",
     "q109_pagerank",
     "q110_cohort_retention",
     "q111_event_funnel",

@@ -664,6 +664,38 @@ def test_q106_blocked_join_is_equi(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_q106_snm_candidates_linear_in_rows(spark):
+    """Row-budget guard for the sorted-neighborhood window: a single
+    block of n rows must generate <= n * 2W candidate pairs (the
+    all-pairs form would be n^2 - 16x more at n=320)."""
+    from iceberg_daq_spark.operators.ranking import grouped_rank
+    from iceberg_daq_spark.queries.matching import SNM_WINDOW
+
+    n = 320
+    t = spark.createDataFrame(
+        [(i, f"name {i:05d}", "BRAND#1") for i in range(n)],
+        "p_partkey long, p_name string, p_brand string",
+    ).withColumn("tok1", F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)))
+    r = grouped_rank(t, ["tok1", "p_brand"], ["p_name", "p_partkey"]).withColumnRenamed(
+        "_grank", "rn"
+    )
+    bkt = F.floor(F.col("rn") / SNM_WINDOW)
+    a = r.withColumn("_bkt", bkt).alias("a")
+    b = r.withColumn("_bkt", F.explode(F.array(bkt - 1, bkt, bkt + 1))).alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.tok1") == F.col("b.tok1"))
+        & (F.col("a.p_brand") == F.col("b.p_brand"))
+        & (F.col("a._bkt") == F.col("b._bkt"))
+        & (F.col("b.rn") >= F.col("a.rn") - SNM_WINDOW)
+        & (F.col("b.rn") <= F.col("a.rn") + SNM_WINDOW)
+        & (F.col("a.rn") != F.col("b.rn")),
+    )
+    n_pairs = pairs.count()
+    assert n_pairs <= n * 2 * SNM_WINDOW
+    assert n_pairs == 2 * (n * SNM_WINDOW - SNM_WINDOW * (SNM_WINDOW + 1) // 2)
+
+
 def test_q107_skyline_broadcasts_reduced_frontier(spark, sf_dir):
     """The skyline's dominance filter must join the corpus against the
     BROADCAST reduced per-quality table (bounded <=1001 rows by the
