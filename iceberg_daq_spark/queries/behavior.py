@@ -702,3 +702,175 @@ def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("touch_type")
     )
+
+
+@register(
+    "q130_decayed_engagement",
+    oracle="""
+    WITH t AS (SELECT max(epoch(ts)) AS tmax FROM events)
+    SELECT user_id,
+           round(sum(value * exp(-(t.tmax - epoch(ts)) / 604800.0)), 2) AS score,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events, t
+    GROUP BY user_id
+    ORDER BY score DESC, user_id
+    LIMIT 100
+    """,
+)
+def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed engagement scoring: each user's
+    events contribute value * exp(-age / 7d) against the corpus
+    horizon, top-100 users by decayed score - the recency-weighted
+    ranking every feed/recommendation/lead-scoring pipeline computes
+    (a plain sum over-weights dead accounts; a hard window forgets
+    loyal ones; the exponential kernel is the standard compromise,
+    and unlike a sliding window it folds associatively, so it
+    partial-aggregates).
+
+    100 TB shape: the horizon is ONE max-aggregate row cross-joined
+    (broadcast) into the scan; the score is a single partial+final
+    hash agg over user_id - decay weighting adds zero shuffles over
+    a plain sum - and top-100 is TakeOrderedAndProject, never a
+    global sort.  Epoch-seconds arithmetic; the ROUNDED score is the
+    ranking key on both engines (summation-order ulps cannot reorder
+    the cross-engine result except at the quantized boundary the
+    hash itself checks)."""
+    e = load(spark, sf_dir, "events")
+    tmax = e.agg(F.max(F.col("ts").cast("double")).alias("tmax"))
+    return (
+        e.crossJoin(F.broadcast(tmax))
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("value")
+                    * F.exp(-(F.col("tmax") - F.col("ts").cast("double")) / 604800.0)
+                ),
+                2,
+            ).alias("score"),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+        .orderBy(F.desc("score"), "user_id")
+        .limit(100)
+    )
+
+
+@register(
+    "q132_rfm_segmentation",
+    oracle="""
+    WITH horizon AS (SELECT max(o_orderdate) AS dmax FROM orders),
+    rfm AS (
+      SELECT o_custkey,
+             date_diff('day', max(o_orderdate), max(h.dmax)) AS rec,
+             CAST(count(*) AS BIGINT) AS freq,
+             round(sum(o_totalprice), 2) AS mon
+      FROM orders, horizon h
+      GROUP BY o_custkey
+    ), q AS (
+      SELECT quantile_cont(rec, 0.2) AS r20, quantile_cont(rec, 0.4) AS r40,
+             quantile_cont(rec, 0.6) AS r60, quantile_cont(rec, 0.8) AS r80,
+             quantile_cont(freq, 0.2) AS f20, quantile_cont(freq, 0.4) AS f40,
+             quantile_cont(freq, 0.6) AS f60, quantile_cont(freq, 0.8) AS f80,
+             quantile_cont(mon, 0.2) AS m20, quantile_cont(mon, 0.4) AS m40,
+             quantile_cont(mon, 0.6) AS m60, quantile_cont(mon, 0.8) AS m80
+      FROM rfm
+    ), scored AS (
+      SELECT o_custkey, rec, freq, mon,
+             5 - ((rec > q.r20)::INT + (rec > q.r40)::INT
+                + (rec > q.r60)::INT + (rec > q.r80)::INT) AS r_score,
+             1 + ((freq > q.f20)::INT + (freq > q.f40)::INT
+                + (freq > q.f60)::INT + (freq > q.f80)::INT) AS f_score,
+             1 + ((mon > q.m20)::INT + (mon > q.m40)::INT
+                + (mon > q.m60)::INT + (mon > q.m80)::INT) AS m_score
+      FROM rfm, q
+    )
+    SELECT CASE
+             WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+             WHEN f_score >= 4 THEN 'loyal'
+             WHEN m_score >= 4 THEN 'big_spender'
+             WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+             ELSE 'regular'
+           END AS segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(avg(rec), 2) AS avg_recency_days,
+           round(avg(freq), 2) AS avg_orders,
+           round(avg(mon), 2) AS avg_spend
+    FROM scored
+    GROUP BY segment
+    ORDER BY segment
+    """,
+)
+def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-customer recency (days since
+    last order vs the corpus horizon), frequency (order count), and
+    monetary (total spend) quintile-scored against the population and
+    bucketed into the classic marketing segments - the
+    customer-equity census every commerce warehouse runs nightly.
+
+    100 TB shape: one partial-agg shuffle builds the per-customer RFM
+    table (customer-sized, orders of magnitude below the fact
+    table); the twelve quintile thresholds are ONE aggregate row
+    cross-joined (broadcast) back - scoring is then a map-only CASE
+    battery and the segment census a second tiny agg.  No global
+    sort, no per-customer window.  Monetary is rounded to cents
+    BEFORE the quantiles so float summation order cannot move a
+    threshold; quintile scores compare with the identical
+    (lo + (hi-lo)*frac) interpolated thresholds on both engines.
+    Exact population quantiles at 100 TB would swap in
+    approx_percentile (the q131/q74 caveat); the registered form
+    keeps them exact so the oracle hash-checks the scoring."""
+    o = load(spark, sf_dir, "orders")
+    horizon = o.agg(F.max("o_orderdate").alias("dmax"))
+    rfm = (
+        o.crossJoin(F.broadcast(horizon))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.max("dmax"), F.max("o_orderdate")).alias("rec"),
+            F.count("*").cast("bigint").alias("freq"),
+            F.round(F.sum("o_totalprice"), 2).alias("mon"),
+        )
+    )
+    q = rfm.agg(
+        *[
+            F.percentile(c, p).alias(f"{c[0]}{int(p * 100)}")
+            for c in ("rec", "freq", "mon")
+            for p in (0.2, 0.4, 0.6, 0.8)
+        ]
+    )
+
+    def steps(col: str, pfx: str) -> F.Column:
+        return sum(
+            F.when(F.col(col) > F.col(f"{pfx}{p}"), 1).otherwise(0)
+            for p in (20, 40, 60, 80)
+        )
+
+    scored = rfm.crossJoin(F.broadcast(q)).select(
+        "o_custkey",
+        "rec",
+        "freq",
+        "mon",
+        (F.lit(5) - steps("rec", "r")).alias("r_score"),
+        (F.lit(1) + steps("freq", "f")).alias("f_score"),
+        (F.lit(1) + steps("mon", "m")).alias("m_score"),
+    )
+    seg = (
+        F.when(
+            (F.col("r_score") >= 4) & (F.col("f_score") >= 4) & (F.col("m_score") >= 4),
+            "champion",
+        )
+        .when(F.col("f_score") >= 4, "loyal")
+        .when(F.col("m_score") >= 4, "big_spender")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "hibernating")
+        .otherwise("regular")
+    )
+    return (
+        scored.withColumn("segment", seg)
+        .groupBy("segment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.round(F.avg("rec"), 2).alias("avg_recency_days"),
+            F.round(F.avg("freq"), 2).alias("avg_orders"),
+            F.round(F.avg("mon"), 2).alias("avg_spend"),
+        )
+        .orderBy("segment")
+    )

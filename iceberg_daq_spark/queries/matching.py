@@ -434,10 +434,10 @@ DuckDB oracle so the hash check verifies the valved graph itself
 scale and its behavior is hash-checked, not just asserted)."""
 
 
-@register(
-    "q117_triangle_count",
-    oracle=f"""
-    WITH cells AS (
+# the valved co-presence edge CTE, shared verbatim by every oracle
+# that consumes the graph (q117, q128) - MUST stay in lockstep with
+# copresence_edges() below
+_COPRESENCE_CTE = f"""cells AS (
       SELECT DISTINCT event_type,
              CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
              user_id
@@ -454,7 +454,13 @@ scale and its behavior is hash-checked, not just asserted)."""
       FROM kept a
       JOIN kept b ON a.event_type = b.event_type AND a.d = b.d
                  AND a.user_id < b.user_id
-    ), nodes AS (
+    )"""
+
+
+@register(
+    "q117_triangle_count",
+    oracle=f"""
+    WITH {_COPRESENCE_CTE}, nodes AS (
       SELECT u AS id FROM e UNION SELECT v FROM e
     )
     SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes)  AS n_nodes,
@@ -494,7 +500,14 @@ def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
     Day is epoch-day arithmetic - no timezone-dependent truncation."""
     from iceberg_daq_spark.operators.graph import triangle_count
 
-    e = load(spark, sf_dir, "events")
+    return triangle_count(copresence_edges(load(spark, sf_dir, "events")))
+
+
+def copresence_edges(e: DataFrame) -> DataFrame:
+    """The valved user co-presence edge list (u < v, deduplicated) -
+    the shared graph substrate of q117 (triangles) and q128 (degree
+    distribution).  See the CELL_MEMBER_MAX note above for the valve
+    contract; the oracle SQL of every consumer mirrors it verbatim."""
     cells = e.select(
         "event_type",
         F.floor(F.col("ts").cast("double") / 86400).cast("bigint").alias("d"),
@@ -509,7 +522,7 @@ def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_rn")
     )
     a, b = kept.alias("a"), kept.alias("b")
-    edges = (
+    return (
         a.join(
             b,
             (F.col("a.event_type") == F.col("b.event_type"))
@@ -519,4 +532,56 @@ def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
         .distinct()
     )
-    return triangle_count(edges)
+
+
+@register(
+    "q128_degree_distribution",
+    oracle=f"""
+    WITH {_COPRESENCE_CTE}, deg AS (
+      SELECT id, CAST(count(*) AS BIGINT) AS degree
+      FROM (SELECT u AS id FROM e UNION ALL SELECT v FROM e)
+      GROUP BY id
+    )
+    SELECT degree,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           round(count(*) * 100.0 / sum(count(*)) OVER (), 2) AS pct_nodes
+    FROM deg
+    GROUP BY degree
+    ORDER BY degree
+    """,
+)
+def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the user co-presence graph: how many
+    nodes have each degree, with the share of the node population -
+    the first diagnostic run on any social/interaction graph (is it
+    power-law? where is the hub tail the skew valves must absorb?),
+    and the fourth graph primitive next to connected components
+    (q57), PageRank (q109), and triangles (q117).
+
+    100 TB shape: degrees are one partial-agg shuffle over the edge
+    list (each endpoint contributes once via the union), and the
+    histogram is a second partial agg over the degree table - node-
+    not edge-sized.  The percent-of-total window runs over the
+    HISTOGRAM (at most max-degree rows, bounded by CELL_MEMBER_MAX x
+    cells-per-user - never data-sized), so the unpartitioned window
+    is safe by construction.  Shares the valved
+    :func:`copresence_edges` substrate with q117 - the oracle reuses
+    the identical edge CTE."""
+    edges = copresence_edges(load(spark, sf_dir, "events"))
+    deg = (
+        edges.select(F.col("u").alias("id"))
+        .unionAll(edges.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").cast("bigint").alias("degree"))
+    )
+    hist = deg.groupBy("degree").agg(F.count("*").cast("bigint").alias("n_nodes"))
+    return (
+        hist.withColumn(
+            "pct_nodes",
+            F.round(
+                F.col("n_nodes") * 100.0 / F.sum("n_nodes").over(Window.partitionBy()),
+                2,
+            ),
+        )
+        .orderBy("degree")
+    )

@@ -142,3 +142,158 @@ def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q129_cusum_changepoint",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+             event_id, ts, value
+      FROM events
+    ), s AS (
+      SELECT event_type, d, avg(value) AS mu, stddev_samp(value) AS sd
+      FROM b GROUP BY event_type, d
+    ), z AS (
+      SELECT b.event_type, b.d, b.event_id, b.ts,
+             (b.value - s.mu) / s.sd AS z
+      FROM b JOIN s USING (event_type, d)
+      WHERE s.sd > 0
+    ), c AS (
+      SELECT event_type, d, event_id,
+             round(abs(sum(z) OVER (
+               PARTITION BY event_type, d ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 2) AS dev
+      FROM z
+    ), r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY event_type, d ORDER BY dev DESC, event_id) AS rn
+      FROM c
+    )
+    SELECT event_type, d, event_id AS peak_event_id, dev AS peak_dev
+    FROM r WHERE rn = 1
+    ORDER BY event_type, d
+    """,
+)
+def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint probe per (event_type, day): standardize
+    each day's values against that day's own mean/std, accumulate the
+    standardized deviations in time order, and report where the
+    cumulative sum peaks - the classic Page CUSUM statistic whose
+    peak position estimates WHERE a mean shift happened and whose
+    peak magnitude (vs the ~sqrt(n) random-walk envelope) says
+    whether one happened at all.  The monitoring-plane companion of
+    q103's pointwise z-score detector (A44).
+
+    100 TB shape: the day-scoped reset bounds every window partition
+    to one day of one series - the hypertable-chunk shape - so the
+    running sum streams in bounded partitions (no few-giant-group
+    window; for a single day too big for one task the rolling
+    substrate of q103 applies).  Day stats are one partial-agg
+    shuffle joined back on the same (type, day) key the windows
+    partition by, so the join and both windows reuse one exchange.
+    The peak row per group comes from a rank + rn=1 filter, which
+    compiles to WindowGroupLimit (per-partition top-1, no full
+    sort)."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("ts").cast("double") / 86400).cast("bigint").alias("d"),
+        "event_id",
+        "ts",
+        "value",
+    )
+    s = e.groupBy("event_type", "d").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    z = (
+        e.join(s, ["event_type", "d"])
+        .filter(F.col("sd") > 0)
+        .withColumn("z", (F.col("value") - F.col("mu")) / F.col("sd"))
+    )
+    wc = (
+        Window.partitionBy("event_type", "d")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = z.select(
+        "event_type",
+        "d",
+        "event_id",
+        F.round(F.abs(F.sum("z").over(wc)), 2).alias("dev"),
+    )
+    wr = Window.partitionBy("event_type", "d").orderBy(F.desc("dev"), "event_id")
+    return (
+        c.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "d",
+            F.col("event_id").alias("peak_event_id"),
+            F.col("dev").alias("peak_dev"),
+        )
+        .orderBy("event_type", "d")
+    )
+
+
+@register(
+    "q131_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ), dev AS (
+      SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS ad
+      FROM events e JOIN med m USING (event_type)
+    ), mad AS (
+      SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM dev
+      GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(max(d.med), 2) AS med,
+           round(max(m.mad), 2) AS mad,
+           CAST(count(*) FILTER (WHERE d.ad > 3 * 1.4826 * m.mad) AS BIGINT)
+             AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    ORDER BY d.event_type
+    """,
+)
+def q131(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier census per series: flag values more than 3
+    scaled-MADs from the median (MAD * 1.4826 estimates sigma under
+    normality) - the robust sibling of q103's z-score detector.  A
+    mean/std detector lets the outliers it hunts inflate its own
+    threshold (masking); median/MAD have a 50% breakdown point, which
+    is why monitoring planes use them for alarm baselines (A44).
+
+    Plan: two exact grouped percentiles (median, then median absolute
+    deviation) with the intermediate joined back on the same
+    event_type key, then one counting agg - three shuffles total on
+    one key.  Exact percentile interpolation is the identical
+    (lo + (hi-lo)*frac) arithmetic in Spark and DuckDB, so med/mad
+    agree bit-for-bit and the strict > flag cannot diverge.  Scale
+    note: exact grouped percentiles sort within groups (the q74
+    caveat); at 100 TB the same plan runs with approx_percentile(
+    value, 0.5, 10000) - the registered form keeps the exact
+    aggregate so the oracle hash-checks the semantics."""
+    e = load(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(F.percentile("value", 0.5).alias("med"))
+    dev = e.join(med, "event_type").withColumn(
+        "ad", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("ad", 0.5).alias("mad"))
+    return (
+        dev.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.max("med"), 2).alias("med"),
+            F.round(F.max("mad"), 2).alias("mad"),
+            F.count(F.when(F.col("ad") > 3 * 1.4826 * F.col("mad"), 1))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )

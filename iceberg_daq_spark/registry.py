@@ -55,7 +55,7 @@ def all_queries() -> dict[str, QuerySpec]:
 
 
 # The verify driver hash-checks only the FIRST 50 entries of
-# ``__spark_entry__.queries()``.  With 125 registered queries (111
+# ``__spark_entry__.queries()``.  With 130 registered queries (116
 # oracle-backed, 14 rows-only by design) the window cannot cover
 # everything, so the projection below orders queries by how much a
 # driver row is worth this round:
@@ -69,6 +69,12 @@ def all_queries() -> dict[str, QuerySpec]:
 #      tests assert their semantics) - always last.
 _CHECK_FIRST = [
     # -- round-9 window -------------------------------------------------
+    # (0) registered this round - never driver-checked, highest value
+    "q128_degree_distribution",
+    "q129_cusum_changepoint",
+    "q130_decayed_engagement",
+    "q131_mad_outliers",
+    "q132_rfm_segmentation",
     # (a) never driver-checked: the 5 rows-only queries no window has
     # ever reached (judge: rotate them in; the driver records a
     # rows-only row for each - `no_oracle` is the expected err)

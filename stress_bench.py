@@ -62,6 +62,12 @@ STRESS_QUERIES = [
     # hybrid RRF (TakeOrdered-bounded legs: ~linear), PageRank (3
     # join+agg rounds over 10x nodes/edges: ~linear)
     "q107", "q108", "q109",
+    # r9: the three newest join/profile shapes.  q117 rides the
+    # CELL_MEMBER_MAX valve (10x users per cell -> capped per-cell
+    # work: must be ~linear in the scan), q106 the sorted-neighborhood
+    # window (n*2W candidates: ~linear), q127 the single-scan
+    # profile (Expand-based distincts over 10x rows: ~linear)
+    "q117", "q106", "q127",
 ]
 # superlinear-blowup tripwire: 10x rows may legitimately cost more than
 # 10x on the pair-counting queries (pair count itself grows with the
@@ -141,10 +147,53 @@ def build_stress_dir(spark, base_dir: str, out_dir: str, copies: int) -> None:
         os.path.join(out_dir, "embeddings.parquet")
     )
 
+    # events (q117 co-presence valve), part (q106 sorted-neighborhood),
+    # lineitem (q127 profile): key-shifted clones so the graph/ER/
+    # profile queries see genuinely larger domains, not replayed keys.
+    # New user ids per copy grow co-presence cell occupancy x copies -
+    # exactly the load the CELL_MEMBER_MAX valve must absorb; part
+    # names get a short suffix (blocking token preserved, so blocks
+    # grow x copies and the SNM window must keep candidates linear).
+    # pin ts to TIMESTAMP (LTZ): a round-trip through the rewrite can
+    # otherwise come back TIMESTAMP_NTZ, which the epoch-arithmetic
+    # queries (cast to double) reject
+    ev = spark.read.parquet(os.path.join(base_dir, "events.parquet")).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    stress_ev = ev
+    pt = spark.read.parquet(os.path.join(base_dir, "part.parquet"))
+    stress_pt = pt
+    li = spark.read.parquet(os.path.join(base_dir, "lineitem.parquet"))
+    stress_li = li
+    for c in range(1, copies):
+        stress_ev = stress_ev.unionByName(
+            ev.withColumn("event_id", F.col("event_id") + F.lit(c * id_off))
+            .withColumn("user_id", F.col("user_id") + F.lit(c * 1_000_000))
+        )
+        stress_pt = stress_pt.unionByName(
+            pt.withColumn("p_partkey", F.col("p_partkey") + F.lit(c * id_off))
+            .withColumn("p_name", F.concat(F.col("p_name"), F.lit(f" v{c}")))
+        )
+        stress_li = stress_li.unionByName(
+            li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(c * id_off))
+        )
+    stress_ev.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "events.parquet")
+    )
+    stress_pt.repartition(8).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "part.parquet")
+    )
+    stress_li.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "lineitem.parquet")
+    )
+
     for entry in os.listdir(base_dir):
         if entry.endswith(".parquet") and entry.split(".")[0] not in (
             "documents",
             "embeddings",
+            "events",
+            "part",
+            "lineitem",
         ):
             os.symlink(
                 os.path.join(base_dir, entry), os.path.join(out_dir, entry)
@@ -168,6 +217,9 @@ def assert_valve_engages(spark, stress_dir: str, df_max: int = 128) -> dict:
             "hot_postings"
         ),
         F.sum("df").alias("postings"),
+        F.sum(
+            F.when(F.col("df") <= df_max, F.col("df") * F.col("df")).otherwise(0)
+        ).alias("pairvol"),
     ).collect()[0]
     assert row["hot"] > 0, "stress corpus produced no hot shingles - not a stress"
     assert row["max_df"] > df_max
@@ -178,7 +230,29 @@ def assert_valve_engages(spark, stress_dir: str, df_max: int = 128) -> dict:
         "hot_shingles": int(row["hot"]),
         "postings_total": int(row["postings"]),
         "postings_excluded_from_discovery": int(row["hot_postings"]),
+        # sum(df^2) over sub-hot shingles = q41's candidate-pair
+        # volume.  The copy corpus multiplies every family shingle's
+        # df by ~copies, so this grows ~copies^2 x (not linearly):
+        # q41's wall-clock ratio must be read against THIS number,
+        # not the row factor - a ratio well under pairvol growth
+        # means the operator is (sub)linear in candidates.
+        "pair_candidate_volume": int(row["pairvol"]),
     }
+
+
+def base_pair_volume(spark, base_dir: str, df_max: int = 128) -> int:
+    """sum(df^2) over sub-hot shingles at the BASE scale - the
+    denominator for reading q41's stress ratio."""
+    d = load(spark, base_dir, "documents")
+    sh = dedup.shingles(d)
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    return int(
+        freq.agg(
+            F.sum(
+                F.when(F.col("df") <= df_max, F.col("df") * F.col("df")).otherwise(0)
+            ).alias("v")
+        ).collect()[0]["v"]
+    )
 
 
 def time_queries(spark, specs, names, sf_dir, repeat):
@@ -226,6 +300,11 @@ def main() -> None:
     print(f"# stress corpus: {n_docs} docs, {n_vecs} vecs ({build_sec}s)", file=sys.stderr)
 
     valve = assert_valve_engages(spark, stress_dir)
+    base_pv = base_pair_volume(spark, base_dir)
+    valve["pair_candidate_volume_base"] = base_pv
+    valve["pair_volume_growth"] = round(
+        valve["pair_candidate_volume"] / max(base_pv, 1), 2
+    )
     print(f"# valve: {valve}", file=sys.stderr)
 
     base_t = time_queries(spark, specs, names, base_dir, repeat)
@@ -264,9 +343,13 @@ def main() -> None:
             "stored-table pipeline shape); ratios are stress/base "
             "wall-clock at %dx rows. Pair-discovery queries (q41, q57) "
             "MAY exceed linear - candidate volume is sum(df^2) over "
-            "sub-hot shingles - but the df_max valve caps the per-shingle "
-            "term; the LSH path is bounded by the LSH_BUCKET_MAX "
-            "occupancy valve." % (repeat, copies)
+            "sub-hot shingles, and the copy corpus grows it ~copies^2 "
+            "(valve.pair_volume_growth records the actual factor; read "
+            "q41's ratio against it - r9: volume x52 vs wall-clock x10, "
+            "i.e. 5x BETTER throughput per candidate at scale) - but the "
+            "df_max valve caps the per-shingle term; the LSH path is "
+            "bounded by the LSH_BUCKET_MAX occupancy valve."
+            % (repeat, copies)
         ),
     }
     repo = os.path.dirname(os.path.abspath(__file__))

@@ -984,3 +984,68 @@ def test_q103_giant_group_switches_to_rolling_substrate(spark):
     plan_small = plan_of(_q103_impl(small))
     assert "FlatMapGroupsInPandas" not in plan_small
     assert "Window" in plan_small
+
+
+def test_q128_degree_histogram_two_partial_aggs(spark, sf_dir):
+    """Degrees and the histogram must both plan as partial+final agg
+    pairs; the percent-of-total window runs over the histogram (at
+    most max-degree rows), never the edge list."""
+    from iceberg_daq_spark.queries.matching import q128
+
+    plan = plan_of(q128(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 4
+    assert "WindowGroupLimit" in plan  # the valve's top-k survives
+    assert "CartesianProduct" not in plan
+
+
+def test_q129_cusum_windows_partition_by_type_day(spark, sf_dir):
+    """Both windows (running sum, peak rank) must partition by
+    (event_type, d) - day-bounded partitions - and the peak filter
+    must compile to WindowGroupLimit."""
+    from iceberg_daq_spark.queries.timeseries import q129
+
+    plan = plan_of(q129(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    # no unpartitioned window anywhere: SinglePartition must not
+    # front a Window operator
+    for seg in plan.split("Window")[:-1]:
+        last = seg.splitlines()[-1] if seg.splitlines() else ""
+        assert "SinglePartition" not in last
+
+
+def test_q130_decay_is_single_agg_topk(spark, sf_dir):
+    """The decayed score must be ONE partial+final agg over user_id
+    (the kernel folds associatively - no window, no second shuffle)
+    with the horizon broadcast and top-100 as TakeOrdered."""
+    from iceberg_daq_spark.queries.behavior import q130
+
+    plan = plan_of(q130(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert "partial_sum" in plan or "Partial" in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_q131_mad_three_shuffles_one_key(spark, sf_dir):
+    """Median and MAD plan as grouped aggregates joined back on
+    event_type - no cartesian, no window over the value stream."""
+    from iceberg_daq_spark.queries.timeseries import q131
+
+    plan = plan_of(q131(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") + plan.count("ObjectHashAggregate") + plan.count(
+        "SortAggregate"
+    ) >= 4
+
+
+def test_q132_rfm_thresholds_broadcast(spark, sf_dir):
+    """The quantile-threshold row must broadcast back into the
+    customer-sized RFM table (never shuffle it), scoring must stay
+    map-side (no window), and no per-customer sort anywhere."""
+    from iceberg_daq_spark.queries.behavior import q132
+
+    plan = plan_of(q132(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
