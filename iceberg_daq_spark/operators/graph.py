@@ -140,3 +140,56 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .crossJoin(edges.agg(F.count("*").cast("bigint").alias("n_edges")))
         .select("n_nodes", "n_edges", "n_triangles")
     )
+
+
+def bfs_hops(
+    edges: DataFrame, seed: int | None = None, max_hops: int = 8
+) -> DataFrame:
+    """Breadth-first hop distance from a seed vertex over an
+    undirected edge list (``u``/``v`` pairs, ``u < v``,
+    pre-deduplicated).  Returns ``(id, hops)`` for every vertex
+    reachable within ``max_hops``, seed included at ``hops = 0``.
+    ``seed=None`` picks ``min(u)`` - the deterministic default the
+    recursive-CTE oracle mirrors.
+
+    Scale shape: classic frontier expansion.  Each round joins the
+    CURRENT frontier (only the vertices discovered last round, not
+    the whole visited set) against the symmetrized edge list, strips
+    already-visited vertices with a left-anti join, and
+    ``localCheckpoint``s both sets so plan lineage stays flat across
+    rounds.  Per-round work is O(edges incident to the frontier) -
+    the same per-round cost profile as the connected-components
+    min-label loop (operators/dedup.py) - and the loop exits as soon
+    as a frontier comes back empty, so total rounds = graph
+    eccentricity, not ``max_hops``.  The only driver-side value per
+    round is the isEmpty() probe; vertex sets never collect.
+    """
+    spark = edges.sparkSession
+    sym = (
+        edges.select(F.col("u").alias("s"), F.col("v").alias("t"))
+        .unionAll(edges.select(F.col("v").alias("s"), F.col("u").alias("t")))
+        .localCheckpoint()
+    )
+    if seed is None:
+        row = edges.agg(F.min("u").alias("m")).first()
+        if row is None or row["m"] is None:
+            return spark.createDataFrame([], "id bigint, hops bigint")
+        seed = row["m"]
+    visited = spark.createDataFrame(
+        [(int(seed), 0)], "id bigint, hops bigint"
+    ).localCheckpoint()
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(sym, frontier["id"] == sym["s"])
+            .select(F.col("t").alias("id"))
+            .distinct()
+            .join(visited, "id", "left_anti")
+            .select("id", F.lit(h).cast("bigint").alias("hops"))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionAll(nxt).localCheckpoint()
+        frontier = nxt
+    return visited

@@ -27,4 +27,5 @@ from iceberg_daq_spark.queries import (  # noqa: F401
     behavior,
     timeseries,
     spatial,
+    allocation,
 )

@@ -874,3 +874,114 @@ def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "q136_session_pattern",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id,
+             substr(event_type, 1, 1) AS sym,
+             CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                  ) > 1800 THEN 1 ELSE 0 END AS brk
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts, event_id, sym,
+             sum(brk) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_idx
+      FROM seq
+    ), strs AS (
+      SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+             CAST(count(*) AS BIGINT) AS n_events,
+             string_agg(sym, '' ORDER BY ts, event_id) AS symbols
+      FROM sess GROUP BY user_id, session_idx
+    )
+    SELECT user_id, session_idx, n_events,
+           CAST(len(regexp_split_to_array(symbols, 'vc*p')) - 1 AS BIGINT)
+             AS n_funnels,
+           regexp_extract(symbols, 'vc*p') AS first_funnel
+    FROM strs
+    WHERE n_events >= 3
+    ORDER BY user_id, session_idx
+    """,
+)
+def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionized event-pattern matching (MATCH_RECOGNIZE-lite):
+    split each user's stream into inactivity sessions (>30 min gap),
+    encode the session as a symbol string (one char per event type,
+    time-ordered), and run a regex over it - here the browse-to-buy
+    funnel ``vc*p`` (a view, any clicks, then a purchase).  Counting
+    NON-OVERLAPPING matches per session is the sequence-pattern
+    analytic that plain funnel queries (q111) can't express: the
+    regex engine handles optionality/repetition for free.
+
+    100 TB shape: sessionization is the standard lag + running-sum
+    pair over ONE per-user sort (both windows share the partition
+    and order, so Catalyst plans a single Window node chain over one
+    shuffle); the symbol string is built per session by an ordered
+    in-group sort (array_sort over (rn, sym) structs - bounded by
+    session length, never data-sized), and the regex runs once per
+    SESSION, JVM-side.  Match counting uses the split-length trick -
+    size(split(s, pat)) - 1 - whose trailing-empty-string semantics
+    agree between Spark (limit -1) and DuckDB's
+    regexp_split_to_array, and the pattern cannot match empty so the
+    count is well-defined on both."""
+    e = load(spark, sf_dir, "events")
+    worder = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.substring("event_type", 1, 1).alias("sym"),
+        F.when(
+            F.col("ts").cast("double")
+            - F.lag(F.col("ts").cast("double")).over(worder)
+            > 1800,
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    sess = seq.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "sym",
+        F.sum("brk")
+        .over(worder.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("session_idx"),
+    )
+    wsess = Window.partitionBy("user_id", "session_idx").orderBy(
+        "ts", "event_id"
+    )
+    strs = (
+        sess.withColumn("rn", F.row_number().over(wsess))
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "sym"))),
+                    lambda s: s["sym"],
+                ),
+                "",
+            ).alias("symbols"),
+        )
+    )
+    return (
+        strs.filter(F.col("n_events") >= 3)
+        .select(
+            "user_id",
+            "session_idx",
+            "n_events",
+            (F.size(F.split("symbols", "vc*p")) - 1)
+            .cast("bigint")
+            .alias("n_funnels"),
+            F.regexp_extract("symbols", "vc*p", 0).alias("first_funnel"),
+        )
+        .orderBy("user_id", "session_idx")
+    )

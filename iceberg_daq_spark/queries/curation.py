@@ -613,3 +613,177 @@ def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+@register(
+    "q135_mutual_information",
+    oracle="""
+    WITH j AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY lang, source
+    ), t AS (
+      SELECT sum(n) AS total FROM j
+    ), ml AS (
+      SELECT lang, sum(n) AS nl FROM j GROUP BY lang
+    ), ms AS (
+      SELECT source, sum(n) AS ns FROM j GROUP BY source
+    )
+    SELECT j.lang AS lang, j.source AS source, j.n AS n,
+           round(ln(CAST(j.n * t.total AS DOUBLE) / (ml.nl * ms.ns)), 4)
+             AS pmi,
+           round((CAST(j.n AS DOUBLE) / t.total)
+                 * ln(CAST(j.n * t.total AS DOUBLE) / (ml.nl * ms.ns)), 6)
+             AS mi_contrib
+    FROM j, t
+    JOIN ml ON ml.lang = j.lang
+    JOIN ms ON ms.source = j.source
+    ORDER BY lang, source
+    """,
+)
+def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between the language and source
+    columns - the feature-association probe of corpus curation: which
+    sources over- or under-produce which languages, and how much of
+    the total lang/source dependence each cell carries (its
+    mi_contrib term; summing them gives I(lang; source) in nats).
+
+    100 TB shape: everything derives from ONE partial-agg shuffle
+    (the joint (lang, source) contingency table - cardinality is
+    langs x sources, never data-sized); marginals are re-aggregations
+    OF that table and join back broadcast-size.  Every per-cell
+    double is a single fixed-shape expression over exact BIGINT
+    counts - no double summation anywhere - so both engines compute
+    bit-identical values before the rounding."""
+    d = load(spark, sf_dir, "documents")
+    j = d.groupBy("lang", "source").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    t = j.agg(F.sum("n").alias("total"))
+    ml = j.groupBy("lang").agg(F.sum("n").alias("nl"))
+    ms = j.groupBy("source").agg(F.sum("n").alias("ns"))
+    ratio = (F.col("n") * F.col("total")).cast("double") / (
+        F.col("nl") * F.col("ns")
+    )
+    return (
+        j.crossJoin(F.broadcast(t))
+        .join(F.broadcast(ml), "lang")
+        .join(F.broadcast(ms), "source")
+        .select(
+            "lang",
+            "source",
+            "n",
+            F.round(F.log(ratio), 4).alias("pmi"),
+            F.round(
+                (F.col("n").cast("double") / F.col("total")) * F.log(ratio), 6
+            ).alias("mi_contrib"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@register(
+    "q139_quantile_normalize",
+    oracle="""
+    WITH hist AS (
+      SELECT n_chars, CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY n_chars
+    ), ranks AS (
+      SELECT n_chars, c,
+             sum(c) OVER (ORDER BY n_chars
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - c + 1 AS start_rank,
+             sum(c) OVER (ORDER BY n_chars
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS end_rank
+      FROM hist
+    ), tot AS (
+      SELECT sum(c) AS n FROM hist
+    ), src AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (
+               PARTITION BY source ORDER BY n_chars, doc_id
+             ) AS r,
+             count(*) OVER (PARTITION BY source) AS m
+      FROM documents
+    ), idx AS (
+      SELECT doc_id, source, n_chars,
+             CASE WHEN m > 1
+                  THEN ((r - 1) * (tot.n - 1)) // (m - 1) + 1
+                  ELSE (tot.n + 1) // 2
+             END AS gidx
+      FROM src, tot
+    )
+    SELECT i.doc_id, i.source, i.n_chars,
+           rk.n_chars AS norm_chars
+    FROM idx i
+    JOIN ranks rk ON i.gidx BETWEEN rk.start_rank AND rk.end_rank
+    ORDER BY doc_id
+    """,
+)
+def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of document length across sources: each
+    document's in-source rank maps onto the GLOBAL length
+    distribution's order statistic at the same relative position -
+    the cross-source calibration trick (borrowed from microarray
+    normalization) that makes per-source length quotas comparable
+    when sources have wildly different length profiles.
+
+    The global quantile function is built WITHOUT a global row sort:
+    a value histogram (one partial-agg shuffle, cardinality =
+    distinct lengths) plus a cumulative window over the HISTOGRAM
+    gives each value its [start_rank, end_rank] global-rank span;
+    the per-document target index joins that span table by range -
+    broadcast-size, each doc matches exactly one row.  In-source
+    ranks are bounded per-source windows, and the index mapping
+    ((r-1)*(N-1)) div (m-1) + 1 is all-integer, so both engines pick
+    the identical order statistic - no percentile interpolation to
+    disagree over.
+
+    100 TB shape: the histogram window is value-space-sized, the
+    range join is against a broadcast table, and the only per-row
+    windows partition by source; a skew-heavy source set would swap
+    the row_number for the same histogram treatment per source."""
+    d = load(spark, sf_dir, "documents")
+    hist = d.groupBy("n_chars").agg(F.count("*").cast("bigint").alias("c"))
+    cum = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranks = hist.select(
+        F.col("n_chars").alias("g_chars"),
+        (F.sum("c").over(cum) - F.col("c") + 1).alias("start_rank"),
+        F.sum("c").over(cum).alias("end_rank"),
+    )
+    tot = hist.agg(F.sum("c").alias("n"))
+    wsrc = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    src = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(wsrc).cast("bigint").alias("r"),
+        F.count("*").over(Window.partitionBy("source")).alias("m"),
+    )
+    idx = src.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.when(
+            F.col("m") > 1,
+            F.expr("((r - 1) * (n - 1)) div (m - 1)") + 1,
+        )
+        .otherwise(F.expr("(n + 1) div 2"))
+        .alias("gidx"),
+    )
+    return (
+        idx.join(
+            F.broadcast(ranks),
+            (F.col("gidx") >= F.col("start_rank"))
+            & (F.col("gidx") <= F.col("end_rank")),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.col("g_chars").alias("norm_chars"),
+        )
+        .orderBy("doc_id")
+    )

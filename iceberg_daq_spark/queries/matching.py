@@ -585,3 +585,46 @@ def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("degree")
     )
+
+
+@register(
+    "q133_bfs_reach",
+    oracle=f"""
+    WITH RECURSIVE {_COPRESENCE_CTE}, sym AS (
+      SELECT u AS s, v AS t FROM e
+      UNION ALL
+      SELECT v AS s, u AS t FROM e
+    ), walk(id, h) AS (
+      SELECT (SELECT min(u) FROM e), 0
+      UNION
+      SELECT sym.t, walk.h + 1
+      FROM walk JOIN sym ON sym.s = walk.id
+      WHERE walk.h < 8
+    )
+    SELECT id, CAST(min(h) AS BIGINT) AS hops
+    FROM walk GROUP BY id
+    ORDER BY hops, id
+    """,
+)
+def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distance from the lowest-id vertex of the user
+    co-presence graph - the fourth graph primitive next to connected
+    components (q57), PageRank (q109) and triangles (q117), and the
+    substrate of "degrees of separation" / influence-radius
+    analytics.
+
+    The Spark side is :func:`operators.graph.bfs_hops`: per-round
+    frontier-only expansion (join the LAST round's discoveries
+    against the symmetrized edge list, anti-join the visited set,
+    localCheckpoint to flatten lineage), so per-round cost is
+    frontier-adjacent edges, total rounds is the graph eccentricity
+    (capped at 8), and nothing vertex-sized ever collects to the
+    driver.  The oracle walks the same graph with a recursive CTE -
+    UNION-dedup on (id, hops) pairs, min(hops) per id - which is
+    exact BFS at oracle scale.  Both sides share the valved
+    co-presence edge CTE (CELL_MEMBER_MAX), so they traverse the
+    SAME graph."""
+    from iceberg_daq_spark.operators.graph import bfs_hops
+
+    edges = copresence_edges(load(spark, sf_dir, "events"))
+    return bfs_hops(edges, seed=None, max_hops=8).orderBy("hops", "id")

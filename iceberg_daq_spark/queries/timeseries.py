@@ -297,3 +297,79 @@ def q131(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q138_trailing_actives",
+    oracle="""
+    WITH cells AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+      FROM events
+    ), span AS (
+      SELECT min(d) AS lo, max(d) AS hi FROM cells
+    ), grid AS (
+      SELECT CAST(u.d AS BIGINT) AS d
+      FROM span, unnest(range(span.lo, span.hi + 1)) AS u(d)
+    ), daily AS (
+      SELECT d, CAST(count(*) AS BIGINT) AS n_active_1d
+      FROM cells GROUP BY d
+    ), trail AS (
+      SELECT g.d, CAST(count(DISTINCT c.user_id) AS BIGINT) AS n_active_7d
+      FROM grid g JOIN cells c ON c.d BETWEEN g.d - 6 AND g.d
+      GROUP BY g.d
+    )
+    SELECT t.d AS d, t.n_active_7d AS n_active_7d,
+           coalesce(dl.n_active_1d, 0) AS n_active_1d
+    FROM trail t LEFT JOIN daily dl ON dl.d = t.d
+    ORDER BY d
+    """,
+)
+def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct active users per day (the WAU curve) -
+    the rolling COUNT DISTINCT that window frames cannot express
+    (neither engine supports DISTINCT aggregates over a sliding
+    frame), solved by the day-grid range join.
+
+    100 TB shape: the raw stream first collapses to DISTINCT (user,
+    day) cells - one partial-agg shuffle, output bounded by users x
+    days, orders of magnitude below event count.  The dense day grid
+    is GENERATED from the min/max span (sequence + explode - days
+    rows, trivially broadcast), and each cell joins at most 7 grid
+    days, so the range-join fan-out is a constant 7x over the cell
+    table, never quadratic.  The final count distinct shuffles on
+    day - the grid cardinality.  Day indexes are epoch-day integer
+    division on both sides; no calendar truncation."""
+    e = load(spark, sf_dir, "events")
+    cells = e.select(
+        "user_id",
+        F.floor(F.col("ts").cast("double") / 86400).cast("bigint").alias("d"),
+    ).distinct()
+    grid = (
+        cells.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+        .select(F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("d"))
+    )
+    daily = cells.groupBy("d").agg(
+        F.count("*").cast("bigint").alias("n_active_1d")
+    )
+    g = F.broadcast(grid).alias("g")
+    c = cells.alias("c")
+    trailing = (
+        g.join(
+            c,
+            (F.col("c.d") >= F.col("g.d") - 6) & (F.col("c.d") <= F.col("g.d")),
+        )
+        .groupBy(F.col("g.d").alias("d"))
+        .agg(F.countDistinct("c.user_id").cast("bigint").alias("n_active_7d"))
+    )
+    return (
+        trailing.join(daily, "d", "left")
+        .select(
+            "d",
+            "n_active_7d",
+            F.coalesce("n_active_1d", F.lit(0).cast("bigint")).alias(
+                "n_active_1d"
+            ),
+        )
+        .orderBy("d")
+    )

@@ -55,7 +55,7 @@ def all_queries() -> dict[str, QuerySpec]:
 
 
 # The verify driver hash-checks only the FIRST 50 entries of
-# ``__spark_entry__.queries()``.  With 130 registered queries (116
+# ``__spark_entry__.queries()``.  With 137 registered queries (123
 # oracle-backed, 14 rows-only by design) the window cannot cover
 # everything, so the projection below orders queries by how much a
 # driver row is worth this round:
@@ -70,6 +70,13 @@ def all_queries() -> dict[str, QuerySpec]:
 _CHECK_FIRST = [
     # -- round-9 window -------------------------------------------------
     # (0) registered this round - never driver-checked, highest value
+    "q133_bfs_reach",
+    "q134_scd2_pit_join",
+    "q135_mutual_information",
+    "q136_session_pattern",
+    "q137_largest_remainder_prorate",
+    "q138_trailing_actives",
+    "q139_quantile_normalize",
     "q128_degree_distribution",
     "q129_cusum_changepoint",
     "q130_decayed_engagement",

@@ -1076,3 +1076,23 @@ def test_rolling_stats_equals_window(spark):
         assert (sd is None) == (gsd is None) and (
             sd is None or abs(sd - gsd) < 1e-9
         ), k
+
+
+def test_bfs_hops_path_and_cap(spark):
+    """BFS over a 6-node path (0-1-2-3-4-5) plus a disconnected pair
+    (10-11): default seed is min(u)=0; hop distances follow the
+    path; the disconnected pair is unreachable; max_hops caps the
+    frontier depth; an explicit seed restarts from elsewhere."""
+    from iceberg_daq_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], ["u", "v"]
+    )
+    got = {r["id"]: r["hops"] for r in bfs_hops(edges).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4, 5: 5}
+    capped = {r["id"]: r["hops"] for r in bfs_hops(edges, max_hops=2).collect()}
+    assert capped == {0: 0, 1: 1, 2: 2}
+    seeded = {r["id"]: r["hops"] for r in bfs_hops(edges, seed=10).collect()}
+    assert seeded == {10: 0, 11: 1}
+    empty = bfs_hops(spark.createDataFrame([], "u bigint, v bigint"))
+    assert empty.count() == 0

@@ -1049,3 +1049,89 @@ def test_q132_rfm_thresholds_broadcast(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q134_pit_join_is_equi_with_pushed_type_filters(spark, sf_dir):
+    """The point-in-time join must key on user_id (equi join with the
+    interval predicate as a residual - NEVER a nested loop), both
+    event_type filters must reach the parquet scan, and the interval
+    build's lead + row_number must share one per-user Window sort."""
+    from iceberg_daq_spark.queries.allocation import q134
+
+    plan = plan_of(q134(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+    pushed = [seg.split("]")[0] for seg in plan.split("PushedFilters: [")[1:]]
+    assert any("event_type" in p for p in pushed)
+
+
+def test_q137_prorate_windows_per_order_no_global_sort(spark, sf_dir):
+    """All three windows (weight sum, remainder rank, leftover) must
+    partition by l_orderkey - bounded by lines-per-order - with no
+    SinglePartition-fronted Window and an equi join on the order key."""
+    from iceberg_daq_spark.queries.allocation import q137
+
+    plan = plan_of(q137(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for seg in plan.split("Window")[:-1]:
+        lines = seg.splitlines()
+        assert not lines or "SinglePartition" not in lines[-1]
+
+
+def test_q135_marginals_broadcast_back(spark, sf_dir):
+    """The contingency table is the only data-sized agg; total and
+    both marginal tables must join back broadcast (no re-shuffle of
+    the cell table) and everything plans as partial+final aggs."""
+    from iceberg_daq_spark.queries.curation import q135
+
+    plan = plan_of(q135(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    assert plan.count("HashAggregate") >= 4
+    assert "BatchEvalPython" not in plan
+
+
+def test_q136_pattern_regex_jvm_side_windows_per_user(spark, sf_dir):
+    """Sessionization windows must partition by user (no global
+    sort), and the regex match/count/extract must stay JVM-side -
+    no Python UDF in the plan."""
+    from iceberg_daq_spark.queries.behavior import q136
+
+    plan = plan_of(q136(spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    for seg in plan.split("Window")[:-1]:
+        lines = seg.splitlines()
+        assert not lines or "SinglePartition" not in lines[-1]
+
+
+def test_q138_day_grid_broadcasts(spark, sf_dir):
+    """The dense day grid must broadcast into the range join (the
+    cell table never re-shuffles for it), the (user, day) collapse
+    must plan as a partial+final distinct agg, and no cartesian
+    product may appear."""
+    from iceberg_daq_spark.queries.timeseries import q138
+
+    plan = plan_of(q138(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q139_rank_span_table_broadcasts(spark, sf_dir):
+    """The global-rank span table (value-histogram-sized) must
+    broadcast into the per-document range join; the only
+    unpartitioned window runs over the HISTOGRAM (value space), and
+    the per-document windows partition by source."""
+    from iceberg_daq_spark.queries.curation import q139
+
+    plan = plan_of(q139(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
