@@ -28,4 +28,5 @@ from iceberg_daq_spark.queries import (  # noqa: F401
     timeseries,
     spatial,
     allocation,
+    stats,
 )

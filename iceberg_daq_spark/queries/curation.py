@@ -647,28 +647,35 @@ def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
     the total lang/source dependence each cell carries (its
     mi_contrib term; summing them gives I(lang; source) in nats).
 
-    100 TB shape: everything derives from ONE partial-agg shuffle
-    (the joint (lang, source) contingency table - cardinality is
-    langs x sources, never data-sized); marginals are re-aggregations
-    OF that table and join back broadcast-size.  Every per-cell
-    double is a single fixed-shape expression over exact BIGINT
-    counts - no double summation anywhere - so both engines compute
-    bit-identical values before the rounding."""
+    100 TB shape: ONE scan, ONE partial-agg shuffle (the joint
+    (lang, source) contingency table - cardinality is langs x
+    sources, never data-sized); the marginals come from window sums
+    OVER the cell table itself (partitioned by lang / by source /
+    global), so the raw documents are never re-read - re-deriving
+    the marginals as separate aggregations would rescan the source
+    once per marginal, which Spark will not common-subexpression
+    away.  The unpartitioned total window is safe by construction:
+    its input is the bounded cell table.  Every per-cell double is a
+    fixed-shape expression over exact BIGINT counts - no double
+    summation anywhere - so both engines compute bit-identical
+    values before the rounding."""
     d = load(spark, sf_dir, "documents")
     j = d.groupBy("lang", "source").agg(
         F.count("*").cast("bigint").alias("n")
     )
-    t = j.agg(F.sum("n").alias("total"))
-    ml = j.groupBy("lang").agg(F.sum("n").alias("nl"))
-    ms = j.groupBy("source").agg(F.sum("n").alias("ns"))
+    cells = j.select(
+        "lang",
+        "source",
+        "n",
+        F.sum("n").over(Window.partitionBy("lang")).alias("nl"),
+        F.sum("n").over(Window.partitionBy("source")).alias("ns"),
+        F.sum("n").over(Window.partitionBy()).alias("total"),
+    )
     ratio = (F.col("n") * F.col("total")).cast("double") / (
         F.col("nl") * F.col("ns")
     )
     return (
-        j.crossJoin(F.broadcast(t))
-        .join(F.broadcast(ml), "lang")
-        .join(F.broadcast(ms), "source")
-        .select(
+        cells.select(
             "lang",
             "source",
             "n",

@@ -1,0 +1,429 @@
+"""Q140-Q143: the inferential-statistics battery.
+
+Chi-square independence, closed-form two-factor OLS, Kaplan-Meier
+survival, and Gini concentration - the four tests an analytics engine
+gets asked for the moment it stores more than counts.  Every query
+follows the same determinism discipline: aggregate EXACT integer
+sums (cents / unit counts), then derive the statistics as
+fixed-shape double expressions over those sums, so no
+double-summation order can flip a hash between Spark and DuckDB.
+The only order-sensitive reductions left (the chi-square cell sum,
+the KM log-product) run over bounded, deterministically-ordered
+domains and round well above double noise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iceberg_daq_spark.registry import register
+from iceberg_daq_spark.tables import load
+
+
+@register(
+    "q140_chi_square_independence",
+    oracle="""
+    WITH j AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+      FROM documents GROUP BY lang, source
+    ), t AS (
+      SELECT sum(o) AS total,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_lang,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_src
+      FROM j
+    ), ml AS (
+      SELECT lang, sum(o) AS nl FROM j GROUP BY lang
+    ), ms AS (
+      SELECT source, sum(o) AS ns FROM j GROUP BY source
+    ), cells AS (
+      SELECT j.o,
+             CAST(ml.nl * ms.ns AS DOUBLE) / t.total AS e,
+             t.total AS total, t.n_lang AS n_lang, t.n_src AS n_src
+      FROM j, t
+      JOIN ml ON ml.lang = j.lang
+      JOIN ms ON ms.source = j.source
+    )
+    SELECT round(sum((o - e) * (o - e) / e), 2) AS chi2,
+           (max(n_lang) - 1) * (max(n_src) - 1) AS dof,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           round(sqrt(sum((o - e) * (o - e) / e)
+                      / (max(total) * least(max(n_lang) - 1,
+                                            max(n_src) - 1))), 4)
+             AS cramers_v
+    FROM cells
+    """,
+)
+def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between document language and
+    source (the hypothesis-test companion of q135's mutual
+    information), with Cramer's V as the normalized effect size -
+    the "is this association real or noise" gate of corpus QA.
+
+    100 TB shape: identical substrate to q135 - ONE scan, ONE
+    contingency shuffle (langs x sources cells); the marginals are
+    window sums OVER the cell table (by lang / by source / global),
+    so the raw documents are read exactly once - separate marginal
+    aggregations would each rescan the source.  The distinct
+    lang/source counts fold into the FINAL single-row aggregate.
+    Expected counts are fixed-shape doubles over exact BIGINT
+    counts; the only order-sensitive reduction is the final sum over
+    ~|langs x sources| cells, rounded at 2 decimals - ten orders of
+    magnitude above double noise at any scale."""
+    d = load(spark, sf_dir, "documents")
+    j = d.groupBy("lang", "source").agg(
+        F.count("*").cast("bigint").alias("o")
+    )
+    cells = j.select(
+        "lang",
+        "source",
+        "o",
+        F.sum("o").over(Window.partitionBy("lang")).alias("nl"),
+        F.sum("o").over(Window.partitionBy("source")).alias("ns"),
+        F.sum("o").over(Window.partitionBy()).alias("total"),
+    ).withColumn(
+        "e", (F.col("nl") * F.col("ns")).cast("double") / F.col("total")
+    )
+    chi2 = F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e"))
+    return cells.agg(
+        F.round(chi2, 2).alias("chi2"),
+        (
+            (F.countDistinct("lang").cast("bigint") - 1)
+            * (F.countDistinct("source").cast("bigint") - 1)
+        ).alias("dof"),
+        F.count("*").cast("bigint").alias("n_cells"),
+        F.round(
+            F.sqrt(
+                chi2
+                / (
+                    F.max("total")
+                    * F.least(
+                        F.countDistinct("lang").cast("bigint") - 1,
+                        F.countDistinct("source").cast("bigint") - 1,
+                    )
+                )
+            ),
+            4,
+        ).alias("cramers_v"),
+    )
+
+
+@register(
+    "q141_ols_two_factor",
+    oracle="""
+    WITH li AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x1,
+             CAST(round(l_discount * 100) AS BIGINT) AS x2,
+             CAST(round(l_extendedprice) AS BIGINT) AS y
+      FROM lineitem
+    ), m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(x1) AS sx1, sum(x2) AS sx2, sum(y) AS sy,
+             sum(x1 * x1) AS sx1x1, sum(x2 * x2) AS sx2x2,
+             sum(x1 * x2) AS sx1x2,
+             sum(x1 * y) AS sx1y, sum(x2 * y) AS sx2y,
+             sum(y * y) AS syy
+      FROM li
+    ), c AS (
+      SELECT n,
+             CAST(sx1x1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sx1 / n AS s11,
+             CAST(sx2x2 AS DOUBLE) - CAST(sx2 AS DOUBLE) * sx2 / n AS s22,
+             CAST(sx1x2 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sx2 / n AS s12,
+             CAST(sx1y AS DOUBLE) - CAST(sx1 AS DOUBLE) * sy / n AS s1y,
+             CAST(sx2y AS DOUBLE) - CAST(sx2 AS DOUBLE) * sy / n AS s2y,
+             CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n AS syy_c,
+             CAST(sx1 AS DOUBLE) / n AS m1,
+             CAST(sx2 AS DOUBLE) / n AS m2,
+             CAST(sy AS DOUBLE) / n AS my
+      FROM m
+    )
+    SELECT n,
+           round((s22 * s1y - s12 * s2y) / (s11 * s22 - s12 * s12), 4)
+             AS beta_qty,
+           round((s11 * s2y - s12 * s1y) / (s11 * s22 - s12 * s12), 4)
+             AS beta_disc,
+           round(my - (s22 * s1y - s12 * s2y) / (s11 * s22 - s12 * s12) * m1
+                    - (s11 * s2y - s12 * s1y) / (s11 * s22 - s12 * s12) * m2,
+                 2) AS intercept,
+           round(((s22 * s1y - s12 * s2y) / (s11 * s22 - s12 * s12) * s1y
+                + (s11 * s2y - s12 * s1y) / (s11 * s22 - s12 * s12) * s2y)
+                / syy_c, 4) AS r2
+    FROM c
+    """,
+)
+def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-factor ordinary least squares in closed form: regress the
+    line's extended price (whole dollars) on quantity and discount
+    points via the 2x2 normal equations (Cramer's rule) - the
+    multi-feature generalization of q118's regr_slope, and the
+    largest OLS that stays a pure one-pass aggregate (no iterative
+    solver, no matrix library).
+
+    Determinism across engines is total: every input is cast to an
+    exact BIGINT unit (units, discount points, whole dollars), ALL
+    ten moments are exact integer sums (max magnitude ~6e15 at
+    sf0.1 - far below the ANSI int64 ceiling), and the centered
+    moments, Cramer solution, intercept, and R^2 are fixed-shape
+    double expressions over those exact sums - there is NO
+    order-sensitive floating-point reduction anywhere.
+
+    100 TB shape: one partial+final aggregate over lineitem (ten
+    sums in a single HashAggregate), one row out; the closed-form
+    algebra runs on that single row.  Adding features grows the
+    moment count quadratically but it stays one map-side-combining
+    pass."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("x2"),
+        F.round(F.col("l_extendedprice")).cast("bigint").alias("y"),
+    )
+    m = li.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x1").alias("sx1"),
+        F.sum("x2").alias("sx2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("sx1x1"),
+        F.sum(F.col("x2") * F.col("x2")).alias("sx2x2"),
+        F.sum(F.col("x1") * F.col("x2")).alias("sx1x2"),
+        F.sum(F.col("x1") * F.col("y")).alias("sx1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("sx2y"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    c = m.select(
+        "n",
+        (dbl("sx1x1") - dbl("sx1") * F.col("sx1") / F.col("n")).alias("s11"),
+        (dbl("sx2x2") - dbl("sx2") * F.col("sx2") / F.col("n")).alias("s22"),
+        (dbl("sx1x2") - dbl("sx1") * F.col("sx2") / F.col("n")).alias("s12"),
+        (dbl("sx1y") - dbl("sx1") * F.col("sy") / F.col("n")).alias("s1y"),
+        (dbl("sx2y") - dbl("sx2") * F.col("sy") / F.col("n")).alias("s2y"),
+        (dbl("syy") - dbl("sy") * F.col("sy") / F.col("n")).alias("syy_c"),
+        (dbl("sx1") / F.col("n")).alias("m1"),
+        (dbl("sx2") / F.col("n")).alias("m2"),
+        (dbl("sy") / F.col("n")).alias("my"),
+    )
+    det = F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12")
+    b1 = (F.col("s22") * F.col("s1y") - F.col("s12") * F.col("s2y")) / det
+    b2 = (F.col("s11") * F.col("s2y") - F.col("s12") * F.col("s1y")) / det
+    return c.select(
+        "n",
+        F.round(b1, 4).alias("beta_qty"),
+        F.round(b2, 4).alias("beta_disc"),
+        F.round(
+            F.col("my") - b1 * F.col("m1") - b2 * F.col("m2"), 2
+        ).alias("intercept"),
+        F.round(
+            (b1 * F.col("s1y") + b2 * F.col("s2y")) / F.col("syy_c"), 4
+        ).alias("r2"),
+    )
+
+
+@register(
+    "q142_kaplan_meier_churn",
+    oracle="""
+    WITH obs AS (
+      SELECT CAST(max(epoch(ts)) AS DOUBLE) AS obs_end FROM events
+    ), users AS (
+      SELECT user_id,
+             CAST(floor((max(epoch(ts)) - min(epoch(ts))) / 86400)
+                  AS BIGINT) AS duration_d,
+             CASE WHEN (SELECT obs_end FROM obs) - max(epoch(ts))
+                       > 7 * 86400
+                  THEN 1 ELSE 0 END AS churned
+      FROM events GROUP BY user_id
+    ), t AS (
+      SELECT duration_d,
+             CAST(count(*) AS BIGINT) AS n_ending,
+             CAST(sum(churned) AS BIGINT) AS n_churned
+      FROM users GROUP BY duration_d
+    ), r AS (
+      SELECT duration_d, n_ending, n_churned,
+             (SELECT CAST(count(*) AS BIGINT) FROM users)
+               - coalesce(sum(n_ending) OVER (
+                   ORDER BY duration_d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS n_at_risk
+      FROM t
+    )
+    SELECT duration_d, n_at_risk, n_churned,
+           round(exp(sum(ln(1.0 - CAST(n_churned AS DOUBLE) / n_at_risk))
+                     OVER (ORDER BY duration_d
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW)), 4) AS survival
+    FROM r
+    WHERE n_churned > 0 OR n_at_risk = n_ending
+    ORDER BY duration_d
+    """,
+)
+def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for user churn: a user's lifetime
+    runs from their first to their last event; users silent for more
+    than 7 days before the observation end are churn events, the
+    rest are right-censored - the product-limit estimator every
+    retention dashboard approximates with cruder cohort cuts (q110).
+
+    100 TB shape: ONE scan of the stream, reduced to one row per
+    user (partial agg) and pinned with localCheckpoint - the
+    observation end, the per-day lifetime table, and the at-risk
+    counts all derive from that reduction, so events is never
+    re-read (the naive formulation scans it once per derived
+    aggregate).  The day table is bounded by the observation span,
+    never user count; the at-risk count is a REVERSE cumulative
+    window over it (sum of lifetimes ending at or after t - no
+    separate total, no extra scan), and the survival product is
+    exp(cumulative sum of logs) over the SAME deterministic day
+    order - the one order-sensitive reduction, its order fixed by
+    the window frame on both engines, so the doubles agree
+    bit-for-bit before the 4-decimal round.  ln(0) from a final
+    full-churn day yields -inf -> survival 0.0 identically on both
+    sides."""
+    e = load(spark, sf_dir, "events")
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.min(F.col("ts").cast("double")).alias("first_s"),
+            F.max(F.col("ts").cast("double")).alias("last_s"),
+        )
+        .localCheckpoint()
+    )
+    obs_end = per_user.agg(F.max("last_s").alias("obs_end"))
+    users = per_user.crossJoin(F.broadcast(obs_end)).select(
+        F.floor((F.col("last_s") - F.col("first_s")) / 86400)
+        .cast("bigint")
+        .alias("duration_d"),
+        F.when(F.col("obs_end") - F.col("last_s") > 7 * 86400, 1)
+        .otherwise(0)
+        .alias("churned"),
+    )
+    t = users.groupBy("duration_d").agg(
+        F.count("*").cast("bigint").alias("n_ending"),
+        F.sum("churned").cast("bigint").alias("n_churned"),
+    )
+    at_or_after = Window.orderBy("duration_d").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    upto = Window.orderBy("duration_d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = t.withColumn("n_at_risk", F.sum("n_ending").over(at_or_after))
+    return (
+        r.withColumn(
+            "survival",
+            F.round(
+                F.exp(
+                    F.sum(
+                        F.log(
+                            1.0
+                            - F.col("n_churned").cast("double")
+                            / F.col("n_at_risk")
+                        )
+                    ).over(upto)
+                ),
+                4,
+            ),
+        )
+        .filter(
+            (F.col("n_churned") > 0)
+            | (F.col("n_at_risk") == F.col("n_ending"))
+        )
+        .select("duration_d", "n_at_risk", "n_churned", "survival")
+        .orderBy("duration_d")
+    )
+
+
+@register(
+    "q143_gini_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_mktsegment AS segment, o.o_custkey AS custkey,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY segment, custkey
+    ), ranked AS (
+      SELECT segment, cents,
+             row_number() OVER (
+               PARTITION BY segment ORDER BY cents, custkey
+             ) AS i,
+             count(*) OVER (PARTITION BY segment) AS n,
+             sum(cents) OVER (PARTITION BY segment) AS total
+      FROM rev
+    )
+    SELECT segment,
+           CAST(max(n) AS BIGINT) AS n_customers,
+           max(total) AS total_cents,
+           round((2.0 * sum(i * cents)) / (CAST(max(n) AS DOUBLE) * max(total))
+                 - (max(n) + 1.0) / max(n), 4) AS gini,
+           round(CAST(sum(CASE WHEN i > max_i - max_i // 10 THEN cents
+                               ELSE 0 END) AS DOUBLE) / max(total), 4)
+             AS top_decile_share
+    FROM (SELECT *, max(i) OVER (PARTITION BY segment) AS max_i
+          FROM ranked)
+    GROUP BY segment
+    ORDER BY segment
+    """,
+)
+def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient and top-decile share of customer revenue per
+    market segment - the concentration/inequality metric behind
+    "whale" analysis and fairness audits, computed by the
+    rank-weighted formula G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over
+    ascending per-segment revenue ranks.
+
+    Determinism: revenue accumulates as exact BIGINT cents
+    (per-order cents are integers, summed exactly); ranks, the
+    rank-weighted sum (max ~n * n * max_cents ~ 1e16 at sf0.1,
+    inside int64), and the decile cutoff are all integers; the two
+    output ratios are single fixed-shape divisions rounded at 4
+    decimals.  100 TB shape: one join + partial agg to per-(segment,
+    customer) cents, per-segment windows bounded by segment
+    population, and a final per-segment agg - nothing data-sized
+    past the first reduction."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment").alias("segment")
+    )
+    rev = (
+        o.join(F.broadcast(cust), o["o_custkey"] == cust["c_custkey"])
+        .groupBy("segment", F.col("o_custkey").alias("custkey"))
+        .agg(F.sum("cents").alias("cents"))
+    )
+    wseg = Window.partitionBy("segment")
+    ranked = rev.select(
+        "segment",
+        "cents",
+        F.row_number()
+        .over(wseg.orderBy("cents", "custkey"))
+        .cast("bigint")
+        .alias("i"),
+        F.count("*").over(wseg).alias("n"),
+        F.sum("cents").over(wseg).alias("total"),
+    ).withColumn("max_i", F.max("i").over(wseg))
+    return (
+        ranked.groupBy("segment")
+        .agg(
+            F.max("n").cast("bigint").alias("n_customers"),
+            F.max("total").alias("total_cents"),
+            F.round(
+                (2.0 * F.sum(F.col("i") * F.col("cents")))
+                / (F.max("n").cast("double") * F.max("total"))
+                - (F.max("n") + 1.0) / F.max("n"),
+                4,
+            ).alias("gini"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("i")
+                        > F.col("max_i") - F.expr("max_i div 10"),
+                        F.col("cents"),
+                    ).otherwise(F.lit(0))
+                ).cast("double")
+                / F.max("total"),
+                4,
+            ).alias("top_decile_share"),
+        )
+        .orderBy("segment")
+    )

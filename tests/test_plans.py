@@ -1084,16 +1084,19 @@ def test_q137_prorate_windows_per_order_no_global_sort(spark, sf_dir):
         assert not lines or "SinglePartition" not in lines[-1]
 
 
-def test_q135_marginals_broadcast_back(spark, sf_dir):
-    """The contingency table is the only data-sized agg; total and
-    both marginal tables must join back broadcast (no re-shuffle of
-    the cell table) and everything plans as partial+final aggs."""
+def test_q135_single_scan_window_marginals(spark, sf_dir):
+    """PMI must read documents EXACTLY ONCE: marginals are window
+    sums over the contingency cell table, not separate
+    re-aggregations of the source (one rescan per marginal).  No
+    joins, no Python."""
+    import re
+
     from iceberg_daq_spark.queries.curation import q135
 
     plan = plan_of(q135(spark, sf_dir))
     assert "CartesianProduct" not in plan
-    assert "BroadcastExchange" in plan
-    assert plan.count("HashAggregate") >= 4
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert "BatchEvalPython" not in plan
 
 
@@ -1135,3 +1138,67 @@ def test_q139_rank_span_table_broadcasts(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_q140_contingency_single_scan(spark, sf_dir):
+    """Chi-square must read documents EXACTLY ONCE: the marginals are
+    window sums over the contingency cell table, not separate
+    re-aggregations of the source (which Spark would plan as one
+    rescan per marginal).  No joins anywhere."""
+    import re
+
+    from iceberg_daq_spark.queries.stats import q140
+
+    plan = plan_of(q140(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_q141_ols_is_one_aggregate_pass(spark, sf_dir):
+    """The ten moments must fold in ONE partial+final HashAggregate
+    over lineitem - no window, no join, no second scan; the Cramer
+    algebra is a projection over the single moment row."""
+    from iceberg_daq_spark.queries.stats import q141
+
+    import re
+
+    plan = plan_of(q141(spark, sf_dir))
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "partial" in plan.lower() or plan.count("HashAggregate") >= 2
+
+
+def test_q142_km_single_user_reduction_feeds_everything(spark, sf_dir):
+    """Events must be scanned exactly once: the per-user reduction is
+    checkpointed and the observation end, day table, and at-risk
+    window all derive from it.  The survival windows run over the
+    span-bounded day table (above the day-collapse agg pair), never
+    the event stream."""
+    import re
+
+    from iceberg_daq_spark.queries.stats import q142
+
+    plan = plan_of(q142(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the checkpointed user reduction appears as ExistingRDD scans;
+    # the raw parquet is gone from the final plan entirely
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0
+    assert "ExistingRDD" in plan
+    # day-collapse agg pair sits below the windows
+    assert plan.count("HashAggregate") >= 2 and "Window" in plan
+
+
+def test_q143_gini_windows_per_segment(spark, sf_dir):
+    """Customer dim broadcasts into the revenue reduction, and every
+    window partitions by segment (no SinglePartition-fronted
+    Window)."""
+    from iceberg_daq_spark.queries.stats import q143
+
+    plan = plan_of(q143(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    for seg in plan.split("Window")[:-1]:
+        lines = seg.splitlines()
+        assert not lines or "SinglePartition" not in lines[-1]
