@@ -427,3 +427,149 @@ def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "q144_benford_first_digit",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders
+      WHERE o_totalprice > 0
+    ), counts AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY digit
+    )
+    SELECT digit, n,
+           round(CAST(n AS DOUBLE) / sum(n) OVER (), 4) AS obs_share,
+           round(ln(1.0 + 1.0 / digit) / ln(10.0), 4) AS benford_share,
+           round((CAST(n AS DOUBLE) / sum(n) OVER ()
+                  - ln(1.0 + 1.0 / digit) / ln(10.0))
+                 * sqrt(sum(n) OVER ())
+                 / sqrt(ln(1.0 + 1.0 / digit) / ln(10.0)
+                        * (1.0 - ln(1.0 + 1.0 / digit) / ln(10.0))), 2)
+             AS z_score
+    FROM counts
+    ORDER BY digit
+    """,
+)
+def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals: the
+    distribution of leading digits against the log10(1 + 1/d)
+    expectation, with a per-digit binomial z-score - the classic
+    forensic-accounting / synthetic-data fraud screen.
+
+    The leading digit comes from the DECIMAL STRING of the exact
+    cent amount (substr of the BIGINT's text), never from
+    floor(log10(x)) arithmetic - log10 of an exact power of ten can
+    land a hair below the integer and misclassify the digit, and
+    the two engines would disagree exactly there.  100 TB shape:
+    map-side digit extraction, one 9-row partial agg, window math
+    over the 9-row table."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digits = o.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .cast("string"),
+            1,
+            1,
+        )
+        .cast("bigint")
+        .alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    wall = Window.partitionBy()
+    total = F.sum("n").over(wall)
+    obs = F.col("n").cast("double") / total
+    exp_share = F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))
+    return counts.select(
+        "digit",
+        "n",
+        F.round(obs, 4).alias("obs_share"),
+        F.round(exp_share, 4).alias("benford_share"),
+        F.round(
+            (obs - exp_share)
+            * F.sqrt(total)
+            / F.sqrt(exp_share * (1.0 - exp_share)),
+            2,
+        ).alias("z_score"),
+    ).orderBy("digit")
+
+
+@register(
+    "q146_winsorized_stats",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type AS event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_lo,
+           CAST(sum(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_hi,
+           round(max(b.lo), 4) AS p05,
+           round(max(b.hi), 4) AS p95,
+           round(avg(CASE WHEN e.value < b.lo THEN b.lo
+                          WHEN e.value > b.hi THEN b.hi
+                          ELSE e.value END), 4) AS winsor_mean,
+           round(stddev_samp(CASE WHEN e.value < b.lo THEN b.lo
+                                  WHEN e.value > b.hi THEN b.hi
+                                  ELSE e.value END), 4) AS winsor_sd,
+           round(avg(e.value), 4) AS raw_mean
+    FROM events e JOIN b ON b.event_type = e.event_type
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+)
+def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean/stddev per event type: clamp each value into
+    its type's [p05, p95] band and re-aggregate - the
+    outlier-robust summary that, unlike trimming, keeps n constant;
+    reported next to the raw mean so the outlier pull is visible,
+    with clip counts as the audit trail.  Complements q131's
+    median/MAD census (detection) with the REPAIR side
+    (winsorization).
+
+    100 TB shape: exact per-type percentiles (bounded group count -
+    the q74 calibration pattern; percentile_approx is the documented
+    unbounded-group substitute), broadcast the tiny per-type band
+    table back onto the stream, clamp map-side, one partial+final
+    agg.  Percentile interpolation arithmetic is identical to
+    DuckDB's quantile_cont; the clamped-mean double summation is
+    rounded at 4 decimals, far above noise."""
+    e = load(spark, sf_dir, "events")
+    b = e.groupBy("event_type").agg(
+        F.percentile("value", 0.05).alias("lo"),
+        F.percentile("value", 0.95).alias("hi"),
+    )
+    clamped = F.when(F.col("value") < F.col("lo"), F.col("lo")).otherwise(
+        F.when(F.col("value") > F.col("hi"), F.col("hi")).otherwise(
+            F.col("value")
+        )
+    )
+    return (
+        e.join(F.broadcast(b), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.when(F.col("value") < F.col("lo"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped_lo"),
+            F.sum(F.when(F.col("value") > F.col("hi"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped_hi"),
+            F.round(F.max("lo"), 4).alias("p05"),
+            F.round(F.max("hi"), 4).alias("p95"),
+            F.round(F.avg(clamped), 4).alias("winsor_mean"),
+            F.round(F.stddev_samp(clamped), 4).alias("winsor_sd"),
+            F.round(F.avg("value"), 4).alias("raw_mean"),
+        )
+        .orderBy("event_type")
+    )

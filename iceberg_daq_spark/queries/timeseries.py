@@ -373,3 +373,71 @@ def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+@register(
+    "q145_time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type, value,
+             CAST(epoch_us(lead(ts) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+             )) - epoch_us(ts) AS BIGINT) AS dt_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(dt_us) AS BIGINT) AS n_intervals,
+           round(sum(dt_us) / 1e6, 2) AS total_secs,
+           round(sum(value * dt_us) / sum(CAST(dt_us AS DOUBLE)), 4)
+             AS twap,
+           round(avg(value), 4) AS raw_avg
+    FROM seq
+    WHERE dt_us IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per event type: each observation's value
+    holds until the next observation, so the mean weights each value
+    by its holding interval - the TWAP/sensor-average semantics that
+    a plain avg() silently gets wrong on irregularly-sampled streams
+    (reported alongside raw_avg to expose exactly that gap).
+
+    Holding intervals are EXACT integer microseconds (epoch_us
+    lead-minus-current on both engines - no double time arithmetic),
+    so interval sums are exact; only the value x dt fold is a double
+    reduction, rounded at 4.  The last observation of each series
+    has no interval and is excluded on both sides.
+
+    100 TB shape: one per-type window for lead() (the q103 caveat
+    applies - a handful of giant type partitions; the documented
+    scale path segments by (type, day) and stitches the one
+    boundary interval per segment, exact because both folds are
+    associative), then a partial+final agg.  No joins, one scan."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    us = (F.col("ts").cast("double") * 1e6).cast("bigint")
+    seq = e.select(
+        "event_type",
+        "value",
+        (
+            F.lead((F.col("ts").cast("double") * 1e6).cast("bigint")).over(w)
+            - us
+        ).alias("dt_us"),
+    )
+    return (
+        seq.filter(F.col("dt_us").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("dt_us").cast("bigint").alias("n_intervals"),
+            F.round(F.sum("dt_us") / 1e6, 2).alias("total_secs"),
+            F.round(
+                F.sum(F.col("value") * F.col("dt_us"))
+                / F.sum(F.col("dt_us").cast("double")),
+                4,
+            ).alias("twap"),
+            F.round(F.avg("value"), 4).alias("raw_avg"),
+        )
+        .orderBy("event_type")
+    )

@@ -55,7 +55,7 @@ def all_queries() -> dict[str, QuerySpec]:
 
 
 # The verify driver hash-checks only the FIRST 50 entries of
-# ``__spark_entry__.queries()``.  With 141 registered queries (127
+# ``__spark_entry__.queries()``.  With 144 registered queries (130
 # oracle-backed, 14 rows-only by design) the window cannot cover
 # everything, so the projection below orders queries by how much a
 # driver row is worth this round:
@@ -70,6 +70,9 @@ def all_queries() -> dict[str, QuerySpec]:
 _CHECK_FIRST = [
     # -- round-9 window -------------------------------------------------
     # (0) registered this round - never driver-checked, highest value
+    "q144_benford_first_digit",
+    "q145_time_weighted_avg",
+    "q146_winsorized_stats",
     "q140_chi_square_independence",
     "q141_ols_two_factor",
     "q142_kaplan_meier_churn",

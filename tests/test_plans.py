@@ -1202,3 +1202,43 @@ def test_q143_gini_windows_per_segment(spark, sf_dir):
     for seg in plan.split("Window")[:-1]:
         lines = seg.splitlines()
         assert not lines or "SinglePartition" not in lines[-1]
+
+
+def test_q144_benford_digit_extraction_map_side(spark, sf_dir):
+    """Digit extraction must be map-side string math over ONE scan
+    with the positivity filter pushed to parquet; all window math
+    runs over the 9-row digit table."""
+    import re
+
+    from iceberg_daq_spark.queries.stats import q144
+
+    plan = plan_of(q144(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "PushedFilters: [" in plan
+    assert "o_totalprice" in plan.split("PushedFilters")[1].split("]")[0]
+    assert "BatchEvalPython" not in plan
+
+
+def test_q145_twap_single_scan_one_window(spark, sf_dir):
+    """TWAP must be one scan, one per-type window for lead(), one
+    partial+final agg - no joins, no Python."""
+    import re
+
+    from iceberg_daq_spark.queries.timeseries import q145
+
+    plan = plan_of(q145(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_q146_band_table_broadcasts_back(spark, sf_dir):
+    """The per-type percentile band table must broadcast back onto
+    the stream (the stream never re-shuffles for the clamp), and the
+    clamped re-aggregation is a partial+final agg pair."""
+    from iceberg_daq_spark.queries.stats import q146
+
+    plan = plan_of(q146(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
