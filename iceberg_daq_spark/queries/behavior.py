@@ -985,3 +985,194 @@ def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_idx")
     )
+
+
+@register(
+    "q149_user_feature_matrix",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_purchases,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_errors,
+             round(sum(CASE WHEN event_type = 'purchase' THEN value
+                            ELSE 0 END), 2) AS monetary,
+             CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+             CAST(count(DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT))
+                  AS BIGINT) AS active_days,
+             min(epoch(ts)) AS first_s,
+             max(epoch(ts)) AS last_s
+      FROM events GROUP BY user_id
+    ), obs AS (
+      SELECT max(last_s) AS obs_end FROM per_user
+    )
+    SELECT user_id, n_events, n_purchases, n_errors, monetary, n_types,
+           active_days,
+           CAST(floor((obs.obs_end - last_s) / 86400) AS BIGINT)
+             AS recency_days,
+           CAST(floor((last_s - first_s) / 86400) AS BIGINT) AS span_days,
+           round(CAST(n_events AS DOUBLE) / active_days, 4)
+             AS events_per_active_day
+    FROM per_user, obs
+    ORDER BY user_id
+    """,
+)
+def q149(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user feature matrix: the feature-engineering pass that
+    turns a raw event stream into an ML training table - RFM-style
+    recency/frequency/monetary plus behavioral breadth (distinct
+    types, active days, events per active day) in ONE reduction.
+    This is the feature-store materialization every churn/LTV model
+    starts from (q132 consumes exactly these shapes downstream).
+
+    100 TB shape: a single partial+final aggregate over the stream
+    (count-distincts expand in the same pass), checkpointed so the
+    observation-end scalar derives from the reduction instead of a
+    second scan - the q142 pattern.  Monetary sums round at 2 on
+    both sides; day arithmetic is epoch-integer division."""
+    e = load(spark, sf_dir, "events")
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_purchases"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_errors"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase", F.col("value")
+                    ).otherwise(0.0)
+                ),
+                2,
+            ).alias("monetary"),
+            F.countDistinct("event_type").cast("bigint").alias("n_types"),
+            F.countDistinct(
+                F.floor(F.col("ts").cast("double") / 86400).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("active_days"),
+            F.min(F.col("ts").cast("double")).alias("first_s"),
+            F.max(F.col("ts").cast("double")).alias("last_s"),
+        )
+        .localCheckpoint()
+    )
+    obs = per_user.agg(F.max("last_s").alias("obs_end"))
+    return (
+        per_user.crossJoin(F.broadcast(obs))
+        .select(
+            "user_id",
+            "n_events",
+            "n_purchases",
+            "n_errors",
+            "monetary",
+            "n_types",
+            "active_days",
+            F.floor((F.col("obs_end") - F.col("last_s")) / 86400)
+            .cast("bigint")
+            .alias("recency_days"),
+            F.floor((F.col("last_s") - F.col("first_s")) / 86400)
+            .cast("bigint")
+            .alias("span_days"),
+            F.round(
+                F.col("n_events").cast("double") / F.col("active_days"), 4
+            ).alias("events_per_active_day"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "q150_session_summary",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                  ) > 1800 THEN 1 ELSE 0 END AS brk
+      FROM events
+    ), sess AS (
+      SELECT *, sum(brk) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_idx
+      FROM seq
+    ), per_session AS (
+      SELECT user_id, session_idx,
+             CAST(count(*) AS BIGINT) AS n_events,
+             max(epoch(ts)) - min(epoch(ts)) AS duration_s,
+             first(event_type ORDER BY ts, event_id) AS entry_type
+      FROM sess GROUP BY user_id, session_idx
+    )
+    SELECT entry_type,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           round(avg(CASE WHEN n_events = 1 THEN 1.0 ELSE 0.0 END), 4)
+             AS bounce_rate,
+           round(avg(n_events), 2) AS avg_events,
+           round(avg(duration_s), 2) AS avg_duration_s
+    FROM per_session
+    GROUP BY entry_type
+    ORDER BY entry_type
+    """,
+)
+def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session summary by entry point: sessionize (30-min gap, the
+    q136 substrate), then profile sessions by their FIRST event type
+    - session count, bounce rate (single-event sessions), mean
+    length and duration.  The landing-page analytics read: which
+    entry points start engaged sessions and which bounce.
+
+    100 TB shape: the sessionization windows share one per-user
+    sort; the entry type rides the SAME per-session aggregate as
+    min-by-(ts, event_id) (no extra window pass), and the final
+    reduction is entry-type-sized.  Durations are epoch-second
+    doubles of exact microsecond ticks (exactly representable);
+    averages round at 2/4."""
+    e = load(spark, sf_dir, "events")
+    worder = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.col("ts").cast("double")
+            - F.lag(F.col("ts").cast("double")).over(worder)
+            > 1800,
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    ).select(
+        "*",
+        F.sum("brk")
+        .over(worder.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_idx"),
+    )
+    per_session = sess.groupBy("user_id", "session_idx").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        (
+            F.max(F.col("ts").cast("double"))
+            - F.min(F.col("ts").cast("double"))
+        ).alias("duration_s"),
+        F.min_by(
+            "event_type", F.struct(F.col("ts"), F.col("event_id"))
+        ).alias("entry_type"),
+    )
+    return (
+        per_session.groupBy("entry_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sessions"),
+            F.round(
+                F.avg(F.when(F.col("n_events") == 1, 1.0).otherwise(0.0)), 4
+            ).alias("bounce_rate"),
+            F.round(F.avg("n_events"), 2).alias("avg_events"),
+            F.round(F.avg("duration_s"), 2).alias("avg_duration_s"),
+        )
+        .orderBy("entry_type")
+    )

@@ -441,3 +441,220 @@ def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q147_psi_drift",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, min(value) AS lo, max(value) AS hi,
+             (min(epoch(ts)) + max(epoch(ts))) / 2.0 AS mid
+      FROM events GROUP BY event_type
+    ), binned AS (
+      SELECT e.event_type,
+             CASE WHEN epoch(e.ts) < b.mid THEN 1 ELSE 2 END AS half,
+             CAST(least(greatest(floor((e.value - b.lo)
+                                       / (b.hi - b.lo) * 10), 0), 9)
+                  AS BIGINT) AS bin
+      FROM events e JOIN b ON b.event_type = e.event_type
+    ), counts AS (
+      SELECT event_type, half, bin, CAST(count(*) AS BIGINT) AS n
+      FROM binned GROUP BY event_type, half, bin
+    ), props AS (
+      SELECT event_type, bin,
+             greatest(CAST(sum(CASE WHEN half = 1 THEN n ELSE 0 END)
+                           AS DOUBLE)
+                      / sum(sum(CASE WHEN half = 1 THEN n ELSE 0 END))
+                          OVER (PARTITION BY event_type), 1e-4) AS p1,
+             greatest(CAST(sum(CASE WHEN half = 2 THEN n ELSE 0 END)
+                           AS DOUBLE)
+                      / sum(sum(CASE WHEN half = 2 THEN n ELSE 0 END))
+                          OVER (PARTITION BY event_type), 1e-4) AS p2
+      FROM counts GROUP BY event_type, bin
+    )
+    SELECT event_type,
+           round(sum((p1 - p2) * ln(p1 / p2)), 4) AS psi,
+           CAST(count(*) AS BIGINT) AS n_bins
+    FROM props GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index per event type: split each series at
+    its temporal midpoint, decile-bin the metric on the type's full
+    range, and sum (p1-p2)*ln(p1/p2) across bins - the drift score
+    model-monitoring uses to decide when a feature's distribution has
+    moved enough to retrain (PSI > 0.2 is the classic alarm).
+
+    Binning is the explicit floor((v-lo)/(hi-lo)*10) clamp - identical
+    arithmetic on both engines, no width_bucket semantics to differ -
+    and empty-bin proportions clamp at 1e-4 on both sides so ln stays
+    finite.  100 TB shape: one agg pass for per-type range/midpoint
+    (broadcast back - the q146 two-pass band pattern), map-side
+    binning, then everything downstream is types x 2 x 10 cells.  The
+    per-bin PSI terms are fixed-shape doubles over exact counts; the
+    final per-type sum runs over <=10 rounded terms."""
+    e = load(spark, sf_dir, "events")
+    b = e.groupBy("event_type").agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        (
+            (
+                F.min(F.col("ts").cast("double"))
+                + F.max(F.col("ts").cast("double"))
+            )
+            / 2.0
+        ).alias("mid"),
+    )
+    binned = e.join(F.broadcast(b), "event_type").select(
+        "event_type",
+        F.when(F.col("ts").cast("double") < F.col("mid"), 1)
+        .otherwise(2)
+        .alias("half"),
+        F.least(
+            F.greatest(
+                F.floor(
+                    (F.col("value") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo"))
+                    * 10
+                ),
+                F.lit(0),
+            ),
+            F.lit(9),
+        )
+        .cast("bigint")
+        .alias("bin"),
+    )
+    counts = binned.groupBy("event_type", "half", "bin").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    wt = Window.partitionBy("event_type")
+    props = (
+        counts.groupBy("event_type", "bin")
+        .agg(
+            F.sum(F.when(F.col("half") == 1, F.col("n")).otherwise(0)).alias(
+                "n1"
+            ),
+            F.sum(F.when(F.col("half") == 2, F.col("n")).otherwise(0)).alias(
+                "n2"
+            ),
+        )
+        .select(
+            "event_type",
+            "bin",
+            F.greatest(
+                F.col("n1").cast("double") / F.sum("n1").over(wt), F.lit(1e-4)
+            ).alias("p1"),
+            F.greatest(
+                F.col("n2").cast("double") / F.sum("n2").over(wt), F.lit(1e-4)
+            ).alias("p2"),
+        )
+    )
+    return (
+        props.groupBy("event_type")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("p1") - F.col("p2"))
+                    * F.log(F.col("p1") / F.col("p2"))
+                ),
+                4,
+            ).alias("psi"),
+            F.count("*").cast("bigint").alias("n_bins"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q148_lead_lag_xcorr",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, day
+    ), lagged AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(l.lag AS BIGINT) AS lag,
+             round(corr(a.n, b.n), 4) AS xcorr,
+             CAST(count(*) AS BIGINT) AS n_days
+      FROM d a
+      JOIN unnest(range(0, 8)) AS l(lag) ON TRUE
+      JOIN d b ON b.event_type > a.event_type
+              AND b.day = a.day + l.lag
+      GROUP BY type_a, type_b, lag
+      HAVING count(*) >= 10
+    )
+    SELECT type_a, type_b, lag AS best_lag, xcorr, n_days
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY type_a, type_b
+        ORDER BY abs(xcorr) DESC, lag
+      ) AS rk
+      FROM lagged
+    ) WHERE rk = 1
+    ORDER BY type_a, type_b
+    """,
+)
+def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation: for every ordered event-type pair,
+    correlate type A's daily count against type B's count LAG days
+    later (lags 0-7) and report the lag with the strongest
+    correlation - the "does signup activity predict purchases three
+    days out" question that q115's same-day correlation matrix
+    cannot answer.
+
+    100 TB shape: the stream reduces once to (type, day) cells;
+    the lag expansion is cells x 8 (generated, tiny) feeding an
+    equi-join on the shifted day; corr() folds per (pair, lag) -
+    at most types^2/2 x 8 groups.  The argmax-by-|corr| rank runs
+    over that bounded table, ordering by the ROUNDED correlation
+    (both engines rank identical 4-decimal values; ties break by
+    smallest lag) so an ulp-level corr difference can never flip
+    the winner.  Pairs with under 10 overlapping days are dropped
+    as statistically meaningless on both sides."""
+    e = load(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type",
+        F.floor(F.col("ts").cast("double") / 86400)
+        .cast("bigint")
+        .alias("day"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    a = d.alias("a").crossJoin(
+        F.broadcast(
+            spark.range(0, 8).select(F.col("id").cast("bigint").alias("lag"))
+        )
+    )
+    b = d.alias("b")
+    lagged = (
+        a.join(
+            b,
+            (F.col("b.event_type") > F.col("a.event_type"))
+            & (F.col("b.day") == F.col("a.day") + F.col("lag")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            "lag",
+        )
+        .agg(
+            F.round(F.corr(F.col("a.n"), F.col("b.n")), 4).alias("xcorr"),
+            F.count("*").cast("bigint").alias("n_days"),
+        )
+        .filter(F.col("n_days") >= 10)
+    )
+    rk = Window.partitionBy("type_a", "type_b").orderBy(
+        F.abs(F.col("xcorr")).desc(), "lag"
+    )
+    return (
+        lagged.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "type_a",
+            "type_b",
+            F.col("lag").alias("best_lag"),
+            "xcorr",
+            "n_days",
+        )
+        .orderBy("type_a", "type_b")
+    )

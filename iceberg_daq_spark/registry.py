@@ -55,7 +55,7 @@ def all_queries() -> dict[str, QuerySpec]:
 
 
 # The verify driver hash-checks only the FIRST 50 entries of
-# ``__spark_entry__.queries()``.  With 144 registered queries (130
+# ``__spark_entry__.queries()``.  With 148 registered queries (134
 # oracle-backed, 14 rows-only by design) the window cannot cover
 # everything, so the projection below orders queries by how much a
 # driver row is worth this round:
@@ -70,6 +70,10 @@ def all_queries() -> dict[str, QuerySpec]:
 _CHECK_FIRST = [
     # -- round-9 window -------------------------------------------------
     # (0) registered this round - never driver-checked, highest value
+    "q147_psi_drift",
+    "q148_lead_lag_xcorr",
+    "q149_user_feature_matrix",
+    "q150_session_summary",
     "q144_benford_first_digit",
     "q145_time_weighted_avg",
     "q146_winsorized_stats",

@@ -68,6 +68,17 @@ STRESS_QUERIES = [
     # window (n*2W candidates: ~linear), q127 the single-scan
     # profile (Expand-based distincts over 10x rows: ~linear)
     "q117", "q106", "q127",
+    # r9 wave 2: the round's new families over the key-shifted clones.
+    # q133 BFS rides the valved graph (10x users -> 10x nodes but
+    # capped per-cell edges: ~linear frontier work); q136/q138/q142
+    # collapse the 10x-user stream to per-user/per-day cells before
+    # any window (~linear); q141's ten-moment OLS and q144's digit
+    # census are single partial-agg passes over 10x rows (~linear);
+    # q137 prorates 10x orders x lines with per-order windows
+    # (~linear); q145's per-TYPE lead() window is the documented
+    # q103-style caveat - only 5 partitions absorb 10x rows, so its
+    # ratio is the honest cost of the unsegmented registered plan
+    "q133", "q136", "q138", "q142", "q141", "q144", "q137", "q145",
 ]
 # superlinear-blowup tripwire: 10x rows may legitimately cost more than
 # 10x on the pair-counting queries (pair count itself grows with the
@@ -165,6 +176,10 @@ def build_stress_dir(spark, base_dir: str, out_dir: str, copies: int) -> None:
     stress_pt = pt
     li = spark.read.parquet(os.path.join(base_dir, "lineitem.parquet"))
     stress_li = li
+    od = spark.read.parquet(os.path.join(base_dir, "orders.parquet")).withColumn(
+        "o_orderdate", F.col("o_orderdate").cast("timestamp")
+    )
+    stress_od = od
     for c in range(1, copies):
         stress_ev = stress_ev.unionByName(
             ev.withColumn("event_id", F.col("event_id") + F.lit(c * id_off))
@@ -177,6 +192,12 @@ def build_stress_dir(spark, base_dir: str, out_dir: str, copies: int) -> None:
         stress_li = stress_li.unionByName(
             li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(c * id_off))
         )
+        # orders clone mirrors lineitem's orderkey offset so the
+        # q137 proration join sees 10x REAL order/line families, not
+        # orphaned keys
+        stress_od = stress_od.unionByName(
+            od.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(c * id_off))
+        )
     stress_ev.repartition(32).write.mode("overwrite").parquet(
         os.path.join(out_dir, "events.parquet")
     )
@@ -186,6 +207,9 @@ def build_stress_dir(spark, base_dir: str, out_dir: str, copies: int) -> None:
     stress_li.repartition(32).write.mode("overwrite").parquet(
         os.path.join(out_dir, "lineitem.parquet")
     )
+    stress_od.repartition(16).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "orders.parquet")
+    )
 
     for entry in os.listdir(base_dir):
         if entry.endswith(".parquet") and entry.split(".")[0] not in (
@@ -194,6 +218,7 @@ def build_stress_dir(spark, base_dir: str, out_dir: str, copies: int) -> None:
             "events",
             "part",
             "lineitem",
+            "orders",
         ):
             os.symlink(
                 os.path.join(base_dir, entry), os.path.join(out_dir, entry)

@@ -1242,3 +1242,60 @@ def test_q146_band_table_broadcasts_back(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_q147_psi_band_broadcast_then_cells(spark, sf_dir):
+    """The per-type range/midpoint row must broadcast back onto the
+    stream (q146's two-pass band pattern); binning is map-side, and
+    everything past the bin counts is types x 20 cells."""
+    from iceberg_daq_spark.queries.timeseries import q147
+
+    plan = plan_of(q147(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_q148_xcorr_joins_on_shifted_day(spark, sf_dir):
+    """The lag expansion must broadcast (cells x 8) and the pair join
+    must be an EQUI join on the shifted day (type inequality as
+    residual), never a nested-loop over the cell table pair."""
+    from iceberg_daq_spark.queries.timeseries import q148
+
+    plan = plan_of(q148(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or plan.count("BroadcastHashJoin") >= 1
+    )
+    assert "WindowGroupLimit" in plan  # argmax rank-1 pushes down
+
+
+def test_q149_feature_matrix_single_reduction(spark, sf_dir):
+    """Events must be scanned exactly once (checkpointed per-user
+    reduction feeds the observation-end scalar); all count-distincts
+    expand inside the one aggregate."""
+    import re
+
+    from iceberg_daq_spark.queries.behavior import q149
+
+    plan = plan_of(q149(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0
+    assert "ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q150_entry_type_rides_session_agg(spark, sf_dir):
+    """The per-session profile (count, duration, min_by entry type)
+    must be ONE aggregate over the sessionized stream - no extra
+    window pass for the entry type - and the sessionization windows
+    partition by user."""
+    from iceberg_daq_spark.queries.behavior import q150
+
+    plan = plan_of(q150(spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    for seg in plan.split("Window")[:-1]:
+        lines = seg.splitlines()
+        assert not lines or "SinglePartition" not in lines[-1]
