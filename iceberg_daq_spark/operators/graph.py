@@ -193,3 +193,41 @@ def bfs_hops(
         visited = visited.unionAll(nxt).localCheckpoint()
         frontier = nxt
     return visited
+
+
+def k_core(edges: DataFrame, k: int, max_rounds: int = 30) -> DataFrame:
+    """The k-core of an undirected graph (``u``/``v``, ``u < v``,
+    deduplicated): the maximal subgraph where every vertex keeps
+    degree >= k, computed by iterative peeling - drop all vertices
+    below k, recompute degrees on the induced subgraph, repeat until
+    a fixed point.  Returns the surviving edge list.
+
+    Scale shape: each round is one degree aggregation plus two
+    semi-joins of the edge list against the surviving vertex set,
+    ``localCheckpoint``ed so lineage stays flat; the edge list only
+    ever shrinks.  Rounds are bounded by the peeling depth (the
+    degeneracy ordering's layer count), not vertex count, and the
+    only driver-side value per round is the pruned-edge count probe.
+    """
+    cur = edges.localCheckpoint()
+    for _ in range(max_rounds):
+        deg = (
+            cur.select(F.col("u").alias("id"))
+            .unionAll(cur.select(F.col("v").alias("id")))
+            .groupBy("id")
+            .agg(F.count("*").alias("_deg"))
+        )
+        keep = deg.filter(F.col("_deg") >= k).select("id")
+        nxt = (
+            cur.join(keep.withColumnRenamed("id", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("id", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        n_cur, n_nxt = cur.count(), nxt.count()
+        cur = nxt
+        if n_nxt == n_cur:
+            break
+        if n_nxt == 0:
+            break
+    return cur

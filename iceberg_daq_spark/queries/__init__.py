@@ -29,4 +29,5 @@ from iceberg_daq_spark.queries import (  # noqa: F401
     spatial,
     allocation,
     stats,
+    commerce,
 )

@@ -1176,3 +1176,172 @@ def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("entry_type")
     )
+
+
+@register(
+    "q155_cohort_ltv",
+    oracle="""
+    WITH pur AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+             sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, day
+    ), aged AS (
+      SELECT user_id,
+             min(day) OVER (PARTITION BY user_id) AS cohort_day,
+             day - min(day) OVER (PARTITION BY user_id) AS age,
+             cents
+      FROM pur
+    ), cells AS (
+      SELECT cohort_day, age,
+             sum(cents) AS cents,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_buyers
+      FROM aged GROUP BY cohort_day, age
+    )
+    SELECT cohort_day, age,
+           first_value(n_buyers) OVER (
+             PARTITION BY cohort_day ORDER BY age
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cohort_size,
+           n_buyers,
+           sum(cents) OVER (
+             PARTITION BY cohort_day ORDER BY age
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cum_cents,
+           sum(cents) OVER (
+             PARTITION BY cohort_day ORDER BY age
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) // first_value(n_buyers) OVER (
+             PARTITION BY cohort_day ORDER BY age
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS ltv_cents_per_user
+    FROM cells
+    ORDER BY cohort_day, age
+    """,
+)
+def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: users cohorted by FIRST purchase day, each
+    cohort's cumulative revenue per member tracked over cohort age -
+    the payback-period read that q110's retention counts can't give
+    (retention says who came back; LTV says what they were worth).
+
+    100 TB shape: ONE scan (purchase filter pushed to parquet),
+    reduced to (user, day) cents cells; the cohort day is a bounded
+    per-user window over THAT reduction (days-per-user-sized, never
+    event-sized); then (cohort, age) cells and a per-cohort
+    cumulative window over the span-bounded curve table.  The cohort
+    SIZE rides the same window as first_value(n_buyers) - every
+    member purchases at age 0 by construction, so no second pass /
+    second scan for a size table (Spark would re-execute the whole
+    reduction for it).  Exact BIGINT cents end-to-end INCLUDING the
+    output: per-user LTV is integer-floored cents (a half-cent
+    boundary under round() is exactly where Spark's shortest-
+    decimal-repr HALF_UP and DuckDB's binary rounding disagree -
+    62355/200 = 311.775 rounds to .78 vs .77)."""
+    e = load(spark, sf_dir, "events")
+    pur = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            "user_id",
+            F.floor(F.col("ts").cast("double") / 86400)
+            .cast("bigint")
+            .alias("day"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents")
+        )
+    )
+    wu = Window.partitionBy("user_id")
+    aged = pur.select(
+        "user_id",
+        F.min("day").over(wu).alias("cohort_day"),
+        (F.col("day") - F.min("day").over(wu)).alias("age"),
+        "cents",
+    )
+    cells = aged.groupBy("cohort_day", "age").agg(
+        F.sum("cents").alias("cents"),
+        F.countDistinct("user_id").cast("bigint").alias("n_buyers"),
+    )
+    cum = (
+        Window.partitionBy("cohort_day")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    size = F.first("n_buyers").over(cum)
+    return (
+        cells.select(
+            "cohort_day",
+            "age",
+            size.alias("cohort_size"),
+            "n_buyers",
+            F.sum("cents").over(cum).alias("cum_cents"),
+        )
+        .withColumn(
+            "ltv_cents_per_user", F.expr("cum_cents div cohort_size")
+        )
+        .orderBy("cohort_day", "age")
+    )
+
+
+@register(
+    "q158_event_doublefire",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             epoch(ts) - lag(epoch(ts)) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+             ) AS gap_s
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(gap_s) AS BIGINT) AS n_repeats,
+           CAST(sum(CASE WHEN gap_s <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_doublefire,
+           round(CAST(sum(CASE WHEN gap_s <= 5 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 4) AS doublefire_rate,
+           round(quantile_cont(gap_s, 0.5), 2) AS median_gap_s
+    FROM seq GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-fire detection: consecutive same-type events from the
+    same user within 5 seconds - the instrumentation-bug / double-
+    click signature every event-pipeline QA suite screens for,
+    reported per type with the repeat-gap median for context.
+
+    100 TB shape: one per-(user, type) window (bounded partitions -
+    the two-column key fans out far wider than per-user alone), gap
+    arithmetic on exact epoch seconds of microsecond ticks, one
+    grouped agg; the median folds per type (bounded group count, the
+    q74 exact-percentile pattern)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        (
+            F.col("ts").cast("double")
+            - F.lag(F.col("ts").cast("double")).over(w)
+        ).alias("gap_s"),
+    )
+    return (
+        seq.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.count("gap_s").cast("bigint").alias("n_repeats"),
+            F.sum(F.when(F.col("gap_s") <= 5, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_doublefire"),
+            F.round(
+                F.sum(F.when(F.col("gap_s") <= 5, 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count("*"),
+                4,
+            ).alias("doublefire_rate"),
+            F.round(F.percentile("gap_s", 0.5), 2).alias("median_gap_s"),
+        )
+        .orderBy("event_type")
+    )

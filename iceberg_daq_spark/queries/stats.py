@@ -387,7 +387,7 @@ def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey"), F.col("c_mktsegment").alias("segment")
     )
     rev = (
-        o.join(F.broadcast(cust), o["o_custkey"] == cust["c_custkey"])
+        o.join(cust, o["o_custkey"] == cust["c_custkey"])
         .groupBy("segment", F.col("o_custkey").alias("custkey"))
         .agg(F.sum("cents").alias("cents"))
     )

@@ -301,6 +301,13 @@ def time_queries(spark, specs, names, sf_dir, repeat):
             spark.catalog.clearCache()
         out[name] = round(best, 3)
         print(f"# {sf_dir.rsplit('/', 1)[-1]} {name}: {best:.3f}s", file=sys.stderr)
+        # drop dangling localCheckpoint RDDs (BFS / KM / k-core pin
+        # blocks the ContextCleaner only frees after a GC) so later
+        # measurements don't run under synthetic memory pressure
+        import gc as _gc
+
+        _gc.collect()
+        spark.sparkContext._jvm.System.gc()
     return out
 
 

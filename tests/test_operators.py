@@ -1096,3 +1096,43 @@ def test_bfs_hops_path_and_cap(spark):
     assert seeded == {10: 0, 11: 1}
     empty = bfs_hops(spark.createDataFrame([], "u bigint, v bigint"))
     assert empty.count() == 0
+
+
+def test_k_core_path_and_triangle(spark):
+    """A path graph has an EMPTY 2-core (peeling eats it end-inward);
+    a triangle with pendant tails is exactly its own 2-core; k=1
+    keeps every non-isolated vertex."""
+    from iceberg_daq_spark.operators.graph import k_core
+
+    path = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], ["u", "v"]
+    )
+    assert k_core(path, 2).count() == 0
+    tri_tails = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], ["u", "v"]
+    )
+    core = sorted((r["u"], r["v"]) for r in k_core(tri_tails, 2).collect())
+    assert core == [(1, 2), (1, 3), (2, 3)]
+    assert k_core(tri_tails, 1).count() == 5
+    # invariant: every vertex of the 2-core keeps induced degree >= 2
+    from pyspark.sql import functions as F
+
+    deg = (
+        k_core(tri_tails, 2)
+        .select(F.col("u").alias("id"))
+        .unionAll(k_core(tri_tails, 2).select(F.col("v").alias("id")))
+        .groupBy("id")
+        .count()
+    )
+    assert deg.filter(F.col("count") < 2).count() == 0
+
+
+def test_q156_bridge_is_additive(spark, sf_dir):
+    """The mix-shift decomposition must reconcile: volume_effect +
+    rate_effect = delta_cents exactly up to the 2-decimal rounding of
+    the two effect terms (<= 1 cent combined)."""
+    from iceberg_daq_spark.queries.commerce import q156
+
+    for r in q156(spark, sf_dir).collect():
+        recon = r["volume_effect"] + r["rate_effect"]
+        assert abs(recon - r["delta_cents"]) <= 0.011, r

@@ -1299,3 +1299,113 @@ def test_q150_entry_type_rides_session_agg(spark, sf_dir):
     for seg in plan.split("Window")[:-1]:
         lines = seg.splitlines()
         assert not lines or "SinglePartition" not in lines[-1]
+
+
+def test_q151_sla_one_shuffle_join(spark, sf_dir):
+    """The order-key join must be a shuffle/broadcast equi join with
+    the day math map-side; percentiles fold per priority group."""
+    from iceberg_daq_spark.queries.commerce import q151
+
+    plan = plan_of(q151(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+    assert "BatchEvalPython" not in plan
+
+
+def test_q152_part_dim_broadcasts_cells_bounded(spark, sf_dir):
+    """The part dim must broadcast into the cell reduction; the
+    regression folds over (brand, level) cells - two agg layers, no
+    window over the raw stream."""
+    from iceberg_daq_spark.queries.commerce import q152
+
+    plan = plan_of(q152(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_q153_hhi_dims_broadcast_window_per_nation(spark, sf_dir):
+    """Supplier and nation dims broadcast; the share window
+    partitions by nation over the supplier-count reduction."""
+    from iceberg_daq_spark.queries.commerce import q153
+
+    plan = plan_of(q153(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    for seg in plan.split("Window")[:-1]:
+        lines = seg.splitlines()
+        assert not lines or "SinglePartition" not in lines[-1]
+
+
+def test_q154_heatmap_single_scan_bounded_window(spark, sf_dir):
+    """One scan, one partial-agg shuffle to types x 168 cells; the
+    share window partitions by type over that bounded grid."""
+    import re
+
+    from iceberg_daq_spark.queries.commerce import q154
+
+    plan = plan_of(q154(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Join" not in plan
+    for seg in plan.split("Window")[:-1]:
+        lines = seg.splitlines()
+        assert not lines or "SinglePartition" not in lines[-1]
+
+
+def test_q155_ltv_single_scan_bounded_windows(spark, sf_dir):
+    """One scan with the purchase filter pushed down; the cohort-day
+    window runs over the (user, day) reduction and the cumulative
+    window over (cohort, age) cells - both partitioned, no
+    SinglePartition window."""
+    import re
+
+    from iceberg_daq_spark.queries.behavior import q155
+
+    plan = plan_of(q155(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "event_type" in plan.split("PushedFilters")[1].split("]")[0]
+    for seg in plan.split("Window")[:-1]:
+        lines = seg.splitlines()
+        assert not lines or "SinglePartition" not in lines[-1]
+
+
+def test_q156_bridge_two_broadcasts_one_reduction(spark, sf_dir):
+    """The midpoint scalar and the customer dim must both broadcast
+    into ONE (segment, half) reduction; the bridge algebra is a
+    projection over segments x 2 cells."""
+    from iceberg_daq_spark.queries.commerce import q156
+
+    plan = plan_of(q156(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_q158_doublefire_window_per_user_type(spark, sf_dir):
+    """The gap window must partition by (user, type) - wider fan-out
+    than per-user alone - with one scan and one grouped agg."""
+    import re
+
+    from iceberg_daq_spark.queries.behavior import q158
+
+    plan = plan_of(q158(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    for seg in plan.split("Window")[:-1]:
+        lines = seg.splitlines()
+        assert not lines or "SinglePartition" not in lines[-1]
+
+
+def test_q157_kcore_valve_survives(spark, sf_dir):
+    """The k-core summary consumes the valved co-presence edges: the
+    WindowGroupLimit of the CELL_MEMBER_MAX valve must appear below
+    the (checkpointed) peeling loop's inputs - asserted on the edge
+    substrate, since the loop itself pins to RDD scans."""
+    from iceberg_daq_spark.queries.matching import copresence_edges
+    from iceberg_daq_spark.tables import load
+
+    plan = plan_of(copresence_edges(load(spark, sf_dir, "events")))
+    assert "WindowGroupLimit" in plan
