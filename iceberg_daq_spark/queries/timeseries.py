@@ -658,3 +658,97 @@ def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@register(
+    "q159_qq_table",
+    oracle="""
+    WITH q AS (
+      SELECT quantile_cont(CASE WHEN event_type = 'purchase'
+                                THEN value END,
+                           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+               AS qa,
+             quantile_cont(CASE WHEN event_type = 'view'
+                                THEN value END,
+                           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+               AS qb
+      FROM events
+    )
+    SELECT CAST(r.i AS BIGINT) AS decile,
+           round(q.qa[r.i], 4) AS purchase_val,
+           round(q.qb[r.i], 4) AS view_val,
+           round(q.qa[r.i] - q.qb[r.i], 4) AS qq_gap
+    FROM q, unnest(range(1, 10)) AS r(i)
+    ORDER BY decile
+    """,
+)
+def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-quantile comparison table: the nine deciles of the
+    purchase-value distribution laid against the view-value deciles
+    - the QQ read that says WHERE two distributions diverge (PSI
+    q147 scores THAT they drifted; the QQ table shows the shape of
+    the gap, e.g. heavy right tail vs uniform shift).
+
+    Both decile vectors fold in ONE aggregate pass (conditional
+    values - percentile ignores the nulls of the other type), so the
+    stream is scanned once and the explode runs over a single 2-array
+    row.  Interpolation arithmetic is the exact percentile (q74
+    parity); deciles are generated, not read."""
+    e = load(spark, sf_dir, "events")
+    probs = F.array(*[F.lit(p / 10.0) for p in range(1, 10)])
+    q = e.agg(
+        F.percentile(
+            F.when(F.col("event_type") == "purchase", F.col("value")), probs
+        ).alias("qa"),
+        F.percentile(
+            F.when(F.col("event_type") == "view", F.col("value")), probs
+        ).alias("qb"),
+    )
+    z = q.select(F.posexplode(F.arrays_zip("qa", "qb")))
+    return z.select(
+        (F.col("pos") + 1).cast("bigint").alias("decile"),
+        F.round(F.col("col.qa"), 4).alias("purchase_val"),
+        F.round(F.col("col.qb"), 4).alias("view_val"),
+        F.round(F.col("col.qa") - F.col("col.qb"), 4).alias("qq_gap"),
+    ).orderBy("decile")
+
+
+@register("q160_sliding_hll_wau")
+def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 7-day distinct actives from MERGEABLE HLL sketches:
+    one DataSketches HLL partial per day, unioned across each
+    7-day window - the 100 TB production path for q138's exact WAU.
+    The exact plan re-scans the (user, day) cell table per window
+    position; the sketch plan reduces the stream ONCE to a
+    days-sized sketch table (a few KB per day), and every window
+    union touches only 7 sketches - the classic
+    pre-aggregate-then-merge pattern that exact COUNT DISTINCT can
+    never use because distinct counts don't merge.
+
+    Rows-only for the driver (sketch estimates have no SQL oracle);
+    tests assert <2% relative error against exact q138 counts and
+    that the estimate is day-monotone-consistent (wau >= dau)."""
+    e = load(spark, sf_dir, "events")
+    day_sketch = e.groupBy(
+        F.floor(F.col("ts").cast("double") / 86400)
+        .cast("bigint")
+        .alias("d")
+    ).agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+    grid = day_sketch.select(F.col("d").alias("g"))
+    joined = F.broadcast(grid).join(
+        day_sketch,
+        (F.col("d") >= F.col("g") - 6) & (F.col("d") <= F.col("g")),
+    )
+    return (
+        joined.groupBy(F.col("g").alias("d"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk"))
+            .cast("bigint")
+            .alias("wau_estimate"),
+            F.sum("n_events").alias("n_events_7d"),
+        )
+        .orderBy("d")
+    )

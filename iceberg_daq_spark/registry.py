@@ -55,8 +55,8 @@ def all_queries() -> dict[str, QuerySpec]:
 
 
 # The verify driver hash-checks only the FIRST 50 entries of
-# ``__spark_entry__.queries()``.  With 156 registered queries (141
-# oracle-backed, 15 rows-only by design) the window cannot cover
+# ``__spark_entry__.queries()``.  With 158 registered queries (142
+# oracle-backed, 16 rows-only by design) the window cannot cover
 # everything, so the projection below orders queries by how much a
 # driver row is worth this round:
 #   1. oracle-backed queries with no driver CORRECTNESS row yet,
@@ -70,6 +70,8 @@ def all_queries() -> dict[str, QuerySpec]:
 _CHECK_FIRST = [
     # -- round-9 window -------------------------------------------------
     # (0) registered this round - never driver-checked, highest value
+    "q159_qq_table",
+    "q160_sliding_hll_wau",
     "q155_cohort_ltv",
     "q156_mix_shift_bridge",
     "q158_event_doublefire",

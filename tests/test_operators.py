@@ -1136,3 +1136,19 @@ def test_q156_bridge_is_additive(spark, sf_dir):
     for r in q156(spark, sf_dir).collect():
         recon = r["volume_effect"] + r["rate_effect"]
         assert abs(recon - r["delta_cents"]) <= 0.011, r
+
+
+def test_q160_sketch_wau_tracks_exact(spark, sf_dir):
+    """The HLL sliding WAU must stay within 2% of q138's exact
+    trailing distinct count on every day (lgK=14 gives ~0.4%
+    standard error - 2% is a 5-sigma gate)."""
+    from iceberg_daq_spark.queries.timeseries import q138, q160
+
+    exact = {r["d"]: r["n_active_7d"] for r in q138(spark, sf_dir).collect()}
+    for r in q160(spark, sf_dir).collect():
+        ex = exact[r["d"]]
+        assert abs(r["wau_estimate"] - ex) <= max(1, 0.02 * ex), (
+            r["d"],
+            r["wau_estimate"],
+            ex,
+        )

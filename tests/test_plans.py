@@ -1409,3 +1409,27 @@ def test_q157_kcore_valve_survives(spark, sf_dir):
 
     plan = plan_of(copresence_edges(load(spark, sf_dir, "events")))
     assert "WindowGroupLimit" in plan
+
+
+def test_q159_qq_single_pass_two_decile_vectors(spark, sf_dir):
+    """Both decile vectors must fold in ONE aggregate over one scan
+    (conditional percentiles); the explode runs over a single row."""
+    import re
+
+    from iceberg_daq_spark.queries.timeseries import q159
+
+    plan = plan_of(q159(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Join" not in plan
+
+
+def test_q160_sketch_table_is_day_sized(spark, sf_dir):
+    """The stream must reduce to per-day sketches BEFORE any window
+    join (partial+final sketch agg), and the day grid broadcasts
+    into the 7-day union join."""
+    from iceberg_daq_spark.queries.timeseries import q160
+
+    plan = plan_of(q160(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "hll_sketch_agg" in plan or "HllSketchAgg" in plan
