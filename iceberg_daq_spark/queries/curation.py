@@ -746,11 +746,23 @@ def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical order statistic - no percentile interpolation to
     disagree over.
 
-    100 TB shape: the histogram window is value-space-sized, the
-    range join is against a broadcast table, and the only per-row
-    windows partition by source; a skew-heavy source set would swap
-    the row_number for the same histogram treatment per source."""
+    100 TB shape: the histogram window is value-space-sized and the
+    range join is against a broadcast table.  The per-source ranks
+    are the one data-scaled window: above Q139_GIANT_SOURCE_ROWS the
+    plan switches to :func:`operators.ranking.grouped_rank` (exact
+    two-pass range layout - no task holds a whole source), so both
+    paths produce identical indexes and the oracle agrees on
+    either - the q103/q143 registered-plan discipline."""
     d = load(spark, sf_dir, "documents")
+    return _q139_impl(d)
+
+
+Q139_GIANT_SOURCE_ROWS = 15_000
+
+
+def _q139_impl(d: DataFrame) -> DataFrame:
+    """q139 core over a (doc_id, source, n_chars) DataFrame (factored
+    out so tests can drive the giant-source branch synthetically)."""
     hist = d.groupBy("n_chars").agg(F.count("*").cast("bigint").alias("c"))
     cum = Window.orderBy("n_chars").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -761,14 +773,36 @@ def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").over(cum).alias("end_rank"),
     )
     tot = hist.agg(F.sum("c").alias("n"))
-    wsrc = Window.partitionBy("source").orderBy("n_chars", "doc_id")
-    src = d.select(
-        "doc_id",
-        "source",
-        "n_chars",
-        F.row_number().over(wsrc).cast("bigint").alias("r"),
-        F.count("*").over(Window.partitionBy("source")).alias("m"),
-    )
+    max_src = (
+        d.groupBy("source")
+        .agg(F.count("*").alias("c"))
+        .agg(F.max("c").alias("m"))
+        .collect()[0]["m"]
+    ) or 0
+    if max_src > Q139_GIANT_SOURCE_ROWS:
+        from iceberg_daq_spark.operators.ranking import grouped_rank
+
+        g = grouped_rank(
+            d.select("doc_id", "source", "n_chars"),
+            ["source"],
+            ["n_chars", "doc_id"],
+        )
+        src = g.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.col("_grank").alias("r"),
+            F.col("_gtotal").alias("m"),
+        )
+    else:
+        wsrc = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+        src = d.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.row_number().over(wsrc).cast("bigint").alias("r"),
+            F.count("*").over(Window.partitionBy("source")).alias("m"),
+        )
     idx = src.crossJoin(F.broadcast(tot)).select(
         "doc_id",
         "source",

@@ -354,11 +354,10 @@ def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
            max(total) AS total_cents,
            round((2.0 * sum(i * cents)) / (CAST(max(n) AS DOUBLE) * max(total))
                  - (max(n) + 1.0) / max(n), 4) AS gini,
-           round(CAST(sum(CASE WHEN i > max_i - max_i // 10 THEN cents
+           round(CAST(sum(CASE WHEN i > n - n // 10 THEN cents
                                ELSE 0 END) AS DOUBLE) / max(total), 4)
              AS top_decile_share
-    FROM (SELECT *, max(i) OVER (PARTITION BY segment) AS max_i
-          FROM ranked)
+    FROM ranked
     GROUP BY segment
     ORDER BY segment
     """,
@@ -376,9 +375,13 @@ def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside int64), and the decile cutoff are all integers; the two
     output ratios are single fixed-shape divisions rounded at 4
     decimals.  100 TB shape: one join + partial agg to per-(segment,
-    customer) cents, per-segment windows bounded by segment
-    population, and a final per-segment agg - nothing data-sized
-    past the first reduction."""
+    customer) cents; a HANDFUL of segments then hold
+    customer-scaled populations, so above Q143_GIANT_SEGMENT_ROWS
+    the ranks switch to :func:`operators.ranking.grouped_rank` (the
+    two-pass range layout - no single task ever holds a whole
+    segment), which is EXACT, so the oracle agrees on either path -
+    the q103 registered-plan lesson applied at birth.  Below the
+    threshold the plain per-segment window is fine and cheaper."""
     o = load(spark, sf_dir, "orders").select(
         "o_custkey",
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
@@ -391,17 +394,44 @@ def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("segment", F.col("o_custkey").alias("custkey"))
         .agg(F.sum("cents").alias("cents"))
     )
-    wseg = Window.partitionBy("segment")
-    ranked = rev.select(
-        "segment",
-        "cents",
-        F.row_number()
-        .over(wseg.orderBy("cents", "custkey"))
-        .cast("bigint")
-        .alias("i"),
-        F.count("*").over(wseg).alias("n"),
-        F.sum("cents").over(wseg).alias("total"),
-    ).withColumn("max_i", F.max("i").over(wseg))
+    return _q143_impl(rev)
+
+
+Q143_GIANT_SEGMENT_ROWS = 15_000
+
+
+def _q143_impl(rev: DataFrame) -> DataFrame:
+    """q143 core over a (segment, custkey, cents) DataFrame (factored
+    out so tests can drive the giant-segment branch synthetically)."""
+    max_seg = (
+        rev.groupBy("segment")
+        .agg(F.count("*").alias("c"))
+        .agg(F.max("c").alias("m"))
+        .collect()[0]["m"]
+    ) or 0
+    if max_seg > Q143_GIANT_SEGMENT_ROWS:
+        from iceberg_daq_spark.operators.ranking import grouped_rank
+
+        totals = rev.groupBy("segment").agg(F.sum("cents").alias("total"))
+        g = grouped_rank(rev, ["segment"], ["cents", "custkey"])
+        ranked = g.select(
+            "segment",
+            "cents",
+            F.col("_grank").alias("i"),
+            F.col("_gtotal").alias("n"),
+        ).join(F.broadcast(totals), "segment")
+    else:
+        wseg = Window.partitionBy("segment")
+        ranked = rev.select(
+            "segment",
+            "cents",
+            F.row_number()
+            .over(wseg.orderBy("cents", "custkey"))
+            .cast("bigint")
+            .alias("i"),
+            F.count("*").over(wseg).alias("n"),
+            F.sum("cents").over(wseg).alias("total"),
+        )
     return (
         ranked.groupBy("segment")
         .agg(
@@ -416,8 +446,7 @@ def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum(
                     F.when(
-                        F.col("i")
-                        > F.col("max_i") - F.expr("max_i div 10"),
+                        F.col("i") > F.col("n") - F.expr("n div 10"),
                         F.col("cents"),
                     ).otherwise(F.lit(0))
                 ).cast("double")

@@ -1152,3 +1152,44 @@ def test_q160_sketch_wau_tracks_exact(spark, sf_dir):
             r["wau_estimate"],
             ex,
         )
+
+
+def test_q143_giant_segment_branch_matches_window_path(spark):
+    """Above Q143_GIANT_SEGMENT_ROWS the Gini plan switches to the
+    grouped_rank two-pass layout; both paths are exact, so the same
+    synthetic input must produce IDENTICAL output either way."""
+    from iceberg_daq_spark.queries import stats
+
+    rev = spark.createDataFrame(
+        [("A", k, (k * 37) % 1000 + 1) for k in range(400)]
+        + [("B", k, (k * 11) % 50 + 1) for k in range(60)],
+        "segment string, custkey bigint, cents bigint",
+    )
+    small = {tuple(r) for r in stats._q143_impl(rev).collect()}
+    old = stats.Q143_GIANT_SEGMENT_ROWS
+    stats.Q143_GIANT_SEGMENT_ROWS = 100
+    try:
+        giant = {tuple(r) for r in stats._q143_impl(rev).collect()}
+    finally:
+        stats.Q143_GIANT_SEGMENT_ROWS = old
+    assert small == giant and len(small) == 2
+
+
+def test_q139_giant_source_branch_matches_window_path(spark):
+    """Above Q139_GIANT_SOURCE_ROWS the quantile-normalize ranks come
+    from grouped_rank; both paths are exact, so identical output."""
+    from iceberg_daq_spark.queries import curation
+
+    d = spark.createDataFrame(
+        [(k, "s1", (k * 7) % 300 + 10) for k in range(300)]
+        + [(1000 + k, "s2", (k * 13) % 40 + 5) for k in range(50)],
+        "doc_id bigint, source string, n_chars bigint",
+    )
+    small = {tuple(r) for r in curation._q139_impl(d).collect()}
+    old = curation.Q139_GIANT_SOURCE_ROWS
+    curation.Q139_GIANT_SOURCE_ROWS = 100
+    try:
+        giant = {tuple(r) for r in curation._q139_impl(d).collect()}
+    finally:
+        curation.Q139_GIANT_SOURCE_ROWS = old
+    assert small == giant and len(small) == 350
