@@ -602,3 +602,96 @@ def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q161_ks_two_sample",
+    oracle="""
+    WITH v AS (
+      SELECT round(value, 3) AS x,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a,
+             CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS b
+      FROM events WHERE event_type IN ('purchase', 'view')
+    ), grid AS (
+      SELECT x,
+             CAST(sum(a) AS BIGINT) AS ca,
+             CAST(sum(b) AS BIGINT) AS cb
+      FROM v GROUP BY x
+    ), cdf AS (
+      SELECT abs(CAST(sum(ca) OVER w AS DOUBLE) / sum(ca) OVER ()
+                 - CAST(sum(cb) OVER w AS DOUBLE) / sum(cb) OVER ()) AS gap,
+             sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+      FROM grid
+      WINDOW w AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW)
+    )
+    SELECT round(max(gap), 4) AS ks_d,
+           max(na) AS n_purchase,
+           max(nb) AS n_view,
+           round(max(gap) / (1.358 * sqrt((CAST(max(na) AS DOUBLE)
+                                           + max(nb))
+                                          / (CAST(max(na) AS DOUBLE)
+                                             * max(nb)))), 2)
+             AS d_over_crit_5pct
+    FROM cdf
+    """,
+)
+def q161(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the
+    purchase- and view-value distributions: the supremum gap between
+    the two empirical CDFs, reported against the 5% critical value -
+    the distribution-equality test that closes the drift toolkit
+    (q147's PSI bins, q159's QQ shape, and now the exact sup-norm
+    with significance).
+
+    The CDF grid quantizes values to 3 decimals FIRST on both
+    engines (the production move that bounds the grid by value
+    space instead of row count - the sup over the coarsened grid is
+    exact for the coarsened distributions), so everything after the
+    one partial-agg shuffle is value-space-sized: cumulative AND
+    total window sums over the grid (totals as windows, not a
+    separate aggregate - a second aggregate of the grid would
+    re-execute the whole reduction and scan events twice), exact
+    BIGINT counts, fixed-shape gap doubles, one max.  The
+    unpartitioned windows are safe by construction - their input is
+    the bounded grid."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    v = e.select(
+        F.round("value", 3).alias("x"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("a"),
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("b"),
+    )
+    grid = v.groupBy("x").agg(
+        F.sum("a").cast("bigint").alias("ca"),
+        F.sum("b").cast("bigint").alias("cb"),
+    )
+    w = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    cdf = grid.select(
+        F.abs(
+            F.sum("ca").over(w).cast("double") / F.sum("ca").over(wall)
+            - F.sum("cb").over(w).cast("double") / F.sum("cb").over(wall)
+        ).alias("gap"),
+        F.sum("ca").over(wall).alias("na"),
+        F.sum("cb").over(wall).alias("nb"),
+    )
+    return cdf.agg(
+        F.round(F.max("gap"), 4).alias("ks_d"),
+        F.max("na").alias("n_purchase"),
+        F.max("nb").alias("n_view"),
+        F.round(
+            F.max("gap")
+            / (
+                1.358
+                * F.sqrt(
+                    (F.max("na").cast("double") + F.max("nb"))
+                    / (F.max("na").cast("double") * F.max("nb"))
+                )
+            ),
+            2,
+        ).alias("d_over_crit_5pct"),
+    )

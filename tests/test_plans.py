@@ -1433,3 +1433,17 @@ def test_q160_sketch_table_is_day_sized(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "hll_sketch_agg" in plan or "HllSketchAgg" in plan
+
+
+def test_q161_ks_grid_is_value_space_sized(spark, sf_dir):
+    """The CDF windows must run over the quantized value GRID (one
+    partial-agg shuffle below them), with the type filter pushed to
+    the scan and one scan total."""
+    import re
+
+    from iceberg_daq_spark.queries.stats import q161
+
+    plan = plan_of(q161(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "event_type" in plan.split("PushedFilters")[1].split("]")[0]
+    assert "CartesianProduct" not in plan
