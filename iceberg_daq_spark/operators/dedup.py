@@ -3,19 +3,25 @@
 Five tiers, all shuffle-architected for 100 TB:
 
   exact          content-hash groupBy (one shuffle on a 128-bit hash)
-  ngram_jaccard  exact n-gram Jaccard via inverted-index self-join
-                 (shuffle on shingle; df_max caps hot-shingle skew)
+  ngram_jaccard  exact n-gram Jaccard.  Two discovery plans: AllPairs
+                 prefix filtering (ngram_jaccard_prefix_pairs - the
+                 registered, LOSSLESS scale path: only each doc's
+                 rarest n - ceil(t*n) + 1 shingles post to the index)
+                 and the plain inverted-index self-join with an
+                 optional df_max hot-shingle valve (complete-discovery
+                 reference / legacy valve semantics)
   minhash_lsh    map-only MinHash signatures + banded LSH candidate
                  generation, then exact verification of candidates only
   simhash        64-bit SimHash + chunk-banded Hamming candidates
   components     transitive closure of near-dup pairs into dedup
                  groups (iterative min-label propagation)
 
-At scale the ngram inverted index is the bottleneck (a shingle shared
-by d documents emits d^2 pairs); minhash_lsh is the scale path - band
-buckets bound candidate fanout, and only candidates get exact
-verification.  The reference has no near-dup operator; these extend the
-engine per the north-star contract (BASELINE.json).
+At scale the naive ngram inverted index is the bottleneck (a shingle
+shared by d documents emits d^2 pairs); prefix filtering bounds the
+per-shingle term to prefix occupancy^2 with zero recall loss, and
+minhash_lsh trades exactness for band-bucket-bounded fanout.  The
+reference has no near-dup operator; these extend the engine per the
+north-star contract (BASELINE.json).
 """
 
 from __future__ import annotations
@@ -89,6 +95,91 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.min("doc_id").alias("canonical_doc_id"),
             F.count("*").alias("n_copies"),
         )
+    )
+
+
+def ngram_jaccard_prefix_pairs(
+    docs: DataFrame, threshold: float = 0.5, k: int = 3
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via AllPairs/PPJoin prefix filtering
+    (Bayardo et al., WWW'07; Xiao et al., WWW'08) - the lossless
+    100 TB discovery path.
+
+    Order every document's shingles by ascending global document
+    frequency (ties by hash: (df, h) is a total order because df is a
+    function of h).  For Jaccard >= t a pair must share a shingle
+    within BOTH probe prefixes of length n - ceil(t*n) + 1: if it
+    didn't, all |A n B| >= ceil(t*|A|) common shingles would sit in
+    A's suffix of size ceil(t*|A|) - 1 (and symmetrically - the
+    later-ending prefix always contains a shared common token).  So
+    candidate discovery joins ONLY prefix postings - the rarest
+    (1-t) fraction of each doc's shingles - and boilerplate
+    (high-df) shingles fall out of prefixes by construction instead
+    of by a df_max cap.  Unlike the valve, NO true pair can be lost:
+    output is identical to complete discovery at every corpus, while
+    per-shingle fanout is (docs-with-it-in-prefix)^2, not df^2.
+
+    The size filter t*|B| <= |A| <= |B|/t (a Jaccard necessity) prunes
+    candidates at the posting join before the distinct; survivors are
+    verified exactly with one array_intersect over the full hashed
+    shingle sets (map-only rebuild, no second explode shuffle).
+    """
+    sets = shingle_sets(docs, k=k).cache()
+    # full hashed sets for verification: map-only, 8-byte elements
+    hs = sets.select(
+        "doc_id", F.transform("sh_set", lambda s: F.xxhash64(s)).alias("hs")
+    )
+    # carry |set| with every posting from the array (map-side) so the
+    # doc-partitioned window below computes ONLY row_number - a second
+    # unordered count-over-partition pass would double the WindowExec
+    sh = sets.select(
+        "doc_id",
+        F.size("sh_set").alias("n"),
+        F.explode("sh_set").alias("shingle"),
+    ).select("doc_id", "n", F.xxhash64("shingle").alias("h"))
+    freq = sh.groupBy("h").agg(F.count("*").alias("df"))
+    wdoc = Window.partitionBy("doc_id").orderBy("df", "h")
+    ranked = sh.join(freq, "h").select(
+        "doc_id", "h", "n", F.row_number().over(wdoc).alias("rn")
+    )
+    prefix = ranked.filter(
+        F.col("rn")
+        <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    )
+    pa = prefix.select(
+        F.col("doc_id").alias("doc_a"), "h", F.col("n").alias("n_a")
+    )
+    pb = prefix.select(
+        F.col("doc_id").alias("doc_b"), "h", F.col("n").alias("n_b")
+    )
+    cand = (
+        pa.join(pb, "h")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("n_a") >= F.lit(threshold) * F.col("n_b"))
+            & (F.col("n_b") >= F.lit(threshold) * F.col("n_a"))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ha = hs.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    hb = hs.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+    verified = (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("hs_a", "hs_b"))
+            .cast("long")
+            .alias("n_common"),
+            F.size("hs_a").alias("n_a"),
+            F.size("hs_b").alias("n_b"),
+        )
+    )
+    exact = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return verified.filter(exact >= threshold).select(
+        "doc_a", "doc_b", "n_common", F.round(exact, 4).alias("jaccard")
     )
 
 

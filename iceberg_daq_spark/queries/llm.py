@@ -28,8 +28,8 @@ _DEDUP_GROUPS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 def _dedup_groups_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shared q41-pairs -> connected-components -> groups stage:
-    df_max-valved inverted-index pair discovery + min-label/shortcut
-    propagation, memoized per (session, sf_dir).
+    prefix-filtered (lossless AllPairs) pair discovery + min-label/
+    shortcut propagation, memoized per (session, sf_dir).
 
     No .persist() here - deliberately: the expensive part (pair
     discovery + the closure rounds) is already materialized by the
@@ -44,7 +44,7 @@ def _dedup_groups_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _DEDUP_GROUPS_CACHE.get(key)
     if df is None:
         d = load(spark, sf_dir, "documents")
-        pairs = dedup.ngram_jaccard_pairs(d, threshold=0.5, df_max=128)
+        pairs = dedup.ngram_jaccard_prefix_pairs(d, threshold=0.5)
         df = dedup.dedup_groups(d, pairs)
         _DEDUP_GROUPS_CACHE[key] = df
     return df
@@ -97,17 +97,22 @@ def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs via inverted-index self-join.
+    """Exact 3-gram Jaccard near-dup pairs via AllPairs prefix-filter
+    discovery (operators/dedup.py ngram_jaccard_prefix_pairs).
 
-    Registered WITH the df_max hot-shingle valve: pair discovery skips
-    shingles shared by > 128 docs (the unbounded d^2 term at 100 TB),
-    then candidates are exact-verified from full shingle sets, so
-    (n_common, jaccard) match the valveless oracle wherever every pair
-    shares >=1 sub-hot shingle.  On this corpus max shingle df is 25
-    (sf0.1), so the result is identical to complete discovery -
-    asserted against the unvalved path in tests/test_operators.py."""
+    Discovery joins only each doc's PROBE PREFIX - its rarest
+    n - ceil(t*n) + 1 shingles under the global (df, hash) order -
+    which provably contains a shared token for every pair with
+    Jaccard >= t, so the output is identical to complete discovery
+    at EVERY corpus (unlike the earlier df_max valve, which lost
+    pairs whose shared shingles were all hot).  Boilerplate
+    shingles fall out of prefixes by construction: per-shingle
+    fanout is (prefix occupancy)^2, not df^2, the bounded 100 TB
+    shape.  Equality with the unvalved inverted-index path is
+    asserted in tests/test_operators.py including a hot-shingle
+    corpus where the valve demonstrably drops pairs."""
     d = load(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(d, threshold=0.5, df_max=128).orderBy(
+    return dedup.ngram_jaccard_prefix_pairs(d, threshold=0.5).orderBy(
         "doc_a", "doc_b"
     )
 

@@ -17,9 +17,11 @@ families are near-dups of each other but not exact), then times
 at the base and stressed scale and records per-query ratios in
 BENCH_STRESS.json.  Duplicating the corpus multiplies every shingle's
 document frequency by COPIES, so shingles that were sub-hot at sf0.1
-cross the df_max=128 valve threshold here - the run asserts the valve
-actually engages (hot shingles exist AND pair discovery excluded them)
-rather than trusting the plan test alone.
+cross the legacy df_max=128 threshold here - the run asserts the
+corpus genuinely has hot shingles, then records BOTH the legacy
+valve's sum(df^2) candidate volume and the registered prefix-filter
+discovery's sum(prefix_df^2) so the ratio between them documents how
+much fan-out the AllPairs prefix order avoids while staying lossless.
 
 Usage: python stress_bench.py   (STRESS_COPIES=10, STRESS_REPEAT=2,
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 overridable via env).
@@ -255,14 +257,47 @@ def assert_valve_engages(spark, stress_dir: str, df_max: int = 128) -> dict:
         "hot_shingles": int(row["hot"]),
         "postings_total": int(row["postings"]),
         "postings_excluded_from_discovery": int(row["hot_postings"]),
-        # sum(df^2) over sub-hot shingles = q41's candidate-pair
-        # volume.  The copy corpus multiplies every family shingle's
-        # df by ~copies, so this grows ~copies^2 x (not linearly):
-        # q41's wall-clock ratio must be read against THIS number,
-        # not the row factor - a ratio well under pairvol growth
-        # means the operator is (sub)linear in candidates.
+        # sum(df^2) over sub-hot shingles = the LEGACY valve's
+        # candidate-pair volume (kept for comparison; the registered
+        # q41 no longer pays it).
         "pair_candidate_volume": int(row["pairvol"]),
+        # sum(prefix_df^2) = the AllPairs prefix-filter discovery
+        # volume the registered q41 actually joins: only each doc's
+        # rarest n - ceil(t*n) + 1 shingles post to the index, so
+        # boilerplate drops out by construction and the volume is a
+        # fraction of df^2 while discovery stays LOSSLESS.
+        "prefix_pair_volume": _prefix_pair_volume(spark, stress_dir),
     }
+
+
+def _prefix_pair_volume(spark, sf_dir: str, threshold: float = 0.5) -> int:
+    """sum over shingles of (#docs whose probe prefix contains it)^2 -
+    the candidate volume of q41's prefix-filtered discovery."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    sets = dedup.shingle_sets(d)
+    sh = sets.select("doc_id", F.explode("sh_set").alias("s")).select(
+        "doc_id", F.xxhash64("s").alias("h")
+    )
+    freq = sh.groupBy("h").agg(F.count("*").alias("df"))
+    wdoc = Window.partitionBy("doc_id").orderBy("df", "h")
+    wall = Window.partitionBy("doc_id")
+    ranked = sh.join(freq, "h").select(
+        "doc_id",
+        "h",
+        F.row_number().over(wdoc).alias("rn"),
+        F.count("*").over(wall).alias("n"),
+    )
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    )
+    return int(
+        prefix.groupBy("h")
+        .agg(F.count("*").alias("pdf"))
+        .agg(F.sum(F.col("pdf") * F.col("pdf")).alias("v"))
+        .collect()[0]["v"]
+    )
 
 
 def base_pair_volume(spark, base_dir: str, df_max: int = 128) -> int:
@@ -337,6 +372,11 @@ def main() -> None:
     valve["pair_volume_growth"] = round(
         valve["pair_candidate_volume"] / max(base_pv, 1), 2
     )
+    base_ppv = _prefix_pair_volume(spark, base_dir)
+    valve["prefix_pair_volume_base"] = base_ppv
+    valve["prefix_volume_growth"] = round(
+        valve["prefix_pair_volume"] / max(base_ppv, 1), 2
+    )
     print(f"# valve: {valve}", file=sys.stderr)
 
     base_t = time_queries(spark, specs, names, base_dir, repeat)
@@ -374,13 +414,12 @@ def main() -> None:
             "reuses q57's dedup-groups stage within each dir (the "
             "stored-table pipeline shape); ratios are stress/base "
             "wall-clock at %dx rows. Pair-discovery queries (q41, q57) "
-            "MAY exceed linear - candidate volume is sum(df^2) over "
-            "sub-hot shingles, and the copy corpus grows it ~copies^2 "
-            "(valve.pair_volume_growth records the actual factor; read "
-            "q41's ratio against it - r9: volume x52 vs wall-clock x10, "
-            "i.e. 5x BETTER throughput per candidate at scale) - but the "
-            "df_max valve caps the per-shingle term; the LSH path is "
-            "bounded by the LSH_BUCKET_MAX occupancy valve."
+            "now run AllPairs prefix-filtered discovery (lossless): "
+            "candidate volume is sum(prefix_df^2), a fraction of the "
+            "legacy valve's sum(df^2) (valve.prefix_pair_volume vs "
+            "pair_candidate_volume; prefix_volume_growth is the honest "
+            "denominator for q41/q57 ratios). The LSH path is bounded "
+            "by the LSH_BUCKET_MAX occupancy valve."
             % (repeat, copies)
         ),
     }

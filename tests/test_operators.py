@@ -136,6 +136,59 @@ def test_ngram_jaccard_df_max_drops_only_hot_pairs(spark):
     assert (row["n_common"], row["jaccard"]) == (full_row["n_common"], full_row["jaccard"])
 
 
+def test_ngram_jaccard_prefix_equals_exact(spark, sf_dir):
+    """The registered q41 path (AllPairs prefix filtering) must equal
+    complete inverted-index discovery exactly - same pairs, same
+    n_common, same jaccard - on the real corpus."""
+    d = load(spark, sf_dir, "documents")
+    full = sorted(
+        map(tuple, dedup.ngram_jaccard_pairs(d, threshold=0.5).collect())
+    )
+    pref = sorted(
+        map(tuple, dedup.ngram_jaccard_prefix_pairs(d, threshold=0.5).collect())
+    )
+    assert full == pref and len(full) > 0
+
+
+def test_ngram_jaccard_prefix_keeps_hot_only_pairs(spark):
+    """Prefix filtering is lossless where the df_max valve is not: a
+    pair whose ONLY shared shingle is hot (df = all docs) must still
+    be discovered, because the rarest-first prefix of a doc with no
+    rarer shingles IS that hot shingle.  Same corpus as the valve
+    loss-mode test above - the valve drops (1,2); prefix keeps it."""
+    docs = spark.createDataFrame(
+        [
+            (1, "x y z"),
+            (2, "x y z"),
+            (3, "x y z w p q r"),
+            (4, "x y z v p q r"),
+        ],
+        ["doc_id", "text"],
+    )
+    full = sorted(
+        map(tuple, dedup.ngram_jaccard_pairs(docs, 0.2).collect())
+    )
+    pref = sorted(
+        map(tuple, dedup.ngram_jaccard_prefix_pairs(docs, 0.2).collect())
+    )
+    assert full == pref
+    assert (1, 2) in {(a, b) for a, b, *_ in pref}
+
+
+def test_ngram_jaccard_prefix_threshold_boundary(spark):
+    """Boundary semantics match the exact path: jaccard exactly at
+    threshold is kept, strictly below (even when it would ROUND to
+    the threshold) is dropped."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c x")], ["doc_id", "text"]
+    )
+    rows = dedup.ngram_jaccard_prefix_pairs(docs, threshold=1 / 3).collect()
+    assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in rows] == [
+        (1, 2, 0.3333)
+    ]
+    assert dedup.ngram_jaccard_prefix_pairs(docs, threshold=0.34).collect() == []
+
+
 def test_simhash_pairs_sane(spark, sf_dir):
     """SimHash near-dup pairs: symmetric-free (a<b), hamming bound
     respected, and identical texts would give hamming 0."""

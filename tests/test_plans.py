@@ -307,7 +307,8 @@ def test_q71_partial_agg_before_window(spark, sf_dir):
 
 def test_dedup_shingle_joins_keep_aqe_skew_applicable(spark, sf_dir):
     """The 100 TB skew story for the dedup family is two-layered: the
-    df_max valve bounds hot-shingle blowup algorithmically, and AQE
+    AllPairs prefix order bounds hot-shingle blowup algorithmically
+    (boilerplate never posts to the discovery index), and AQE
     skew-join splits any residual skewed partition at runtime.  The
     second layer only engages when the shingle self-join shuffles via
     ENSURE_REQUIREMENTS - a manual repartition() on the join key would
