@@ -30,4 +30,5 @@ from iceberg_daq_spark.queries import (  # noqa: F401
     allocation,
     stats,
     commerce,
+    market,
 )

@@ -55,7 +55,7 @@ def all_queries() -> dict[str, QuerySpec]:
 
 
 # The verify driver hash-checks only the FIRST 50 entries of
-# ``__spark_entry__.queries()``.  With 159 registered queries (143
+# ``__spark_entry__.queries()``.  With 165 registered queries (149
 # oracle-backed, 16 rows-only by design) the window cannot cover
 # everything, so the projection below orders queries by how much a
 # driver row is worth this round:
@@ -70,6 +70,12 @@ def all_queries() -> dict[str, QuerySpec]:
 _CHECK_FIRST = [
     # -- round-9 window -------------------------------------------------
     # (0) registered this round - never driver-checked, highest value
+    "q162_basket_lift",
+    "q163_ab_conversion_ztest",
+    "q164_mann_whitney_u",
+    "q165_copurchase_cosine",
+    "q166_user_kl_divergence",
+    "q167_last_touch_attribution",
     "q161_ks_two_sample",
     "q159_qq_table",
     "q160_sliding_hll_wau",

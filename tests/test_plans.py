@@ -1448,3 +1448,86 @@ def test_q161_ks_grid_is_value_space_sized(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert "event_type" in plan.split("PushedFilters")[1].split("]")[0]
     assert "CartesianProduct" not in plan
+
+
+def test_q162_incidence_pinned_single_fact_scan(spark, sf_dir):
+    """The (order, brand) incidence table must be reduced once and
+    pinned (localCheckpoint), so the total / marginals / pair join all
+    read the checkpoint RDD - zero parquet re-scans of lineitem - and
+    the pair generation is an equi-join, never a cartesian."""
+    import re
+
+    from iceberg_daq_spark.queries.market import q162
+
+    plan = plan_of(q162(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_q163_ztest_single_scan_partial_agg(spark, sf_dir):
+    """Both arms' (n, x) pivot in ONE partial+final aggregate pass over
+    a single scan - no join, no window, no second scan."""
+    import re
+
+    from iceberg_daq_spark.queries.market import q163
+
+    plan = plan_of(q163(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert plan.count("HashAggregate") >= 2
+    assert "Join" not in plan
+
+
+def test_q164_mwu_grid_sized_window(spark, sf_dir):
+    """Midranks must reduce to the 3-decimal value grid before the
+    rank-sum window: one scan with the type filter pushed down, and
+    the window input is the grid aggregate, not row-level events."""
+    import re
+
+    from iceberg_daq_spark.queries.market import q164
+
+    plan = plan_of(q164(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "event_type" in plan.split("PushedFilters")[1].split("]")[0]
+    assert "CartesianProduct" not in plan
+
+
+def test_q165_copurchase_pinned_and_group_limited(spark, sf_dir):
+    """The (customer, brand) incidence is pinned (zero parquet
+    re-scans), pair generation is cust-keyed equi-join, and the
+    per-brand top-3 plans a WindowGroupLimit below the rank filter."""
+    import re
+
+    from iceberg_daq_spark.queries.market import q165
+
+    plan = plan_of(q165(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_q166_kl_user_grain_pinned(spark, sf_dir):
+    """The user-grain pivot is pinned, the global mix joins back as a
+    single broadcast row, and events is never re-scanned."""
+    import re
+
+    from iceberg_daq_spark.queries.market import q166
+
+    plan = plan_of(q166(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q167_attribution_one_scan_one_window(spark, sf_dir):
+    """Last-touch attribution is one scan, one user-partitioned window
+    (running max of the prior-event struct), one partial agg - no
+    self-join of events against events."""
+    import re
+
+    from iceberg_daq_spark.queries.market import q167
+
+    plan = plan_of(q167(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert plan.count("Window") >= 1
+    assert "Join" not in plan
