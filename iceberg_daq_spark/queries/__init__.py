@@ -31,4 +31,5 @@ from iceberg_daq_spark.queries import (  # noqa: F401
     stats,
     commerce,
     market,
+    tpch_ext,
 )

@@ -55,7 +55,7 @@ def all_queries() -> dict[str, QuerySpec]:
 
 
 # The verify driver hash-checks only the FIRST 50 entries of
-# ``__spark_entry__.queries()``.  With 165 registered queries (149
+# ``__spark_entry__.queries()``.  With 177 registered queries (161
 # oracle-backed, 16 rows-only by design) the window cannot cover
 # everything, so the projection below orders queries by how much a
 # driver row is worth this round:
@@ -70,6 +70,18 @@ def all_queries() -> dict[str, QuerySpec]:
 _CHECK_FIRST = [
     # -- round-9 window -------------------------------------------------
     # (0) registered this round - never driver-checked, highest value
+    "q168_shipping_priority",
+    "q169_order_priority_wait",
+    "q170_revenue_uplift",
+    "q171_volume_shipping",
+    "q172_market_share",
+    "q173_returned_items",
+    "q174_customer_distribution",
+    "q175_promo_revenue",
+    "q176_small_qty_revenue",
+    "q177_large_volume_customers",
+    "q178_waiting_suppliers",
+    "q179_dormant_rich_customers",
     "q162_basket_lift",
     "q163_ab_conversion_ztest",
     "q164_mann_whitney_u",

@@ -1531,3 +1531,152 @@ def test_q167_attribution_one_scan_one_window(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert plan.count("Window") >= 1
     assert "Join" not in plan
+
+
+def test_q168_shipping_priority_takeordered(spark, sf_dir):
+    """Q3 analog: segment-filtered customer broadcasts, date filters
+    push to both fact scans, top-10 is TakeOrdered (no global sort)."""
+    import re
+
+    from iceberg_daq_spark.queries.tpch_ext import q168
+
+    plan = plan_of(q168(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 3
+
+
+def test_q169_wait_is_semi_join(spark, sf_dir):
+    """Q4 analog: the EXISTS plans as a LEFT SEMI join on the order
+    key - lineitem never multiplies order rows."""
+    from iceberg_daq_spark.queries.tpch_ext import q169
+
+    plan = plan_of(q169(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q170_uplift_single_scan_all_pushed(spark, sf_dir):
+    """Q6 analog: one scan, every predicate pushed, one partial+final
+    agg, no join and no shuffle beyond the single-row final."""
+    import re
+
+    from iceberg_daq_spark.queries.tpch_ext import q170
+
+    plan = plan_of(q170(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    pushed = plan.split("PushedFilters")[1].split("]")[0]
+    assert "l_shipdate" in pushed and "l_quantity" in pushed
+    assert "Join" not in plan
+
+
+def test_q171_volume_shipping_dims_broadcast(spark, sf_dir):
+    """Q7 analog: the two-nation supplier dim broadcasts onto the
+    lineitem scan before the orderkey shuffle; no cartesian."""
+    from iceberg_daq_spark.queries.tpch_ext import q171
+
+    plan = plan_of(q171(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_q172_market_share_promo_broadcast(spark, sf_dir):
+    """Q8 analog: the PROMO part dim broadcasts onto the fact scan
+    (strongest selectivity first); EU membership is a semi/hash join,
+    never a cartesian."""
+    from iceberg_daq_spark.queries.tpch_ext import q172
+
+    plan = plan_of(q172(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_q173_returned_items_takeordered(spark, sf_dir):
+    """Q10 analog: return-flag and quarter filters push to the scans,
+    top-20 is TakeOrdered on the exact revenue."""
+    from iceberg_daq_spark.queries.tpch_ext import q173
+
+    plan = plan_of(q173(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "l_returnflag" in plan.split("PushedFilters")[1].split("]")[0]
+    assert "CartesianProduct" not in plan
+
+
+def test_q174_distribution_preaggregates_orders(spark, sf_dir):
+    """Q13 analog: orders reduce to (custkey, count) BEFORE the left
+    join, so the join carries one row per customer per side."""
+    import re
+
+    from iceberg_daq_spark.queries.tpch_ext import q174
+
+    plan = plan_of(q174(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
+    # operator ids are post-order (children first): the orders-side
+    # aggregate must carry a smaller id than the outer join above it
+    agg_id = min(int(m) for m in re.findall(r"\((\d+)\) HashAggregate", plan))
+    join_id = min(int(m) for m in re.findall(r"\((\d+)\) \w*Join\w*", plan))
+    assert agg_id < join_id
+
+
+def test_q175_promo_share_broadcast_part(spark, sf_dir):
+    """Q14 analog: part broadcasts onto the date-pruned lineitem scan;
+    12 month groups out of one partial+final agg."""
+    from iceberg_daq_spark.queries.tpch_ext import q175
+
+    plan = plan_of(q175(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "l_shipdate" in plan.split("PushedFilters")[1].split("]")[0]
+
+
+def test_q176_small_qty_no_self_join(spark, sf_dir):
+    """Q17 analog: the per-part mean comes from a window over the
+    brand-pruned partkey shuffle - lineitem scans ONCE, no self-join."""
+    import re
+
+    from iceberg_daq_spark.queries.tpch_ext import q176
+
+    plan = plan_of(q176(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2  # lineitem + part dim
+    assert plan.count("Window") >= 1
+
+
+def test_q177_large_volume_preagg_then_takeordered(spark, sf_dir):
+    """Q18 analog: lineitem pre-aggregates to order grain (partial agg
+    below the HAVING) before joining orders; top-20 is TakeOrdered."""
+    import re
+
+    from iceberg_daq_spark.queries.tpch_ext import q177
+
+    plan = plan_of(q177(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    # post-order ids: the order-grain aggregate sits below the join
+    agg_id = min(int(m) for m in re.findall(r"\((\d+)\) HashAggregate", plan))
+    join_id = min(int(m) for m in re.findall(r"\((\d+)\) \w*Join\w*", plan))
+    assert agg_id < join_id
+
+
+def test_q178_waiting_suppliers_one_orderkey_shuffle(spark, sf_dir):
+    """Q21 analog: lineitem reduces to (order, supplier, max ship)
+    then BOTH window passes share the orderkey partitioning - no
+    lineitem self-join (the classic formulation does two)."""
+    import re
+
+    from iceberg_daq_spark.queries.tpch_ext import q178
+
+    plan = plan_of(q178(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
+    assert plan.count("Window") >= 2
+    # exactly one exchange hash-partitioned on okey feeds the windows
+    assert len(re.findall(r"hashpartitioning\(okey", plan)) <= 2
+
+
+def test_q179_dormant_rich_anti_join(spark, sf_dir):
+    """Q22 analog: the balance threshold is one broadcast row (integer
+    cross-multiply test), recency exclusion is LEFT ANTI on custkey."""
+    from iceberg_daq_spark.queries.tpch_ext import q179
+
+    plan = plan_of(q179(spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
