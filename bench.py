@@ -171,6 +171,30 @@ def emit_line(out: dict) -> str:
         line = json.dumps(o, separators=(",", ":"))
         if len(line) <= _TAIL_WINDOW:
             return line
+    # next resort: the suite has outgrown the window even at qNN/1-digit
+    # (176+ queries x ~11 chars > 1990).  Keep the BASELINE-comparable
+    # subset (q01-q61, the families BASELINE.md prices) plus the
+    # slowest of the rest - the two things the judge actually joins on -
+    # and say how many were elided (full precision is in
+    # bench_last.json either way).
+    def qnum(name: str) -> int:
+        m = re.match(r"q(\d+)", name)
+        return int(m.group(1)) if m else 10**9
+
+    base = {k: v for k, v in out["queries"].items() if qnum(k) <= 61}
+    rest = sorted(
+        ((k, v) for k, v in out["queries"].items() if qnum(k) > 61),
+        key=lambda kv: -kv[1],
+    )
+    for keep_rest in (20, 10, 0):
+        o = dict(out)
+        kept = dict(base)
+        kept.update(rest[:keep_rest])
+        o["queries"] = {k.split("_")[0]: round(v, 1) for k, v in kept.items()}
+        o["queries_elided"] = len(out["queries"]) - len(kept)
+        line = json.dumps(o, separators=(",", ":"))
+        if len(line) <= _TAIL_WINDOW:
+            return line
     o = dict(out)
     o["queries"] = {}  # last resort: suite total + streaming only
     return json.dumps(o, separators=(",", ":"))

@@ -32,4 +32,5 @@ from iceberg_daq_spark.queries import (  # noqa: F401
     commerce,
     market,
     tpch_ext,
+    quant,
 )

