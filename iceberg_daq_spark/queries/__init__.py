@@ -33,4 +33,5 @@ from iceberg_daq_spark.queries import (  # noqa: F401
     market,
     tpch_ext,
     quant,
+    sequence,
 )

@@ -55,7 +55,7 @@ def all_queries() -> dict[str, QuerySpec]:
 
 
 # The verify driver hash-checks only the FIRST 50 entries of
-# ``__spark_entry__.queries()``.  With 183 registered queries (167
+# ``__spark_entry__.queries()``.  With 188 registered queries (172
 # oracle-backed, 16 rows-only by design) the window cannot cover
 # everything, so the projection below orders queries by how much a
 # driver row is worth this round:
@@ -70,6 +70,11 @@ def all_queries() -> dict[str, QuerySpec]:
 _CHECK_FIRST = [
     # -- round-9 window -------------------------------------------------
     # (0) registered this round - never driver-checked, highest value
+    "q186_markov2_transitions",
+    "q187_bot_burst_score",
+    "q188_revenue_retention",
+    "q189_vocab_growth",
+    "q190_bigram_perplexity",
     "q180_seasonal_dow_index",
     "q181_wape_backtest",
     "q182_floored_balance",

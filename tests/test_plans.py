@@ -1760,3 +1760,71 @@ def test_q185_power_single_pass_no_join(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert "Join" not in plan
     assert "Generate" in plan
+
+
+def test_q186_markov2_one_window_shuffle(spark, sf_dir):
+    """Both lags come from ONE user-partitioned window; the trigram
+    agg and its conditional window run over the tiny cell table."""
+    import re
+
+    from iceberg_daq_spark.queries.sequence import q186
+
+    plan = plan_of(q186(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert len(re.findall(r"hashpartitioning\(user_id", plan)) <= 2
+    assert "Join" not in plan
+
+
+def test_q187_bot_burst_shared_user_sort(spark, sf_dir):
+    """Burst lengths and per-user stats flow through ONE lineage (the
+    islands trick + a two-level agg): one scan, no join, micros stay
+    integer, and the window passes share the user-partitioned sort."""
+    import re
+
+    from iceberg_daq_spark.queries.sequence import q187
+
+    plan = plan_of(q187(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "unix_micros" in plan
+
+
+def test_q188_retention_pinned_month_grain(spark, sf_dir):
+    """The (user, month) grain is reduced once and pinned - the
+    month-shift self-join reads the checkpoint twice, events is
+    never re-scanned."""
+    import re
+
+    from iceberg_daq_spark.queries.sequence import q188
+
+    plan = plan_of(q188(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0
+    assert "CartesianProduct" not in plan
+
+
+def test_q189_vocab_growth_word_grain_shuffle(spark, sf_dir):
+    """One explode, one word-grain agg, a broadcast doc-count row, a
+    <=10-row cumulative window - no big sort anywhere."""
+    import re
+
+    from iceberg_daq_spark.queries.sequence import q189
+
+    plan = plan_of(q189(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2  # tokens + count
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q190_perplexity_pinned_types_broadcast_model(spark, sf_dir):
+    """The per-doc bigram-type reduction is pinned (the model
+    re-aggregates from it and broadcasts back); only the vocabulary
+    count re-reads the corpus, so exactly ONE parquet scan remains."""
+    import re
+
+    from iceberg_daq_spark.queries.sequence import q190
+
+    plan = plan_of(q190(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
