@@ -34,4 +34,5 @@ from iceberg_daq_spark.queries import (  # noqa: F401
     tpch_ext,
     quant,
     sequence,
+    economics,
 )

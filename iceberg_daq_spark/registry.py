@@ -55,7 +55,7 @@ def all_queries() -> dict[str, QuerySpec]:
 
 
 # The verify driver hash-checks only the FIRST 50 entries of
-# ``__spark_entry__.queries()``.  With 188 registered queries (172
+# ``__spark_entry__.queries()``.  With 196 registered queries (180
 # oracle-backed, 16 rows-only by design) the window cannot cover
 # everything, so the projection below orders queries by how much a
 # driver row is worth this round:
@@ -70,6 +70,14 @@ def all_queries() -> dict[str, QuerySpec]:
 _CHECK_FIRST = [
     # -- round-9 window -------------------------------------------------
     # (0) registered this round - never driver-checked, highest value
+    "q191_abc_classification",
+    "q192_segment_migration",
+    "q193_customer_brand_hhi",
+    "q194_new_vs_returning",
+    "q195_repeat_purchase_cadence",
+    "q196_price_band_mix",
+    "q197_order_reconciliation",
+    "q198_laspeyres_index",
     "q186_markov2_transitions",
     "q187_bot_burst_score",
     "q188_revenue_retention",
@@ -99,6 +107,22 @@ _CHECK_FIRST = [
     "q165_copurchase_cosine",
     "q166_user_kl_divergence",
     "q167_last_touch_attribution",
+    # (a) never driver-checked rows-only queries - the round-8 VERDICT's
+    # top "What's missing" item asks for these in the window (the
+    # driver records a rows-only row for each; `no_oracle` is the
+    # expected err)
+    "q86_semdedup",
+    "q89_bpe_vocab",
+    "q90_training_prep_pipeline",
+    "q97_sim_ann_pq",
+    "q104_hll_sketch_union",
+    "q160_sliding_hll_wau",
+    # (b) implementation changed in round 9 - want fresh green rows
+    "q117_triangle_count",  # CELL_MEMBER_MAX co-presence valve
+    "q103_metric_anomalies",  # size-aware rolling-substrate switch
+    "q106_fuzzy_match",  # sorted-neighborhood redesign (linear candidates)
+    # (c) round-9 registrations that no longer fit are ordered below;
+    # whatever spills past 50 rotates into round 10's window
     "q161_ks_two_sample",
     "q159_qq_table",
     "q155_cohort_ltv",
@@ -132,20 +156,7 @@ _CHECK_FIRST = [
     "q130_decayed_engagement",
     "q131_mad_outliers",
     "q132_rfm_segmentation",
-    # (a) never driver-checked rows-only queries (judge: rotate them
-    # in when the oracle-backed backlog clears; the driver records a
-    # rows-only row for each - `no_oracle` is the expected err)
-    "q160_sliding_hll_wau",
-    "q86_semdedup",
-    "q89_bpe_vocab",
-    "q90_training_prep_pipeline",
-    "q97_sim_ann_pq",
-    "q104_hll_sketch_union",
-    # (b) implementation changed in round 9 - want fresh green rows
-    "q117_triangle_count",  # CELL_MEMBER_MAX co-presence valve
-    "q103_metric_anomalies",  # size-aware rolling-substrate switch
-    "q106_fuzzy_match",  # sorted-neighborhood redesign (linear candidates)
-    # (c) stalest oracle-backed rows in the registry (last green r6)
+    # (d) stalest oracle-backed rows in the registry (last green r6)
     "q01_scan_filter_project",
     "q02_pushdown_shapes",
     "q03_inner_join_agg",

@@ -1828,3 +1828,107 @@ def test_q190_perplexity_pinned_types_broadcast_model(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_q191_abc_part_grain_pinned(spark, sf_dir):
+    """Lineitem reduces to part grain first and the reduction is
+    pinned (zero parquet re-scans); the cumulative window runs over
+    the dimension-sized table; class boundaries are integer."""
+    import re
+
+    from iceberg_daq_spark.queries.economics import q191
+
+    plan = plan_of(q191(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0
+    assert "CartesianProduct" not in plan
+
+
+def test_q192_migration_pinned_month_grain(spark, sf_dir):
+    """The (user, month) grain is pinned; the month-shift join reads
+    the checkpoint twice; the matrix shares are window-sums over
+    <= 12 cells."""
+    import re
+
+    from iceberg_daq_spark.queries.economics import q192
+
+    plan = plan_of(q192(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0
+    assert "CartesianProduct" not in plan
+
+
+def test_q193_hhi_one_custbrand_shuffle(spark, sf_dir):
+    """Part broadcasts onto the fact scan, the orderkey join feeds ONE
+    (cust, brand) partial-agg shuffle, and windows/HHI run over that
+    reduction - no fact-sized sort."""
+    import re
+
+    from iceberg_daq_spark.queries.economics import q193
+
+    plan = plan_of(q193(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 3
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_q194_new_returning_single_consumption(spark, sf_dir):
+    """First-month derives FROM the pinned month grain (no events
+    re-scan) and joins back on the grain's own key."""
+    import re
+
+    from iceberg_daq_spark.queries.economics import q194
+
+    plan = plan_of(q194(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0
+    assert "CartesianProduct" not in plan
+
+
+def test_q195_cadence_one_window_one_row(spark, sf_dir):
+    """Purchase filter pushed to the scan, one user-partitioned lag
+    window, one global row out - no join."""
+    import re
+
+    from iceberg_daq_spark.queries.economics import q195
+
+    plan = plan_of(q195(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "event_type" in plan.split("PushedFilters")[1].split("]")[0]
+    assert "Join" not in plan
+
+
+def test_q196_banding_sorts_dimension_only(spark, sf_dir):
+    """The ntile banding sorts the part DIMENSION and broadcasts back
+    onto the fact scan - the fact table is never globally sorted."""
+    import re
+
+    from iceberg_daq_spark.queries.economics import q196
+
+    plan = plan_of(q196(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_q197_recon_preagg_below_join(spark, sf_dir):
+    """Lineitem pre-aggregates to order grain before the co-partitioned
+    orders join (post-order ids: aggregate below join)."""
+    import re
+
+    from iceberg_daq_spark.queries.economics import q197
+
+    plan = plan_of(q197(spark, sf_dir))
+    agg_id = min(int(m) for m in re.findall(r"\((\d+)\) HashAggregate", plan))
+    join_id = min(int(m) for m in re.findall(r"\((\d+)\) \w*Join\w*", plan))
+    assert agg_id < join_id
+    assert "CartesianProduct" not in plan
+
+
+def test_q198_laspeyres_pinned_part_year_grain(spark, sf_dir):
+    """The (part, year) grain is pinned - base-year basket and probe
+    both read the checkpoint, lineitem scans once."""
+    import re
+
+    from iceberg_daq_spark.queries.economics import q198
+
+    plan = plan_of(q198(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0
+    assert "CartesianProduct" not in plan
