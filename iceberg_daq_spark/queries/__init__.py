@@ -35,4 +35,5 @@ from iceberg_daq_spark.queries import (  # noqa: F401
     quant,
     sequence,
     economics,
+    mining,
 )

@@ -55,7 +55,7 @@ def all_queries() -> dict[str, QuerySpec]:
 
 
 # The verify driver hash-checks only the FIRST 50 entries of
-# ``__spark_entry__.queries()``.  With 196 registered queries (180
+# ``__spark_entry__.queries()``.  With 200 registered queries (184
 # oracle-backed, 16 rows-only by design) the window cannot cover
 # everything, so the projection below orders queries by how much a
 # driver row is worth this round:
@@ -70,6 +70,10 @@ def all_queries() -> dict[str, QuerySpec]:
 _CHECK_FIRST = [
     # -- round-9 window -------------------------------------------------
     # (0) registered this round - never driver-checked, highest value
+    "q199_label_propagation",
+    "q200_wilson_ranking",
+    "q201_grid_hotspot",
+    "q202_weekend_did",
     "q191_abc_classification",
     "q192_segment_migration",
     "q193_customer_brand_hhi",

@@ -1932,3 +1932,56 @@ def test_q198_laspeyres_pinned_part_year_grain(spark, sf_dir):
     plan = plan_of(q198(spark, sf_dir))
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0
     assert "CartesianProduct" not in plan
+
+
+def test_q199_lpa_pinned_edges_broadcast_labels(spark, sf_dir):
+    """The incidence and edge tables are pinned (zero parquet
+    re-scans); each LPA round joins the small label table by
+    broadcast and resolves argmax via a ranked window."""
+    import re
+
+    from iceberg_daq_spark.queries.mining import q199
+
+    plan = plan_of(q199(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") >= 2
+
+
+def test_q200_wilson_single_pass(spark, sf_dir):
+    """Ten (n, x) pairs from one partial+final agg over one scan; no
+    join; the rank is a TakeOrdered-able sort over 10 rows."""
+    import re
+
+    from iceberg_daq_spark.queries.mining import q200
+
+    plan = plan_of(q200(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Join" not in plan
+
+
+def test_q201_hotspot_cell_grain_neighborhood(spark, sf_dir):
+    """Points reduce to CELL grain (pinned) before the 9-offset
+    equi-join neighborhood; global moments broadcast as one row;
+    no distance cross-join anywhere."""
+    import re
+
+    from iceberg_daq_spark.queries.mining import q201
+
+    plan = plan_of(q201(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q202_did_single_pass_no_join(spark, sf_dir):
+    """All eight DiD cells pivot in ONE partial+final aggregate pass
+    over a single scan."""
+    import re
+
+    from iceberg_daq_spark.queries.mining import q202
+
+    plan = plan_of(q202(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert plan.count("HashAggregate") >= 2
+    assert "Join" not in plan
