@@ -36,4 +36,5 @@ from iceberg_daq_spark.queries import (  # noqa: F401
     sequence,
     economics,
     mining,
+    embedding_eval,
 )

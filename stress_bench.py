@@ -81,6 +81,17 @@ STRESS_QUERIES = [
     # q103-style caveat - only 5 partitions absorb 10x rows, so its
     # ratio is the honest cost of the unsegmented registered plan
     "q133", "q136", "q138", "q142", "q141", "q144", "q137", "q145",
+    # r9 wave 3: the session's new heavy shapes over the clones.
+    # q162/q165 pair joins are bounded by basket/brand cardinality
+    # (25 brands regardless of rows: ~linear); q187's islands +
+    # two-level agg collapses 10x users with one window pass
+    # (~linear); q190's token stream and bigram model grow ~linearly
+    # (per-type micro-nat scoring is map-side after the broadcast);
+    # q191's ABC window runs over the part grain (10x parts but the
+    # cloned lineitem references only original partkeys - the
+    # reduction, not the fact, sets the cost); q199's LPA rounds are
+    # edge-table-sized (<= 25 nodes always: must be flat)
+    "q162", "q165", "q187", "q190", "q191", "q199",
 ]
 # superlinear-blowup tripwire: 10x rows may legitimately cost more than
 # 10x on the pair-counting queries (pair count itself grows with the

