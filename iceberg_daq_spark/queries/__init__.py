@@ -37,4 +37,5 @@ from iceberg_daq_spark.queries import (  # noqa: F401
     economics,
     mining,
     embedding_eval,
+    attribution,
 )

@@ -2014,3 +2014,27 @@ def test_q204_knn_sample_broadcasts(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
     assert "vec_id" in plan.split("PushedFilters")[1].split("]")[0] or True
+
+
+def test_q205_attribution_no_self_join_for_journeys(spark, sf_dir):
+    """Journey ids come from a reverse cumulative purchase count - one
+    user-partitioned sort, no events-vs-events self-join; the credit
+    join is (user, journey)-keyed over the same partitioning."""
+    import re
+
+    from iceberg_daq_spark.queries.attribution import q205
+
+    plan = plan_of(q205(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 2
+    assert plan.count("Window") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_q206_ri_audit_anti_joins(spark, sf_dir):
+    """Every FK edge is a LEFT ANTI join (dims broadcast); counts are
+    single partial-agg rows unioned into the report."""
+    from iceberg_daq_spark.queries.attribution import q206
+
+    plan = plan_of(q206(spark, sf_dir))
+    assert plan.count("LeftAnti") >= 5
+    assert "CartesianProduct" not in plan
