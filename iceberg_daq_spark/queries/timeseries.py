@@ -410,25 +410,45 @@ def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduction, rounded at 4.  The last observation of each series
     has no interval and is excluded on both sides.
 
-    100 TB shape: one per-type window for lead() (the q103 caveat
-    applies - a handful of giant type partitions; the documented
-    scale path segments by (type, day) and stitches the one
-    boundary interval per segment, exact because both folds are
-    associative), then a partial+final agg.  No joins, one scan."""
+    100 TB shape: the lead() window is SEGMENTED by (type, day) -
+    millions of bounded partitions instead of one giant partition per
+    type (the q103 caveat this plan used to carry) - and the one
+    boundary interval per segment is stitched from a (type, day)
+    summary table via a GRID-sized lead window: the union of
+    within-segment and boundary intervals is interval-for-interval
+    identical to the unsegmented plan (same dt multiset, same
+    values), so the oracle is unchanged.  No fact-table join, one
+    scan + one grid pass."""
     e = load(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
     us = (F.col("ts").cast("double") * 1e6).cast("bigint")
-    seq = e.select(
+    day = F.floor(us / F.lit(86_400_000_000)).cast("bigint")
+    rows = e.select(
         "event_type",
         "value",
-        (
-            F.lead((F.col("ts").cast("double") * 1e6).cast("bigint")).over(w)
-            - us
-        ).alias("dt_us"),
+        "ts",
+        "event_id",
+        us.alias("us"),
+        day.alias("d"),
     )
+    wseg = Window.partitionBy("event_type", "d").orderBy("ts", "event_id")
+    within = rows.select(
+        "event_type",
+        "value",
+        (F.lead("us").over(wseg) - F.col("us")).alias("dt_us"),
+    ).filter(F.col("dt_us").isNotNull())
+    summary = rows.groupBy("event_type", "d").agg(
+        F.max(F.struct("us", "event_id", "value")).alias("last"),
+        F.min(F.struct("us", "event_id")).alias("first"),
+    )
+    wtype = Window.partitionBy("event_type").orderBy("d")
+    boundary = summary.select(
+        "event_type",
+        F.col("last.value").alias("value"),
+        (F.lead("first.us").over(wtype) - F.col("last.us")).alias("dt_us"),
+    ).filter(F.col("dt_us").isNotNull())
+    seq = within.unionByName(boundary)
     return (
-        seq.filter(F.col("dt_us").isNotNull())
-        .groupBy("event_type")
+        seq.groupBy("event_type")
         .agg(
             F.count("dt_us").cast("bigint").alias("n_intervals"),
             F.round(F.sum("dt_us") / 1e6, 2).alias("total_secs"),

@@ -77,9 +77,9 @@ STRESS_QUERIES = [
     # any window (~linear); q141's ten-moment OLS and q144's digit
     # census are single partial-agg passes over 10x rows (~linear);
     # q137 prorates 10x orders x lines with per-order windows
-    # (~linear); q145's per-TYPE lead() window is the documented
-    # q103-style caveat - only 5 partitions absorb 10x rows, so its
-    # ratio is the honest cost of the unsegmented registered plan
+    # (~linear); q145's lead() window is now SEGMENTED by (type, day)
+    # with grid-stitched boundary intervals - the former per-TYPE
+    # 5-partition caveat is gone and its ratio must be ~flat
     "q133", "q136", "q138", "q142", "q141", "q144", "q137", "q145",
     # r9 wave 3: the session's new heavy shapes over the clones.
     # q162/q165 pair joins are bounded by basket/brand cardinality

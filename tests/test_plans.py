@@ -1220,15 +1220,18 @@ def test_q144_benford_digit_extraction_map_side(spark, sf_dir):
     assert "BatchEvalPython" not in plan
 
 
-def test_q145_twap_single_scan_one_window(spark, sf_dir):
-    """TWAP must be one scan, one per-type window for lead(), one
-    partial+final agg - no joins, no Python."""
+def test_q145_twap_segmented_window(spark, sf_dir):
+    """TWAP's lead() window must be SEGMENTED by (type, day) - bounded
+    partitions, never one giant per-type partition - with the
+    boundary intervals stitched from the grid-sized summary; no joins,
+    no Python (the union is not a join)."""
     import re
 
     from iceberg_daq_spark.queries.timeseries import q145
 
     plan = plan_of(q145(spark, sf_dir))
-    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
+    assert re.search(r"hashpartitioning\(event_type[^)]*,\s*d", plan)
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan
 
