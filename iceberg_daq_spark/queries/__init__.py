@@ -38,4 +38,5 @@ from iceberg_daq_spark.queries import (  # noqa: F401
     mining,
     embedding_eval,
     attribution,
+    reporting,
 )

@@ -2041,3 +2041,34 @@ def test_q206_ri_audit_anti_joins(spark, sf_dir):
     plan = plan_of(q206(spark, sf_dir))
     assert plan.count("LeftAnti") >= 5
     assert "CartesianProduct" not in plan
+
+
+def test_q207_yoy_pinned_week_grain(spark, sf_dir):
+    """Orders reduce to the week grain once (pinned) - the 52-week
+    shift self-join reads the checkpoint, no second orders scan."""
+    import re
+
+    from iceberg_daq_spark.queries.reporting import q207
+
+    plan = plan_of(q207(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0
+    assert "CartesianProduct" not in plan
+
+
+def test_q208_backlog_is_sweep_not_interval_join(spark, sf_dir):
+    """Overlap counting must be the +1/-1 sweep: order-grain partial
+    agg below the orderkey join, a delta-grid union agg, one
+    grid-sized prefix window - and NO day-in-span interval join
+    (no range-condition join anywhere)."""
+    import re
+
+    from iceberg_daq_spark.queries.reporting import q208
+
+    plan = plan_of(q208(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Union" in plan
+    assert "CartesianProduct" not in plan
+    # the order-grain span table is pinned: the lineitem x orders join
+    # ran once at checkpoint time, and the sweep itself adds NO join
+    assert len(re.findall(r"\(\d+\) \w*Join\w*", plan)) == 0
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0
