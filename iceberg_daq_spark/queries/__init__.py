@@ -39,4 +39,5 @@ from iceberg_daq_spark.queries import (  # noqa: F401
     embedding_eval,
     attribution,
     reporting,
+    sre,
 )

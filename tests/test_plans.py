@@ -2072,3 +2072,40 @@ def test_q208_backlog_is_sweep_not_interval_join(spark, sf_dir):
     # ran once at checkpoint time, and the sweep itself adds NO join
     assert len(re.findall(r"\(\d+\) \w*Join\w*", plan)) == 0
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0
+
+
+def test_q209_burn_hour_grid(spark, sf_dir):
+    """One scan to the time-span-bounded hour grid, then a single
+    summary row; the burn test is integer (errs * 100 > n)."""
+    import re
+
+    from iceberg_daq_spark.queries.sre import q209
+
+    plan = plan_of(q209(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Join" not in plan
+
+
+def test_q210_incidents_error_substream_only(spark, sf_dir):
+    """The islands windows run over the ERROR substream only - the
+    type filter must push to the scan; no join anywhere."""
+    import re
+
+    from iceberg_daq_spark.queries.sre import q210
+
+    plan = plan_of(q210(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "event_type" in plan.split("PushedFilters")[1].split("]")[0]
+    assert "Join" not in plan
+
+
+def test_q211_burstiness_minute_grid(spark, sf_dir):
+    """One scan to the minute grid, exact percentiles over it, one
+    summary row."""
+    import re
+
+    from iceberg_daq_spark.queries.sre import q211
+
+    plan = plan_of(q211(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Join" not in plan
