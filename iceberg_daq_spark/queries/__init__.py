@@ -40,4 +40,5 @@ from iceberg_daq_spark.queries import (  # noqa: F401
     attribution,
     reporting,
     sre,
+    scorecard,
 )

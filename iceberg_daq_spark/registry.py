@@ -55,7 +55,7 @@ def all_queries() -> dict[str, QuerySpec]:
 
 
 # The verify driver hash-checks only the FIRST 50 entries of
-# ``__spark_entry__.queries()``.  With 209 registered queries (193
+# ``__spark_entry__.queries()``.  With 211 registered queries (195
 # oracle-backed, 16 rows-only by design) the window cannot cover
 # everything, so the projection below orders queries by how much a
 # driver row is worth this round:
@@ -70,6 +70,8 @@ def all_queries() -> dict[str, QuerySpec]:
 _CHECK_FIRST = [
     # -- round-9 window -------------------------------------------------
     # (0) registered this round - never driver-checked, highest value
+    "q212_supplier_scorecard",
+    "q213_join_skew_audit",
     "q209_error_budget_burn",
     "q210_incident_mttr",
     "q211_traffic_burstiness",

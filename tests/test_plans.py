@@ -2109,3 +2109,32 @@ def test_q211_burstiness_minute_grid(spark, sf_dir):
     plan = plan_of(q211(spark, sf_dir))
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert "Join" not in plan
+
+
+def test_q212_scorecard_single_supplier_pass(spark, sf_dir):
+    """All four metric families reduce in ONE supplier-grain
+    aggregation (pinned - zero parquet re-scans); names broadcast;
+    top-20 is TakeOrdered on exact cents."""
+    import re
+
+    from iceberg_daq_spark.queries.scorecard import q212
+
+    plan = plan_of(q212(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1  # supplier dim
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q213_skew_audit_unions_key_grain(spark, sf_dir):
+    """Each audited column reduces to (key, count) BEFORE the union -
+    the union never carries raw fact rows; the heaviest key resolves
+    with a per-join-key window over the key-grain table."""
+    import re
+
+    from iceberg_daq_spark.queries.scorecard import q213
+
+    plan = plan_of(q213(spark, sf_dir))
+    assert "Union" in plan
+    assert "Join" not in plan
+    # five audited columns -> five scans, each feeding its own agg
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 5
