@@ -41,4 +41,5 @@ from iceberg_daq_spark.queries import (  # noqa: F401
     reporting,
     sre,
     scorecard,
+    retail,
 )

@@ -55,7 +55,7 @@ def all_queries() -> dict[str, QuerySpec]:
 
 
 # The verify driver hash-checks only the FIRST 50 entries of
-# ``__spark_entry__.queries()``.  With 211 registered queries (195
+# ``__spark_entry__.queries()``.  With 214 registered queries (198
 # oracle-backed, 16 rows-only by design) the window cannot cover
 # everything, so the projection below orders queries by how much a
 # driver row is worth this round:
@@ -70,6 +70,9 @@ def all_queries() -> dict[str, QuerySpec]:
 _CHECK_FIRST = [
     # -- round-9 window -------------------------------------------------
     # (0) registered this round - never driver-checked, highest value
+    "q214_segment_basket_size",
+    "q215_discount_ladder",
+    "q216_order_regularity",
     "q212_supplier_scorecard",
     "q213_join_skew_audit",
     "q209_error_budget_burn",

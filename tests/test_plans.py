@@ -2138,3 +2138,42 @@ def test_q213_skew_audit_unions_key_grain(spark, sf_dir):
     assert "Join" not in plan
     # five audited columns -> five scans, each feeding its own agg
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 5
+
+
+def test_q214_basket_reduces_to_order_grain(spark, sf_dir):
+    """Lineitem reduces through the orderkey join to ORDER grain
+    before the 5-segment percentile agg; no cartesian."""
+    import re
+
+    from iceberg_daq_spark.queries.retail import q214
+
+    plan = plan_of(q214(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 3
+    assert "CartesianProduct" not in plan
+
+
+def test_q215_ladder_pinned_single_scan(spark, sf_dir):
+    """The 11-rung ladder is pinned - the total and the display read
+    the checkpoint, lineitem scans once at checkpoint time."""
+    import re
+
+    from iceberg_daq_spark.queries.retail import q215
+
+    plan = plan_of(q215(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0
+    assert "CartesianProduct" not in plan
+
+
+def test_q216_regularity_one_key_shuffle(spark, sf_dir):
+    """The lag window and the moment agg share the custkey
+    partitioning; variance numerators are integer (no float moment
+    aggregates in the plan); top-20 is TakeOrdered."""
+    import re
+
+    from iceberg_daq_spark.queries.retail import q216
+
+    plan = plan_of(q216(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "TakeOrderedAndProject" in plan
+    assert "stddev" not in plan and "var_samp" not in plan
+    assert "Join" not in plan
