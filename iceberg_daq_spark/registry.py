@@ -88,6 +88,20 @@ _CHECK_FIRST = [
     "q200_wilson_ranking",
     "q201_grid_hotspot",
     "q202_weekend_did",
+    # (a) never driver-checked rows-only queries - the round-8 VERDICT's
+    # top "What's missing" item asks for these in the window (the
+    # driver records a rows-only row for each; `no_oracle` is the
+    # expected err)
+    "q86_semdedup",
+    "q89_bpe_vocab",
+    "q90_training_prep_pipeline",
+    "q97_sim_ann_pq",
+    "q104_hll_sketch_union",
+    "q160_sliding_hll_wau",
+    # (b) implementation changed in round 9 - want fresh green rows
+    "q117_triangle_count",  # CELL_MEMBER_MAX co-presence valve
+    "q103_metric_anomalies",  # size-aware rolling-substrate switch
+    "q106_fuzzy_match",  # sorted-neighborhood redesign (linear candidates)
     "q191_abc_classification",
     "q192_segment_migration",
     "q193_customer_brand_hhi",
@@ -125,20 +139,6 @@ _CHECK_FIRST = [
     "q165_copurchase_cosine",
     "q166_user_kl_divergence",
     "q167_last_touch_attribution",
-    # (a) never driver-checked rows-only queries - the round-8 VERDICT's
-    # top "What's missing" item asks for these in the window (the
-    # driver records a rows-only row for each; `no_oracle` is the
-    # expected err)
-    "q86_semdedup",
-    "q89_bpe_vocab",
-    "q90_training_prep_pipeline",
-    "q97_sim_ann_pq",
-    "q104_hll_sketch_union",
-    "q160_sliding_hll_wau",
-    # (b) implementation changed in round 9 - want fresh green rows
-    "q117_triangle_count",  # CELL_MEMBER_MAX co-presence valve
-    "q103_metric_anomalies",  # size-aware rolling-substrate switch
-    "q106_fuzzy_match",  # sorted-neighborhood redesign (linear candidates)
     # (c) round-9 registrations that no longer fit are ordered below;
     # whatever spills past 50 rotates into round 10's window
     "q161_ks_two_sample",
