@@ -68,63 +68,54 @@ def all_queries() -> dict[str, QuerySpec]:
 #   6. rows-only queries (the driver can never hash-verify these; local
 #      tests assert their semantics) - always last.
 _CHECK_FIRST = [
-    # -- round-9 window -------------------------------------------------
-    # (0) registered this round - never driver-checked, highest value
-    "q214_segment_basket_size",
-    "q215_discount_ladder",
-    "q216_order_regularity",
-    "q212_supplier_scorecard",
-    "q213_join_skew_audit",
-    "q209_error_budget_burn",
-    "q210_incident_mttr",
-    "q211_traffic_burstiness",
-    "q207_weekly_yoy",
-    "q208_order_backlog",
-    "q205_position_attribution",
-    "q206_referential_integrity",
-    "q203_label_separation",
-    "q204_knn_label_agreement",
-    "q199_label_propagation",
-    "q200_wilson_ranking",
-    "q201_grid_hotspot",
-    "q202_weekend_did",
-    # (a) never driver-checked rows-only queries - the round-8 VERDICT's
-    # top "What's missing" item asks for these in the window (the
-    # driver records a rows-only row for each; `no_oracle` is the
-    # expected err)
-    "q86_semdedup",
-    "q89_bpe_vocab",
-    "q90_training_prep_pipeline",
-    "q97_sim_ann_pq",
-    "q104_hll_sketch_union",
-    "q160_sliding_hll_wau",
-    # (b) implementation changed in round 9 - want fresh green rows
-    "q117_triangle_count",  # CELL_MEMBER_MAX co-presence valve
-    "q103_metric_anomalies",  # size-aware rolling-substrate switch
-    "q106_fuzzy_match",  # sorted-neighborhood redesign (linear candidates)
-    "q191_abc_classification",
-    "q192_segment_migration",
-    "q193_customer_brand_hhi",
-    "q194_new_vs_returning",
-    "q195_repeat_purchase_cadence",
-    "q196_price_band_mix",
-    "q197_order_reconciliation",
-    "q198_laspeyres_index",
-    "q186_markov2_transitions",
-    "q187_bot_burst_score",
-    "q188_revenue_retention",
-    "q189_vocab_growth",
-    "q190_bigram_perplexity",
-    "q180_seasonal_dow_index",
-    "q181_wape_backtest",
-    "q182_floored_balance",
-    "q183_max_drawdown",
-    "q184_weekend_lift",
-    "q185_power_analysis",
-    "q168_shipping_priority",
-    "q169_order_priority_wait",
-    "q170_revenue_uplift",
-    "q171_volume_shipping",
+    # -- round-10 window ------------------------------------------------
+    # The round-9 VERDICT's #1 item: the 47 registered queries that have
+    # NEVER had a driver CORRECTNESS row (two rounds of new registrations
+    # out-competed them for window slots; all 47 pass the local DuckDB
+    # oracle on sf0.001 AND a perturbed copy — tests/test_oracle*.py).
+    # They fit in one 50-slot window; the 3 spare slots go to the stalest
+    # oracle-backed rows in the registry (q01/q02/q12, last green r6).
+    # q157_kcore is rows-only by design: the driver records a `no_oracle`
+    # row for it, which is exactly the surfacing the verdict asked for.
+    "q128_degree_distribution",
+    "q129_cusum_changepoint",
+    "q130_decayed_engagement",
+    "q131_mad_outliers",
+    "q132_rfm_segmentation",
+    "q133_bfs_reach",
+    "q134_scd2_pit_join",
+    "q135_mutual_information",
+    "q136_session_pattern",
+    "q137_largest_remainder_prorate",
+    "q138_trailing_actives",
+    "q139_quantile_normalize",
+    "q140_chi_square_independence",
+    "q141_ols_two_factor",
+    "q142_kaplan_meier_churn",
+    "q143_gini_concentration",
+    "q144_benford_first_digit",
+    "q145_time_weighted_avg",
+    "q146_winsorized_stats",
+    "q147_psi_drift",
+    "q148_lead_lag_xcorr",
+    "q149_user_feature_matrix",
+    "q150_session_summary",
+    "q151_shipping_sla",
+    "q152_discount_elasticity",
+    "q153_supplier_hhi",
+    "q154_activity_heatmap",
+    "q155_cohort_ltv",
+    "q156_mix_shift_bridge",
+    "q157_kcore",
+    "q158_event_doublefire",
+    "q159_qq_table",
+    "q161_ks_two_sample",
+    "q162_basket_lift",
+    "q163_ab_conversion_ztest",
+    "q164_mann_whitney_u",
+    "q165_copurchase_cosine",
+    "q166_user_kl_divergence",
+    "q167_last_touch_attribution",
     "q172_market_share",
     "q173_returned_items",
     "q174_customer_distribution",
@@ -133,64 +124,24 @@ _CHECK_FIRST = [
     "q177_large_volume_customers",
     "q178_waiting_suppliers",
     "q179_dormant_rich_customers",
-    "q162_basket_lift",
-    "q163_ab_conversion_ztest",
-    "q164_mann_whitney_u",
-    "q165_copurchase_cosine",
-    "q166_user_kl_divergence",
-    "q167_last_touch_attribution",
-    # (c) round-9 registrations that no longer fit are ordered below;
-    # whatever spills past 50 rotates into round 10's window
-    "q161_ks_two_sample",
-    "q159_qq_table",
-    "q155_cohort_ltv",
-    "q156_mix_shift_bridge",
-    "q158_event_doublefire",
-    "q157_kcore",
-    "q151_shipping_sla",
-    "q152_discount_elasticity",
-    "q153_supplier_hhi",
-    "q154_activity_heatmap",
-    "q147_psi_drift",
-    "q148_lead_lag_xcorr",
-    "q149_user_feature_matrix",
-    "q150_session_summary",
-    "q144_benford_first_digit",
-    "q145_time_weighted_avg",
-    "q146_winsorized_stats",
-    "q140_chi_square_independence",
-    "q141_ols_two_factor",
-    "q142_kaplan_meier_churn",
-    "q143_gini_concentration",
-    "q133_bfs_reach",
-    "q134_scd2_pit_join",
-    "q135_mutual_information",
-    "q136_session_pattern",
-    "q137_largest_remainder_prorate",
-    "q138_trailing_actives",
-    "q139_quantile_normalize",
-    "q128_degree_distribution",
-    "q129_cusum_changepoint",
-    "q130_decayed_engagement",
-    "q131_mad_outliers",
-    "q132_rfm_segmentation",
-    # (d) stalest oracle-backed rows in the registry (last green r6)
+    # spare slots: stalest oracle-backed driver rows (r6)
     "q01_scan_filter_project",
     "q02_pushdown_shapes",
+    "q12_hash_agg_measures",
+    # ---- 50-entry window boundary -------------------------------------
+    # Everything below spills past the driver's window this round and is
+    # the round-11 rotation backlog: the remaining r6-stale rows first,
+    # then the r7-stale §2B contract core.
     "q03_inner_join_agg",
     "q04_broadcast_join",
     "q05_multiway_join",
     "q06_left_outer_join",
     "q07_left_semi_join",
     "q11_cross_join",
-    "q12_hash_agg_measures",
     "q13_distinct_agg",
     "q21_sort_limit_topk",
     "q36_config_rewrite",
     "q66_vocab_topk",
-    # (d) r7-stale rotation, first half: the section-2B contract core
-    # plus the ETL/dedup/similarity heads; the remaining r7-stale
-    # extensions (q46-q54, q58-q74 tail) rotate through in round 10
     "q08_left_anti_join",
     "q09_range_join",
     "q10_asof_join",
