@@ -185,6 +185,187 @@ def grouped_rank(
     )
 
 
+# Group sizes up to this many rows use Spark's buffered exact
+# ``percentile`` aggregate directly; above it the plan switches to the
+# distributed rank-based selection below.  2M doubles is ~16 MB of
+# sort buffer - comfortably one-task territory - while the failure
+# mode this guards against (5 market segments x billions of fact rows
+# at 100 TB) is 3 orders of magnitude past it.  Same probe-and-switch
+# family as q103's rolling-substrate valve (queries/windows.py), whose
+# threshold is lower because a windowed aggregate serializes the whole
+# group through one task TIMELINE, not just one sort buffer.
+GIANT_GROUP_ROWS = 2_000_000
+
+
+def grouped_exact_percentile(
+    df: DataFrame,
+    part_cols: list[str],
+    specs: list[tuple[str, float, str]],
+    extra_aggs: list[Column] | None = None,
+    giant_group_rows: int | None = None,
+    input_rows: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact interpolated percentiles per group, size-aware.
+
+    ``specs`` is a list of ``(value_col, fraction, out_name)``; the
+    result has one row per ``part_cols`` group with each ``out_name``
+    as a DOUBLE plus any ``extra_aggs`` (ordinary aggregate Columns
+    evaluated over the same groups).  ``part_cols=[]`` means one
+    global group.
+
+    Spark's ``percentile`` is a sort-based TypedImperativeAggregate
+    that BUFFERS each group's values in one task - the right tool when
+    groups are small, a scale-killer when a handful of giant groups
+    hold the corpus (5 market segments x billions of rows = 5 tasks
+    each sorting a corpus-sized slice).  This helper probes the max
+    group size first (one partial-agg scan returning a single scalar,
+    the q103 pattern) and picks:
+
+      - ``max group <= giant_group_rows``: one ``groupBy().agg()``
+        with ``F.percentile`` - identical to the naive plan.
+      - above: the :func:`grouped_rank` two-pass range layout per
+        value column.  Every row gets its exact within-group rank and
+        the group's non-null count without any single-task sort; the
+        percentile then SELECTS the two boundary order statistics per
+        requested fraction (<= 2 rows per spec per group survive the
+        filter) and interpolates with the exact formula Spark's
+        ``percentile`` uses - ``lo == hi ? v_lo : (hi-pos)*v_lo +
+        (pos-lo)*v_hi`` with ``pos = p*(n-1)`` - so the switch cannot
+        change the answer.
+
+    Because BOTH branches are exact, the switch only affects the
+    PLAN, never the result - so the size signal may be a cheap upper
+    bound.  Callers that know their input grain pass ``input_rows``
+    (e.g. the base fact table's parquet row count - a columnless
+    metadata-weight scan): at or below the threshold the small plan
+    is provably safe and NO probe job runs at all; above it the
+    giant plan is taken directly (for the low-cardinality groupings
+    this operator targets, a fact-scale input means fact-scale
+    groups).  Without ``input_rows`` the helper probes the exact max
+    group size - one partial-agg scan returning a single scalar.
+    ``giant_group_rows=None`` reads the module-level
+    ``GIANT_GROUP_ROWS`` at call time (tests pin it low to drive the
+    giant branch through the real registered queries against the
+    DuckDB oracle).
+
+    NULL handling matches ``F.percentile``: NULL values are excluded
+    per value column (the group's count is the non-null count), and a
+    group whose values are all NULL still appears with NULL
+    percentiles.  Ties need no tiebreak: ranks among equal values are
+    arbitrary but the VALUE at any rank is deterministic."""
+    extra_aggs = list(extra_aggs or [])
+    if giant_group_rows is None:
+        giant_group_rows = GIANT_GROUP_ROWS
+
+    if input_rows is not None:
+        probe = input_rows  # caller-supplied upper bound on max group
+    else:
+        probe = (
+            df.groupBy(*part_cols)
+            .agg(F.count("*").alias("_n"))
+            .agg(F.max("_n").alias("m"))
+            .collect()[0]["m"]
+        ) or 0
+
+    if probe <= giant_group_rows:
+        # one ARRAY-form percentile per value column: all of a column's
+        # fractions share a single sort buffer instead of one buffered
+        # aggregate per fraction
+        by_col = {}
+        for v, p, out in specs:
+            by_col.setdefault(v, []).append((p, out))
+        aggs = [
+            F.percentile(v, F.array(*[F.lit(p) for p, _ in ps])).alias(
+                f"_gep_a_{i}"
+            )
+            for i, (v, ps) in enumerate(by_col.items())
+        ]
+        res = df.groupBy(*part_cols).agg(*aggs, *extra_aggs)
+        sel = [
+            F.element_at(f"_gep_a_{i}", j + 1).alias(out)
+            for i, (v, ps) in enumerate(by_col.items())
+            for j, (_, out) in enumerate(ps)
+        ]
+        extra_names = [c for c in res.columns if not c.startswith("_gep_a_")]
+        out_names = [out for _, _, out in specs]
+        return res.select(
+            *part_cols,
+            *sel,
+            *[c for c in extra_names if c not in part_cols],
+        ).select(*part_cols, *out_names, *[
+            c for c in extra_names if c not in part_cols
+        ])
+
+    # giant-group branch: extras fold in an ordinary partial agg; each
+    # value column gets its own rank layout.  A global percentile
+    # (part_cols=[]) runs as a one-value group key, dropped on return.
+    dummy = not part_cols
+    if dummy:
+        df = df.withColumn("_gep_g", F.lit(1))
+        part_cols = ["_gep_g"]
+    if extra_aggs:
+        base = df.groupBy(*part_cols).agg(*extra_aggs)
+    else:
+        base = df.groupBy(*part_cols).agg(F.count("*").alias("_gep_drop"))
+
+    for vcol in dict.fromkeys(v for v, _, _ in specs):  # ordered unique
+        vspecs = [(v, p, out) for v, p, out in specs if v == vcol]
+        sub = df.select(*part_cols, vcol).filter(F.col(vcol).isNotNull())
+        ranked = grouped_rank(sub, part_cols, [vcol], num_partitions)
+
+        def _pos(p):
+            return F.lit(float(p)) * (F.col("_gtotal") - F.lit(1)).cast(
+                "double"
+            )
+
+        need = F.lit(False)
+        for _, p, _ in vspecs:
+            pos = _pos(p)
+            need = (
+                need
+                | (F.col("_grank") == F.floor(pos) + 1)
+                | (F.col("_grank") == F.ceil(pos) + 1)
+            )
+        aggs = []
+        for _, p, out in vspecs:
+            pos = _pos(p)
+            lo, hi = F.floor(pos) + 1, F.ceil(pos) + 1
+            v = F.col(vcol).cast("double")
+            aggs += [
+                F.max(F.when(F.col("_grank") == lo, v)).alias(f"_l_{out}"),
+                F.max(F.when(F.col("_grank") == hi, v)).alias(f"_h_{out}"),
+                F.max(pos).alias(f"_p_{out}"),
+            ]
+        g = ranked.filter(need).groupBy(*part_cols).agg(*aggs)
+        sel = []
+        for _, _, out in vspecs:
+            pp = F.col(f"_p_{out}")
+            vlo, vhi = F.col(f"_l_{out}"), F.col(f"_h_{out}")
+            sel.append(
+                F.when(F.floor(pp) == F.ceil(pp), vlo)
+                .otherwise((F.ceil(pp) - pp) * vlo + (pp - F.floor(pp)) * vhi)
+                .alias(out)
+            )
+        ptab = g.select(*part_cols, *sel)
+        # one row per group on the right - broadcast; left join keeps
+        # all-NULL groups (their percentile is NULL, like F.percentile)
+        left, right = base.alias("_b"), F.broadcast(ptab).alias("_q")
+        cond = F.lit(True)
+        for c in part_cols:
+            cond = cond & F.col(f"_b.{c}").eqNullSafe(F.col(f"_q.{c}"))
+        base = left.join(right, cond, "left").select(
+            *[f"_b.{c}" for c in base.columns],
+            *[f"_q.{out}" for _, _, out in vspecs],
+        )
+
+    # restore the caller's column order: part, percentiles, extras
+    out_names = [out for _, _, out in specs]
+    extra_names = [c for c in base.columns if c not in set(part_cols) | set(out_names)]
+    res = base.select(*part_cols, *out_names, *[c for c in extra_names if c != "_gep_drop"])
+    return res.drop("_gep_g") if dummy else res
+
+
 def prefix_max(
     df: DataFrame,
     order_cols: list[Column | str],

@@ -15,8 +15,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from iceberg_daq_spark.operators.ranking import grouped_exact_percentile
 from iceberg_daq_spark.registry import register
-from iceberg_daq_spark.tables import load
+from iceberg_daq_spark.tables import load, table_rows
 
 _EPOCH = "2024-01-01"  # cohort origin (the corpus's first day)
 
@@ -442,11 +443,11 @@ def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: first-signup is a partial-agg min per user; the
     conversion probe is one user_id equi-join against the (already
     reduced) signup table with the time predicate as a residual;
-    per-day percentiles are exact interpolated percentiles over
-    small day groups (the q74 argument: exact as the oracle-matched
-    calibration path, `percentile_approx` as the documented
-    unbounded-group substitute).  Seconds arithmetic, no timezone
-    truncation."""
+    per-day percentiles run through the size-aware
+    ``grouped_exact_percentile`` (buffered exact aggregate for small
+    day groups, distributed two-pass rank selection if a day's
+    conversions outgrow one task's sort).  Seconds arithmetic, no
+    timezone truncation."""
     e = load(spark, sf_dir, "events")
     sec = F.col("ts").cast("double")
     s = (
@@ -466,16 +467,23 @@ def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("t0") / 86400).cast("bigint").alias("signup_day"),
         ((F.col("t1") - F.col("t0")) / 3600.0).alias("gap_h"),
     )
-    return (
-        g.groupBy("signup_day")
-        .agg(
+    res = grouped_exact_percentile(
+        g,
+        ["signup_day"],
+        [("gap_h", 0.5, "_p50"), ("gap_h", 0.9, "_p90")],
+        extra_aggs=[
             F.count("*").cast("bigint").alias("n_converted"),
-            F.round(F.percentile("gap_h", F.lit(0.5)), 2).alias("p50_h"),
-            F.round(F.percentile("gap_h", F.lit(0.9)), 2).alias("p90_h"),
             F.round(F.avg("gap_h"), 2).alias("mean_h"),
-        )
-        .orderBy("signup_day")
+        ],
+        input_rows=table_rows(sf_dir, "events"),
     )
+    return res.select(
+        "signup_day",
+        "n_converted",
+        F.round("_p50", 2).alias("p50_h"),
+        F.round("_p90", 2).alias("p90_h"),
+        "mean_h",
+    ).orderBy("signup_day")
 
 
 @register(

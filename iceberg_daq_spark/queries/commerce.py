@@ -13,8 +13,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from iceberg_daq_spark.operators.ranking import grouped_exact_percentile
 from iceberg_daq_spark.registry import register
-from iceberg_daq_spark.tables import load
+from iceberg_daq_spark.tables import load, table_rows
 
 
 @register(
@@ -43,11 +44,13 @@ def q151(spark: SparkSession, sf_dir: str) -> DataFrame:
     validates whether priority classes actually ship faster.
 
     Latencies are exact integer days (epoch subtraction, floor
-    division - no calendar arithmetic); percentiles use the exact
-    interpolating aggregate over the handful of priority groups (the
-    q74 calibration pattern - percentile_approx is the documented
-    unbounded-group substitute at 100 TB).  One shuffle join on the
-    order key (co-partitioned at scale), one grouped agg."""
+    division - no calendar arithmetic); percentiles run through the
+    size-aware ``grouped_exact_percentile``: the buffered exact
+    aggregate while the 5 priority groups are small, the distributed
+    two-pass rank selection once a group outgrows one task's sort
+    (the 100 TB case - this is LINEITEM grain, billions of rows per
+    priority).  One shuffle join on the order key (co-partitioned at
+    scale), one grouped agg."""
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
     sla = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
@@ -62,19 +65,30 @@ def q151(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("days"),
     )
-    return (
-        sla.groupBy("priority")
-        .agg(
+    res = grouped_exact_percentile(
+        sla,
+        ["priority"],
+        [
+            ("days", 0.5, "_p50"),
+            ("days", 0.9, "_p90"),
+            ("days", 0.99, "_p99"),
+        ],
+        extra_aggs=[
             F.count("*").cast("bigint").alias("n_lines"),
-            F.round(F.percentile("days", 0.5), 2).alias("p50_days"),
-            F.round(F.percentile("days", 0.9), 2).alias("p90_days"),
-            F.round(F.percentile("days", 0.99), 2).alias("p99_days"),
             F.round(
                 F.avg(F.when(F.col("days") > 90, 1.0).otherwise(0.0)), 4
             ).alias("pct_over_90d"),
-        )
-        .orderBy("priority")
+        ],
+        input_rows=table_rows(sf_dir, "lineitem"),
     )
+    return res.select(
+        "priority",
+        "n_lines",
+        F.round("_p50", 2).alias("p50_days"),
+        F.round("_p90", 2).alias("p90_days"),
+        F.round("_p99", 2).alias("p99_days"),
+        "pct_over_90d",
+    ).orderBy("priority")
 
 
 @register(

@@ -19,8 +19,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from iceberg_daq_spark.operators.ranking import grouped_exact_percentile
 from iceberg_daq_spark.registry import register
-from iceberg_daq_spark.tables import load
+from iceberg_daq_spark.tables import load, table_rows
 
 
 _REV_U_SQL = (
@@ -250,14 +251,24 @@ def q193(spark: SparkSession, sf_dir: str) -> DataFrame:
     hhi = shares.groupBy("cust").agg(
         F.round(F.sum(share * share) * 10000, 2).alias("h")
     )
-    return hhi.agg(
-        F.round(F.percentile("h", 0.1), 2).alias("p10"),
-        F.round(F.percentile("h", 0.5), 2).alias("p50"),
-        F.round(F.percentile("h", 0.9), 2).alias("p90"),
-        F.round(
-            F.avg(F.when(F.col("h") >= 5000, 1.0).otherwise(0.0)), 4
-        ).alias("pct_concentrated"),
-        F.count("*").cast("bigint").alias("n_customers"),
+    res = grouped_exact_percentile(
+        hhi,
+        [],
+        [("h", 0.1, "_p10"), ("h", 0.5, "_p50"), ("h", 0.9, "_p90")],
+        extra_aggs=[
+            F.round(
+                F.avg(F.when(F.col("h") >= 5000, 1.0).otherwise(0.0)), 4
+            ).alias("pct_concentrated"),
+            F.count("*").cast("bigint").alias("n_customers"),
+        ],
+        input_rows=table_rows(sf_dir, "customer"),
+    )
+    return res.select(
+        F.round("_p10", 2).alias("p10"),
+        F.round("_p50", 2).alias("p50"),
+        F.round("_p90", 2).alias("p90"),
+        "pct_concentrated",
+        "n_customers",
     )
 
 
@@ -349,7 +360,10 @@ def q195(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Gaps are exact BIGINT microseconds floored to whole days (no
     double-seconds intermediate); the mean divides BIGINT sums and
-    the percentiles interpolate exactly (q74 posture).  100 TB shape:
+    the percentiles run through the size-aware
+    ``grouped_exact_percentile`` - a GLOBAL exact percentile is the
+    canonical giant-group case, so above one task's sort it switches
+    to the distributed two-pass rank selection.  100 TB shape:
     the purchase filter pushes to the scan, one user-partitioned
     window produces the lags, one global agg row comes out."""
     e = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
@@ -360,12 +374,28 @@ def q195(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("gap_d")
     ).filter(F.col("gap_d").isNotNull())
-    return gaps.agg(
-        F.count("*").cast("bigint").alias("n_gaps"),
-        F.round(F.percentile("gap_d", 0.25), 2).alias("p25_days"),
-        F.round(F.percentile("gap_d", 0.5), 2).alias("p50_days"),
-        F.round(F.percentile("gap_d", 0.9), 2).alias("p90_days"),
-        F.round(F.sum("gap_d") * 1.0 / F.count("*"), 2).alias("mean_days"),
+    res = grouped_exact_percentile(
+        gaps,
+        [],
+        [
+            ("gap_d", 0.25, "_p25"),
+            ("gap_d", 0.5, "_p50"),
+            ("gap_d", 0.9, "_p90"),
+        ],
+        extra_aggs=[
+            F.count("*").cast("bigint").alias("n_gaps"),
+            F.round(F.sum("gap_d") * 1.0 / F.count("*"), 2).alias(
+                "mean_days"
+            ),
+        ],
+        input_rows=table_rows(sf_dir, "events"),
+    )
+    return res.select(
+        "n_gaps",
+        F.round("_p25", 2).alias("p25_days"),
+        F.round("_p50", 2).alias("p50_days"),
+        F.round("_p90", 2).alias("p90_days"),
+        "mean_days",
     )
 
 

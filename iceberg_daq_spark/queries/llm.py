@@ -14,8 +14,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from iceberg_daq_spark.operators import dedup, similarity, text
+from iceberg_daq_spark.operators.ranking import grouped_exact_percentile
 from iceberg_daq_spark.registry import register
-from iceberg_daq_spark.tables import load
+from iceberg_daq_spark.tables import load, table_rows
 
 _STOP_SQL = "'" + "', '".join(text.STOPWORDS) + "'"
 
@@ -998,36 +999,37 @@ def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT percentiles per group (linear interpolation) - the
     ground-truth twin of q58's percentile_approx sketch profiling.
 
-    Spark's ``percentile`` is a sort-based TypedImperativeAggregate
-    that buffers each group's values, so it is the right tool exactly
-    when the group count is small and bounded (here: a handful of
-    return flags) and the per-group row count fits an executor - the
-    calibration run you do once to validate sketch accuracy.  For
-    unbounded groups or 100 TB scans, q58's sketch (mergeable,
-    constant-size partial state) is the production path; keeping both
-    registered makes that trade explicit and lets the tests measure
-    sketch error against this exact result."""
+    Runs through the size-aware ``grouped_exact_percentile``: while
+    each return flag's rows fit one task's sort it is Spark's
+    buffered ``percentile`` aggregate (the calibration run you do
+    once to validate sketch accuracy); above the threshold - the
+    100 TB case, 3 flags x billions of lineitems - it switches to
+    the distributed two-pass rank selection, which computes the SAME
+    interpolated order statistics without any single-task sort.
+    q58's sketch (mergeable, constant-size partial state) remains
+    the registered approximate path; keeping both lets the tests
+    measure sketch error against this exact result."""
     li = load(spark, sf_dir, "lineitem")
-    pct = F.expr(
-        "percentile(l_extendedprice, array(0.5, 0.9, 0.99))"
-    ).alias("_p")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.count("*").alias("n_items"),
-            pct,
-            F.expr("percentile(l_discount, 0.5)").alias("_pd"),
-        )
-        .select(
-            "l_returnflag",
-            "n_items",
-            F.round(F.element_at("_p", 1), 4).alias("p50_price"),
-            F.round(F.element_at("_p", 2), 4).alias("p90_price"),
-            F.round(F.element_at("_p", 3), 4).alias("p99_price"),
-            F.round("_pd", 4).alias("p50_discount"),
-        )
-        .orderBy("l_returnflag")
+    res = grouped_exact_percentile(
+        li,
+        ["l_returnflag"],
+        [
+            ("l_extendedprice", 0.5, "_p50"),
+            ("l_extendedprice", 0.9, "_p90"),
+            ("l_extendedprice", 0.99, "_p99"),
+            ("l_discount", 0.5, "_pd"),
+        ],
+        extra_aggs=[F.count("*").alias("n_items")],
+        input_rows=table_rows(sf_dir, "lineitem"),
     )
+    return res.select(
+        "l_returnflag",
+        "n_items",
+        F.round("_p50", 4).alias("p50_price"),
+        F.round("_p90", 4).alias("p90_price"),
+        F.round("_p99", 4).alias("p99_price"),
+        F.round("_pd", 4).alias("p50_discount"),
+    ).orderBy("l_returnflag")
 
 
 @register(

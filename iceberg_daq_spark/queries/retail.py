@@ -12,8 +12,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from iceberg_daq_spark.operators.ranking import grouped_exact_percentile
 from iceberg_daq_spark.registry import register
-from iceberg_daq_spark.tables import load
+from iceberg_daq_spark.tables import load, table_rows
 
 
 @register(
@@ -47,7 +48,10 @@ def q214(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: the customer dim joins orders on custkey (segment
     label only), lineitem pre-aggregates through the orderkey join to
     the ORDER grain, and the percentiles run per 5-segment group over
-    that grain (q74 posture); units are exact integers."""
+    that grain through the size-aware ``grouped_exact_percentile``:
+    small groups use the buffered exact aggregate, giant groups (the
+    100 TB case - 5 segments x billions of orders) switch to the
+    distributed two-pass rank selection; units are exact integers."""
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
@@ -62,19 +66,30 @@ def q214(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("units"),
         )
     )
-    return (
-        basket.groupBy("segment")
-        .agg(
+    res = grouped_exact_percentile(
+        basket,
+        ["segment"],
+        [
+            ("n_lines", 0.5, "_p50_lines"),
+            ("units", 0.5, "_p50_units"),
+            ("units", 0.9, "_p90_units"),
+        ],
+        extra_aggs=[
             F.count("*").cast("bigint").alias("n_orders"),
-            F.round(F.percentile("n_lines", 0.5), 1).alias("p50_lines"),
-            F.round(F.percentile("units", 0.5), 1).alias("p50_units"),
-            F.round(F.percentile("units", 0.9), 1).alias("p90_units"),
             F.round(F.sum("units") * 1.0 / F.count("*"), 2).alias(
                 "mean_units"
             ),
-        )
-        .orderBy("segment")
+        ],
+        input_rows=table_rows(sf_dir, "orders"),
     )
+    return res.select(
+        "segment",
+        "n_orders",
+        F.round("_p50_lines", 1).alias("p50_lines"),
+        F.round("_p50_units", 1).alias("p50_units"),
+        F.round("_p90_units", 1).alias("p90_units"),
+        "mean_units",
+    ).orderBy("segment")
 
 
 @register(

@@ -16,8 +16,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from iceberg_daq_spark.operators.ranking import grouped_exact_percentile
 from iceberg_daq_spark.registry import register
-from iceberg_daq_spark.tables import load
+from iceberg_daq_spark.tables import load, table_rows
 
 
 @register(
@@ -709,22 +710,33 @@ def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
     q147 scores THAT they drifted; the QQ table shows the shape of
     the gap, e.g. heavy right tail vs uniform shift).
 
-    Both decile vectors fold in ONE aggregate pass (conditional
-    values - percentile ignores the nulls of the other type), so the
-    stream is scanned once and the explode runs over a single 2-array
-    row.  Interpolation arithmetic is the exact percentile (q74
-    parity); deciles are generated, not read."""
+    The decile vectors run through the size-aware
+    ``grouped_exact_percentile`` over ONE global group per
+    distribution (conditional projections - percentile ignores the
+    nulls of the other type).  While the corpus fits one task's sort
+    that is a single buffered aggregate pass; above the threshold it
+    switches to the distributed two-pass rank selection, because a
+    GLOBAL exact percentile is the canonical giant-group case (n =
+    the whole stream).  Deciles are generated, not read."""
     e = load(spark, sf_dir, "events")
-    probs = F.array(*[F.lit(p / 10.0) for p in range(1, 10)])
-    q = e.agg(
-        F.percentile(
-            F.when(F.col("event_type") == "purchase", F.col("value")), probs
-        ).alias("qa"),
-        F.percentile(
-            F.when(F.col("event_type") == "view", F.col("value")), probs
-        ).alias("qb"),
+    vals = e.select(
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias("pv"),
+        F.when(F.col("event_type") == "view", F.col("value")).alias("vv"),
     )
-    z = q.select(F.posexplode(F.arrays_zip("qa", "qb")))
+    specs = [("pv", d / 10.0, f"qa{d}") for d in range(1, 10)] + [
+        ("vv", d / 10.0, f"qb{d}") for d in range(1, 10)
+    ]
+    q = grouped_exact_percentile(
+        vals, [], specs, input_rows=table_rows(sf_dir, "events")
+    )
+    z = q.select(
+        F.posexplode(
+            F.arrays_zip(
+                F.array(*[F.col(f"qa{d}") for d in range(1, 10)]).alias("qa"),
+                F.array(*[F.col(f"qb{d}") for d in range(1, 10)]).alias("qb"),
+            )
+        )
+    )
     return z.select(
         (F.col("pos") + 1).cast("bigint").alias("decile"),
         F.round(F.col("col.qa"), 4).alias("purchase_val"),

@@ -67,6 +67,32 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def table_rows(sf_dir: str, name: str) -> int | None:
+    """Exact row count of a table from parquet FOOTER metadata - no
+    Spark job, no data pages read.  This is the cheap size signal the
+    size-aware operators (``grouped_exact_percentile``) use to pick a
+    plan: both of their branches are exact, so an upper bound from
+    table metadata is enough and costs nothing at any scale (a real
+    lakehouse catalog serves the same number from table stats).
+    Returns None when the footprint isn't local parquet (remote FS,
+    renamed layout) - callers then fall back to their exact probe."""
+    try:
+        import pyarrow.parquet as pq
+
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.isfile(path):
+            return pq.ParquetFile(path).metadata.num_rows
+        if os.path.isdir(path):
+            return sum(
+                pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+    except Exception:
+        pass
+    return None
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load(spark, sf_dir, name) for name in TABLE_NAMES}
 

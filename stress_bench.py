@@ -92,6 +92,13 @@ STRESS_QUERIES = [
     # reduction, not the fact, sets the cost); q199's LPA rounds are
     # edge-table-sized (<= 25 nodes always: must be flat)
     "q162", "q165", "q187", "q190", "q191", "q199",
+    # r10: the size-aware exact-percentile family's giant branch.
+    # q214 is timed with GIANT_GROUP_ROWS pinned to 0 (see
+    # time_queries) so BOTH base and stress take the distributed
+    # two-pass rank selection - the ratio measures how the rank
+    # layout itself scales with 10x orders/lineitem (~linear: two
+    # range shuffles + scalar offsets, no single-task sort)
+    "q214",
 ]
 # superlinear-blowup tripwire: 10x rows may legitimately cost more than
 # 10x on the pair-counting queries (pair count itself grows with the
@@ -329,9 +336,19 @@ def base_pair_volume(spark, base_dir: str, df_max: int = 128) -> int:
 def time_queries(spark, specs, names, sf_dir, repeat):
     from iceberg_daq_spark.queries import llm
 
+    from iceberg_daq_spark.operators import ranking
+
     out = {}
     for name in names:
         fn = specs[name].fn
+        # the percentile-family entry measures the GIANT branch: pin
+        # the switch threshold so the distributed rank selection runs
+        # at both scales (the small branch is plain F.percentile -
+        # nothing to stress)
+        pin_giant = name.startswith("q214")
+        saved_thr = ranking.GIANT_GROUP_ROWS
+        if pin_giant:
+            ranking.GIANT_GROUP_ROWS = 0
         best = None
         for _ in range(repeat):
             if name.startswith("q57"):
@@ -345,6 +362,8 @@ def time_queries(spark, specs, names, sf_dir, repeat):
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
             spark.catalog.clearCache()
+        if pin_giant:
+            ranking.GIANT_GROUP_ROWS = saved_thr
         out[name] = round(best, 3)
         print(f"# {sf_dir.rsplit('/', 1)[-1]} {name}: {best:.3f}s", file=sys.stderr)
         # drop dangling localCheckpoint RDDs (BFS / KM / k-core pin

@@ -1246,3 +1246,103 @@ def test_q139_giant_source_branch_matches_window_path(spark):
     finally:
         curation.Q139_GIANT_SOURCE_ROWS = old
     assert small == giant and len(small) == 350
+
+
+def test_grouped_exact_percentile_matches_builtin(spark):
+    """Both branches of the size-aware percentile must equal Spark's
+    buffered F.percentile exactly - grouped, global, NULL values,
+    all-NULL groups, and multiple value columns."""
+    import random
+
+    from iceberg_daq_spark.operators.ranking import grouped_exact_percentile
+
+    random.seed(7)
+    rows = [
+        (f"g{i % 4}", float(random.randint(0, 10_000)) / 7.0, i)
+        for i in range(8_000)
+    ]
+    rows += [("g9", None, 10**6 + i) for i in range(50)]  # all-NULL group
+    rows = [
+        (g, None if (g == "g1" and i % 11 == 0) else v, i) for g, v, i in rows
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, id long")
+    specs = [("v", 0.5, "p50"), ("v", 0.9, "p90"), ("id", 0.25, "i25")]
+    extras = [F.count("*").cast("bigint").alias("n")]
+    want = df.groupBy("g").agg(
+        F.percentile("v", 0.5).alias("p50"),
+        F.percentile("v", 0.9).alias("p90"),
+        F.percentile("id", 0.25).alias("i25"),
+        *extras,
+    )
+
+    def tab(d):
+        return {
+            r["g"]: tuple(
+                None if r[c] is None else round(float(r[c]), 9)
+                for c in ["p50", "p90", "i25", "n"]
+            )
+            for r in d.collect()
+        }
+
+    tw = tab(want)
+    small = grouped_exact_percentile(
+        df, ["g"], specs, extra_aggs=extras, giant_group_rows=10**9
+    )
+    giant = grouped_exact_percentile(
+        df, ["g"], specs, extra_aggs=extras, giant_group_rows=10
+    )
+    assert tab(small) == tw
+    assert tab(giant) == tw
+    # global group (part_cols=[]), both branches
+    gw = df.agg(
+        F.percentile("v", 0.5).alias("p50"), F.count("*").alias("n")
+    ).collect()[0]
+    for thr in (10**9, 10):
+        r = grouped_exact_percentile(
+            df,
+            [],
+            [("v", 0.5, "p50")],
+            extra_aggs=[F.count("*").alias("n")],
+            giant_group_rows=thr,
+        ).collect()[0]
+        assert abs(r["p50"] - gw["p50"]) < 1e-12 and r["n"] == gw["n"]
+    # the caller-supplied upper bound picks the branch without a probe:
+    # a bound above the threshold must route to the giant branch and
+    # still produce identical results
+    bounded = grouped_exact_percentile(
+        df, ["g"], specs, extra_aggs=extras,
+        giant_group_rows=100, input_rows=len(rows),
+    )
+    assert tab(bounded) == tw
+
+
+def test_percentile_family_giant_branch_matches_oracle(spark, sf_dir):
+    """Drive the distributed rank-selection branch through the REAL
+    registered percentile-family queries against the DuckDB oracle:
+    pin GIANT_GROUP_ROWS low so every family member takes the giant
+    path, then require the same hash-equality the driver checks.
+    Proves the probe-and-switch cannot change any family answer."""
+    from iceberg_daq_spark.operators import ranking
+    from iceberg_daq_spark.registry import all_queries
+    from tests.oracle_harness import compare, duckdb_connect
+
+    fam = [
+        "q214_segment_basket_size",
+        "q151_shipping_sla",
+        "q121_funnel_timing",
+        "q159_qq_table",
+        "q195_repeat_purchase_cadence",
+        "q193_customer_brand_hhi",
+        "q74_exact_percentiles",
+    ]
+    specs = all_queries()
+    con = duckdb_connect(sf_dir)
+    old = ranking.GIANT_GROUP_ROWS
+    ranking.GIANT_GROUP_ROWS = 100
+    try:
+        for name in fam:
+            ok, msg = compare(specs[name].fn(spark, sf_dir), con, specs[name].oracle)
+            assert ok, f"{name} (giant branch): {msg}"
+    finally:
+        ranking.GIANT_GROUP_ROWS = old
+        con.close()

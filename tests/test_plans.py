@@ -2177,3 +2177,28 @@ def test_q216_regularity_one_key_shuffle(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "stddev" not in plan and "var_samp" not in plan
     assert "Join" not in plan
+
+
+def test_grouped_exact_percentile_branch_plans(spark, sf_dir):
+    """The size-aware percentile family's two plan shapes: the small
+    branch is ONE buffered percentile aggregate (no range exchange);
+    the giant branch replaces the buffered percentile with the
+    two-pass range layout - range-partition exchange, slice-keyed
+    windows (_rank_pid in the partition spec), broadcast offset join,
+    and NO `percentile(` aggregate anywhere in the plan."""
+    from iceberg_daq_spark.operators import ranking
+    from iceberg_daq_spark.queries.llm import q74
+
+    small = plan_of(q74(spark, sf_dir))
+    assert "percentile(" in small
+    assert "Exchange rangepartitioning" not in small
+
+    old = ranking.GIANT_GROUP_ROWS
+    ranking.GIANT_GROUP_ROWS = 100
+    try:
+        giant = plan_of(q74(spark, sf_dir))
+    finally:
+        ranking.GIANT_GROUP_ROWS = old
+    assert "percentile(" not in giant
+    assert "_rank_pid" in giant  # slice-keyed window, never one task per group
+    assert "BroadcastHashJoin" in giant  # offsets join as a broadcast
