@@ -195,22 +195,32 @@ def bfs_hops(
     return visited
 
 
-def k_core(edges: DataFrame, k: int, max_rounds: int = 30) -> DataFrame:
+def k_core(edges: DataFrame, k: int, max_rounds: int | None = None) -> DataFrame:
     """The k-core of an undirected graph (``u``/``v``, ``u < v``,
     deduplicated): the maximal subgraph where every vertex keeps
     degree >= k, computed by iterative peeling - drop all vertices
     below k, recompute degrees on the induced subgraph, repeat until
     a fixed point.  Returns the surviving edge list.
 
+    Peeling always terminates (the edge count strictly shrinks every
+    non-fixed-point round, so rounds <= |E|), so the default runs to
+    the true fixed point - a partial peel is NOT a k-core, and
+    returning one silently would be wrong (a k=2 chain peels one
+    layer per round, making the round count O(n), not bounded by any
+    constant).  Pass ``max_rounds`` only as an explicit safety budget
+    for untrusted inputs; exhausting it without convergence raises
+    rather than returning the non-core edge list.
+
     Scale shape: each round is one degree aggregation plus two
     semi-joins of the edge list against the surviving vertex set,
     ``localCheckpoint``ed so lineage stays flat; the edge list only
     ever shrinks.  Rounds are bounded by the peeling depth (the
-    degeneracy ordering's layer count), not vertex count, and the
-    only driver-side value per round is the pruned-edge count probe.
+    degeneracy ordering's layer count), and the only driver-side
+    value per round is the pruned-edge count probe.
     """
     cur = edges.localCheckpoint()
-    for _ in range(max_rounds):
+    rounds = 0
+    while True:
         deg = (
             cur.select(F.col("u").alias("id"))
             .unionAll(cur.select(F.col("v").alias("id")))
@@ -226,8 +236,12 @@ def k_core(edges: DataFrame, k: int, max_rounds: int = 30) -> DataFrame:
         )
         n_cur, n_nxt = cur.count(), nxt.count()
         cur = nxt
-        if n_nxt == n_cur:
-            break
-        if n_nxt == 0:
-            break
-    return cur
+        if n_nxt == n_cur or n_nxt == 0:
+            return cur
+        rounds += 1
+        if max_rounds is not None and rounds >= max_rounds:
+            raise RuntimeError(
+                f"k_core did not reach a fixed point within max_rounds="
+                f"{max_rounds} (still peeling at {n_nxt} edges); the "
+                "partial edge list is not a k-core"
+            )

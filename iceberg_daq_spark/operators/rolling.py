@@ -49,7 +49,13 @@ def rolling_stats(
     single-task window formulation is test-asserted."""
     if chunk_size < window:
         raise ValueError(f"chunk_size {chunk_size} must be >= window {window}")
-    ranked = grouped_rank(df, part_cols, order_cols, num_partitions)
+    # SQL NULL and a genuine NaN double both surface as NaN after the
+    # Arrow transfer to pandas, but their window semantics differ
+    # (NULL is SKIPPED by avg/stddev_samp; NaN is a VALUE that
+    # propagates to NaN).  Flag NULLs Spark-side, where the two are
+    # still distinguishable, so the pandas pass can honor both.
+    df0 = df.withColumn("_rs_isnull", F.col(value_col).isNull())
+    ranked = grouped_rank(df0, part_cols, order_cols, num_partitions)
     chunk = F.floor((F.col("_grank") - 1) / chunk_size).cast("bigint")
     own = ranked.withColumn("_chunk", chunk).withColumn("_own", F.lit(True))
     # context: a chunk's last `window` rows ride along into the next
@@ -66,9 +72,18 @@ def rolling_stats(
     both = own.unionByName(ctx)
 
     keep = [c for c in df.columns]
+    # pandas->Arrow treats float NaN as SQL NULL on the way OUT of
+    # applyInPandas, so genuine NaNs cannot be emitted directly: the
+    # pandas stage returns NULL plus boolean nan flags, and the
+    # wrapper restores the NaNs Spark-side (including the VALUE
+    # column's own passthrough, using the _rs_isnull flag to tell an
+    # input NaN from an input NULL).
     out_schema = ", ".join(
         [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
-        + ["mu double", "sd double", "n_prev bigint"]
+        + [
+            "mu double", "sd double", "n_prev bigint",
+            "_rs_isnull boolean", "_mu_nan boolean", "_sd_nan boolean",
+        ]
     )
 
     def stats(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -79,16 +94,25 @@ def rolling_stats(
         # VALID rows supplies the divisor, so a NULL neither poisons
         # the cumulative sums nor counts toward mu/sd - while n_prev
         # stays count(*) over the frame (rows, not valid values).
-        valid = ~np.isnan(raw)
-        v = np.where(valid, raw, 0.0)
+        # Genuine NaN DOUBLES are not NULLs: they count as valid
+        # values and any frame containing one yields NaN (the
+        # value-semantics avg/stddev_samp have), tracked by a third
+        # prefix count so the poisoning stays frame-local instead of
+        # leaking through the cumulative sums.
+        isnull = pdf["_rs_isnull"].to_numpy(dtype=bool)
+        valid = ~isnull
+        nanv = valid & np.isnan(raw)
+        v = np.where(valid & ~nanv, raw, 0.0)
         m = len(v)
         cs = np.concatenate(([0.0], np.cumsum(v)))
         cs2 = np.concatenate(([0.0], np.cumsum(v * v)))
         cn = np.concatenate(([0], np.cumsum(valid.astype(np.int64))))
+        cnan = np.concatenate(([0], np.cumsum(nanv.astype(np.int64))))
         idx = np.arange(m)
         lo = np.maximum(idx - window, 0)
         n_prev = (idx - lo).astype(np.int64)
         nv = cn[idx] - cn[lo]  # valid (non-null) rows in the frame
+        fnan = cnan[idx] - cnan[lo]  # genuine-NaN values in the frame
         s = cs[idx] - cs[lo]
         s2 = cs2[idx] - cs2[lo]
         with np.errstate(invalid="ignore", divide="ignore"):
@@ -98,12 +122,36 @@ def rolling_stats(
         ownmask = pdf["_own"].to_numpy()
         res = pdf.loc[ownmask, keep].copy()
         np_o, nv_o, mu_o, sd_o = n_prev[ownmask], nv[ownmask], mu[ownmask], sd[ownmask]
+        fn_o = fnan[ownmask]
         # NULL (not NaN) below the frame minimums, matching avg /
         # stddev_samp window semantics (gated on VALID count: avg is
-        # NULL when every frame row is NULL, stddev below 2 values)
-        res["mu"] = [float(x) if c >= 1 else None for x, c in zip(mu_o, nv_o)]
-        res["sd"] = [float(x) if c >= 2 else None for x, c in zip(sd_o, nv_o)]
+        # NULL when every frame row is NULL, stddev below 2 values).
+        # Frames CONTAINING a NaN value flag it instead of emitting it
+        # (Arrow would null it out) - restored by the wrapper below.
+        res["mu"] = [
+            float(x) if (c >= 1 and f == 0) else None
+            for x, c, f in zip(mu_o, nv_o, fn_o)
+        ]
+        res["sd"] = [
+            float(x) if (c >= 2 and f == 0) else None
+            for x, c, f in zip(sd_o, nv_o, fn_o)
+        ]
         res["n_prev"] = np_o
+        res["_rs_isnull"] = isnull[ownmask]
+        res["_mu_nan"] = (fn_o > 0) & (nv_o >= 1)
+        res["_sd_nan"] = (fn_o > 0) & (nv_o >= 2)
         return res
 
-    return both.groupBy(*part_cols, "_chunk").applyInPandas(stats, out_schema)
+    out = both.groupBy(*part_cols, "_chunk").applyInPandas(stats, out_schema)
+    nan = F.lit(float("nan"))
+    return (
+        out.withColumn(
+            value_col,
+            F.when(
+                F.col(value_col).isNull() & ~F.col("_rs_isnull"), nan
+            ).otherwise(F.col(value_col)),
+        )
+        .withColumn("mu", F.when(F.col("_mu_nan"), nan).otherwise(F.col("mu")))
+        .withColumn("sd", F.when(F.col("_sd_nan"), nan).otherwise(F.col("sd")))
+        .drop("_rs_isnull", "_mu_nan", "_sd_nan")
+    )

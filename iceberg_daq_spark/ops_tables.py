@@ -46,9 +46,14 @@ from iceberg_daq_spark.tablestore import MergeTable
 
 @dataclass(frozen=True)
 class ControlAction:
-    """One hardware-sequencing step: tool subsystem device command
-    args..., followed by ``settle_s`` seconds of settle time before
-    the next step (the reference's ``sleep 2`` cadence)."""
+    """One hardware-sequencing step: ``tool subsystem device
+    pre_args... command args...``, followed by ``settle_s`` seconds of
+    settle time before the next step (the reference's ``sleep 2``
+    cadence).  ``pre_args`` holds positional tokens that appear
+    BETWEEN the device and the command on the reference command line
+    (e.g. the endpoint index in ``dtsbutler ept BOREAS_TLU_ICEBERG 0
+    enable -a 2``) so a replay reconstructed from the audit row emits
+    tokens in the reference's exact order - see :func:`replay_tokens`."""
 
     tool: str
     subsystem: str
@@ -56,6 +61,14 @@ class ControlAction:
     command: str
     args: tuple[str, ...] = ()
     settle_s: int = 2
+    pre_args: tuple[str, ...] = ()
+
+
+def replay_tokens(a: ControlAction) -> list[str]:
+    """The exact command-line tokens this action replays as - the
+    audit table's contract is that this reconstruction is
+    token-for-token identical to the reference script line."""
+    return [a.tool, a.subsystem, a.device, *a.pre_args, a.command, *a.args]
 
 
 # The reference TLU bring-up sequence, transcribed action-for-action
@@ -67,7 +80,9 @@ TLU_BRINGUP_SEQUENCE: tuple[ControlAction, ...] = (
     ControlAction("dtsbutler", "mst", "BOREAS_TLU_ICEBERG", "faketrig-clear", ("0",)),
     ControlAction("dtsbutler", "mst", "BOREAS_TLU_ICEBERG", "faketrig-conf", ("0", "2", "2")),
     ControlAction("dtsbutler", "mst", "BOREAS_TLU_ICEBERG", "faketrig-conf", ("2", "2", "2")),
-    ControlAction("dtsbutler", "ept", "BOREAS_TLU_ICEBERG", "enable", ("0", "-a", "2")),
+    # t-c-p-iceberg.sh:60 `dtsbutler ept BOREAS_TLU_ICEBERG 0 enable -a 2`:
+    # the 0 is the endpoint index, a positional BEFORE the command
+    ControlAction("dtsbutler", "ept", "BOREAS_TLU_ICEBERG", "enable", ("-a", "2"), pre_args=("0",)),
     # hsi_re_mask 16777248 = 2**24 + 2**5: channels 5 and 24, 0-indexed
     # (t-c-p-iceberg.sh:64-68)
     ControlAction("dtsbutler", "hsi", "BOREAS_TLU_ICEBERG", "configure", ("-r", "16777248", "-s", "0")),
@@ -86,8 +101,8 @@ TLU_BRINGUP_SEQUENCE: tuple[ControlAction, ...] = (
 
 _CONTROL_SCHEMA = (
     "run_id bigint, seq int, issued_at timestamp, tool string, "
-    "subsystem string, device string, command string, args array<string>, "
-    "settle_s int"
+    "subsystem string, device string, pre_args array<string>, "
+    "command string, args array<string>, settle_s int"
 )
 
 
@@ -112,13 +127,14 @@ def record_control_run(
     rows = []
     offset = 0
     for i, a in enumerate(actions):
-        rows.append((run_id, i, offset, a.tool, a.subsystem, a.device, a.command, list(a.args), a.settle_s))
+        rows.append((run_id, i, offset, a.tool, a.subsystem, a.device, list(a.pre_args), a.command, list(a.args), a.settle_s))
         offset += a.settle_s
     df = (
         spark.createDataFrame(
             rows,
             "run_id bigint, seq int, _off bigint, tool string, subsystem string, "
-            "device string, command string, args array<string>, settle_s int",
+            "device string, pre_args array<string>, command string, "
+            "args array<string>, settle_s int",
         )
         .withColumn(
             "issued_at",

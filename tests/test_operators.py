@@ -1098,6 +1098,14 @@ def test_rolling_stats_equals_window(spark):
     # sums) while still counting toward n_prev - window semantics
     rows = [(g, i, None if (g != "tiny" and i % 7 == 3) else v) for g, i, v in rows]
     rows += [("allnull", i, None) for i in range(5)]  # avg of empty => NULL
+    # genuine NaN DOUBLES are values, not NULLs: avg/stddev_samp over
+    # a frame containing one is NaN (value semantics), and the
+    # poisoning must stay frame-local - rows whose trailing window has
+    # slid past the NaN recover finite stats
+    rows = [
+        (g, i, float("nan") if (g == 2 and i in (100, 317)) else v)
+        for g, i, v in rows
+    ]
     df = spark.createDataFrame(
         [(str(g), i, v) for g, i, v in rows], "g string, t bigint, v double"
     ).repartition(7)
@@ -1120,15 +1128,25 @@ def test_rolling_stats_equals_window(spark):
         ).collect()
     }
     assert set(got) == set(want)
+
+    def same(a, b):  # None==None, NaN==NaN, else float tolerance
+        if a is None or b is None:
+            return a is None and b is None
+        import math
+
+        if math.isnan(a) or math.isnan(b):
+            return math.isnan(a) and math.isnan(b)
+        return abs(a - b) < 1e-9
+
     for k, (n, mu, sd) in want.items():
         gn, gmu, gsd = got[k]
         assert gn == n, k
-        assert (mu is None) == (gmu is None) and (
-            mu is None or abs(mu - gmu) < 1e-9
-        ), k
-        assert (sd is None) == (gsd is None) and (
-            sd is None or abs(sd - gsd) < 1e-9
-        ), k
+        assert same(mu, gmu), (k, mu, gmu)
+        assert same(sd, gsd), (k, sd, gsd)
+    # the NaN rows really exercised value semantics: some frame is NaN
+    assert any(
+        v[1] is not None and str(v[1]) == "nan" for v in want.values()
+    )
 
 
 def test_bfs_hops_path_and_cap(spark):

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from iceberg_daq_spark.ops_tables import (
     CPUPIN_ALL,
     TLU_BRINGUP_SEQUENCE,
+    replay_tokens,
     WIB_POWER_ON_MATRIX,
     compile_cpu_pinning,
     control_actions_table,
@@ -38,11 +39,18 @@ def test_control_actions_append_only_audit(spark, tmp_path):
     # golden: first action is the io reset, sixth is the ept enable,
     # seventh the HSI configure with the 16777248 rising-edge mask
     assert (run1[0].subsystem, run1[0].command) == ("io", "reset")
-    assert (run1[5].subsystem, run1[5].command, run1[5].args) == (
-        "ept",
-        "enable",
-        ["0", "-a", "2"],
-    )
+    # sh:60 `dtsbutler ept BOREAS_TLU_ICEBERG 0 enable -a 2` - the
+    # endpoint index 0 sits BETWEEN device and command (pre_args), so
+    # the replay reconstruction is token-for-token the script line
+    assert (
+        run1[5].subsystem,
+        run1[5].pre_args,
+        run1[5].command,
+        run1[5].args,
+    ) == ("ept", ["0"], "enable", ["-a", "2"])
+    assert replay_tokens(TLU_BRINGUP_SEQUENCE[5]) == [
+        "dtsbutler", "ept", "BOREAS_TLU_ICEBERG", "0", "enable", "-a", "2",
+    ]
     assert run1[6].command == "configure"
     assert run1[6].args == ["-r", "16777248", "-s", "0"]
     # deterministic cadence: every action 2s after the previous
