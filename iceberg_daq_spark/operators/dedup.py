@@ -37,6 +37,12 @@ MERSENNE_P = (1 << 31) - 1
 NUM_PERM = 32
 BANDS = 8  # 8 bands x 4 rows
 
+# connected_components' small-graph valve: edge lists at or below this
+# many rows (a few MB driver-side) close transitively via union-find on
+# the driver instead of 4-6 Spark jobs per propagation round.  Tests
+# pin it low/zero to drive the distributed branch.
+CC_DRIVER_EDGE_MAX = 200_000
+
 
 def _perm_coeffs(seed: int = 42) -> list[tuple[int, int]]:
     rng = random.Random(seed)
@@ -120,9 +126,18 @@ def ngram_jaccard_prefix_pairs(
     per-shingle fanout is (docs-with-it-in-prefix)^2, not df^2.
 
     The size filter t*|B| <= |A| <= |B|/t (a Jaccard necessity) prunes
-    candidates at the posting join before the distinct; survivors are
-    verified exactly with one array_intersect over the full hashed
-    shingle sets (map-only rebuild, no second explode shuffle).
+    candidates at the posting join before the distinct; the PPJoin
+    POSITIONAL filter prunes further: a posting row matching at
+    positions (i, j) of the df-ordered docs bounds the overlap by
+    min(n_a - i, n_b - j) + 1 (every common shingle of THAT match's
+    suffix pair), so rows whose bound cannot reach the Jaccard overlap
+    requirement o >= t*(n_a+n_b)/(1+t) drop before the distinct.
+    Lossless: a true pair's FIRST shared shingle in global df-order
+    lies in both prefixes (the AllPairs guarantee) and at that row all
+    common shingles sit at-or-after (i, j), so its bound >= o passes.
+    Survivors are verified exactly with one array_intersect over the
+    full hashed shingle sets (map-only rebuild, no second explode
+    shuffle).
     """
     sets = shingle_sets(docs, k=k).cache()
     # full hashed sets for verification: map-only, 8-byte elements
@@ -147,10 +162,28 @@ def ngram_jaccard_prefix_pairs(
         <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
     )
     pa = prefix.select(
-        F.col("doc_id").alias("doc_a"), "h", F.col("n").alias("n_a")
+        F.col("doc_id").alias("doc_a"),
+        "h",
+        F.col("n").alias("n_a"),
+        F.col("rn").alias("rn_a"),
     )
     pb = prefix.select(
-        F.col("doc_id").alias("doc_b"), "h", F.col("n").alias("n_b")
+        F.col("doc_id").alias("doc_b"),
+        "h",
+        F.col("n").alias("n_b"),
+        F.col("rn").alias("rn_b"),
+    )
+    # overlap upper bound at this match position vs the Jaccard
+    # overlap requirement (1e-6 slack keeps float rounding from ever
+    # crossing an integer boundary and over-pruning)
+    ub = (
+        F.least(
+            F.col("n_a") - F.col("rn_a"), F.col("n_b") - F.col("rn_b")
+        )
+        + 1
+    )
+    alpha = F.lit(threshold / (1.0 + threshold)) * (
+        F.col("n_a") + F.col("n_b")
     )
     cand = (
         pa.join(pb, "h")
@@ -158,6 +191,7 @@ def ngram_jaccard_prefix_pairs(
             (F.col("doc_a") < F.col("doc_b"))
             & (F.col("n_a") >= F.lit(threshold) * F.col("n_b"))
             & (F.col("n_b") >= F.lit(threshold) * F.col("n_a"))
+            & (ub >= alpha - F.lit(1e-6))
         )
         .select("doc_a", "doc_b")
         .distinct()
@@ -446,6 +480,17 @@ def connected_components(
     sum(label), which strictly decreases while any label changes
     (labels only ever decrease).  The rounds the last call used are
     exposed as ``connected_components.last_rounds`` (test hook).
+
+    Size-aware small-graph valve (the probe-and-switch family -
+    q103 / grouped_exact_percentile): the edge list is materialized
+    (localCheckpoint) before the loop anyway, so its count is one
+    cheap scalar; at or below ``CC_DRIVER_EDGE_MAX`` edges (a few MB)
+    the transitive closure runs as a driver-side union-find instead
+    of 4-6 Spark jobs per round - near-dup pair sets are typically
+    tiny relative to the corpus (pairs, not docs, bound the collect).
+    Above the cap the distributed loop runs as described; results are
+    identical (both compute min-reachable-id exactly), asserted by
+    the operator tests driving both branches on the same graphs.
     """
     edges = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
     edges = (
@@ -454,6 +499,30 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    n_edges = edges.count()  # post-checkpoint: reads the pinned blocks
+    if n_edges <= CC_DRIVER_EDGE_MAX:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        rows = edges.collect()
+        for r in rows:
+            ru, rv = find(r["u"]), find(r["v"])
+            if ru != rv:  # union onto the smaller id: label IS min id
+                if rv < ru:
+                    ru, rv = rv, ru
+                parent[rv] = ru
+        nodes = {x for r in rows for x in (r["u"], r["v"])}
+        out = [(int(x), int(find(x))) for x in sorted(nodes)]
+        connected_components.last_rounds = 0
+        spark = pairs.sparkSession
+        return spark.createDataFrame(out, "node bigint, component bigint")
     # seed with the neighborhood min (= the identity round fused into
     # the same groupBy that enumerates the nodes)
     labels = (

@@ -355,19 +355,53 @@ def test_connected_components_shortcut_rounds(spark):
     """Path shortcutting keeps convergence logarithmic on long-chain
     graphs: a 64-node chain (diameter 63, which plain min-label
     propagation would need ~63 rounds for - past the default max_iter)
-    must converge well under the cap, with every node labeled 0."""
+    must converge well under the cap, with every node labeled 0.
+    CC_DRIVER_EDGE_MAX is pinned to 0 so the DISTRIBUTED branch runs
+    (the default would route a 63-edge graph to the driver valve)."""
     n = 64
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], ["doc_a", "doc_b"]
     )
-    comp = {
-        r["node"]: r["component"]
-        for r in dedup.connected_components(pairs).collect()
-    }
+    old = dedup.CC_DRIVER_EDGE_MAX
+    dedup.CC_DRIVER_EDGE_MAX = 0
+    try:
+        comp = {
+            r["node"]: r["component"]
+            for r in dedup.connected_components(pairs).collect()
+        }
+    finally:
+        dedup.CC_DRIVER_EDGE_MAX = old
     assert comp == {i: 0 for i in range(n)}
     # neighbor-min alone moves the min one hop per round (~63 rounds);
     # with label[label] chasing the chain collapses geometrically
-    assert dedup.connected_components.last_rounds <= 15
+    assert 1 <= dedup.connected_components.last_rounds <= 15
+
+
+def test_connected_components_valve_branches_agree(spark):
+    """The driver union-find valve and the distributed min-label loop
+    are the same operator: identical (node, component) output on a
+    multi-component graph with chains, a clique, and id gaps."""
+    edges = (
+        [(i, i + 1) for i in range(0, 30)]          # 31-node chain
+        + [(100 + a, 100 + b) for a in range(6) for b in range(a + 1, 6)]
+        + [(7_000_000_000 + i, 7_000_000_001 + i) for i in range(0, 4, 2)]
+    )
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    via_driver = {
+        (r["node"], r["component"])
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert dedup.connected_components.last_rounds == 0  # valve engaged
+    old = dedup.CC_DRIVER_EDGE_MAX
+    dedup.CC_DRIVER_EDGE_MAX = 0
+    try:
+        via_spark = {
+            (r["node"], r["component"])
+            for r in dedup.connected_components(pairs).collect()
+        }
+    finally:
+        dedup.CC_DRIVER_EDGE_MAX = old
+    assert via_driver == via_spark and len(via_driver) == 41
 
 
 def test_multimodal_image_roundtrip(spark, sf_dir):
