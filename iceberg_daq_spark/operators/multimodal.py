@@ -12,12 +12,16 @@ record batches, never per-row Python - so the same plumbing scales to a
 real cluster: payloads stay in executor memory, nothing collects to the
 driver, and partitioning by id carries through.
 
-Container caveat: no image/audio codec libraries are installed, so the
-*codec* is a deterministic fake format ("FIMG"/"FAUD": header + raw
-array) generated from the documents table; ``decode_external`` is the
-clearly-marked stub where PIL / soundfile / av would plug in.  The
-Spark-side plumbing - schemas, batch iteration, UDF signatures,
-partition behavior - is real and tested.
+Container caveat: no image/audio codec LIBRARIES are installed, so the
+bulk-synthesis codec is a deterministic fake format ("FIMG"/"FAUD":
+header + raw array) generated from the documents table, and
+``decode_external`` routes real formats to PIL / soundfile / av when
+importable.  Two REAL decode paths run with no codec library at all -
+16-bit PCM WAV via the stdlib ``wave`` module and binary PPM (P6) via
+a pure-numpy parser - so the real-codec plumbing (same mapInArrow
+batches, same output schemas) executes and is asserted in-container;
+JPEG/PNG/FLAC/OGG/MP4 raise NotImplementedError when their library is
+absent rather than silently faking.
 """
 
 from __future__ import annotations
@@ -590,7 +594,7 @@ def decode_audio_stats(blobs: DataFrame) -> DataFrame:
     return blobs.mapInArrow(stats, _AUD_STATS_SCHEMA)
 
 
-_IMAGE_FMTS = ("jpeg", "png")
+_IMAGE_FMTS = ("jpeg", "png", "ppm")
 _AUDIO_FMTS = ("wav", "flac", "ogg")
 _VIDEO_FMTS = ("mp4", "mkv", "webm")
 
@@ -604,11 +608,16 @@ def decode_external(blobs: DataFrame, fmt: str, every_k: int = 5) -> DataFrame:
 
       jpeg/png       PIL        -> :data:`_IMG_STATS_SCHEMA`
                                    (decode_image_stats twin)
+      ppm            PIL or the pure-numpy P6 parser below - a REAL
+                                   image decode that runs in
+                                   codec-free containers
       wav/flac/ogg   soundfile  -> :data:`_AUD_STATS_SCHEMA`
                                    (decode_audio_stats twin; rms/peak
                                    in int16 PCM units, multichannel
                                    stats over all channels, n_samples
-                                   = frames)
+                                   = frames); 16-bit PCM WAV decodes
+                                   via the stdlib ``wave`` module when
+                                   soundfile is absent
       mp4/mkv/webm   av         -> :data:`_FRAME_SCHEMA`
                                    (sample_video_frames twin: every
                                    ``every_k``-th frame as raw RGB24
@@ -619,7 +628,7 @@ def decode_external(blobs: DataFrame, fmt: str, every_k: int = 5) -> DataFrame:
     per-blob parse is the codec's C decoder (necessarily per-blob:
     compressed streams aren't batch-decodable)."""
     if fmt in _AUDIO_FMTS:
-        return _decode_external_audio(blobs)
+        return _decode_external_audio(blobs, fmt)
     if fmt in _VIDEO_FMTS:
         return _decode_external_video(blobs, every_k)
     if fmt not in _IMAGE_FMTS:
@@ -630,6 +639,8 @@ def decode_external(blobs: DataFrame, fmt: str, every_k: int = 5) -> DataFrame:
     try:
         import PIL.Image  # noqa: F401
     except ImportError as exc:
+        if fmt == "ppm":
+            return _decode_ppm_numpy(blobs)
         raise NotImplementedError(
             f"no codec library available in this environment for format={fmt!r}; "
             "install pillow to enable the real decode path"
@@ -680,21 +691,111 @@ def decode_external(blobs: DataFrame, fmt: str, every_k: int = 5) -> DataFrame:
     return blobs.mapInArrow(stats, _IMG_STATS_SCHEMA)
 
 
-def _decode_external_audio(blobs: DataFrame) -> DataFrame:
-    """Real audio decode (WAV/FLAC/OGG via soundfile/libsndfile) to the
-    SAME stats schema as the FAUD path (:func:`decode_audio_stats`):
-    per-blob n_samples (frames), duration, RMS and peak in int16 PCM
-    units (soundfile reads dtype=int16, so a 16-bit file round-trips
-    bit-exactly; other depths quantize).  Import-gated: raises instead
-    of faking when soundfile is absent (this container)."""
+def _parse_ppm_p6(buf: bytes) -> "np.ndarray":
+    """Binary PPM (P6) to an (h, w, 3) uint8 array - the whole format
+    is a 3-token ASCII header (magic, dims, maxval, '#' comments
+    allowed) followed by raw RGB bytes, so a real decode needs only
+    numpy.  maxval must be <= 255 (1-byte samples)."""
+    if not buf.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(buf) and buf[pos : pos + 1].isspace():
+            pos += 1
+        if buf[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(buf) and buf[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(buf[start:pos]))
+    pos += 1  # single whitespace after maxval, then raw samples
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise ValueError(f"2-byte PPM samples unsupported (maxval={maxval})")
+    need = w * h * 3
+    data = np.frombuffer(buf, dtype=np.uint8, count=need, offset=pos)
+    return data.reshape(h, w, 3)
+
+
+def _decode_ppm_numpy(blobs: DataFrame) -> DataFrame:
+    """Real PPM (P6) image decode with numpy only - the dependency-free
+    twin of the PIL stats path, byte-identical output on the same
+    files (PIL parses the same header and yields the same array)."""
+
+    def stats(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            names = rb.schema.names
+            pay = rb.column(names.index("payload"))
+            w = np.empty(n, dtype=np.int32)
+            h = np.empty(n, dtype=np.int32)
+            c = np.empty(n, dtype=np.int32)
+            mean = np.empty(n, dtype=np.float64)
+            mx = np.empty(n, dtype=np.int32)
+            mn = np.empty(n, dtype=np.int32)
+            for i in range(n):
+                arr = _parse_ppm_p6(pay[i].as_py())
+                h[i], w[i], c[i] = arr.shape
+                mean[i] = float(arr.mean())
+                mx[i] = int(arr.max())
+                mn[i] = int(arr.min())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(names.index("doc_id")),
+                    pa.array(w, type=pa.int32()),
+                    pa.array(h, type=pa.int32()),
+                    pa.array(c, type=pa.int32()),
+                    pa.array(mean),
+                    pa.array(mx, type=pa.int32()),
+                    pa.array(mn, type=pa.int32()),
+                ],
+                names=[
+                    "doc_id", "width", "height", "channels",
+                    "mean_px", "max_px", "min_px",
+                ],
+            )
+
+    return blobs.mapInArrow(stats, _IMG_STATS_SCHEMA)
+
+
+def _decode_external_audio(blobs: DataFrame, fmt: str = "wav") -> DataFrame:
+    """Real audio decode to the SAME stats schema as the FAUD path
+    (:func:`decode_audio_stats`): per-blob n_samples (frames),
+    duration, RMS and peak in int16 PCM units.
+
+    Two real decoders, picked by availability:
+
+      - soundfile/libsndfile (WAV/FLAC/OGG) when installed - reads
+        dtype=int16, so a 16-bit file round-trips bit-exactly and
+        other depths quantize;
+      - the stdlib ``wave`` module for 16-bit PCM WAV - ALWAYS
+        available, so the real-codec plumbing is exercised even in
+        codec-free containers (this one).  Same mapInArrow batch
+        shape, same stats arithmetic; only the container parse
+        differs.
+
+    FLAC/OGG without soundfile raises NotImplementedError (the FAUD
+    fake-format path is the documented substitute)."""
     try:
         import soundfile  # noqa: F401
-    except ImportError as exc:
+
+        have_sf = True
+    except ImportError:
+        have_sf = False
+    if not have_sf and fmt != "wav":
         raise NotImplementedError(
-            "soundfile is not installed in this environment; the FAUD "
-            "fake-format path (decode_audio_stats) is the documented "
-            "substitute"
-        ) from exc
+            f"soundfile is not installed and the stdlib wave decoder "
+            f"only reads WAV (format={fmt!r}); the FAUD fake-format "
+            "path (decode_audio_stats) is the documented substitute"
+        )
+    if not have_sf:
+        return _decode_wav_stdlib(blobs)
 
     def stats(batches):
         import io
@@ -721,6 +822,60 @@ def _decode_external_audio(blobs: DataFrame) -> DataFrame:
                 dur[i] = frames / float(rate)
                 if data.size:
                     flat = data.astype(np.float64).ravel()
+                    rms[i] = float(np.sqrt((flat**2).mean()))
+                    peak[i] = int(np.abs(data.astype(np.int32)).max())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(names.index("doc_id")),
+                    pa.array(ns, type=pa.int32()),
+                    pa.array(dur),
+                    pa.array(rms),
+                    pa.array(peak, type=pa.int32()),
+                ],
+                names=["doc_id", "n_samples", "duration_s", "rms", "peak"],
+            )
+
+    return blobs.mapInArrow(stats, _AUD_STATS_SCHEMA)
+
+
+def _decode_wav_stdlib(blobs: DataFrame) -> DataFrame:
+    """16-bit PCM WAV decode with the stdlib ``wave`` module - the
+    dependency-free real decoder behind :func:`_decode_external_audio`.
+    Identical output contract to the soundfile path on PCM_16 WAV
+    (libsndfile also surfaces those samples as the raw int16 words)."""
+
+    def stats(batches):
+        import io
+        import wave
+
+        import pyarrow as pa
+
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            names = rb.schema.names
+            pay = rb.column(names.index("payload"))
+            ns = np.zeros(n, dtype=np.int32)
+            dur = np.zeros(n, dtype=np.float64)
+            rms = np.zeros(n, dtype=np.float64)
+            peak = np.zeros(n, dtype=np.int32)
+            for i in range(n):
+                with wave.open(io.BytesIO(pay[i].as_py()), "rb") as w:
+                    if w.getsampwidth() != 2:
+                        raise NotImplementedError(
+                            "stdlib wave decoder reads 16-bit PCM only; "
+                            f"got sampwidth={w.getsampwidth()} bytes"
+                        )
+                    frames = w.getnframes()
+                    rate = w.getframerate()
+                    data = np.frombuffer(
+                        w.readframes(frames), dtype="<i2"
+                    )  # interleaved channels; stats run over all samples
+                ns[i] = frames
+                dur[i] = frames / float(rate)
+                if data.size:
+                    flat = data.astype(np.float64)
                     rms[i] = float(np.sqrt((flat**2).mean()))
                     peak[i] = int(np.abs(data.astype(np.int32)).max())
             yield pa.RecordBatch.from_arrays(

@@ -516,7 +516,9 @@ def test_multimodal_external_decode_gating(spark, sf_dir):
     d = load(spark, sf_dir, "documents").limit(1)
     with _pytest.raises(NotImplementedError):
         mm.decode_external(mm.synth_image_blobs(d), "tiff")  # unknown format
-    for fmt, lib in (("jpeg", "PIL"), ("wav", "soundfile"), ("mp4", "av")):
+    # wav is NOT in this list: the stdlib `wave` fallback decodes it
+    # for real in any container (test_multimodal_external_decode_wav)
+    for fmt, lib in (("jpeg", "PIL"), ("flac", "soundfile"), ("mp4", "av")):
         if importlib.util.find_spec(lib) is None:
             with _pytest.raises(NotImplementedError):
                 mm.decode_external(mm.synth_image_blobs(d), fmt)
@@ -623,15 +625,16 @@ def test_q68_docs_are_valid_canonical_json(spark, sf_dir):
 
 
 def test_multimodal_external_decode_wav():
-    """With soundfile installed, decode_external must decode real WAVs
-    through the same mapInArrow plumbing to the FAUD stats schema with
-    exact int16-unit RMS/peak (skips in codec-free containers)."""
+    """decode_external must decode REAL 16-bit PCM WAV containers
+    through the mapInArrow plumbing to the FAUD stats schema with
+    exact int16-unit RMS/peak.  The files are written with the stdlib
+    ``wave`` module and decoded by whichever real decoder is present
+    (soundfile when installed, the stdlib wave fallback otherwise), so
+    this real-codec path RUNS even in codec-free containers."""
     import io
+    import wave as wave_mod
 
     import numpy as np
-    import pytest as _pytest
-
-    sf_lib = _pytest.importorskip("soundfile")
 
     from iceberg_daq_spark.operators import multimodal as mm
     from iceberg_daq_spark.session import get_spark
@@ -642,7 +645,11 @@ def test_multimodal_external_decode_wav():
     for doc_id, (frames, rate, ch) in enumerate([(1600, 16000, 1), (800, 8000, 2)]):
         pcm = rng.integers(-20000, 20000, size=(frames, ch), dtype=np.int16)
         bio = io.BytesIO()
-        sf_lib.write(bio, pcm, rate, format="WAV", subtype="PCM_16")
+        with wave_mod.open(bio, "wb") as w:
+            w.setnchannels(ch)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(pcm.tobytes())  # interleaved little-endian
         rows.append((doc_id, bytearray(bio.getvalue())))
         flat = pcm.astype(np.float64).ravel()
         truth[doc_id] = (
@@ -661,6 +668,14 @@ def test_multimodal_external_decode_wav():
         gns, gdur, grms, gpeak = got[k]
         assert (gns, gpeak) == (ns, peak)
         assert abs(gdur - dur) < 1e-9 and abs(grms - rms) < 1e-6
+    # FLAC without soundfile must still raise, not silently fake
+    try:
+        import soundfile  # noqa: F401
+    except ImportError:
+        import pytest as _pytest
+
+        with _pytest.raises(NotImplementedError):
+            mm.decode_external(blobs, "flac")
 
 
 def test_multimodal_external_decode_mp4():
@@ -1398,3 +1413,37 @@ def test_percentile_family_giant_branch_matches_oracle(spark, sf_dir):
     finally:
         ranking.GIANT_GROUP_ROWS = old
         con.close()
+
+
+def test_multimodal_external_decode_ppm():
+    """decode_external must decode REAL binary PPM (P6) images -
+    header with comments, 1- and 3-channel-free RGB payloads - through
+    the mapInArrow plumbing to the image stats schema, with no codec
+    library required (pure-numpy parser, PIL used instead when
+    installed)."""
+    import numpy as np
+
+    from iceberg_daq_spark.operators import multimodal as mm
+    from iceberg_daq_spark.session import get_spark
+
+    spark = get_spark()
+    rng = np.random.default_rng(5)
+    rows, truth = [], {}
+    for doc_id, (w, h) in enumerate([(13, 7), (32, 16)]):
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        header = f"P6\n# synthetic test image\n{w} {h}\n255\n".encode()
+        rows.append((doc_id, bytearray(header + px.tobytes())))
+        truth[doc_id] = (w, h, 3, float(px.mean()), int(px.max()), int(px.min()))
+    blobs = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r["doc_id"]: (
+            r["width"], r["height"], r["channels"],
+            r["mean_px"], r["max_px"], r["min_px"],
+        )
+        for r in mm.decode_external(blobs, "ppm").collect()
+    }
+    assert set(got) == set(truth)
+    for k, (w, h, c, mean, mx, mn) in truth.items():
+        gw, gh, gc, gmean, gmx, gmn = got[k]
+        assert (gw, gh, gc, gmx, gmn) == (w, h, c, mx, mn)
+        assert abs(gmean - mean) < 1e-9
