@@ -42,4 +42,5 @@ from iceberg_daq_spark.queries import (  # noqa: F401
     sre,
     scorecard,
     retail,
+    robust,
 )

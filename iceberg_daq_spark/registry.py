@@ -55,7 +55,7 @@ def all_queries() -> dict[str, QuerySpec]:
 
 
 # The verify driver hash-checks only the FIRST 50 entries of
-# ``__spark_entry__.queries()``.  With 214 registered queries (198
+# ``__spark_entry__.queries()``.  With 217 registered queries (201
 # oracle-backed, 16 rows-only by design) the window cannot cover
 # everything, so the projection below orders queries by how much a
 # driver row is worth this round:
@@ -130,8 +130,12 @@ _CHECK_FIRST = [
     "q12_hash_agg_measures",
     # ---- 50-entry window boundary -------------------------------------
     # Everything below spills past the driver's window this round and is
-    # the round-11 rotation backlog: the remaining r6-stale rows first,
-    # then the r7-stale §2B contract core.
+    # the round-11 rotation backlog: round-10's new registrations first
+    # (never driver-checked - they take the head of the r11 window),
+    # then the remaining r6-stale rows, then the r7-stale §2B core.
+    "q217_weighted_discount_percentiles",
+    "q218_theil_inequality",
+    "q219_robust_spread",
     "q03_inner_join_agg",
     "q04_broadcast_join",
     "q05_multiway_join",

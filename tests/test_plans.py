@@ -2202,3 +2202,51 @@ def test_grouped_exact_percentile_branch_plans(spark, sf_dir):
     assert "percentile(" not in giant
     assert "_rank_pid" in giant  # slice-keyed window, never one task per group
     assert "BroadcastHashJoin" in giant  # offsets join as a broadcast
+
+
+def test_q217_weighted_percentile_broadcast_single_scan(spark, sf_dir):
+    """The weighted-percentile plan broadcasts the part dim and scans
+    lineitem once; the frequency-weighted percentile aggregates
+    (value, weight) pairs - no row expansion anywhere in the plan."""
+    import re
+
+    from iceberg_daq_spark.queries.robust import q217
+
+    plan = plan_of(q217(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "percentile(" in plan
+    assert "Generate explode" not in plan  # no expansion of weights
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2  # li + part
+
+
+def test_q218_theil_single_pass(spark, sf_dir):
+    """Theil folds in one combinable aggregate pass: nation broadcasts,
+    partial + final hash aggregate, one fact scan."""
+    import re
+
+    from iceberg_daq_spark.queries.robust import q218
+
+    plan = plan_of(q218(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2  # cust + nation
+
+
+def test_q219_rides_size_aware_percentile(spark, sf_dir):
+    """q219's quartiles run through grouped_exact_percentile: the
+    metadata row-count bound picks the buffered branch at test scale
+    (array-form percentile, no range exchange), and pinning the
+    threshold low flips the SAME query to the two-pass rank layout."""
+    from iceberg_daq_spark.operators import ranking
+    from iceberg_daq_spark.queries.robust import q219
+
+    small = plan_of(q219(spark, sf_dir))
+    assert "percentile(" in small
+    assert "Exchange rangepartitioning" not in small
+    old = ranking.GIANT_GROUP_ROWS
+    ranking.GIANT_GROUP_ROWS = 100
+    try:
+        giant = plan_of(q219(spark, sf_dir))
+    finally:
+        ranking.GIANT_GROUP_ROWS = old
+    assert "percentile(" not in giant and "_rank_pid" in giant
