@@ -43,4 +43,5 @@ from iceberg_daq_spark.queries import (  # noqa: F401
     scorecard,
     retail,
     robust,
+    forecast,
 )

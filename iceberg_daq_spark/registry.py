@@ -136,6 +136,9 @@ _CHECK_FIRST = [
     "q217_weighted_discount_percentiles",
     "q218_theil_inequality",
     "q219_robust_spread",
+    "q220_holt_forecast",
+    "q221_acf_ljung_box",
+    "q222_seasonal_decomposition",
     "q03_inner_join_agg",
     "q04_broadcast_join",
     "q05_multiway_join",
