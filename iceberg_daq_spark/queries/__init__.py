@@ -44,4 +44,5 @@ from iceberg_daq_spark.queries import (  # noqa: F401
     retail,
     robust,
     forecast,
+    sketches,
 )

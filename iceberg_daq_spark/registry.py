@@ -139,6 +139,8 @@ _CHECK_FIRST = [
     "q220_holt_forecast",
     "q221_acf_ljung_box",
     "q222_seasonal_decomposition",
+    "q223_countmin_heavy_hitters",
+    "q224_bloom_membership",
     "q03_inner_join_agg",
     "q04_broadcast_join",
     "q05_multiway_join",
