@@ -45,4 +45,5 @@ from iceberg_daq_spark.queries import (  # noqa: F401
     robust,
     forecast,
     sketches,
+    ml,
 )

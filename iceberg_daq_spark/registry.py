@@ -141,6 +141,8 @@ _CHECK_FIRST = [
     "q222_seasonal_decomposition",
     "q223_countmin_heavy_hitters",
     "q224_bloom_membership",
+    "q225_logreg_train",
+    "q226_kmeans_lloyd",
     "q03_inner_join_agg",
     "q04_broadcast_join",
     "q05_multiway_join",
