@@ -46,4 +46,5 @@ from iceberg_daq_spark.queries import (  # noqa: F401
     forecast,
     sketches,
     ml,
+    linkpred,
 )

@@ -380,3 +380,167 @@ def q226(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+_NB_ORACLE = f"""
+    WITH docs AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
+    ), train_tok AS (
+      SELECT d.lang, t.tok
+      FROM docs d, UNNEST(d.ws) AS t(tok)
+      WHERE d.doc_id % 5 <> 0 AND t.tok <> ''
+    ), vocab AS (
+      SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM train_tok
+    ), lang_tot AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS nl FROM train_tok GROUP BY lang
+    ), w AS (
+      SELECT tt.lang, tt.tok,
+             CAST(round({_Q} * ln(
+               (CAST(count(*) AS DOUBLE) + 1.0) / (lt.nl + vb.v)
+             )) AS BIGINT) AS wu
+      FROM train_tok tt, lang_tot lt, vocab vb
+      WHERE lt.lang = tt.lang
+      GROUP BY tt.lang, tt.tok, lt.nl, vb.v
+    ), dflt AS (
+      SELECT lt.lang,
+             CAST(round({_Q} * ln(1.0 / (lt.nl + vb.v))) AS BIGINT) AS du
+      FROM lang_tot lt, vocab vb
+    ), prior AS (
+      SELECT lang,
+             CAST(round({_Q} * ln(
+               CAST(count(*) AS DOUBLE)
+               / (SELECT count(*) FROM docs WHERE doc_id % 5 <> 0)
+             )) AS BIGINT) AS pu
+      FROM docs WHERE doc_id % 5 <> 0 GROUP BY lang
+    ), test_tok AS (
+      SELECT d.doc_id, d.lang AS actual, t.tok
+      FROM docs d, UNNEST(d.ws) AS t(tok)
+      WHERE d.doc_id % 5 = 0 AND t.tok <> ''
+    ), scored AS (
+      SELECT tt.doc_id, tt.actual, df.lang AS cand,
+             CAST(p.pu + sum(coalesce(w.wu, df.du)) AS BIGINT) AS score
+      FROM test_tok tt
+      JOIN dflt df ON TRUE
+      LEFT JOIN w ON w.lang = df.lang AND w.tok = tt.tok
+      JOIN prior p ON p.lang = df.lang
+      GROUP BY tt.doc_id, tt.actual, df.lang, p.pu
+    ), pred AS (
+      SELECT doc_id, actual, cand AS predicted FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY doc_id ORDER BY score DESC, cand) AS rk
+        FROM scored
+      ) WHERE rk = 1
+    )
+    SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY actual, predicted
+    ORDER BY actual, predicted
+"""
+
+
+@register("q228_naive_bayes_langid", oracle=_NB_ORACLE)
+def q228(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive-Bayes language classifier: TRAIN on the 80%
+    of documents with doc_id%5!=0 (Laplace-smoothed per-language token
+    log-probs + log priors), PREDICT the held-out 20%, and emit the
+    confusion matrix - the generative twin of q225's discriminative
+    trainer, and the trained upgrade of q46's fixed stopword langid.
+
+    Every log-probability quantizes to micro-nats (BIGINT) at model-
+    build time, so per-document scores are exact integer sums in ANY
+    aggregation order; argmax ties break lexicographically.  Unseen
+    test tokens take the per-language Laplace floor ln(1/(N_l+V)) via
+    coalesce after a left join - the model is a (vocab x langs)
+    weight TABLE, hash-joined to exploded test tokens (never
+    broadcast-bound: at 100 TB the weight table shuffles like any
+    dimension; candidate fan-out is exactly |langs|=5 per token)."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split("text", " ").alias("ws")
+    )
+    train_tok = (
+        d.filter(F.col("doc_id") % 5 != 0)
+        .select("lang", F.explode("ws").alias("tok"))
+        .filter(F.col("tok") != "")
+        .localCheckpoint()
+    )
+    vocab = train_tok.agg(
+        F.countDistinct("tok").cast("bigint").alias("v")
+    )
+    lang_tot = train_tok.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("nl")
+    )
+    w = (
+        train_tok.groupBy("lang", "tok")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .join(F.broadcast(lang_tot), "lang")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "lang",
+            "tok",
+            F.round(
+                _Q
+                * F.log(
+                    (F.col("c").cast("double") + 1.0)
+                    / (F.col("nl") + F.col("v"))
+                )
+            )
+            .cast("bigint")
+            .alias("wu"),
+        )
+    )
+    dflt = (
+        lang_tot.crossJoin(F.broadcast(vocab))
+        .select(
+            F.col("lang").alias("cand"),
+            F.round(_Q * F.log(1.0 / (F.col("nl") + F.col("v"))))
+            .cast("bigint")
+            .alias("du"),
+        )
+    )
+    train_docs = d.filter(F.col("doc_id") % 5 != 0)
+    n_train = train_docs.agg(F.count("*").alias("nd"))
+    prior = (
+        train_docs.groupBy("lang")
+        .agg(F.count("*").alias("c"))
+        .crossJoin(F.broadcast(n_train))
+        .select(
+            F.col("lang").alias("cand"),
+            F.round(_Q * F.log(F.col("c").cast("double") / F.col("nd")))
+            .cast("bigint")
+            .alias("pu"),
+        )
+    )
+    test_tok = (
+        d.filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", F.col("lang").alias("actual"), F.explode("ws").alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    scored = (
+        test_tok.crossJoin(F.broadcast(dflt))
+        .join(
+            w.select(
+                F.col("lang").alias("cand"), "tok", "wu"
+            ),
+            ["cand", "tok"],
+            "left",
+        )
+        .join(F.broadcast(prior), "cand")
+        .groupBy("doc_id", "actual", "cand", "pu")
+        .agg(F.sum(F.coalesce("wu", "du")).alias("s"))
+        .select(
+            "doc_id",
+            "actual",
+            "cand",
+            (F.col("pu") + F.col("s")).cast("bigint").alias("score"),
+        )
+    )
+    wrk = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "cand")
+    pred = (
+        scored.withColumn("rk", F.row_number().over(wrk))
+        .filter(F.col("rk") == 1)
+        .select("actual", F.col("cand").alias("predicted"))
+    )
+    return (
+        pred.groupBy("actual", "predicted")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .orderBy("actual", "predicted")
+    )

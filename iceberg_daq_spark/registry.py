@@ -143,6 +143,8 @@ _CHECK_FIRST = [
     "q224_bloom_membership",
     "q225_logreg_train",
     "q226_kmeans_lloyd",
+    "q227_adamic_adar",
+    "q228_naive_bayes_langid",
     "q03_inner_join_agg",
     "q04_broadcast_join",
     "q05_multiway_join",
