@@ -99,6 +99,15 @@ STRESS_QUERIES = [
     # layout itself scales with 10x orders/lineitem (~linear: two
     # range shuffles + scalar offsets, no single-task sort)
     "q214",
+    # r10: the session's new iterative/pair shapes over the clones.
+    # q226 k-means is a broadcast-8-centroid crossJoin per round over
+    # 10x vectors (~linear); q227 Adamic-Adar's pair join is bounded
+    # by the per-part occupancy valve - cloned orders reuse the same
+    # custkeys/partkeys so occupancy stays ~flat while the scan grows
+    # 10x (~linear); q228 naive Bayes re-trains on 10x docs whose
+    # perturbed-token vocabulary grows only ~10%/copy, so the weight
+    # table must stay ~flat while the token stream grows (~linear)
+    "q226", "q227", "q228",
 ]
 # superlinear-blowup tripwire: 10x rows may legitimately cost more than
 # 10x on the pair-counting queries (pair count itself grows with the
