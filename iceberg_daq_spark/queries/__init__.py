@@ -47,4 +47,5 @@ from iceberg_daq_spark.queries import (  # noqa: F401
     sketches,
     ml,
     linkpred,
+    evals,
 )

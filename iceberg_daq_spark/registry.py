@@ -145,6 +145,8 @@ _CHECK_FIRST = [
     "q226_kmeans_lloyd",
     "q227_adamic_adar",
     "q228_naive_bayes_langid",
+    "q229_poisson_bootstrap_ci",
+    "q230_recsys_backtest",
     "q03_inner_join_agg",
     "q04_broadcast_join",
     "q05_multiway_join",
