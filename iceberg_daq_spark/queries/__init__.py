@@ -48,4 +48,5 @@ from iceberg_daq_spark.queries import (  # noqa: F401
     ml,
     linkpred,
     evals,
+    markov,
 )

@@ -55,7 +55,7 @@ def all_queries() -> dict[str, QuerySpec]:
 
 
 # The verify driver hash-checks only the FIRST 50 entries of
-# ``__spark_entry__.queries()``.  With 217 registered queries (201
+# ``__spark_entry__.queries()``.  With 229 registered queries (213
 # oracle-backed, 16 rows-only by design) the window cannot cover
 # everything, so the projection below orders queries by how much a
 # driver row is worth this round:
@@ -147,6 +147,7 @@ _CHECK_FIRST = [
     "q228_naive_bayes_langid",
     "q229_poisson_bootstrap_ci",
     "q230_recsys_backtest",
+    "q231_absorbing_markov",
     "q03_inner_join_agg",
     "q04_broadcast_join",
     "q05_multiway_join",
