@@ -132,23 +132,34 @@ def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus a partial-agg min - four same-key shuffles that AQE plans as
     broadcasts as the funnel narrows; the final percentages are a
     4-row cross join against the 1-row base count.  No windows, no
-    per-user event-array materialization."""
+    per-user event-array materialization.  The funnel-type projection
+    pins ONCE with localCheckpoint and every per-user stage pins its
+    (shrinking) result, so the four step counts re-read materialized
+    tables instead of re-deriving the whole chain - without the pins
+    this plan scans events 11 times (4 chains x their prefixes)."""
     e = load(spark, sf_dir, "events")
+    fe = (
+        e.filter(F.col("event_type").isin([n for n, _ in _FUNNEL]))
+        .select("user_id", "event_type", "ts")
+        .localCheckpoint()
+    )
 
     prev = (
-        e.filter(F.col("event_type") == "signup")
+        fe.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t"))
+        .localCheckpoint()
     )
     stages = [prev]
     for name, _step in _FUNNEL[1:]:
         p = stages[-1].select("user_id", F.col("t").alias("_pt"))
         nxt = (
-            e.filter(F.col("event_type") == name)
+            fe.filter(F.col("event_type") == name)
             .join(p, "user_id")
             .filter(F.col("ts") > F.col("_pt"))
             .groupBy("user_id")
             .agg(F.min("ts").alias("t"))
+            .localCheckpoint()
         )
         stages.append(nxt)
 

@@ -336,3 +336,155 @@ def q222(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cal_month")
     )
+
+
+# ---- Q232: Holt-Winters additive (level + trend + 12-month seasonal) --
+
+_HW_LT = _fdiv("3 * (x - element_at(acc.s, 1)) + 7 * (acc.l + acc.b)", 10)
+_HW_BT = _fdiv(f"2 * (({_HW_LT}) - acc.l) + 8 * acc.b", 10)
+_HW_ST = _fdiv(f"(x - ({_HW_LT})) + 9 * element_at(acc.s, 1)", 10)
+
+_HW_LT_D = _fdiv_duck("3 * (x.cents - f.s[1]) + 7 * (f.l + f.b)", 10)
+_HW_BT_D = _fdiv_duck(f"2 * (({_HW_LT_D}) - f.l) + 8 * f.b", 10)
+_HW_ST_D = _fdiv_duck(f"(x.cents - ({_HW_LT_D})) + 9 * f.s[1]", 10)
+
+
+@register(
+    "q232_holt_winters",
+    oracle=f"""
+    WITH RECURSIVE monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS mon,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY mon
+    ), m AS (
+      SELECT row_number() OVER (ORDER BY mon) AS t, cents FROM monthly
+    ), xs AS (
+      SELECT list(cents ORDER BY t) AS a, CAST(count(*) AS BIGINT) AS tmax
+      FROM m
+    ), init1 AS (
+      SELECT a, tmax,
+             {_fdiv_duck('list_sum(a[1:12])', 12)} AS l0,
+             {_fdiv_duck('list_sum(a[13:24]) - list_sum(a[1:12])', 144)}
+               AS b0
+      FROM xs
+    ), init AS (
+      SELECT tmax, l0, b0,
+             list_transform(a[1:12], v -> v - l0) AS s0
+      FROM init1
+    ), fold AS (
+      SELECT CAST(12 AS BIGINT) AS t, l0 AS l, b0 AS b,
+             CAST(0 AS BIGINT) AS e, s0 AS s, tmax
+      FROM init
+      UNION ALL
+      SELECT f.t + 1,
+             {_HW_LT_D},
+             {_HW_BT_D},
+             f.e + abs(x.cents - (f.l + f.b + f.s[1])),
+             list_append(f.s[2:12], {_HW_ST_D}),
+             f.tmax
+      FROM fold f JOIN m x ON x.t = f.t + 1
+      WHERE f.t < f.tmax
+    ), final AS (
+      SELECT l, b, e, s, tmax FROM fold WHERE t = tmax
+    )
+    SELECT CAST(h.h AS BIGINT) AS horizon,
+           round((f.l + h.h * f.b + f.s[h.h]) / 100.0, 2) AS forecast,
+           round(f.s[h.h] / 100.0, 2) AS seasonal,
+           round(f.l / 100.0, 2) AS final_level,
+           round(f.b / 100.0, 2) AS final_trend,
+           round(f.e / (f.tmax - 12) / 100.0, 2) AS fit_mae
+    FROM final f JOIN unnest([1, 2, 3, 4, 5, 6]) AS h(h) ON TRUE
+    ORDER BY horizon
+    """,
+)
+def q232(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive forecast (level + trend + 12-month
+    seasonality) of monthly revenue, horizons 1-6 - the full seasonal
+    upgrade of q220, and the hardest recurrence in the inventory: the
+    fold state is a STRUCT CARRYING A 12-ELEMENT SEASONAL ARRAY that
+    rotates every step.
+
+    alpha=3/10, beta=2/10, gamma=1/10 as exact rationals; every state
+    component stays BIGINT cents via pmod-floor division; the seasonal
+    ring buffer rotates by slice-and-append on both engines (Spark
+    ``aggregate`` lambda vs DuckDB recursive CTE with list_append), so
+    the engines march through identical (level, trend, seasonal[12])
+    states.  Init: l = mean of year 1, b = (year-2 mean - year-1
+    mean)/12, s_i = x_i - l (all floor-exact).  One-step-ahead MAE
+    accumulates alongside.  100 TB shape: identical to q220 - the
+    only full-data pass is the monthly partial agg; the fold is one
+    task over a calendar-bounded array."""
+    monthly = _monthly_cents(spark, sf_dir)
+    xs = monthly.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("mon"), F.col("cents")))
+        ).alias("cells")
+    ).select(F.expr("transform(cells, c -> c.cents)").alias("xs"))
+    prep = (
+        xs.withColumn("tmax", F.size("xs"))
+        .withColumn(
+            "l0",
+            F.expr(
+                _fdiv(
+                    "aggregate(slice(xs, 1, 12), CAST(0 AS BIGINT),"
+                    " (acc, x) -> acc + x)",
+                    12,
+                )
+            ),
+        )
+        .withColumn(
+            "b0",
+            F.expr(
+                _fdiv(
+                    "aggregate(slice(xs, 13, 12), CAST(0 AS BIGINT),"
+                    " (acc, x) -> acc + x)"
+                    " - aggregate(slice(xs, 1, 12), CAST(0 AS BIGINT),"
+                    " (acc, x) -> acc + x)",
+                    144,
+                )
+            ),
+        )
+        .withColumn("s0", F.expr("transform(slice(xs, 1, 12), v -> v - l0)"))
+    )
+    fold = prep.select(
+        "tmax",
+        F.expr(
+            f"""
+            aggregate(
+              slice(xs, 13, size(xs) - 12),
+              named_struct('l', l0, 'b', b0, 'e', CAST(0 AS BIGINT),
+                           's', s0),
+              (acc, x) -> named_struct(
+                'l', {_HW_LT},
+                'b', {_HW_BT},
+                'e', acc.e + abs(x - (acc.l + acc.b + element_at(acc.s, 1))),
+                's', concat(slice(acc.s, 2, 11), array({_HW_ST}))))
+            """
+        ).alias("st"),
+    )
+    h = spark.range(1, 7).select(F.col("id").cast("bigint").alias("horizon"))
+    return (
+        fold.crossJoin(F.broadcast(h))
+        .select(
+            "horizon",
+            F.round(
+                (
+                    F.col("st.l")
+                    + F.col("horizon") * F.col("st.b")
+                    + F.expr("element_at(st.s, CAST(horizon AS INT))")
+                )
+                / 100.0,
+                2,
+            ).alias("forecast"),
+            F.round(
+                F.expr("element_at(st.s, CAST(horizon AS INT))") / 100.0, 2
+            ).alias("seasonal"),
+            F.round(F.col("st.l") / 100.0, 2).alias("final_level"),
+            F.round(F.col("st.b") / 100.0, 2).alias("final_trend"),
+            F.round(F.col("st.e") / (F.col("tmax") - 12) / 100.0, 2).alias(
+                "fit_mae"
+            ),
+        )
+        .orderBy("horizon")
+    )

@@ -148,6 +148,7 @@ _CHECK_FIRST = [
     "q229_poisson_bootstrap_ci",
     "q230_recsys_backtest",
     "q231_absorbing_markov",
+    "q232_holt_winters",
     "q03_inner_join_agg",
     "q04_broadcast_join",
     "q05_multiway_join",

@@ -371,17 +371,22 @@ def time_queries(spark, specs, names, sf_dir, repeat):
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
             spark.catalog.clearCache()
+            # reclaim the run's shuffle/broadcast/checkpoint debris
+            # BETWEEN repeats, not just between queries: the
+            # ContextCleaner only frees blocks after a GC, and the
+            # heavy pair-join queries otherwise time their second
+            # repeat under the first repeat's dead 30M-row shuffle
+            # (measured: q41 at 10x reads 8-13s post-GC vs 33-50s
+            # under debris - the cost being measured must be the
+            # query's, not the allocator's)
+            import gc as _gc
+
+            _gc.collect()
+            spark.sparkContext._jvm.System.gc()
         if pin_giant:
             ranking.GIANT_GROUP_ROWS = saved_thr
         out[name] = round(best, 3)
         print(f"# {sf_dir.rsplit('/', 1)[-1]} {name}: {best:.3f}s", file=sys.stderr)
-        # drop dangling localCheckpoint RDDs (BFS / KM / k-core pin
-        # blocks the ContextCleaner only frees after a GC) so later
-        # measurements don't run under synthetic memory pressure
-        import gc as _gc
-
-        _gc.collect()
-        spark.sparkContext._jvm.System.gc()
     return out
 
 

@@ -187,3 +187,37 @@ def test_q228_confusion_matrix_accounts_all_holdout(spark, sf_dir):
     assert 0.05 <= correct / n_test <= prior + 0.3
     langs = {r["actual"] for r in rows}
     assert {r["predicted"] for r in rows} <= langs
+
+
+def test_q232_matches_python_holt_winters(spark, sf_dir):
+    xs = _monthly_cents(sf_dir)
+    assert len(xs) >= 24
+    l = sum(xs[:12]) // 12
+    b = (sum(xs[12:24]) - sum(xs[:12])) // 144
+    s = [x - l for x in xs[:12]]
+    e = 0
+    for x in xs[12:]:
+        e += abs(x - (l + b + s[0]))
+        l_new = _fdiv(3 * (x - s[0]) + 7 * (l + b), 10)
+        b = _fdiv(2 * (l_new - l) + 8 * b, 10)
+        s = s[1:] + [_fdiv((x - l_new) + 9 * s[0], 10)]
+        l = l_new
+    rows = all_queries()["q232_holt_winters"].fn(spark, sf_dir).collect()
+    assert [r["horizon"] for r in rows] == [1, 2, 3, 4, 5, 6]
+    for r in rows:
+        h = r["horizon"]
+        assert r["forecast"] == round((l + h * b + s[h - 1]) / 100.0, 2)
+        assert r["seasonal"] == round(s[h - 1] / 100.0, 2)
+    assert rows[0]["fit_mae"] == round(e / (len(xs) - 12) / 100.0, 2)
+
+
+def test_q229_weights_are_poisson_like(spark, sf_dir):
+    """The hash-drawn weights must distribute ~Poisson(1): mean ~1,
+    and the resample means must bracket the point mean."""
+    row = all_queries()["q229_poisson_bootstrap_ci"].fn(spark, sf_dir).collect()[0]
+    assert row["n_resamples"] == 32
+    assert row["ci_lo"] <= row["point_mean"] <= row["ci_hi"]
+    assert row["boot_se"] > 0
+    # SE of a mean over n orders with sd ~ point_mean-ish magnitude:
+    # must shrink with n (loose magnitude check, not a tight bound)
+    assert row["boot_se"] < row["point_mean"]
