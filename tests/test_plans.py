@@ -2250,3 +2250,57 @@ def test_q219_rides_size_aware_percentile(spark, sf_dir):
     finally:
         ranking.GIANT_GROUP_ROWS = old
     assert "percentile(" not in giant and "_rank_pid" in giant
+
+
+def test_q111_funnel_reads_pinned_reduction(spark, sf_dir):
+    """The four step-count legs must read the localCheckpoint-pinned
+    funnel projection, not re-derive their chains: 0 parquet scans in
+    the final plan (11 before the pin)."""
+    from iceberg_daq_spark.registry import all_queries
+
+    plan = plan_of(all_queries()["q111_event_funnel"].fn(spark, sf_dir))
+    assert "Scan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
+
+
+def test_q206_ri_audit_scans_each_fact_once(spark, sf_dir):
+    """The RI audit pins lineitem/orders/customer FK projections, so
+    only the pure-dim tables still scan parquet (<= 4 scans; 15
+    before the pins)."""
+    from iceberg_daq_spark.registry import all_queries
+
+    plan = plan_of(
+        all_queries()["q206_referential_integrity"].fn(spark, sf_dir)
+    )
+    assert plan.count("Scan parquet") <= 4
+
+
+def test_q226_kmeans_centroids_broadcast(spark, sf_dir):
+    """Every Lloyd round's assignment joins a broadcast centroid
+    table; no cartesian anywhere."""
+    from iceberg_daq_spark.registry import all_queries
+
+    plan = plan_of(all_queries()["q226_kmeans_lloyd"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 2  # one per round
+
+
+def test_q227_adamic_adar_no_cartesian(spark, sf_dir):
+    from iceberg_daq_spark.registry import all_queries
+
+    plan = plan_of(all_queries()["q227_adamic_adar"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # contrib valve table broadcasts onto the posting join
+    assert "BroadcastExchange" in plan
+
+
+def test_q229_bootstrap_single_scan(spark, sf_dir):
+    """32 resamples must cost ONE orders scan (plus the point-mean
+    leg): the B-way expansion is a broadcast nested-loop against a
+    32-row range, never a re-scan per resample."""
+    from iceberg_daq_spark.registry import all_queries
+
+    plan = plan_of(
+        all_queries()["q229_poisson_bootstrap_ci"].fn(spark, sf_dir)
+    )
+    assert plan.count("Scan parquet") <= 2
