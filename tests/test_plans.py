@@ -2269,10 +2269,13 @@ def test_q206_ri_audit_scans_each_fact_once(spark, sf_dir):
     before the pins)."""
     from iceberg_daq_spark.registry import all_queries
 
+    import re
+
     plan = plan_of(
         all_queries()["q206_referential_integrity"].fn(spark, sf_dir)
     )
-    assert plan.count("Scan parquet") <= 4
+    # count tree nodes (the detail section repeats each scan unnumbered)
+    assert len(re.findall(r"Scan parquet\s+\(\d+\)", plan)) <= 4
 
 
 def test_q226_kmeans_centroids_broadcast(spark, sf_dir):
@@ -2300,7 +2303,9 @@ def test_q229_bootstrap_single_scan(spark, sf_dir):
     32-row range, never a re-scan per resample."""
     from iceberg_daq_spark.registry import all_queries
 
+    import re
+
     plan = plan_of(
         all_queries()["q229_poisson_bootstrap_ci"].fn(spark, sf_dir)
     )
-    assert plan.count("Scan parquet") <= 2
+    assert len(re.findall(r"Scan parquet\s+\(\d+\)", plan)) <= 2
