@@ -20,7 +20,6 @@ cached (shingle tables etc.) - only JVM code compilation carries over.
 
 from __future__ import annotations
 
-import gc
 import json
 import os
 import re
@@ -91,13 +90,13 @@ def main() -> None:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
             spark.catalog.clearCache()
-            # reclaim shuffle/broadcast/checkpoint debris between
-            # repeats: the ContextCleaner frees blocks only after a
-            # GC, and across a 200+-query session the heavy pair-join
-            # repeats otherwise run under dead-block memory pressure
-            # (stress_bench measured 3-4x inflation on q41 at 10x)
-            gc.collect()
-            spark.sparkContext._jvm.System.gc()
+        # NOTE on GC: stress_bench GCs between repeats because at 10x
+        # rows the heavy pair joins otherwise time their repeats under
+        # the previous run's dead 30M-row shuffle (3-4x inflation).
+        # At sf0.1 that debris effect is immeasurable, while an
+        # explicit System.gc() here leaks concurrent G1 phases INTO
+        # the next timed region (+0.1-0.2s on every one of 229
+        # queries, measured) - so this loop deliberately does NOT gc.
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 

@@ -55,7 +55,7 @@ def all_queries() -> dict[str, QuerySpec]:
 
 
 # The verify driver hash-checks only the FIRST 50 entries of
-# ``__spark_entry__.queries()``.  With 229 registered queries (213
+# ``__spark_entry__.queries()``.  With 230 registered queries (214
 # oracle-backed, 16 rows-only by design) the window cannot cover
 # everything, so the projection below orders queries by how much a
 # driver row is worth this round:
@@ -133,6 +133,10 @@ _CHECK_FIRST = [
     # the round-11 rotation backlog: round-10's new registrations first
     # (never driver-checked - they take the head of the r11 window),
     # then the remaining r6-stale rows, then the r7-stale §2B core.
+    # ALSO owed r11 re-confirmation (implementation changed in r10 with
+    # oracles unchanged - local oracle green at sf0.001 + sf0.01):
+    # q111_event_funnel and q206_referential_integrity (localCheckpoint
+    # pinning; currently in _CHECK_LAST from their r8 rows).
     "q217_weighted_discount_percentiles",
     "q218_theil_inequality",
     "q219_robust_spread",
