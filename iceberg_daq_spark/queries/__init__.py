@@ -49,4 +49,6 @@ from iceberg_daq_spark.queries import (  # noqa: F401
     linkpred,
     evals,
     markov,
+    modeleval,
+    motifs,
 )

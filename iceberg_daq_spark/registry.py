@@ -55,7 +55,7 @@ def all_queries() -> dict[str, QuerySpec]:
 
 
 # The verify driver hash-checks only the FIRST 50 entries of
-# ``__spark_entry__.queries()``.  With 230 registered queries (214
+# ``__spark_entry__.queries()``.  With 233 registered queries (217
 # oracle-backed, 16 rows-only by design) the window cannot cover
 # everything, so the projection below orders queries by how much a
 # driver row is worth this round:
@@ -153,6 +153,9 @@ _CHECK_FIRST = [
     "q230_recsys_backtest",
     "q231_absorbing_markov",
     "q232_holt_winters",
+    "q233_model_eval",
+    "q234_decision_stump",
+    "q235_sax_motifs",
     "q03_inner_join_agg",
     "q04_broadcast_join",
     "q05_multiway_join",
