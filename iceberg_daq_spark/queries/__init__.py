@@ -51,4 +51,5 @@ from iceberg_daq_spark.queries import (  # noqa: F401
     markov,
     modeleval,
     motifs,
+    attribution_markov,
 )

