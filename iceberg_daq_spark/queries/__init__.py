@@ -52,4 +52,5 @@ from iceberg_daq_spark.queries import (  # noqa: F401
     modeleval,
     motifs,
     attribution_markov,
+    boosting,
 )
