@@ -53,4 +53,5 @@ from iceberg_daq_spark.queries import (  # noqa: F401
     motifs,
     attribution_markov,
     boosting,
+    shapley,
 )

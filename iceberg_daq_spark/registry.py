@@ -55,7 +55,7 @@ def all_queries() -> dict[str, QuerySpec]:
 
 
 # The verify driver hash-checks only the FIRST 50 entries of
-# ``__spark_entry__.queries()``.  With 235 registered queries (219
+# ``__spark_entry__.queries()``.  With 236 registered queries (220
 # oracle-backed, 16 rows-only by design) the window cannot cover
 # everything, so the projection below orders queries by how much a
 # driver row is worth this round:
@@ -158,6 +158,7 @@ _CHECK_FIRST = [
     "q235_sax_motifs",
     "q236_markov_attribution",
     "q237_adaboost_stumps",
+    "q238_shapley_attribution",
     "q03_inner_join_agg",
     "q04_broadcast_join",
     "q05_multiway_join",
