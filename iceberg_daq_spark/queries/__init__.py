@@ -54,4 +54,5 @@ from iceberg_daq_spark.queries import (  # noqa: F401
     attribution_markov,
     boosting,
     shapley,
+    survivorship,
 )

@@ -55,7 +55,7 @@ def all_queries() -> dict[str, QuerySpec]:
 
 
 # The verify driver hash-checks only the FIRST 50 entries of
-# ``__spark_entry__.queries()``.  With 236 registered queries (220
+# ``__spark_entry__.queries()``.  With 237 registered queries (221
 # oracle-backed, 16 rows-only by design) the window cannot cover
 # everything, so the projection below orders queries by how much a
 # driver row is worth this round:
@@ -159,6 +159,7 @@ _CHECK_FIRST = [
     "q236_markov_attribution",
     "q237_adaboost_stumps",
     "q238_shapley_attribution",
+    "q239_survivorship",
     "q03_inner_join_agg",
     "q04_broadcast_join",
     "q05_multiway_join",
