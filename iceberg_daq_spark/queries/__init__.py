@@ -55,4 +55,5 @@ from iceberg_daq_spark.queries import (  # noqa: F401
     boosting,
     shapley,
     survivorship,
+    density,
 )

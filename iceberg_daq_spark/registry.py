@@ -55,7 +55,7 @@ def all_queries() -> dict[str, QuerySpec]:
 
 
 # The verify driver hash-checks only the FIRST 50 entries of
-# ``__spark_entry__.queries()``.  With 237 registered queries (221
+# ``__spark_entry__.queries()``.  With 238 registered queries (222
 # oracle-backed, 16 rows-only by design) the window cannot cover
 # everything, so the projection below orders queries by how much a
 # driver row is worth this round:
@@ -160,6 +160,7 @@ _CHECK_FIRST = [
     "q237_adaboost_stumps",
     "q238_shapley_attribution",
     "q239_survivorship",
+    "q240_dbscan",
     "q03_inner_join_agg",
     "q04_broadcast_join",
     "q05_multiway_join",
