@@ -56,4 +56,5 @@ from iceberg_daq_spark.queries import (  # noqa: F401
     shapley,
     survivorship,
     density,
+    anomaly_forest,
 )

@@ -55,7 +55,7 @@ def all_queries() -> dict[str, QuerySpec]:
 
 
 # The verify driver hash-checks only the FIRST 50 entries of
-# ``__spark_entry__.queries()``.  With 238 registered queries (222
+# ``__spark_entry__.queries()``.  With 239 registered queries (223
 # oracle-backed, 16 rows-only by design) the window cannot cover
 # everything, so the projection below orders queries by how much a
 # driver row is worth this round:
@@ -161,6 +161,7 @@ _CHECK_FIRST = [
     "q238_shapley_attribution",
     "q239_survivorship",
     "q240_dbscan",
+    "q241_grid_outliers",
     "q03_inner_join_agg",
     "q04_broadcast_join",
     "q05_multiway_join",
