@@ -131,11 +131,11 @@ def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_orderkey AS orderkey,
            CAST(count(*) AS BIGINT) AS n_lines,
-           max(target) AS target_cents,
-           sum(alloc_cents) AS alloc_sum_cents,
-           min(alloc_cents) AS min_alloc,
-           max(alloc_cents) AS max_alloc,
-           sum(alloc_cents * l_linenumber) AS alloc_checksum
+           CAST(max(target) AS BIGINT) AS target_cents,
+           CAST(sum(alloc_cents) AS BIGINT) AS alloc_sum_cents,
+           CAST(min(alloc_cents) AS BIGINT) AS min_alloc,
+           CAST(max(alloc_cents) AS BIGINT) AS max_alloc,
+           CAST(sum(alloc_cents * l_linenumber) AS BIGINT) AS alloc_checksum
     FROM alloc
     GROUP BY l_orderkey
     ORDER BY orderkey

@@ -1219,22 +1219,22 @@ def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM aged GROUP BY cohort_day, age
     )
     SELECT cohort_day, age,
-           first_value(n_buyers) OVER (
+           CAST(first_value(n_buyers) OVER (
              PARTITION BY cohort_day ORDER BY age
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS cohort_size,
+           ) AS BIGINT) AS cohort_size,
            n_buyers,
-           sum(cents) OVER (
+           CAST(sum(cents) OVER (
              PARTITION BY cohort_day ORDER BY age
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS cum_cents,
-           sum(cents) OVER (
+           ) AS BIGINT) AS cum_cents,
+           CAST(sum(cents) OVER (
              PARTITION BY cohort_day ORDER BY age
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) // first_value(n_buyers) OVER (
              PARTITION BY cohort_day ORDER BY age
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS ltv_cents_per_user
+           ) AS BIGINT) AS ltv_cents_per_user
     FROM cells
     ORDER BY cohort_day, age
     """,

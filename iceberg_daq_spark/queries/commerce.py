@@ -307,8 +307,10 @@ def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(CASE WHEN half = 2 THEN cents ELSE 0 END) AS rev2
       FROM seg GROUP BY segment
     )
-    SELECT segment, n1, n2, rev1, rev2,
-           rev2 - rev1 AS delta_cents,
+    SELECT segment,
+           CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(rev1 AS BIGINT) AS rev1, CAST(rev2 AS BIGINT) AS rev2,
+           CAST(rev2 - rev1 AS BIGINT) AS delta_cents,
            round((n2 - n1) * (CAST(rev1 AS DOUBLE) / n1), 2)
              AS volume_effect,
            round((CAST(rev2 AS DOUBLE) / n2 - CAST(rev1 AS DOUBLE) / n1)

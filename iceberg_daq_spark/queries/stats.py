@@ -245,7 +245,7 @@ def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ), 0) AS n_at_risk
       FROM t
     )
-    SELECT duration_d, n_at_risk, n_churned,
+    SELECT duration_d, CAST(n_at_risk AS BIGINT) AS n_at_risk, n_churned,
            round(exp(sum(ln(1.0 - CAST(n_churned AS DOUBLE) / n_at_risk))
                      OVER (ORDER BY duration_d
                            ROWS BETWEEN UNBOUNDED PRECEDING
@@ -351,7 +351,7 @@ def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT segment,
            CAST(max(n) AS BIGINT) AS n_customers,
-           max(total) AS total_cents,
+           CAST(max(total) AS BIGINT) AS total_cents,
            round((2.0 * sum(i * cents)) / (CAST(max(n) AS DOUBLE) * max(total))
                  - (max(n) + 1.0) / max(n), 4) AS gini,
            round(CAST(sum(CASE WHEN i > n - n // 10 THEN cents
@@ -626,8 +626,8 @@ def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        AND CURRENT ROW)
     )
     SELECT round(max(gap), 4) AS ks_d,
-           max(na) AS n_purchase,
-           max(nb) AS n_view,
+           CAST(max(na) AS BIGINT) AS n_purchase,
+           CAST(max(nb) AS BIGINT) AS n_view,
            round(max(gap) / (1.358 * sqrt((CAST(max(na) AS DOUBLE)
                                            + max(nb))
                                           / (CAST(max(na) AS DOUBLE)

@@ -68,75 +68,10 @@ def all_queries() -> dict[str, QuerySpec]:
 #   6. rows-only queries (the driver can never hash-verify these; local
 #      tests assert their semantics) - always last.
 _CHECK_FIRST = [
-    # -- round-10 window ------------------------------------------------
-    # The round-9 VERDICT's #1 item: the 47 registered queries that have
-    # NEVER had a driver CORRECTNESS row (two rounds of new registrations
-    # out-competed them for window slots; all 47 pass the local DuckDB
-    # oracle on sf0.001 AND a perturbed copy — tests/test_oracle*.py).
-    # They fit in one 50-slot window; the 3 spare slots go to the stalest
-    # oracle-backed rows in the registry (q01/q02/q12, last green r6).
-    # q157_kcore is rows-only by design: the driver records a `no_oracle`
-    # row for it, which is exactly the surfacing the verdict asked for.
-    "q128_degree_distribution",
-    "q129_cusum_changepoint",
-    "q130_decayed_engagement",
-    "q131_mad_outliers",
-    "q132_rfm_segmentation",
-    "q133_bfs_reach",
-    "q134_scd2_pit_join",
-    "q135_mutual_information",
-    "q136_session_pattern",
-    "q137_largest_remainder_prorate",
-    "q138_trailing_actives",
-    "q139_quantile_normalize",
-    "q140_chi_square_independence",
-    "q141_ols_two_factor",
-    "q142_kaplan_meier_churn",
-    "q143_gini_concentration",
-    "q144_benford_first_digit",
-    "q145_time_weighted_avg",
-    "q146_winsorized_stats",
-    "q147_psi_drift",
-    "q148_lead_lag_xcorr",
-    "q149_user_feature_matrix",
-    "q150_session_summary",
-    "q151_shipping_sla",
-    "q152_discount_elasticity",
-    "q153_supplier_hhi",
-    "q154_activity_heatmap",
-    "q155_cohort_ltv",
-    "q156_mix_shift_bridge",
-    "q157_kcore",
-    "q158_event_doublefire",
-    "q159_qq_table",
-    "q161_ks_two_sample",
-    "q162_basket_lift",
-    "q163_ab_conversion_ztest",
-    "q164_mann_whitney_u",
-    "q165_copurchase_cosine",
-    "q166_user_kl_divergence",
-    "q167_last_touch_attribution",
-    "q172_market_share",
-    "q173_returned_items",
-    "q174_customer_distribution",
-    "q175_promo_revenue",
-    "q176_small_qty_revenue",
-    "q177_large_volume_customers",
-    "q178_waiting_suppliers",
-    "q179_dormant_rich_customers",
-    # spare slots: stalest oracle-backed driver rows (r6)
-    "q01_scan_filter_project",
-    "q02_pushdown_shapes",
-    "q12_hash_agg_measures",
-    # ---- 50-entry window boundary -------------------------------------
-    # Everything below spills past the driver's window this round and is
-    # the round-11 rotation backlog: round-10's new registrations first
-    # (never driver-checked - they take the head of the r11 window),
-    # then the remaining r6-stale rows, then the r7-stale §2B core.
-    # ALSO owed r11 re-confirmation (implementation changed in r10 with
-    # oracles unchanged - local oracle green at sf0.001 + sf0.01):
-    # q111_event_funnel and q206_referential_integrity (localCheckpoint
-    # pinning; currently in _CHECK_LAST from their r8 rows).
+    # -- round-11 window ------------------------------------------------
+    # Head of window: the 25 round-10 registrations that have NEVER had
+    # a driver CORRECTNESS row (q217-q241; round-10 VERDICT #2).  All
+    # pass the local DuckDB oracle at sf0.001 + a perturbed copy.
     "q217_weighted_discount_percentiles",
     "q218_theil_inequality",
     "q219_robust_spread",
@@ -162,6 +97,19 @@ _CHECK_FIRST = [
     "q239_survivorship",
     "q240_dbscan",
     "q241_grid_outliers",
+    # Then the six round-10 hash-fails whose oracles leaked DuckDB
+    # HUGEINT/DECIMAL through windowed sums / max()-over-sum (VERDICT
+    # #1): oracles now CAST(... AS BIGINT) on every integer output,
+    # re-verify this round.  The local harness gained a DESCRIBE-based
+    # type guard (tests/oracle_harness.py) so this class can't recur.
+    "q137_largest_remainder_prorate",
+    "q142_kaplan_meier_churn",
+    "q143_gini_concentration",
+    "q155_cohort_ltv",
+    "q156_mix_shift_bridge",
+    "q161_ks_two_sample",
+    # Then the stalest contract rows (last driver-green r6; VERDICT #6,
+    # <=4-round staleness policy).
     "q03_inner_join_agg",
     "q04_broadcast_join",
     "q05_multiway_join",
@@ -170,6 +118,11 @@ _CHECK_FIRST = [
     "q11_cross_join",
     "q13_distinct_agg",
     "q21_sort_limit_topk",
+    # Remaining slots: queries owed re-confirmation (implementation
+    # changed r10 with oracles unchanged: q111/q206 localCheckpoint
+    # pinning), then the r7-stale backlog heads.
+    "q111_event_funnel",
+    "q206_referential_integrity",
     "q36_config_rewrite",
     "q66_vocab_topk",
     "q08_left_anti_join",
@@ -179,6 +132,9 @@ _CHECK_FIRST = [
     "q15_minmax_firstlast",
     "q17_collect_sorted_list",
     "q18_ranking_topk",
+    # ---- 50-entry window boundary (q18 is slot 50; ordering beyond
+    # here is the round-12 rotation backlog: remaining r7-stale core,
+    # then the freshly-green r10 window spills naturally) -------------
     "q19_analytic_lag_lead",
     "q20_gaps_and_islands",
     "q22_set_operations",

@@ -53,7 +53,35 @@ def canon_rows(columns: list[str], rows: list[tuple]) -> Counter:
     return Counter(tuple(_canon(r[i]) for i in order) for r in rows)
 
 
+#: DuckDB output types the driver cannot hash-match against Spark.
+#: DuckDB's ``sum()`` over BIGINT yields HUGEINT (Arrow decimal128), so a
+#: sum-derived column that reaches the final projection uncast hashes as
+#: ``Decimal('103')`` against Spark's ``103`` — values equal in Python
+#: (``Decimal(103) == 103``), so only a TYPE check catches it locally.
+#: Convention: every integer output is ``CAST(... AS BIGINT)`` in the
+#: oracle SQL (round-10 verdict: q137/q142/q143/q155/q156/q161 leaked
+#: through windowed sums and ``max()``-over-sum; this guard makes that
+#: class of bug fail the local suite).
+_UNHASHABLE_ORACLE_TYPES = ("DECIMAL", "HUGEINT", "UHUGEINT")
+
+
+def oracle_type_leaks(con, sql: str) -> list[tuple[str, str]]:
+    """Columns of the oracle's result schema the driver can't hash."""
+    desc = con.execute(f"DESCRIBE ({sql})").fetchall()
+    return [
+        (row[0], row[1])
+        for row in desc
+        if any(t in row[1].upper() for t in _UNHASHABLE_ORACLE_TYPES)
+    ]
+
+
 def compare(spark_df, con, sql: str) -> tuple[bool, str]:
+    leaks = oracle_type_leaks(con, sql)
+    if leaks:
+        return False, (
+            f"oracle type leak (driver hashes Decimal != int; add CAST(... AS "
+            f"BIGINT) to the oracle projection): {leaks}"
+        )
     s_cols = [c.lower() for c in spark_df.columns]
     s_rows = [tuple(r) for r in spark_df.collect()]
     res = con.execute(sql)
