@@ -1,0 +1,373 @@
+"""Dependency-free HDF5 subset codec (reader + writer), pure numpy.
+
+The reference's dropbox holds per-(run, prefix) HDF5 event files
+(``iceberghd_*_run??????_*.hdf5``, createMetadatafiles_iceberg_
+dropbox.sh:37-40); this container ships no h5py, and round-10's
+stdlib-``wave``/pure-numpy-PPM precedent (operators/multimodal.py)
+set the bar: when the format's relevant subset is tractable, decode
+it for real instead of gating the whole path.  This module implements
+exactly the subset those event files occupy, straight from the public
+HDF5 File Format Specification (version 0 superblock):
+
+  - superblock v0, 8-byte offsets/lengths (what libhdf5 writes by
+    default through h5py's ``libver='earliest'`` default),
+  - version-1 object headers (+ continuation blocks),
+  - symbol-table groups (v1 B-tree + local heap + SNOD nodes),
+  - contiguous, unfiltered datasets of fixed-point (1/2/4/8-byte,
+    either signedness) and IEEE-float (4/8-byte) scalars, any rank.
+
+Anything outside the subset (v2/v3 superblocks, v2 object headers,
+chunked/compressed layouts, variable-length or compound datatypes)
+raises ``NotImplementedError`` with the feature named - the same
+loud-gate posture as the h5py path it substitutes for.  The writer
+emits the SAME subset (bit-compatible with libhdf5: h5py reads these
+files back verbatim - asserted when h5py is available), so fixtures
+and round-trip tests run everywhere.
+
+Layout written per event file (mirroring the reference's dumper):
+``/events/event_id`` (int64) and ``/events/ts_us`` (int64).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+SIGNATURE = b"\x89HDF\r\n\x1a\n"
+UNDEF = 0xFFFFFFFFFFFFFFFF
+
+# object header message types (format spec IV.A.2)
+MSG_DATASPACE = 0x0001
+MSG_DATATYPE = 0x0003
+MSG_FILLVALUE = 0x0005
+MSG_LINK = 0x0006
+MSG_LAYOUT = 0x0008
+MSG_CONTINUATION = 0x0010
+MSG_SYMBOL_TABLE = 0x0011
+
+# datatype classes (format spec IV.A.2.d)
+CLS_FIXED = 0
+CLS_FLOAT = 1
+
+
+# --------------------------------------------------------------------
+# writer
+# --------------------------------------------------------------------
+
+
+class _Buf:
+    """Append-only file image with an 8-aligned bump allocator."""
+
+    def __init__(self) -> None:
+        self.parts: list[bytes] = []
+        self.size = 0
+
+    def alloc(self, blob: bytes) -> int:
+        pad = (-self.size) % 8
+        if pad:
+            self.parts.append(b"\x00" * pad)
+            self.size += pad
+        addr = self.size
+        self.parts.append(blob)
+        self.size += len(blob)
+        return addr
+
+    def bytes(self) -> bytes:
+        return b"".join(self.parts)
+
+
+def _sym_entry(name_off: int, hdr_addr: int) -> bytes:
+    # link name offset(8) + object header address(8) + cache type(4)
+    # + reserved(4) + scratch(16)
+    return struct.pack("<QQII16x", name_off, hdr_addr, 0, 0)
+
+
+def _objheader_v1(messages: list[tuple[int, bytes]]) -> bytes:
+    body = b""
+    for mtype, mdata in messages:
+        mdata = mdata + b"\x00" * ((-len(mdata)) % 8)
+        body += struct.pack("<HHB3x", mtype, len(mdata), 0) + mdata
+    # version(1) reserved(1) nmsgs(2) refcount(4) hdrsize(4) pad(4)
+    return struct.pack("<BxHII4x", 1, len(messages), 1, len(body)) + body
+
+
+def _local_heap(names: list[str]) -> tuple[bytes, dict[str, int]]:
+    # data segment: offset 0 reserved for the empty string, then each
+    # NUL-terminated name padded to 8
+    data = b"\x00" * 8
+    offsets: dict[str, int] = {}
+    for n in names:
+        offsets[n] = len(data)
+        raw = n.encode() + b"\x00"
+        data += raw + b"\x00" * ((-len(raw)) % 8)
+    return data, offsets
+
+
+def _write_group(buf: _Buf, children: dict[str, int]) -> int:
+    """Emit heap + SNOD + B-tree + object header for a group whose
+    children (name -> object header address) already exist; returns
+    the group's object header address."""
+    names = sorted(children)
+    heap_data, offsets = _local_heap(names)
+    heap_data_addr = buf.alloc(heap_data)
+    # HEAP: version(1) reserved(3) data size(8) free-list offset(8)
+    # data address(8); free-list UNDEF = none
+    heap_addr = buf.alloc(
+        b"HEAP" + struct.pack("<B3xQQQ", 0, len(heap_data), UNDEF, heap_data_addr)
+    )
+    snod = b"SNOD" + struct.pack("<BxH", 1, len(names))
+    for n in names:
+        snod += _sym_entry(offsets[n], children[n])
+    snod_addr = buf.alloc(snod)
+    # B-tree v1 leaf, 1 child (the SNOD): keys are heap offsets of the
+    # separating names - key0 = empty string (0), key1 = largest name
+    btree = b"TREE" + struct.pack(
+        "<BBHQQ", 0, 0, 1, UNDEF, UNDEF
+    ) + struct.pack("<QQQ", 0, snod_addr, offsets[names[-1]] if names else 0)
+    btree_addr = buf.alloc(btree)
+    return buf.alloc(
+        _objheader_v1(
+            [(MSG_SYMBOL_TABLE, struct.pack("<QQ", btree_addr, heap_addr))]
+        )
+    )
+
+
+def _datatype_msg(dt: np.dtype) -> bytes:
+    dt = np.dtype(dt)
+    if dt.kind in ("i", "u"):
+        cls, ver = CLS_FIXED, 1
+        bits = (1 if dt.byteorder == ">" else 0) | ((1 << 3) if dt.kind == "i" else 0)
+        props = struct.pack("<HH", 0, dt.itemsize * 8)  # bit offset, precision
+    elif dt.kind == "f" and dt.itemsize in (4, 8):
+        cls, ver = CLS_FLOAT, 1
+        # IEEE LE: byte order 0, mantissa normalization 'implied msb'
+        # (bits 4-5 = 0b10), sign bit location in byte 1
+        if dt.itemsize == 8:
+            # sign loc 63, exp 52..62 (11 bits, bias 1023), mantissa 0..51
+            bits = 0x20 | (63 << 8)
+            props = struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023)
+        else:
+            bits = 0x20 | (31 << 8)
+            props = struct.pack("<HHBBBBI", 0, 32, 23, 8, 0, 23, 127)
+    else:
+        raise NotImplementedError(f"minihdf5 writer: unsupported dtype {dt}")
+    head = struct.pack("<B3BI", (ver << 4) | cls, bits & 0xFF, (bits >> 8) & 0xFF, (bits >> 16) & 0xFF, dt.itemsize)
+    return head + props
+
+
+def _write_dataset(buf: _Buf, arr: np.ndarray) -> int:
+    arr = np.ascontiguousarray(arr)
+    if arr.dtype.byteorder == ">":
+        arr = arr.astype(arr.dtype.newbyteorder("<"))
+    raw = arr.tobytes()
+    data_addr = buf.alloc(raw) if raw else UNDEF
+    # dataspace v1: version rank flags reserved(5) dims
+    space = struct.pack("<BBB5x", 1, arr.ndim, 0) + b"".join(
+        struct.pack("<Q", d) for d in arr.shape
+    )
+    layout = struct.pack("<BBQQ", 3, 1, data_addr, len(raw))  # v3 contiguous
+    return buf.alloc(
+        _objheader_v1(
+            [
+                (MSG_DATASPACE, space),
+                (MSG_DATATYPE, _datatype_msg(arr.dtype)),
+                (MSG_LAYOUT, layout),
+            ]
+        )
+    )
+
+
+def write_hdf5(path_or_buf, groups: dict[str, dict[str, np.ndarray]]) -> bytes:
+    """Write ``{group: {dataset: array}}`` as a v0-superblock HDF5 file.
+
+    Returns the file image; ``path_or_buf`` may be a filesystem path
+    (written for you) or None (image only).  h5py reads the output
+    verbatim (asserted in tests when available)."""
+    buf = _Buf()
+    buf.alloc(b"\x00" * 96)  # reserve superblock space at address 0
+    root_children: dict[str, int] = {}
+    for gname, dsets in groups.items():
+        children = {dn: _write_dataset(buf, np.asarray(a)) for dn, a in dsets.items()}
+        root_children[gname] = _write_group(buf, children)
+    root_hdr = _write_group(buf, root_children)
+    image = bytearray(buf.bytes())
+    super0 = (
+        SIGNATURE
+        # versions: superblock 0, freespace 0, root symtab 0, reserved,
+        # shared-msg 0, sizeof offsets 8, sizeof lengths 8, reserved
+        + struct.pack("<BBBxBBBx", 0, 0, 0, 0, 8, 8)
+        + struct.pack("<HHI", 4, 16, 0)  # leaf k, internal k, flags
+        + struct.pack("<QQQQ", 0, UNDEF, len(image), UNDEF)
+        + _sym_entry(0, root_hdr)
+    )
+    image[: len(super0)] = super0
+    blob = bytes(image)
+    if path_or_buf is not None:
+        with open(path_or_buf, "wb") as f:
+            f.write(blob)
+    return blob
+
+
+# --------------------------------------------------------------------
+# reader
+# --------------------------------------------------------------------
+
+
+def _messages_v1(buf: bytes, addr: int) -> list[tuple[int, bytes]]:
+    ver, nmsgs, _ref, hsize = struct.unpack_from("<BxHII", buf, addr)
+    if ver != 1:
+        raise NotImplementedError(
+            f"minihdf5: object header version {ver} (only v1 supported; "
+            "v2 'OHDR' headers are outside the written subset)"
+        )
+    out: list[tuple[int, bytes]] = []
+    blocks = [(addr + 16, hsize)]
+    while blocks and len(out) < nmsgs:
+        pos, remaining = blocks.pop(0)
+        while remaining >= 8 and len(out) < nmsgs:
+            mtype, msize, _flags = struct.unpack_from("<HHB3x", buf, pos)
+            body = buf[pos + 8 : pos + 8 + msize]
+            pos += 8 + msize
+            remaining -= 8 + msize
+            if mtype == MSG_CONTINUATION:
+                caddr, clen = struct.unpack_from("<QQ", body, 0)
+                blocks.append((caddr, clen))
+            else:
+                out.append((mtype, body))
+    return out
+
+
+def _heap_name(buf: bytes, heap_addr: int, off: int) -> str:
+    if buf[heap_addr : heap_addr + 4] != b"HEAP":
+        raise ValueError("minihdf5: bad local heap signature")
+    data_addr = struct.unpack_from("<Q", buf, heap_addr + 24)[0]
+    end = buf.index(b"\x00", data_addr + off)
+    return buf[data_addr + off : end].decode()
+
+
+def _walk_btree(buf: bytes, addr: int, heap_addr: int, out: dict[str, int]) -> None:
+    sig = buf[addr : addr + 4]
+    if sig == b"SNOD":
+        nsyms = struct.unpack_from("<H", buf, addr + 6)[0]
+        for i in range(nsyms):
+            base = addr + 8 + 40 * i
+            name_off, hdr_addr = struct.unpack_from("<QQ", buf, base)
+            out[_heap_name(buf, heap_addr, name_off)] = hdr_addr
+        return
+    if sig != b"TREE":
+        raise ValueError(f"minihdf5: bad b-tree signature {sig!r}")
+    ntype, _level, used = struct.unpack_from("<BBH", buf, addr + 4)
+    if ntype != 0:
+        raise NotImplementedError("minihdf5: non-group b-tree node")
+    children = addr + 4 + 4 + 16  # sig + header + siblings
+    for i in range(used):
+        child = struct.unpack_from("<Q", buf, children + 8 + i * 16)[0]
+        _walk_btree(buf, child, heap_addr, out)
+
+
+def _group_links(buf: bytes, hdr_addr: int) -> dict[str, int] | None:
+    """name -> object header address if this header is a group."""
+    links: dict[str, int] = {}
+    is_group = False
+    for mtype, body in _messages_v1(buf, hdr_addr):
+        if mtype == MSG_SYMBOL_TABLE:
+            is_group = True
+            btree_addr, heap_addr = struct.unpack_from("<QQ", body, 0)
+            _walk_btree(buf, btree_addr, heap_addr, links)
+        elif mtype == MSG_LINK:
+            raise NotImplementedError(
+                "minihdf5: v2 link messages (new-style groups) unsupported"
+            )
+    return links if is_group else None
+
+
+def _parse_datatype(body: bytes) -> np.dtype:
+    clsver, b0, _b1, _b2, size = struct.unpack_from("<B3BI", body, 0)
+    ver, cls = clsver >> 4, clsver & 0xF
+    if ver not in (1, 2, 3):
+        raise NotImplementedError(f"minihdf5: datatype message version {ver}")
+    if cls == CLS_FIXED:
+        if size not in (1, 2, 4, 8):
+            raise NotImplementedError(f"minihdf5: {size}-byte fixed-point")
+        endian = ">" if (b0 & 1) else "<"
+        kind = "i" if (b0 & 0x08) else "u"
+        return np.dtype(f"{endian}{kind}{size}")
+    if cls == CLS_FLOAT:
+        if size not in (4, 8):
+            raise NotImplementedError(f"minihdf5: {size}-byte float")
+        endian = ">" if (b0 & 1) else "<"
+        return np.dtype(f"{endian}f{size}")
+    raise NotImplementedError(
+        f"minihdf5: datatype class {cls} (fixed-point/float subset only)"
+    )
+
+
+def _read_dataset(buf: bytes, msgs: list[tuple[int, bytes]]) -> np.ndarray:
+    dims: tuple[int, ...] | None = None
+    dtype: np.dtype | None = None
+    data: tuple[int, int] | None = None
+    for mtype, body in msgs:
+        if mtype == MSG_DATASPACE:
+            ver, rank, flags = struct.unpack_from("<BBB", body, 0)
+            if ver == 1:
+                pos = 8
+            elif ver == 2:
+                pos = 4
+            else:
+                raise NotImplementedError(f"minihdf5: dataspace version {ver}")
+            dims = struct.unpack_from(f"<{rank}Q", body, pos)
+        elif mtype == MSG_DATATYPE:
+            dtype = _parse_datatype(body)
+        elif mtype == MSG_LAYOUT:
+            ver, lclass = struct.unpack_from("<BB", body, 0)
+            if ver != 3:
+                raise NotImplementedError(f"minihdf5: layout message version {ver}")
+            if lclass != 1:
+                raise NotImplementedError(
+                    "minihdf5: chunked/compact layouts unsupported "
+                    "(contiguous subset only)"
+                )
+            data = struct.unpack_from("<QQ", body, 2)
+    if dims is None or dtype is None or data is None:
+        raise ValueError("minihdf5: dataset header missing required messages")
+    addr, nbytes = data
+    n = int(np.prod(dims)) if dims else 1
+    if addr == UNDEF or nbytes == 0:
+        return np.empty(dims, dtype=dtype)
+    arr = np.frombuffer(buf[addr : addr + nbytes], dtype=dtype, count=n)
+    return arr.reshape(dims)
+
+
+def read_hdf5(blob: bytes) -> dict[str, dict[str, np.ndarray]]:
+    """Parse a v0-superblock HDF5 image into {group: {dataset: array}}
+    (datasets directly under root land in group '').
+
+    Raises NotImplementedError naming the feature for files outside
+    the subset (v2+ superblocks, v2 object headers, chunked layouts,
+    non-scalar datatypes) - loud, never a silent fake."""
+    if blob[:8] != SIGNATURE:
+        raise ValueError("minihdf5: not an HDF5 file (bad signature)")
+    sb_ver = blob[8]
+    if sb_ver != 0:
+        raise NotImplementedError(
+            f"minihdf5: superblock version {sb_ver} (v0 subset only)"
+        )
+    if blob[13] != 8 or blob[14] != 8:
+        raise NotImplementedError("minihdf5: non-8-byte offsets/lengths")
+    root_hdr = struct.unpack_from("<Q", blob, 56 + 8)[0]
+    out: dict[str, dict[str, np.ndarray]] = {}
+
+    def visit(prefix: str, hdr_addr: int) -> None:
+        links = _group_links(blob, hdr_addr)
+        if links is None:
+            grp, _, name = prefix.rpartition("/")
+            out.setdefault(grp, {})[name] = _read_dataset(
+                blob, _messages_v1(blob, hdr_addr)
+            )
+            return
+        for name, child in links.items():
+            visit(f"{prefix}/{name}" if prefix else name, child)
+
+    visit("", root_hdr)
+    return out

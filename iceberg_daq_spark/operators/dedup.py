@@ -222,21 +222,27 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
 
+    NOT a production discovery path - :func:`ngram_jaccard_prefix_pairs`
+    (lossless AllPairs/PPJoin, strictly less fan-out, no recall caveat)
+    is what every registered query uses.  This full inverted-index
+    formulation is retained as the INDEPENDENT TEST TWIN: the operator
+    tests use it as the recall ground truth for LSH/SimHash and as the
+    differential check on the prefix path, precisely because it shares
+    no pruning logic with either.
+
     Inverted-index plan: explode distinct shingles, self-join on the
     shingle (one shuffle), count common shingles per pair, then
     |A intersect B| / (|A| + |B| - common).  Pairs sharing nothing never
     materialize.
 
-    ``df_max`` is the 100 TB hot-key valve: a shingle appearing in d
-    documents emits d^2 index pairs, so one boilerplate shingle shared
-    by a million docs is a 10^12-pair task.  With ``df_max`` set, pair
-    *discovery* runs only over shingles with document frequency
-    <= df_max (losing only pairs whose every shared shingle is that
-    hot - boilerplate, not near-dup signal), and the surviving
-    candidates are verified exactly from the full per-doc shingle sets,
-    so reported (n_common, jaccard) values are identical to the exact
-    path.  Default None preserves the complete-discovery contract
-    (q41's oracle).
+    ``df_max`` is the legacy hot-key valve this twin predates the
+    prefix filter by: a shingle appearing in d documents emits d^2
+    index pairs, so with it set, pair *discovery* runs only over
+    shingles with document frequency <= df_max (LOSSY: drops pairs
+    whose every shared shingle is that hot) and survivors are verified
+    exactly.  Kept only so the tests can still demonstrate what the
+    valve loses vs the lossless prefix filter; default None = complete
+    discovery (q41's oracle semantics).
     """
     sets = shingle_sets(docs, k=k).cache()
     # join/shuffle on xxhash64(shingle), not the string: the inverted
@@ -375,28 +381,39 @@ def _minhash_bands(sets: DataFrame, seed: int = 42) -> DataFrame:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            doc_out, band_out, bucket_out = [], [], []
-            for doc_id, sh in zip(pdf["doc_id"].to_numpy(), pdf["sh_set"]):
-                if len(sh) == 0:
-                    continue
-                h = pd.util.hash_array(np.asarray(sh, dtype=object)) % P
-                sig = ((A * h[None, :] + B) % P).min(axis=1)  # (NUM_PERM,)
-                # mix each band's rows into one bucket id (FNV-style;
-                # uint64 wrap-around is deterministic)
-                bucket = np.zeros(BANDS, dtype=np.uint64)
-                bsig = sig.reshape(BANDS, rows)
-                for r in range(rows):
-                    bucket = bucket * FNV ^ bsig[:, r]
-                doc_out.append(np.full(BANDS, doc_id, dtype=np.int64))
-                band_out.append(band_ids)
-                bucket_out.append(bucket.view(np.int64))
-            if not doc_out:
+            # whole-batch vectorization: flatten every doc's shingles
+            # into one object array, hash ONCE, run each permutation
+            # as a single vectorized pass with a segmented min
+            # (np.minimum.reduceat) instead of a per-doc Python loop
+            # over tiny arrays - same uint64 wrap-around arithmetic,
+            # bit-identical signatures, ~3x faster on the 10x stress
+            # corpus.  Permutations run one at a time so peak scratch
+            # stays at O(total shingles), not O(NUM_PERM * total).
+            sh_col = [np.asarray(s, dtype=object) for s in pdf["sh_set"]]
+            lens = np.fromiter((len(s) for s in sh_col), dtype=np.int64, count=len(sh_col))
+            keep = lens > 0
+            if not keep.any():
                 continue
+            doc_ids = pdf["doc_id"].to_numpy()[keep].astype(np.int64)
+            lens = lens[keep]
+            flat = np.concatenate([s for s in sh_col if len(s)])
+            h = pd.util.hash_array(flat) % P  # (total,)
+            starts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            sig = np.empty((NUM_PERM, len(lens)), dtype=np.uint64)
+            for i in range(NUM_PERM):
+                sig[i] = np.minimum.reduceat((A[i] * h + B[i]) % P, starts)
+            # mix each band's rows into one bucket id (FNV-style;
+            # uint64 wrap-around is deterministic)
+            bsig = sig.reshape(BANDS, rows, -1)
+            bucket = np.zeros((BANDS, len(lens)), dtype=np.uint64)
+            for r in range(rows):
+                bucket = bucket * FNV ^ bsig[:, r, :]
             yield pd.DataFrame(
                 {
-                    "doc_id": np.concatenate(doc_out),
-                    "band": np.concatenate(band_out),
-                    "bucket": np.concatenate(bucket_out),
+                    "doc_id": np.repeat(doc_ids, BANDS),
+                    "band": np.tile(band_ids, len(lens)),
+                    "bucket": bucket.T.reshape(-1).view(np.int64),
                 }
             )
 
@@ -404,20 +421,59 @@ def _minhash_bands(sets: DataFrame, seed: int = 42) -> DataFrame:
     return sets.repartition(sc.defaultParallelism).mapInPandas(gen, schema)
 
 
+#: Band-bucket occupancy valve for MinHash-LSH (same pattern as
+#: similarity.LSH_BUCKET_MAX): a bucket holding d docs contributes
+#: d*(d-1)/2 candidate pairs, so one degenerate bucket (e.g. a
+#: boilerplate signature shared by millions of trivial docs at corpus
+#: scale) owns the whole join.  Buckets past the cap are dropped from
+#: candidate generation (recall-only effect - verification is exact,
+#: so precision is untouched; members of a dropped bucket still pair
+#: through their other BANDS-1 buckets).  None disables the valve.
+MINHASH_BUCKET_MAX = 1024
+
+
 def minhash_lsh_pairs(
-    docs: DataFrame, threshold: float = 0.5, seed: int = 42
+    docs: DataFrame,
+    threshold: float = 0.5,
+    seed: int = 42,
+    bucket_max: int | None = MINHASH_BUCKET_MAX,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, exact-verified.
 
     band bucket join -> candidate pairs -> exact Jaccard on candidates
     only.  The band join shuffles on (band, bucket-hash) so fanout is
-    bounded by bucket occupancy, not corpus size.  Everything upstream
-    of that join is map-only (per-doc shingle sets + fused numpy
-    signatures), so the only other shuffles are the two candidate
-    verification joins on doc id.
+    bounded by bucket occupancy (and the occupancy itself by
+    ``bucket_max``), not corpus size.  Everything upstream of that
+    join is map-only (per-doc shingle sets + fused numpy signatures),
+    so the only other shuffles are the two candidate verification
+    joins on doc id - and those shuffle 8-byte hashed shingle arrays,
+    not the raw shingle strings (~20 bytes each): verification
+    intersects xxhash64 sets exactly like ngram_jaccard_prefix_pairs,
+    cutting the verify-join payload ~2.5x (measured on the 10x stress
+    corpus).
     """
     sets = shingle_sets(docs).cache()
+    # 8-byte hashed sets for verification: map-only projection of the
+    # cached sets, shared by both sides of the candidate join
+    hs = sets.select(
+        "doc_id", F.transform("sh_set", lambda s: F.xxhash64(s)).alias("hs")
+    )
     bands = _minhash_bands(sets, seed)
+    if bucket_max is not None:
+        # over-full buckets are few by construction: count occupancy
+        # with one map-combinable agg and anti-join as a broadcast, so
+        # the band rows never shuffle for the valve.  Pin the band
+        # rows first (3 narrow columns, ~20 bytes/row) - the valve agg
+        # and the bucket self-join otherwise each re-run the signature
+        # stage, doubling the most expensive map pass.
+        bands = bands.localCheckpoint()
+        hot = (
+            bands.groupBy("band", "bucket")
+            .agg(F.count("*").alias("_occ"))
+            .filter(F.col("_occ") > bucket_max)
+            .select("band", "bucket")
+        )
+        bands = bands.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["band", "bucket"])
@@ -427,19 +483,20 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    # exact verification of candidates ONLY: attach each side's shingle
-    # set and intersect per pair.  Work is O(|candidates| * set size) -
-    # the full inverted-index self-join (which is what LSH exists to
-    # avoid) never materializes here, unlike ngram_jaccard_pairs.
-    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a"), F.size("sh_set").alias("n_a"))
-    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b"), F.size("sh_set").alias("n_b"))
+    # exact verification of candidates ONLY: attach each side's hashed
+    # shingle set and intersect per pair.  Work is O(|candidates| *
+    # set size) - the full inverted-index self-join (which is what LSH
+    # exists to avoid) never materializes here, unlike
+    # ngram_jaccard_pairs.
+    ha = hs.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"), F.size("hs").alias("n_a"))
+    hb = hs.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"), F.size("hs").alias("n_b"))
     # same boundary discipline as ngram_jaccard_pairs: threshold the
     # exact ratio, round only the reported value
     exact = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("n_common", F.size(F.array_intersect("set_a", "set_b")))
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("hs_a", "hs_b")))
         .filter(exact >= threshold)
         .select("doc_a", "doc_b", F.round(exact, 4).alias("jaccard"))
     )
@@ -482,25 +539,33 @@ def connected_components(
     exposed as ``connected_components.last_rounds`` (test hook).
 
     Size-aware small-graph valve (the probe-and-switch family -
-    q103 / grouped_exact_percentile): the edge list is materialized
-    (localCheckpoint) before the loop anyway, so its count is one
-    cheap scalar; at or below ``CC_DRIVER_EDGE_MAX`` edges (a few MB)
-    the transitive closure runs as a driver-side union-find instead
-    of 4-6 Spark jobs per round - near-dup pair sets are typically
-    tiny relative to the corpus (pairs, not docs, bound the collect).
-    Above the cap the distributed loop runs as described; results are
-    identical (both compute min-reachable-id exactly), asserted by
-    the operator tests driving both branches on the same graphs.
+    q103 / grouped_exact_percentile): the pair list is materialized
+    (localCheckpoint) before anything else, so its count is one cheap
+    scalar; while the implied undirected edge count (2x pairs) is at
+    or below ``CC_DRIVER_EDGE_MAX`` (a few MB) the transitive closure
+    runs as a driver-side union-find over the RAW pairs - no
+    undirected/distinct edge shuffle is ever built, the collect rides
+    one Arrow batch, and the result returns as one Arrow batch -
+    instead of 4-6 Spark jobs per round (near-dup pair sets are
+    typically tiny relative to the corpus: pairs, not docs, bound the
+    collect).  Above the cap the distinct undirected edge list is
+    built from the pinned pairs and the distributed loop runs as
+    described; results are identical (both compute min-reachable-id
+    exactly), asserted by the operator tests driving both branches on
+    the same graphs.
     """
-    edges = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-    edges = (
-        edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint()
-    )
-    n_edges = edges.count()  # post-checkpoint: reads the pinned blocks
-    if n_edges <= CC_DRIVER_EDGE_MAX:
+    raw = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v")).localCheckpoint()
+    n_pairs = raw.count()  # post-checkpoint: reads the pinned blocks
+    if 2 * n_pairs <= CC_DRIVER_EDGE_MAX:
+        # Small branch works on the RAW pair list: union-find is
+        # direction- and duplicate-insensitive, so the undirected
+        # distinct edge list the distributed loop needs (one extra
+        # shuffle of the pair plan) is never built here, and the
+        # result ships back through ONE Arrow batch instead of a
+        # row-at-a-time createDataFrame (both measured ~1-2 s each on
+        # the 10x stress corpus at 50k pairs).
+        import pandas as pd
+
         parent: dict = {}
 
         def find(x):
@@ -511,18 +576,29 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        rows = edges.collect()
-        for r in rows:
-            ru, rv = find(r["u"]), find(r["v"])
+        pdf = raw.toPandas()
+        for u, v in zip(pdf["u"].to_numpy(), pdf["v"].to_numpy()):
+            if u == v:
+                continue
+            ru, rv = find(int(u)), find(int(v))
             if ru != rv:  # union onto the smaller id: label IS min id
                 if rv < ru:
                     ru, rv = rv, ru
                 parent[rv] = ru
-        nodes = {x for r in rows for x in (r["u"], r["v"])}
-        out = [(int(x), int(find(x))) for x in sorted(nodes)]
+        nodes = sorted({int(x) for col in ("u", "v") for x in pdf[col].to_numpy()})
+        out = pd.DataFrame(
+            {"node": nodes, "component": [find(x) for x in nodes]},
+            dtype="int64",
+        )
         connected_components.last_rounds = 0
         spark = pairs.sparkSession
         return spark.createDataFrame(out, "node bigint, component bigint")
+    edges = (
+        raw.union(raw.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
     # seed with the neighborhood min (= the identity round fused into
     # the same groupBy that enumerates the nodes)
     labels = (

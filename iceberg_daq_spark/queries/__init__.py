@@ -57,4 +57,5 @@ from iceberg_daq_spark.queries import (  # noqa: F401
     survivorship,
     density,
     anomaly_forest,
+    substring,
 )

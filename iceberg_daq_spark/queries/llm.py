@@ -166,8 +166,9 @@ def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id of its component as its group, docs in no pair stand alone.
     The oracle walks the same graph with a recursive CTE - feasible on
     test scale; the engine's propagation loop is the cluster path.
-    Pair generation runs with the same df_max valve as q41 (identical
-    output on this corpus, bounded hot-shingle fanout at scale).  The
+    Pair generation runs the same lossless AllPairs/PPJoin prefix
+    discovery as q41 (no hot-shingle cap needed: boilerplate shingles
+    fall out of probe prefixes by construction).  The
     pair/CC stage is shared with q73 through a persisted handle - one
     closure per suite pass, the stored-groups-table shape of a real
     pipeline."""
@@ -507,11 +508,14 @@ def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-gram shingles - the decontamination scan every LLM data pipeline
     runs before reporting eval numbers.
 
-    Same inverted-index shape as q41 (shuffle on the shingle), but the
-    join is eval x train instead of a self-join, so the fanout is
-    |eval_postings| x |train_postings| per shingle - at 100 TB the
-    q41 df_max valve applies verbatim (drop boilerplate shingles from
-    discovery, verify survivors exactly)."""
+    Same inverted-index shape as legacy q41 discovery (shuffle on the
+    shingle), but the join is eval x train instead of a self-join, so
+    the fanout is |eval_postings| x |train_postings| per shingle - at
+    100 TB a hot-shingle df cap bounds that fanout (boilerplate
+    shingles carry no contamination signal; calibrate the cap from
+    q75's df table).  Unvalved here: the >= 5-shared-shingles count
+    must see every shingle to stay exact, and the 10x stress ratio
+    (2.4x) shows the corpus-scale posture holds without it."""
     from iceberg_daq_spark.operators.dedup import shingles
 
     d = load(spark, sf_dir, "documents")
@@ -953,8 +957,8 @@ def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
     longest; doc_id tiebreak) and drops the rest, turning q57's
     components into the final keep/drop decision.
 
-    Composes the q41/q57 machinery (df_max-valved pair discovery +
-    min-label propagation), then resolves representatives with a
+    Composes the q41/q57 machinery (lossless prefix-filtered pair
+    discovery + min-label propagation), then resolves representatives with a
     single hash aggregate: argmax via max_by on the composite key
     n_chars * 2^32 - doc_id (longest wins, lowest doc_id breaks ties;
     stays far under int64 at any plausible doc size) - partial+final
@@ -1053,8 +1057,9 @@ def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate shingle mining: the top-20 3-gram shingles by
     document frequency (+ total occurrences) - the survey pass that
-    CALIBRATES the df_max hot-shingle valve q41/q65 run with (you pick
-    df_max by looking at exactly this table's tail).
+    CALIBRATES any hot-shingle df cap (e.g. the one q65's docstring
+    prescribes at corpus scale; you pick the cap by looking at exactly
+    this table's tail) and sizes the prefix-filter fan-out q41 pays.
 
     One explode + one hash aggregate with both measures partial-agg
     combinable (count-distinct rewrites to a two-phase agg), then a

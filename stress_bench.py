@@ -387,6 +387,23 @@ def time_queries(spark, specs, names, sf_dir, repeat):
             ranking.GIANT_GROUP_ROWS = saved_thr
         out[name] = round(best, 3)
         print(f"# {sf_dir.rsplit('/', 1)[-1]} {name}: {best:.3f}s", file=sys.stderr)
+        if name.startswith("q57"):
+            # measurement-artifact separation (round-10 verdict #3):
+            # the rebuild-every-repeat number above charges q57 the
+            # full pair-discovery + closure stage each time; a real
+            # pipeline builds that stage once and every consumer reads
+            # the stored groups table.  Record that consumer-read cost
+            # too, so the stress ratio of the ALGORITHM (stage build)
+            # and of the PIPELINE SHAPE (stage reuse) are both visible.
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            reused = time.perf_counter() - t0
+            out[name + "__stage_reused"] = round(reused, 3)
+            print(
+                f"# {sf_dir.rsplit('/', 1)[-1]} {name} (stage reused): "
+                f"{reused:.3f}s",
+                file=sys.stderr,
+            )
     return out
 
 
@@ -437,6 +454,23 @@ def main() -> None:
         }
         if ratio > MAX_RATIO:
             failed.append(n)
+    # supplementary timings (q57's shared-stage consumer read): report
+    # base/stress/ratio but never gate on them - the rebuild number is
+    # the honest algorithmic cost, this one is the pipeline-shape cost
+    for n in set(base_t) - set(names):
+        queries[n] = {
+            "base_sec": base_t[n],
+            "stress_sec": stress_t[n],
+            "ratio": round(stress_t[n] / max(base_t[n], 1e-9), 2),
+        }
+    # a ratio's denominator is only meaningful when the base cell is
+    # compute-bound: below ~0.5 s the base is mostly scheduler / job
+    # fixed overhead, so a healthy linear operator can show a 4-6x
+    # "ratio" on sub-2s absolutes (q73's consumer read).  Tag those
+    # cells so the artifact itself carries the caveat.
+    for n, cell in queries.items():
+        if cell["base_sec"] < 0.5:
+            cell["overhead_bound_base"] = True
 
     out = {
         "metric": "dedup_similarity_stress_suite",
@@ -462,8 +496,14 @@ def main() -> None:
             "candidate volume is sum(prefix_df^2), a fraction of the "
             "legacy valve's sum(df^2) (valve.prefix_pair_volume vs "
             "pair_candidate_volume; prefix_volume_growth is the honest "
-            "denominator for q41/q57 ratios). The LSH path is bounded "
-            "by the LSH_BUCKET_MAX occupancy valve."
+            "denominator for q41/q57 ratios). The LSH-ANN path is "
+            "bounded by the LSH_BUCKET_MAX occupancy valve and the "
+            "MinHash band join by MINHASH_BUCKET_MAX; q57's closure "
+            "runs the raw-pair driver union-find below "
+            "CC_DRIVER_EDGE_MAX (Arrow both ways, no edge shuffle). "
+            "q57__stage_reused is the consumer-read cost of the "
+            "already-built stage (never gated: pipeline shape, not "
+            "algorithm)."
             % (repeat, copies)
         ),
     }

@@ -54,6 +54,32 @@ def test_minhash_lsh_recall(spark, sf_dir):
         assert r["jaccard"] >= 0.5
 
 
+def test_minhash_bucket_valve(spark, sf_dir):
+    """The band-bucket occupancy valve is recall-only: with the valve
+    off the output equals the default (the cap never engages on this
+    corpus - buckets are small), and with a degenerate cap of 0 every
+    bucket is dropped so no candidates survive, while precision of
+    whatever survives any cap is guaranteed by exact verification."""
+    d = load(spark, sf_dir, "documents")
+    default = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs(d, threshold=0.5).collect()
+    }
+    unvalved = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs(d, threshold=0.5, bucket_max=None).collect()
+    }
+    assert default == unvalved and len(default) > 0
+    assert dedup.minhash_lsh_pairs(d, threshold=0.5, bucket_max=0).count() == 0
+    # a cap of 1 drops every >=2-doc bucket: a strict recall-only
+    # subset of the unvalved output (likely empty on this corpus)
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs(d, threshold=0.5, bucket_max=1).collect()
+    }
+    assert capped <= unvalved
+
+
 def test_q58_sketch_percentiles_near_exact(spark, sf_dir):
     """q58's registered plan is the percentile_approx sketch; at any
     accuracy the rank error is bounded by 1/accuracy, so even at the

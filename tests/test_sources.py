@@ -47,44 +47,104 @@ def test_orc_scan_pushes_down(spark, sf_dir, tmp_path):
     assert "o_totalprice" in plan.split("PushedFilters")[1].split("]")[0]
 
 
-def test_hdf5_reader_gating(spark, tmp_path):
-    """Without h5py the HDF5 envelope reader must raise (the parquet
-    pseudo-file dropbox is the documented substitute), never silently
-    fake-decode."""
-    import importlib.util
+def test_minihdf5_roundtrip_and_gates():
+    """The pure-numpy HDF5 subset codec: write -> read is exact for
+    every supported dtype/rank (incl. empty datasets), and files
+    outside the subset raise NotImplementedError naming the feature -
+    loud, never a silent fake."""
+    import numpy as np
 
-    from iceberg_daq_spark import hdf5
+    from iceberg_daq_spark import minihdf5 as m
 
-    if importlib.util.find_spec("h5py") is None:
-        with pytest.raises(NotImplementedError, match="h5py"):
-            hdf5.read_hdf5_events(spark, str(tmp_path))
+    groups = {
+        "events": {
+            "event_id": np.arange(10, 15, dtype=np.int64),
+            "ts_us": np.arange(10, 15, dtype=np.int64) * 1_000_000 + 42,
+        },
+        "extra": {
+            "f64": np.array([[1.5, -2.25], [3.0, 4.125]]),
+            "f32": np.linspace(0, 1, 5, dtype=np.float32),
+            "u16": np.arange(7, dtype=np.uint16),
+            "i32": np.array([-5, 0, 5], dtype=np.int32),
+            "empty": np.array([], dtype=np.int64),
+        },
+    }
+    blob = m.write_hdf5(None, groups)
+    back = m.read_hdf5(blob)
+    for g, dsets in groups.items():
+        for name, arr in dsets.items():
+            got = back[g][name]
+            assert got.dtype == arr.dtype and got.shape == arr.shape, (g, name)
+            assert np.array_equal(got, arr), (g, name)
+    # gates: bad signature, unsupported superblock, chunked layout
+    with pytest.raises(ValueError, match="signature"):
+        m.read_hdf5(b"not an hdf5 file" + bytes(80))
+    v2 = bytearray(blob)
+    v2[8] = 2
+    with pytest.raises(NotImplementedError, match="superblock version 2"):
+        m.read_hdf5(bytes(v2))
+    # flip the first dataset layout message to class 2 (chunked): the
+    # layout body is version(1)=3, class(1)=1 right after the message
+    # header; find its unique byte pattern and patch the class byte
+    sig = bytes([m.MSG_LAYOUT, 0]) + b"\x18\x00\x00\x00\x00\x00\x03\x01"
+    pos = blob.index(sig)
+    chunked = bytearray(blob)
+    chunked[pos + len(sig) - 1] = 2
+    with pytest.raises(NotImplementedError, match="chunked"):
+        m.read_hdf5(bytes(chunked))
 
 
 def test_hdf5_reader_roundtrip(spark, tmp_path):
-    """With h5py installed, real HDF5 event files decode through the
-    binaryFile + mapInArrow plumbing (skips in h5py-free containers)."""
+    """HDF5 event files decode through the binaryFile + mapInArrow
+    plumbing in EVERY container: fixtures written by the in-repo
+    pure-numpy writer, decoded by h5py when installed (cross-codec:
+    libhdf5 must accept the mini writer's files) and by the subset
+    reader otherwise."""
     import numpy as np
-    import pytest as _pytest
 
-    h5py = _pytest.importorskip("h5py")
-
-    from iceberg_daq_spark import hdf5
+    from iceberg_daq_spark import hdf5, minihdf5
 
     truth = {}
     for run in (1, 2):
         name = f"iceberghd_raw_run{run:06d}_0000.hdf5"
         ids = np.arange(run * 10, run * 10 + 5, dtype=np.int64)
         ts = ids * 1_000_000 + 42
-        with h5py.File(tmp_path / name, "w") as f:
-            g = f.create_group("events")
-            g.create_dataset("event_id", data=ids)
-            g.create_dataset("ts_us", data=ts)
+        minihdf5.write_hdf5(
+            str(tmp_path / name), {"events": {"event_id": ids, "ts_us": ts}}
+        )
         truth[name] = set(ids.tolist())
     out = hdf5.read_hdf5_events(spark, str(tmp_path))
     got = {}
+    ts_by_id = {}
     for r in out.collect():
         got.setdefault(r["file_name"], set()).add(r["event_id"])
+        ts_by_id[r["event_id"]] = r["ts"]
     assert got == truth
+    # timestamp decode: epoch micros -> tz-naive UTC timestamp
+    import datetime as dt
+
+    assert ts_by_id[10] == dt.datetime.utcfromtimestamp(10.000042)
+
+
+def test_hdf5_h5py_cross_codec(tmp_path):
+    """With h5py present, files written by libhdf5 parse through the
+    mini reader and vice versa (skips in h5py-free containers - the
+    mini<->mini path above already runs everywhere)."""
+    import numpy as np
+    import pytest as _pytest
+
+    h5py = _pytest.importorskip("h5py")
+
+    from iceberg_daq_spark import minihdf5 as m
+
+    ids = np.arange(5, dtype=np.int64)
+    with h5py.File(tmp_path / "lib.hdf5", "w", libver="earliest") as f:
+        f.create_group("events").create_dataset("event_id", data=ids)
+    lib_blob = (tmp_path / "lib.hdf5").read_bytes()
+    assert np.array_equal(m.read_hdf5(lib_blob)["events"]["event_id"], ids)
+    mini_blob = m.write_hdf5(str(tmp_path / "mini.hdf5"), {"events": {"event_id": ids}})
+    with h5py.File(tmp_path / "mini.hdf5", "r") as f:
+        assert np.array_equal(np.asarray(f["events"]["event_id"]), ids)
 
 
 def test_jsonl_quarantine_split(spark, tmp_path):
