@@ -58,4 +58,5 @@ from iceberg_daq_spark.queries import (  # noqa: F401
     density,
     anomaly_forest,
     substring,
+    splits,
 )

@@ -412,23 +412,20 @@ def test_opmon_socket_push_feed(spark, frames_dir, tmp_path):
     def serve():
         conn, _ = srv.accept()
         buf = b""
-        conn.settimeout(30)
+        # read until EOF: the emitter's close() (run by mon.detach()
+        # below) drains its queue then closes the socket, so EOF is
+        # guaranteed and races with slow listener-bus delivery on a
+        # loaded host can't truncate the feed (an inactivity-timeout
+        # drain here flaked under full-suite load)
+        conn.settimeout(60)
         try:
-            while b"\n" not in buf or buf.count(b"\n") < 1:
+            while True:
                 chunk = conn.recv(65536)
                 if not chunk:
                     break
                 buf += chunk
-            # drain whatever else arrives until the peer closes
-            conn.settimeout(2)
-            while True:
-                try:
-                    chunk = conn.recv(65536)
-                except TimeoutError:
-                    break
-                if not chunk:
-                    break
-                buf += chunk
+        except TimeoutError:
+            pass
         finally:
             conn.close()
         lines.extend(l for l in buf.decode().splitlines() if l.strip())

@@ -102,6 +102,14 @@ def main() -> None:
         for p in progress
         if p.get("stateOperators")
     ]
+    # where a micro-batch spends its time (mean ms per phase):
+    # addBatch = the actual plan incl. the foreachBatch merge;
+    # the rest is trigger bookkeeping (offset WAL, source listing)
+    phases: dict[str, int] = {}
+    for p in progress:
+        for k, v in (p.get("durationMs") or {}).items():
+            phases[k] = phases.get(k, 0) + v
+    phase_mean = {k: int(v / max(len(batch_ms), 1)) for k, v in phases.items()}
     # leak check: compare mean batch time of the first and last thirds -
     # a state/file leak shows up as a drift upward over the run
     third = max(len(batch_ms) // 3, 1)
@@ -110,6 +118,9 @@ def main() -> None:
     snapshots = table.snapshots()
     ops = [s["operation"] for s in snapshots]
     files_now = table.files(spark).count()
+    # snapshots() only lists RETAINED manifests (keep_versions prunes);
+    # total commit cadence = the monotonic version counter
+    versions_committed = table.current_version() or 0
 
     # ---- exactness vs the batch twin ---------------------------------
     batch_twin = plan.ta_windows(plan.decode_hits(frames_batch))
@@ -138,6 +149,7 @@ def main() -> None:
             "mean": int(sum(batch_ms) / max(len(batch_ms), 1)),
             "max": max(batch_ms, default=0),
             "first_third_vs_last_third": round(drift, 2),
+            "phase_mean": phase_mean,
         },
         "state_rows": {
             "max": max(state_rows, default=0),
@@ -145,9 +157,9 @@ def main() -> None:
         },
         "sink": {
             "rows": sink_rows,
-            "snapshots": len(snapshots),
-            "merge_commits": sum(1 for o in ops if o in ("merge", "append")),
-            "compactions": sum(1 for o in ops if o == "compact"),
+            "versions_committed": versions_committed,
+            "retained_snapshots": len(snapshots),
+            "retained_ops": ops,
             "live_files": files_now,
             "compact_every": compact_every,
         },
