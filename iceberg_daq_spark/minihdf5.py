@@ -13,16 +13,19 @@ HDF5 File Format Specification (version 0 superblock):
     default through h5py's ``libver='earliest'`` default),
   - version-1 object headers (+ continuation blocks),
   - symbol-table groups (v1 B-tree + local heap + SNOD nodes),
-  - contiguous, unfiltered datasets of fixed-point (1/2/4/8-byte,
-    either signedness) and IEEE-float (4/8-byte) scalars, any rank.
+  - datasets of fixed-point (1/2/4/8-byte, either signedness) and
+    IEEE-float (4/8-byte) scalars, any rank, in BOTH storage layouts
+    libhdf5 uses: contiguous, and chunked via the type-1 raw-data
+    B-tree with the deflate (gzip) and byte-shuffle filters - the
+    default compression stack of real detector files.
 
 Anything outside the subset (v2/v3 superblocks, v2 object headers,
-chunked/compressed layouts, variable-length or compound datatypes)
-raises ``NotImplementedError`` with the feature named - the same
-loud-gate posture as the h5py path it substitutes for.  The writer
-emits the SAME subset (bit-compatible with libhdf5: h5py reads these
-files back verbatim - asserted when h5py is available), so fixtures
-and round-trip tests run everywhere.
+compact layouts, other filters, variable-length or compound
+datatypes) raises ``NotImplementedError`` with the feature named -
+the same loud-gate posture as the h5py path it substitutes for.  The
+writer emits the same subset (bit-compatible with libhdf5: h5py reads
+these files back verbatim - asserted when h5py is available), so
+fixtures and round-trip tests run everywhere.
 
 Layout written per event file (mirroring the reference's dumper):
 ``/events/event_id`` (int64) and ``/events/ts_us`` (int64).
@@ -43,6 +46,7 @@ MSG_DATATYPE = 0x0003
 MSG_FILLVALUE = 0x0005
 MSG_LINK = 0x0006
 MSG_LAYOUT = 0x0008
+MSG_FILTERS = 0x000B
 MSG_CONTINUATION = 0x0010
 MSG_SYMBOL_TABLE = 0x0011
 
@@ -156,30 +160,91 @@ def _datatype_msg(dt: np.dtype) -> bytes:
     return head + props
 
 
-def _write_dataset(buf: _Buf, arr: np.ndarray) -> int:
+FILTER_DEFLATE = 1  # gzip (zlib), the ubiquitous HDF5 filter
+FILTER_SHUFFLE = 2  # byte shuffle (usually paired with deflate)
+
+
+def _write_chunked(
+    buf: _Buf, arr: np.ndarray, chunks: tuple[int, ...], gzip_level: int | None
+) -> tuple[bytes, bytes | None]:
+    """Emit chunk blobs + a level-0 type-1 B-tree; returns (layout
+    message body, filter pipeline message body or None)."""
+    import itertools
+    import zlib
+
+    rank = arr.ndim
+    elem = arr.dtype.itemsize
+    grid = [range(0, s, c) for s, c in zip(arr.shape, chunks)]
+    entries = []  # (offsets, addr, nbytes)
+    for origin in itertools.product(*grid):
+        # chunks are ALWAYS stored full-size: edge chunks pad (spec
+        # III.A.1; readers clip against the dataspace)
+        pad = np.zeros(chunks, dtype=arr.dtype)
+        sl = tuple(
+            slice(o, min(o + c, s)) for o, c, s in zip(origin, chunks, arr.shape)
+        )
+        pad[tuple(slice(0, s.stop - s.start) for s in sl)] = arr[sl]
+        blob = pad.tobytes()
+        if gzip_level is not None:
+            blob = zlib.compress(blob, gzip_level)
+        entries.append((origin, buf.alloc(blob), len(blob)))
+    # single leaf node holds every chunk (our reader has no node-size
+    # ceiling; libhdf5 splits by k - acceptable for fixture files)
+    node = b"TREE" + struct.pack("<BBHQQ", 1, 0, len(entries), UNDEF, UNDEF)
+    for origin, addr, nbytes in entries:
+        node += struct.pack("<II", nbytes, 0)
+        node += b"".join(struct.pack("<Q", o) for o in origin) + struct.pack("<Q", 0)
+        node += struct.pack("<Q", addr)
+    # trailing key: one past the last chunk in every dimension
+    node += struct.pack("<II", 0, 0)
+    node += b"".join(
+        struct.pack("<Q", -(-s // c) * c) for s, c in zip(arr.shape, chunks)
+    ) + struct.pack("<Q", elem)
+    btree_addr = buf.alloc(node)
+    layout = struct.pack("<BBBQ", 3, 2, rank + 1, btree_addr) + b"".join(
+        struct.pack("<I", c) for c in (*chunks, elem)
+    )
+    pipeline = None
+    if gzip_level is not None:
+        # filter pipeline v1: deflate, no name, 1 client value (level)
+        pipeline = struct.pack("<BB6x", 1, 1) + struct.pack(
+            "<HHHHI4x", FILTER_DEFLATE, 0, 0, 1, gzip_level
+        )
+    return layout, pipeline
+
+
+def _write_dataset(
+    buf: _Buf,
+    arr: np.ndarray,
+    chunks: tuple[int, ...] | None = None,
+    gzip_level: int | None = None,
+) -> int:
     arr = np.ascontiguousarray(arr)
     if arr.dtype.byteorder == ">":
         arr = arr.astype(arr.dtype.newbyteorder("<"))
-    raw = arr.tobytes()
-    data_addr = buf.alloc(raw) if raw else UNDEF
     # dataspace v1: version rank flags reserved(5) dims
     space = struct.pack("<BBB5x", 1, arr.ndim, 0) + b"".join(
         struct.pack("<Q", d) for d in arr.shape
     )
-    layout = struct.pack("<BBQQ", 3, 1, data_addr, len(raw))  # v3 contiguous
-    return buf.alloc(
-        _objheader_v1(
-            [
-                (MSG_DATASPACE, space),
-                (MSG_DATATYPE, _datatype_msg(arr.dtype)),
-                (MSG_LAYOUT, layout),
-            ]
-        )
-    )
+    msgs = [(MSG_DATASPACE, space), (MSG_DATATYPE, _datatype_msg(arr.dtype))]
+    if chunks is not None and arr.size:
+        layout, pipeline = _write_chunked(buf, arr, chunks, gzip_level)
+        if pipeline is not None:
+            msgs.append((MSG_FILTERS, pipeline))
+        msgs.append((MSG_LAYOUT, layout))
+    else:
+        raw = arr.tobytes()
+        data_addr = buf.alloc(raw) if raw else UNDEF
+        msgs.append((MSG_LAYOUT, struct.pack("<BBQQ", 3, 1, data_addr, len(raw))))
+    return buf.alloc(_objheader_v1(msgs))
 
 
-def write_hdf5(path_or_buf, groups: dict[str, dict[str, np.ndarray]]) -> bytes:
+def write_hdf5(path_or_buf, groups: dict[str, dict[str, object]]) -> bytes:
     """Write ``{group: {dataset: array}}`` as a v0-superblock HDF5 file.
+
+    A dataset value may also be ``{"data": array, "chunks": (..,),
+    "gzip": level}`` for a chunked (optionally deflate-compressed)
+    layout - the shape libhdf5 writes for large/resizable datasets.
 
     Returns the file image; ``path_or_buf`` may be a filesystem path
     (written for you) or None (image only).  h5py reads the output
@@ -188,7 +253,17 @@ def write_hdf5(path_or_buf, groups: dict[str, dict[str, np.ndarray]]) -> bytes:
     buf.alloc(b"\x00" * 96)  # reserve superblock space at address 0
     root_children: dict[str, int] = {}
     for gname, dsets in groups.items():
-        children = {dn: _write_dataset(buf, np.asarray(a)) for dn, a in dsets.items()}
+        children = {}
+        for dn, spec in dsets.items():
+            if isinstance(spec, dict):
+                children[dn] = _write_dataset(
+                    buf,
+                    np.asarray(spec["data"]),
+                    chunks=tuple(spec["chunks"]),
+                    gzip_level=spec.get("gzip"),
+                )
+            else:
+                children[dn] = _write_dataset(buf, np.asarray(spec))
         root_children[gname] = _write_group(buf, children)
     root_hdr = _write_group(buf, root_children)
     image = bytearray(buf.bytes())
@@ -303,10 +378,72 @@ def _parse_datatype(body: bytes) -> np.dtype:
     )
 
 
+def _parse_filters(body: bytes) -> list[tuple[int, tuple[int, ...]]]:
+    """Filter pipeline v1/v2 -> [(filter id, client values)] in
+    pipeline order (applied in REVERSE when reading)."""
+    ver, nf = struct.unpack_from("<BB", body, 0)
+    pos = 8 if ver == 1 else 2
+    out = []
+    for _ in range(nf):
+        fid, namelen, _flags, ncv = struct.unpack_from("<HHHH", body, pos)
+        pos += 8
+        if ver == 1 or fid >= 256:
+            pos += namelen + ((-namelen) % 8)
+        cvals = struct.unpack_from(f"<{ncv}I", body, pos)
+        pos += 4 * ncv
+        if ver == 1 and ncv % 2:
+            pos += 4  # odd client-value count pads 4 bytes in v1
+        out.append((fid, cvals))
+    return out
+
+
+def _unfilter(blob: bytes, filters: list[tuple[int, tuple[int, ...]]], elem: int) -> bytes:
+    import zlib
+
+    for fid, _cvals in reversed(filters):
+        if fid == FILTER_DEFLATE:
+            blob = zlib.decompress(blob)
+        elif fid == FILTER_SHUFFLE:
+            # byte shuffle: stored as elem byte-planes; invert
+            a = np.frombuffer(blob, dtype=np.uint8).reshape(elem, -1)
+            blob = a.T.tobytes()
+        else:
+            raise NotImplementedError(
+                f"minihdf5: filter id {fid} (deflate/shuffle subset only)"
+            )
+    return blob
+
+
+def _walk_chunk_btree(
+    buf: bytes, addr: int, rank_plus1: int
+) -> list[tuple[tuple[int, ...], int, int]]:
+    """Type-1 (raw data chunk) B-tree -> [(chunk offsets, addr, nbytes)]."""
+    if buf[addr : addr + 4] != b"TREE":
+        raise ValueError("minihdf5: bad chunk b-tree signature")
+    ntype, level, used = struct.unpack_from("<BBH", buf, addr + 4)
+    if ntype != 1:
+        raise ValueError("minihdf5: expected type-1 chunk b-tree")
+    key_len = 8 + 8 * rank_plus1
+    pos = addr + 24
+    out = []
+    for _ in range(used):
+        nbytes, _mask = struct.unpack_from("<II", buf, pos)
+        offs = struct.unpack_from(f"<{rank_plus1}Q", buf, pos + 8)
+        child = struct.unpack_from("<Q", buf, pos + key_len)[0]
+        pos += key_len + 8
+        if level == 0:
+            out.append((offs[:-1], child, nbytes))
+        else:
+            out.extend(_walk_chunk_btree(buf, child, rank_plus1))
+    return out
+
+
 def _read_dataset(buf: bytes, msgs: list[tuple[int, bytes]]) -> np.ndarray:
     dims: tuple[int, ...] | None = None
     dtype: np.dtype | None = None
     data: tuple[int, int] | None = None
+    chunked: tuple[int, tuple[int, ...]] | None = None  # (btree addr, chunk dims)
+    filters: list[tuple[int, tuple[int, ...]]] = []
     for mtype, body in msgs:
         if mtype == MSG_DATASPACE:
             ver, rank, flags = struct.unpack_from("<BBB", body, 0)
@@ -319,18 +456,40 @@ def _read_dataset(buf: bytes, msgs: list[tuple[int, bytes]]) -> np.ndarray:
             dims = struct.unpack_from(f"<{rank}Q", body, pos)
         elif mtype == MSG_DATATYPE:
             dtype = _parse_datatype(body)
+        elif mtype == MSG_FILTERS:
+            filters = _parse_filters(body)
         elif mtype == MSG_LAYOUT:
             ver, lclass = struct.unpack_from("<BB", body, 0)
             if ver != 3:
                 raise NotImplementedError(f"minihdf5: layout message version {ver}")
-            if lclass != 1:
+            if lclass == 1:
+                data = struct.unpack_from("<QQ", body, 2)
+            elif lclass == 2:
+                dimality = body[2]
+                btree_addr = struct.unpack_from("<Q", body, 3)[0]
+                cdims = struct.unpack_from(f"<{dimality}I", body, 11)
+                chunked = (btree_addr, cdims[:-1])  # last dim = element size
+            else:
                 raise NotImplementedError(
-                    "minihdf5: chunked/compact layouts unsupported "
-                    "(contiguous subset only)"
+                    "minihdf5: compact layout unsupported "
+                    "(contiguous/chunked subset)"
                 )
-            data = struct.unpack_from("<QQ", body, 2)
-    if dims is None or dtype is None or data is None:
+    if dims is None or dtype is None or (data is None and chunked is None):
         raise ValueError("minihdf5: dataset header missing required messages")
+    if chunked is not None:
+        btree_addr, cdims = chunked
+        out = np.zeros(dims, dtype=dtype)
+        if btree_addr == UNDEF:
+            return out
+        for offs, caddr, nbytes in _walk_chunk_btree(buf, btree_addr, len(cdims) + 1):
+            blob = _unfilter(buf[caddr : caddr + nbytes], filters, dtype.itemsize)
+            chunk = np.frombuffer(blob, dtype=dtype).reshape(cdims)
+            dest = tuple(
+                slice(o, min(o + c, s)) for o, c, s in zip(offs, cdims, dims)
+            )
+            src = tuple(slice(0, d.stop - d.start) for d in dest)
+            out[dest] = chunk[src]
+        return out
     addr, nbytes = data
     n = int(np.prod(dims)) if dims else 1
     if addr == UNDEF or nbytes == 0:

@@ -117,7 +117,13 @@ def q242(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference algorithm, Lee et al. ACL 2022) need superlinear
     memory."""
     d = load(spark, sf_dir, "documents")
-    w = _windows(d)
+    # pin the window table: the corpus-count agg and the flag join are
+    # back-to-back consumers of the same 3-narrow-column rows, and an
+    # unpinned plan re-runs the tokenize+hash explode for each
+    # (measured 2x on the sf0.1 bench; on a cluster this pin is a
+    # persist(MEMORY_AND_DISK) of ~16 bytes/token, the same order as
+    # the shuffle the count already writes)
+    w = _windows(d).localCheckpoint()
     counts = w.groupBy("h").agg(F.count("*").alias("cnt"))
     flagged = w.join(counts.filter(F.col("cnt") >= 2), "h").select("doc_id", "pos")
     byd = Window.partitionBy("doc_id").orderBy("pos")

@@ -83,15 +83,53 @@ def test_minihdf5_roundtrip_and_gates():
     v2[8] = 2
     with pytest.raises(NotImplementedError, match="superblock version 2"):
         m.read_hdf5(bytes(v2))
-    # flip the first dataset layout message to class 2 (chunked): the
+    # flip the first dataset layout message to class 0 (compact): the
     # layout body is version(1)=3, class(1)=1 right after the message
     # header; find its unique byte pattern and patch the class byte
     sig = bytes([m.MSG_LAYOUT, 0]) + b"\x18\x00\x00\x00\x00\x00\x03\x01"
     pos = blob.index(sig)
-    chunked = bytearray(blob)
-    chunked[pos + len(sig) - 1] = 2
-    with pytest.raises(NotImplementedError, match="chunked"):
-        m.read_hdf5(bytes(chunked))
+    compact = bytearray(blob)
+    compact[pos + len(sig) - 1] = 0
+    with pytest.raises(NotImplementedError, match="compact"):
+        m.read_hdf5(bytes(compact))
+
+
+def test_minihdf5_chunked_layouts():
+    """Chunked datasets (type-1 raw-data B-tree) roundtrip exactly,
+    with and without the deflate filter, incl. padded edge chunks and
+    rank-2 grids; unsupported filters raise naming the id."""
+    import struct
+
+    import numpy as np
+
+    from iceberg_daq_spark import minihdf5 as m
+
+    a = np.arange(1000, dtype=np.int64)
+    b = (np.arange(35, dtype=np.float64) * 1.5).reshape(5, 7)
+    blob = m.write_hdf5(
+        None,
+        {
+            "g": {
+                "a": {"data": a, "chunks": (128,), "gzip": 6},
+                "b": {"data": b, "chunks": (2, 3), "gzip": 4},
+                "c": {"data": a[:10], "chunks": (4,)},
+                "d": a[:5],  # contiguous alongside chunked siblings
+            }
+        },
+    )
+    back = m.read_hdf5(blob)
+    assert np.array_equal(back["g"]["a"], a)
+    assert np.array_equal(back["g"]["b"], b)
+    assert np.array_equal(back["g"]["c"], a[:10])
+    assert np.array_equal(back["g"]["d"], a[:5])
+    # gzip compresses the arange: chunked+deflate file beats raw size
+    assert len(blob) < a.nbytes + b.nbytes
+    # unknown filter id gates loudly (patch deflate -> zstd's id)
+    pos = blob.index(struct.pack("<HHHHI", m.FILTER_DEFLATE, 0, 0, 1, 6))
+    bad = bytearray(blob)
+    bad[pos : pos + 2] = struct.pack("<H", 32015)
+    with pytest.raises(NotImplementedError, match="32015"):
+        m.read_hdf5(bytes(bad))
 
 
 def test_hdf5_reader_roundtrip(spark, tmp_path):
@@ -138,13 +176,24 @@ def test_hdf5_h5py_cross_codec(tmp_path):
     from iceberg_daq_spark import minihdf5 as m
 
     ids = np.arange(5, dtype=np.int64)
+    big = np.arange(1000, dtype=np.int64)
     with h5py.File(tmp_path / "lib.hdf5", "w", libver="earliest") as f:
-        f.create_group("events").create_dataset("event_id", data=ids)
+        g = f.create_group("events")
+        g.create_dataset("event_id", data=ids)
+        g.create_dataset(
+            "chunky", data=big, chunks=(128,), compression="gzip", shuffle=True
+        )
     lib_blob = (tmp_path / "lib.hdf5").read_bytes()
-    assert np.array_equal(m.read_hdf5(lib_blob)["events"]["event_id"], ids)
-    mini_blob = m.write_hdf5(str(tmp_path / "mini.hdf5"), {"events": {"event_id": ids}})
+    got = m.read_hdf5(lib_blob)["events"]
+    assert np.array_equal(got["event_id"], ids)
+    assert np.array_equal(got["chunky"], big)
+    mini_blob = m.write_hdf5(
+        str(tmp_path / "mini.hdf5"),
+        {"events": {"event_id": ids, "chunky": {"data": big, "chunks": (128,), "gzip": 6}}},
+    )
     with h5py.File(tmp_path / "mini.hdf5", "r") as f:
         assert np.array_equal(np.asarray(f["events"]["event_id"]), ids)
+        assert np.array_equal(np.asarray(f["events"]["chunky"]), big)
 
 
 def test_jsonl_quarantine_split(spark, tmp_path):
