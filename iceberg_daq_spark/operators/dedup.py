@@ -217,6 +217,91 @@ def ngram_jaccard_prefix_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame, threshold: float = 0.6, k: int = 3
+) -> DataFrame:
+    """Directed containment pairs: (doc_a, doc_b) where
+    |A n B| / |A| >= threshold - doc_a's shingle content mostly lives
+    inside doc_b.  The asymmetric complement of the Jaccard family:
+    an excerpt/quote of a long document has low Jaccard against it
+    (|B| dominates the union) but high containment, so q41/q42 never
+    surface it.
+
+    Lossless prefix filter on the CONTAINED side only: for
+    C(A->B) >= t, at most |A| - ceil(t*|A|) of A's shingles may miss
+    B, so A's first |A| - ceil(t*|A|) + 1 shingles in ascending global
+    df order must contain one shared with B (else too many of A's
+    rarest shingles are outside B).  B carries no PREFIX bound
+    relative to A, so B's side joins full postings - but two further
+    lossless filters prune the fan-out at the posting join (both from
+    the PPJoin toolkit, adapted to the asymmetric measure):
+
+      - size: n_common >= t*|A| and n_common <= |B|, so |B| >= t*|A|
+        (a container can't be much smaller than its excerpt);
+      - positional: at a pair's FIRST shared shingle in global df
+        order - which the prefix guarantees we see - every common
+        shingle sits at-or-after that match position in BOTH docs'
+        df orders, so n_common <= min(n_a - rn_a, n_b - rn_b) + 1,
+        which must reach ceil(t * n_a).
+
+    Survivors verify exactly on the hashed shingle sets, so precision
+    is 1 by construction; output is directed (a contained-in b), with
+    exact-duplicate families appearing in both directions.
+    """
+    sets = shingle_sets(docs, k=k).cache()
+    hs = sets.select(
+        "doc_id", F.transform("sh_set", lambda s: F.xxhash64(s)).alias("hs")
+    )
+    sh = sets.select(
+        "doc_id",
+        F.size("sh_set").alias("n"),
+        F.explode("sh_set").alias("shingle"),
+    ).select("doc_id", "n", F.xxhash64("shingle").alias("h"))
+    freq = sh.groupBy("h").agg(F.count("*").alias("df"))
+    wdoc = Window.partitionBy("doc_id").orderBy("df", "h")
+    ranked = sh.join(freq, "h").select(
+        "doc_id", "h", "n", F.row_number().over(wdoc).alias("rn")
+    )
+    prefix_a = ranked.filter(
+        F.col("rn") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    ).select(
+        F.col("doc_id").alias("doc_a"),
+        "h",
+        F.col("n").alias("n_a"),
+        F.col("rn").alias("rn_a"),
+    )
+    full_b = ranked.select(
+        F.col("doc_id").alias("doc_b"),
+        "h",
+        F.col("n").alias("n_b"),
+        F.col("rn").alias("rn_b"),
+    )
+    ub = (
+        F.least(F.col("n_a") - F.col("rn_a"), F.col("n_b") - F.col("rn_b")) + 1
+    )
+    need = F.ceil(F.lit(threshold) * F.col("n_a"))
+    cand = (
+        prefix_a.join(full_b, "h")
+        .filter(
+            (F.col("doc_a") != F.col("doc_b"))
+            & (F.col("n_b") >= F.lit(threshold) * F.col("n_a"))
+            & (ub >= need - F.lit(1e-6))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ha = hs.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"), F.size("hs").alias("n_a"))
+    hb = hs.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+    containment = F.col("n_common") / F.col("n_a")
+    return (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("hs_a", "hs_b")).cast("long"))
+        .filter(containment >= threshold)
+        .select("doc_a", "doc_b", "n_common", F.round(containment, 4).alias("containment"))
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame, threshold: float = 0.5, k: int = 3, df_max: int | None = None
 ) -> DataFrame:

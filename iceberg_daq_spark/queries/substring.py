@@ -211,3 +211,48 @@ def q243(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "passage")
         .limit(20)
     )
+
+
+@register(
+    "q246_containment_pairs",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, s
+      FROM tok, LATERAL UNNEST(
+        list_transform(
+          generate_series(1, greatest(len(w) - 2, 0)),
+          i -> concat_ws(' ', w[i], w[i+1], w[i+2])
+        )
+      ) AS t(s)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b, c.n_common,
+           round(c.n_common * 1.0 / sa.n, 4) AS containment
+    FROM common c JOIN sizes sa ON c.doc_a = sa.doc_id
+    WHERE c.n_common * 1.0 / sa.n >= 0.6
+    ORDER BY c.doc_a, c.doc_b
+    """,
+)
+def q246(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment pairs (|A n B| / |A| >= 0.6): excerpts,
+    quotes, and subset documents whose content mostly lives inside a
+    larger document - invisible to the Jaccard family (the union is
+    dominated by the big doc), caught by the asymmetric measure.
+    Engine path is the prefix-filtered operator
+    (operators/dedup.containment_pairs: lossless AllPairs prefix on
+    the CONTAINED side, full postings on the container side, exact
+    hashed-set verification); the oracle walks the complete
+    inverted-index join - feasible at oracle scale, quadratic in
+    hot-shingle df, which is exactly what the prefix filter avoids."""
+    from iceberg_daq_spark.operators import dedup
+
+    d = load(spark, sf_dir, "documents")
+    return dedup.containment_pairs(d, threshold=0.6).orderBy("doc_a", "doc_b")

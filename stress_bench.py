@@ -108,6 +108,16 @@ STRESS_QUERIES = [
     # perturbed-token vocabulary grows only ~10%/copy, so the weight
     # table must stay ~flat while the token stream grows (~linear)
     "q226", "q227", "q228",
+    # r11: substring-dup family (window-hash counts are linear in
+    # corpus tokens; q242 additionally pins the window table) and the
+    # containment discovery (prefix x FULL postings with the size +
+    # positional lossless filters - the one new pair-generating join).
+    # q246's ratio is OUTPUT-bound on this corpus by construction: the
+    # 10x near-dup copies are mutually containing, so TRUE pairs grow
+    # ~copies^2 per family (measured 512 -> 149,963 = 293x verified
+    # pairs for a ~2.7x wall ratio) - read its ratio against that
+    # denominator, like q44's quadratic-by-definition note.
+    "q242", "q243", "q246",
 ]
 # superlinear-blowup tripwire: 10x rows may legitimately cost more than
 # 10x on the pair-counting queries (pair count itself grows with the

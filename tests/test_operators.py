@@ -1473,3 +1473,53 @@ def test_multimodal_external_decode_ppm():
         gw, gh, gc, gmean, gmx, gmn = got[k]
         assert (gw, gh, gc, gmx, gmn) == (w, h, c, mx, mn)
         assert abs(gmean - mean) < 1e-9
+
+
+def test_containment_pairs_asymmetric(spark):
+    """containment_pairs catches an excerpt inside a long doc that the
+    Jaccard family misses (union dominated by the big doc), is
+    directed (excerpt -> container only), and the prefix filter loses
+    nothing vs brute force on the same corpus."""
+    words_b = " ".join(f"w{i}" for i in range(60))
+    excerpt = " ".join(f"w{i}" for i in range(15))  # first 15 words of B
+    other = " ".join(f"x{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, excerpt), (2, words_b), (3, other)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in dedup.containment_pairs(docs, threshold=0.9).collect()
+    }
+    assert set(got) == {(1, 2)}  # directed: excerpt contained in B only
+    assert got[(1, 2)] == 1.0
+    # the Jaccard near-dup path does NOT see this pair at its threshold
+    jac = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_prefix_pairs(docs, threshold=0.5).collect()
+    }
+    assert (1, 2) not in jac and (2, 1) not in jac
+    # losslessness: prefix-filtered output == complete inverted-index
+    # containment on a corpus with repeated (hot) shingles
+    from pyspark.sql import functions as F
+
+    base = ["a b c d e f g h i j k l", "a b c d e f g h i j k z",
+            "p q r s t u v w x y", "a b c p q r s t u v"]
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(base * 3)], "doc_id long, text string"
+    )
+    fast = {
+        (r["doc_a"], r["doc_b"], r["n_common"])
+        for r in dedup.containment_pairs(corpus, threshold=0.6).collect()
+    }
+    sh = dedup.shingle_sets(corpus)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("sb"))
+    brute = {
+        (r["doc_a"], r["doc_b"], r["n_common"])
+        for r in a.crossJoin(b)
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .withColumn("n_common", F.size(F.array_intersect("sa", "sb")).cast("long"))
+        .filter(F.col("n_common") / F.size("sa") >= 0.6)
+        .collect()
+    }
+    assert fast == brute and len(brute) > 0
