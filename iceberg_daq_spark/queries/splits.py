@@ -11,7 +11,7 @@ otherwise; cf. q65).
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -57,23 +57,30 @@ def q244(spark: SparkSession, sf_dir: str) -> DataFrame:
     fills small strata).  Reports per (source, split) counts and
     fractions.
 
-    100 TB shape: one shuffle on the stratum key + one window pass;
-    strata are few and the hash order spreads any stratum skew across
-    its partition's sort, not across executors.  Assignment is pure
-    (doc_id, salt) - adding new docs never moves an old doc between
-    splits except at the floor boundaries of its stratum (the
-    documented re-split semantics; pin SPLIT_SALT per corpus release
-    to freeze assignments entirely)."""
+    100 TB shape: the within-stratum rank comes from
+    :func:`operators.ranking.grouped_rank` (two-pass range layout -
+    one scalar per (partition, stratum) to the driver, broadcast
+    offsets, local rank), NOT a per-stratum window, because a
+    stratum is a giant group: a window's PARTITION BY source would
+    sort an entire source's trillions of rows in ONE task.
+    Assignment is pure (doc_id, salt) - adding new docs never moves
+    an old doc between splits except at the floor boundaries of its
+    stratum (the documented re-split semantics; pin SPLIT_SALT per
+    corpus release to freeze assignments entirely)."""
+    from iceberg_daq_spark.operators.ranking import grouped_rank
+
     d = load(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy(
-        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{SPLIT_SALT}"))),
-        "doc_id",
-    )
-    wn = Window.partitionBy("source")
-    ranked = d.select(
-        "source",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(wn).alias("n"),
+    ranked = grouped_rank(
+        d.select("source", "doc_id"),
+        ["source"],
+        [
+            F.md5(
+                F.concat(F.col("doc_id").cast("string"), F.lit(f":{SPLIT_SALT}"))
+            ),
+            "doc_id",
+        ],
+    ).select(
+        "source", F.col("_grank").alias("rn"), F.col("_gtotal").alias("n")
     )
     assigned = ranked.select(
         "source",
@@ -207,19 +214,59 @@ def q245(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Packing is inherently order-sequential (each decision depends on
     the previous fill), so the SHARD is the parallel unit: one
-    applyInPandas fold per source, exactly production packer-job
+    applyInPandas fold per shard, exactly production packer-job
     sharding.  The driver never sees rows; per-shard output is one
     summary row.  The oracle walks the same fold as a per-source
-    recursive CTE - feasible at oracle scale, and the engine path is
-    the one that scales (shards process in parallel, each fold is one
-    linear pass)."""
+    recursive CTE - feasible at oracle scale.
+
+    Registered semantics pack each source as ONE shard (what the
+    oracle can express); at corpus scale a source is a giant group,
+    so :func:`sequence_packing` (below) sub-shards by doc_id bucket -
+    packing restarts at shard boundaries, the per-shard fold stays
+    bounded, and the per-source report sums its shards.  Doc/token
+    counts are shard-invariant and every packing respects the
+    ceil(tokens/CTX) floor (test-asserted); the sequence count itself
+    may move a little either way across shardings - greedy packing is
+    order-dependent, which is precisely why the shard is the
+    deterministic replay unit."""
+    return sequence_packing(spark, sf_dir, shards_per_source=1)
+
+
+def sequence_packing(
+    spark: SparkSession, sf_dir: str, shards_per_source: int = 1
+) -> DataFrame:
+    """q245's engine with an explicit shard count: docs hash into
+    ``shards_per_source`` doc_id buckets per source, each bucket packs
+    independently (the fold restarts at bucket boundaries - real
+    packers shard by input file exactly like this), and the report
+    sums shard outputs per source.  n_docs/total_tokens/n_sequences/
+    waste_tokens are all additive across shards; only fill_rate is
+    recomputed from the sums."""
     d = load(spark, sf_dir, "documents")
     toks = d.select(
-        "source", "doc_id", F.size(F.split("text", " ")).alias("n_toks")
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_toks"),
+        (F.pmod(F.col("doc_id"), F.lit(shards_per_source))).alias("_shard"),
+    )
+    per_shard = toks.groupBy("source", "_shard").applyInPandas(
+        _pack_source, _pack_schema
     )
     return (
-        toks.groupBy("source")
-        .applyInPandas(_pack_source, _pack_schema)
-        .withColumn("fill_rate", F.round("fill_rate", 4))
+        per_shard.groupBy("source")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("total_tokens").alias("total_tokens"),
+            F.sum("n_sequences").alias("n_sequences"),
+            F.sum("waste_tokens").alias("waste_tokens"),
+        )
+        .withColumn(
+            "fill_rate",
+            F.round(
+                F.col("total_tokens")
+                / (F.col("n_sequences") * F.lit(CTX)).cast("double"),
+                4,
+            ),
+        )
         .orderBy("source")
     )

@@ -1523,3 +1523,28 @@ def test_containment_pairs_asymmetric(spark):
         .collect()
     }
     assert fast == brute and len(brute) > 0
+
+
+def test_sequence_packing_sub_shards(spark, sf_dir):
+    """q245's scale path: sub-sharded packing keeps doc and token
+    counts EXACTLY equal to the single-shard fold, respects the
+    information-theoretic floor ceil(tokens/CTX) (greedy packing is
+    NOT monotone under re-sharding - a different doc order can pack
+    better or worse, so only the floor and a small absolute band are
+    invariant), and stays deterministic."""
+    from iceberg_daq_spark.queries.splits import CTX, sequence_packing
+
+    one = {r["source"]: r for r in sequence_packing(spark, sf_dir, 1).collect()}
+    sharded = {r["source"]: r for r in sequence_packing(spark, sf_dir, 3).collect()}
+    assert set(one) == set(sharded)
+    for src in one:
+        a, b = one[src], sharded[src]
+        assert a["n_docs"] == b["n_docs"]
+        assert a["total_tokens"] == b["total_tokens"]
+        floor = -(-a["total_tokens"] // CTX)
+        assert a["n_sequences"] >= floor and b["n_sequences"] >= floor
+        assert abs(a["n_sequences"] - b["n_sequences"]) <= 3
+    again = {r["source"]: r for r in sequence_packing(spark, sf_dir, 3).collect()}
+    assert {s: r["n_sequences"] for s, r in sharded.items()} == {
+        s: r["n_sequences"] for s, r in again.items()
+    }

@@ -2339,3 +2339,36 @@ def test_driver_window_composition():
         "q13_distinct_agg", "q21_sort_limit_topk",
     }
     assert stale_r6 <= set(window), "stale r6 contract rows must re-confirm"
+
+
+def test_q242_span_dedup_plan(spark, sf_dir):
+    """Span dedup: no cartesian, the flag join is an equi-join on the
+    window hash, and the final doc join broadcasts the small per-doc
+    aggregate side."""
+    from iceberg_daq_spark.registry import all_queries
+
+    plan = plan_of(all_queries()["q242_duplicated_spans"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_q246_containment_plan(spark, sf_dir):
+    """Containment discovery: equi-join on the shingle hash only (the
+    size/positional bounds are post-join filters, not join fan-out),
+    no cartesian anywhere."""
+    from iceberg_daq_spark.registry import all_queries
+
+    plan = plan_of(all_queries()["q246_containment_pairs"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_q245_packing_shard_parallel(spark, sf_dir):
+    """Sequence packing: ONE scan, one stratum-key shuffle into the
+    applyInPandas fold - no window function, no driver loop."""
+    from iceberg_daq_spark.registry import all_queries
+
+    import re
+
+    plan = plan_of(all_queries()["q245_sequence_packing"].fn(spark, sf_dir))
+    assert len(re.findall(r"Scan parquet\s+\(\d+\)", plan)) == 1
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsIn" in plan
