@@ -871,6 +871,7 @@ def incremental_minhash_dedup(
     index,
     threshold: float = 0.5,
     seed: int = 42,
+    bucket_max: int | None = MINHASH_BUCKET_MAX,
 ) -> DataFrame:
     """Incremental near-dup detection against a PERSISTED band index -
     the 100 TB shape: a new ingest batch dedups against the whole
@@ -891,16 +892,33 @@ def incremental_minhash_dedup(
     keyed (doc_id, band).
     """
     sets_new = shingle_sets(new_docs).cache()
-    bands_new = _minhash_bands(sets_new, seed)
+    # bands committed to the index are ALWAYS unvalved (the stored
+    # index must stay complete - the valve is a per-QUERY discovery
+    # bound, not an index property), so pin them once for the commit
+    # and apply the occupancy valve only to the join inputs
+    bands_new = _minhash_bands(sets_new, seed).localCheckpoint()
     stored = index.read(spark) if index.exists() else None
     all_bands = (
         bands_new
         if stored is None
         else bands_new.unionByName(stored.select("doc_id", "band", "bucket"))
     )
+    probe_new, probe_all = bands_new, all_bands
+    if bucket_max is not None:
+        # same recall-only valve as minhash_lsh_pairs, measured over
+        # the FULL (old+new) occupancy so incremental batches drop
+        # exactly the buckets the one-shot batch run would drop
+        hot = (
+            all_bands.groupBy("band", "bucket")
+            .agg(F.count("*").alias("_occ"))
+            .filter(F.col("_occ") > bucket_max)
+            .select("band", "bucket")
+        )
+        probe_new = bands_new.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+        probe_all = all_bands.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
     cand = (
-        bands_new.alias("x")
-        .join(all_bands.alias("y"), ["band", "bucket"])
+        probe_new.alias("x")
+        .join(probe_all.alias("y"), ["band", "bucket"])
         .filter(F.col("x.doc_id") != F.col("y.doc_id"))
         .select(
             F.least("x.doc_id", "y.doc_id").alias("doc_a"),
@@ -908,17 +926,20 @@ def incremental_minhash_dedup(
         )
         .distinct()
     )
-    # exact verification from the corpus text (candidate ids only)
-    sets_all = shingle_sets(corpus_docs)
-    sa = sets_all.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("sh_set").alias("set_a"),
-        F.size("sh_set").alias("n_a"),
+    # exact verification from the corpus text (candidate ids only);
+    # 8-byte hashed sets, same as the batch path
+    hs_all = shingle_sets(corpus_docs).select(
+        "doc_id", F.transform("sh_set", lambda x: F.xxhash64(x)).alias("hs")
     )
-    sb = sets_all.select(
+    sa = hs_all.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("hs").alias("set_a"),
+        F.size("hs").alias("n_a"),
+    )
+    sb = hs_all.select(
         F.col("doc_id").alias("doc_b"),
-        F.col("sh_set").alias("set_b"),
-        F.size("sh_set").alias("n_b"),
+        F.col("hs").alias("set_b"),
+        F.size("hs").alias("n_b"),
     )
     exact = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     pairs = (
