@@ -133,8 +133,15 @@ _CHECK_FIRST = [
     "q17_collect_sorted_list",
     "q18_ranking_topk",
     # ---- 50-entry window boundary (q18 is slot 50; ordering beyond
-    # here is the round-12 rotation backlog: remaining r7-stale core,
-    # then the freshly-green r10 window spills naturally) -------------
+    # here is the round-12 rotation backlog: the round-11
+    # registrations first (never driver-checked - they take the head
+    # of the r12 window), then the remaining r7-stale core, then the
+    # freshly-green r10 window spills naturally) -----------------------
+    "q242_duplicated_spans",
+    "q243_top_copied_passages",
+    "q244_stratified_split",
+    "q245_sequence_packing",
+    "q246_containment_pairs",
     "q19_analytic_lag_lead",
     "q20_gaps_and_islands",
     "q22_set_operations",
