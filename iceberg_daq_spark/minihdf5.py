@@ -61,24 +61,30 @@ CLS_FLOAT = 1
 
 
 class _Buf:
-    """Append-only file image with an 8-aligned bump allocator."""
+    """File image with an 8-aligned bump allocator + in-place patch
+    (patching lets the chunk B-tree writer allocate sibling nodes
+    first, then fill in their left/right/trailing-key links)."""
 
     def __init__(self) -> None:
-        self.parts: list[bytes] = []
-        self.size = 0
+        self.data = bytearray()
 
     def alloc(self, blob: bytes) -> int:
-        pad = (-self.size) % 8
+        pad = (-len(self.data)) % 8
         if pad:
-            self.parts.append(b"\x00" * pad)
-            self.size += pad
-        addr = self.size
-        self.parts.append(blob)
-        self.size += len(blob)
+            self.data += b"\x00" * pad
+        addr = len(self.data)
+        self.data += blob
         return addr
 
+    def patch(self, addr: int, blob: bytes) -> None:
+        self.data[addr : addr + len(blob)] = blob
+
+    @property
+    def size(self) -> int:
+        return len(self.data)
+
     def bytes(self) -> bytes:
-        return b"".join(self.parts)
+        return bytes(self.data)
 
 
 def _sym_entry(name_off: int, hdr_addr: int) -> bytes:
@@ -167,7 +173,7 @@ FILTER_SHUFFLE = 2  # byte shuffle (usually paired with deflate)
 def _write_chunked(
     buf: _Buf, arr: np.ndarray, chunks: tuple[int, ...], gzip_level: int | None
 ) -> tuple[bytes, bytes | None]:
-    """Emit chunk blobs + a level-0 type-1 B-tree; returns (layout
+    """Emit chunk blobs + their type-1 B-tree index; returns (layout
     message body, filter pipeline message body or None)."""
     import itertools
     import zlib
@@ -188,19 +194,7 @@ def _write_chunked(
         if gzip_level is not None:
             blob = zlib.compress(blob, gzip_level)
         entries.append((origin, buf.alloc(blob), len(blob)))
-    # single leaf node holds every chunk (our reader has no node-size
-    # ceiling; libhdf5 splits by k - acceptable for fixture files)
-    node = b"TREE" + struct.pack("<BBHQQ", 1, 0, len(entries), UNDEF, UNDEF)
-    for origin, addr, nbytes in entries:
-        node += struct.pack("<II", nbytes, 0)
-        node += b"".join(struct.pack("<Q", o) for o in origin) + struct.pack("<Q", 0)
-        node += struct.pack("<Q", addr)
-    # trailing key: one past the last chunk in every dimension
-    node += struct.pack("<II", 0, 0)
-    node += b"".join(
-        struct.pack("<Q", -(-s // c) * c) for s, c in zip(arr.shape, chunks)
-    ) + struct.pack("<Q", elem)
-    btree_addr = buf.alloc(node)
+    btree_addr = _write_chunk_btree(buf, entries, arr.shape, chunks, elem)
     layout = struct.pack("<BBBQ", 3, 2, rank + 1, btree_addr) + b"".join(
         struct.pack("<I", c) for c in (*chunks, elem)
     )
@@ -211,6 +205,64 @@ def _write_chunked(
             "<HHHHI4x", FILTER_DEFLATE, 0, 0, 1, gzip_level
         )
     return layout, pipeline
+
+
+ISTORE_K = 32
+"""Indexed-storage B-tree half-rank.  A v0 superblock carries no
+istore_k field, so libhdf5 assumes its default (32) and rejects nodes
+holding more than 2k = 64 entries; the writer splits at exactly that
+bound so the bit-compat claim holds for any chunk count."""
+
+
+def _write_chunk_btree(
+    buf: _Buf,
+    entries: list[tuple[tuple[int, ...], int, int]],
+    shape: tuple[int, ...],
+    chunks: tuple[int, ...],
+    elem: int,
+) -> int:
+    """Emit a type-1 (raw data chunk) B-tree over ``entries`` =
+    [(chunk origin, chunk address, stored nbytes)] in row-major key
+    order; returns the root node address.  Nodes hold at most
+    2*ISTORE_K entries (libhdf5's v0-superblock bound) and levels are
+    stacked until a single root remains; sibling links and trailing
+    keys are patched in after every node of a level has an address."""
+    rank_plus1 = len(shape) + 1
+
+    def key(nbytes: int, offs: tuple[int, ...]) -> bytes:
+        return struct.pack("<II", nbytes, 0) + b"".join(
+            struct.pack("<Q", o) for o in offs
+        )
+
+    key_len = 8 + 8 * rank_plus1
+    # global "one past the last chunk" key closing the rightmost node
+    end_key = key(
+        0, tuple(-(-s // c) * c for s, c in zip(shape, chunks)) + (elem,)
+    )
+    items = [
+        (key(nbytes, origin + (0,)), addr) for origin, addr, nbytes in entries
+    ]
+    level = 0
+    while True:
+        groups = [
+            items[i : i + 2 * ISTORE_K] for i in range(0, len(items), 2 * ISTORE_K)
+        ]
+        addrs = [
+            buf.alloc(b"\x00" * (24 + len(g) * (key_len + 8) + key_len))
+            for g in groups
+        ]
+        for gi, g in enumerate(groups):
+            left = addrs[gi - 1] if gi > 0 else UNDEF
+            right = addrs[gi + 1] if gi + 1 < len(groups) else UNDEF
+            trailing = groups[gi + 1][0][0] if gi + 1 < len(groups) else end_key
+            node = b"TREE" + struct.pack("<BBHQQ", 1, level, len(g), left, right)
+            for k, child in g:
+                node += k + struct.pack("<Q", child)
+            buf.patch(addrs[gi], node + trailing)
+        items = [(g[0][0], a) for g, a in zip(groups, addrs)]
+        level += 1
+        if len(items) == 1:
+            return items[0][1]
 
 
 def _write_dataset(
@@ -301,7 +353,14 @@ def _messages_v1(buf: bytes, addr: int) -> list[tuple[int, bytes]]:
     while blocks and len(out) < nmsgs:
         pos, remaining = blocks.pop(0)
         while remaining >= 8 and len(out) < nmsgs:
-            mtype, msize, _flags = struct.unpack_from("<HHB3x", buf, pos)
+            mtype, msize, flags = struct.unpack_from("<HHB3x", buf, pos)
+            if flags & 0x02:
+                # the body would be a shared-object reference, not the
+                # message itself - misparsing it inline would silently
+                # corrupt; keep the loud-gate posture
+                raise NotImplementedError(
+                    "minihdf5: shared object header messages unsupported"
+                )
             body = buf[pos + 8 : pos + 8 + msize]
             pos += 8 + msize
             remaining -= 8 + msize
@@ -495,7 +554,10 @@ def _read_dataset(buf: bytes, msgs: list[tuple[int, bytes]]) -> np.ndarray:
     if addr == UNDEF or nbytes == 0:
         return np.empty(dims, dtype=dtype)
     arr = np.frombuffer(buf[addr : addr + nbytes], dtype=dtype, count=n)
-    return arr.reshape(dims)
+    # .copy(): frombuffer views over the file image are read-only; the
+    # chunked path returns owned arrays, so match it - callers may
+    # mutate in place regardless of storage layout
+    return arr.reshape(dims).copy()
 
 
 def read_hdf5(blob: bytes) -> dict[str, dict[str, np.ndarray]]:
@@ -503,8 +565,9 @@ def read_hdf5(blob: bytes) -> dict[str, dict[str, np.ndarray]]:
     (datasets directly under root land in group '').
 
     Raises NotImplementedError naming the feature for files outside
-    the subset (v2+ superblocks, v2 object headers, chunked layouts,
-    non-scalar datatypes) - loud, never a silent fake."""
+    the subset (v2+ superblocks, v2 object headers, compact layouts,
+    filters beyond deflate/shuffle, shared messages, non-scalar
+    datatypes) - loud, never a silent fake."""
     if blob[:8] != SIGNATURE:
         raise ValueError("minihdf5: not an HDF5 file (bad signature)")
     sb_ver = blob[8]

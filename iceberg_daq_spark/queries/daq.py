@@ -511,3 +511,96 @@ def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_checks({"orders": orders, "lineitem": lineitem}, checks).orderBy(
         "table_name", "check_name"
     )
+
+
+@register(
+    "q247_hdf5_event_files",
+    oracle=f"""
+    SELECT concat('iceberghd_raw_run',
+                  lpad(CAST({RUN_FLOOR} + user_id % 64 AS VARCHAR), 6, '0'),
+                  '_0000.hdf5') AS file_name,
+           CAST(count(*) AS BIGINT) AS event_count,
+           CAST(min(event_id) AS BIGINT) AS first_event,
+           CAST(max(event_id) AS BIGINT) AS last_event,
+           round(epoch_ms(min(ts)) / 1000.0, 3) AS start_time,
+           round(epoch_ms(max(ts)) / 1000.0, 3) AS end_time
+    FROM events
+    GROUP BY file_name
+    ORDER BY file_name
+    """,
+)
+def q247(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDF5 event-file pipeline end to end through the REAL bytes (A4
+    envelope -> A7 scan -> A23 agg): encode the event stream into
+    per-run ``iceberghd_*_run??????_*.hdf5`` files with the in-repo
+    pure-numpy codec (chunked + deflate - the layout libhdf5 writes
+    for detector data, createMetadatafiles_iceberg_dropbox.sh:37-40),
+    then decode them back through the distributed ``binaryFile`` +
+    ``mapInArrow`` reader and aggregate per-file catalog stats.  The
+    oracle reproduces the stats from the events table alone, so the
+    hash check verifies the encode -> bytes -> decode loop loses
+    nothing.
+
+    100 TB shape: the encode stage is one shuffle keyed on run
+    (applyInPandas, 64 bounded groups here; real corpora shard by
+    (run, subrun) so group size is the detector's per-file event
+    budget), each task writing its own file - on a cluster the
+    dropbox is shared storage, and no stage ever routes file CONTENT
+    through the driver (the only collect is the 64-row manifest that
+    barriers the write before the scan).  The decode side scans files
+    in parallel (one binaryFile split each) and parses whole Arrow
+    batches; per-file agg then shuffles only the 6-column stats."""
+    import shutil
+    import tempfile
+
+    from iceberg_daq_spark.hdf5 import read_hdf5_events
+
+    scratch = os.path.join(tempfile.gettempdir(), "iceberg_daq_spark_etl")
+    tag = sf_dir.strip("/").replace("/", "_")
+    dropbox = os.path.join(scratch, f"hdf5_dropbox_{tag}")
+    shutil.rmtree(dropbox, ignore_errors=True)
+    os.makedirs(dropbox, exist_ok=True)
+
+    e = load(spark, sf_dir, "events").select(
+        (F.lit(RUN_FLOOR) + F.pmod(F.col("user_id"), F.lit(64))).alias("run"),
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    )
+
+    def write_run(pdf):
+        import numpy as np
+        import pandas as pd
+
+        from iceberg_daq_spark import minihdf5
+
+        run = int(pdf["run"].iloc[0])
+        order = np.argsort(pdf["event_id"].to_numpy(), kind="stable")
+        ids = pdf["event_id"].to_numpy()[order].astype(np.int64)
+        ts = pdf["ts_us"].to_numpy()[order].astype(np.int64)
+        name = f"iceberghd_raw_run{run:06d}_0000.hdf5"
+        minihdf5.write_hdf5(
+            os.path.join(dropbox, name),
+            {
+                "events": {
+                    "event_id": {"data": ids, "chunks": (256,), "gzip": 6},
+                    "ts_us": {"data": ts, "chunks": (256,), "gzip": 6},
+                }
+            },
+        )
+        return pd.DataFrame({"file_name": [name], "n_rows": [len(ids)]})
+
+    manifest = e.groupBy("run").applyInPandas(write_run, "file_name string, n_rows long")
+    manifest.count()  # barrier: files exist before the binaryFile scan plans
+
+    decoded = read_hdf5_events(spark, dropbox)
+    return (
+        decoded.groupBy("file_name")
+        .agg(
+            F.count("*").cast("bigint").alias("event_count"),
+            F.min("event_id").cast("bigint").alias("first_event"),
+            F.max("event_id").cast("bigint").alias("last_event"),
+            F.round(F.unix_millis(F.min("ts")) / 1000.0, 3).alias("start_time"),
+            F.round(F.unix_millis(F.max("ts")) / 1000.0, 3).alias("end_time"),
+        )
+        .orderBy("file_name")
+    )

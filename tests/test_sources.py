@@ -132,6 +132,45 @@ def test_minihdf5_chunked_layouts():
         m.read_hdf5(bytes(bad))
 
 
+def test_minihdf5_multileaf_chunk_btree():
+    """Datasets with more than 2*ISTORE_K (=64) chunks split the
+    type-1 B-tree across leaves (libhdf5 bounds leaf entries by 2k
+    under a v0 superblock, so a single fat leaf would break the
+    bit-compat claim); 4096+ chunks stack a second internal level.
+    Both roundtrip exactly, and returned arrays are owned/writable
+    in BOTH storage layouts."""
+    import numpy as np
+
+    from iceberg_daq_spark import minihdf5 as m
+
+    # 625 chunks -> 10 leaves + 1 root (level 1)
+    a = np.arange(10_000, dtype=np.int64)
+    # 4101 chunks -> 65 leaves -> 2 internal nodes -> root (level 2)
+    b = np.arange(8_202, dtype=np.int32)
+    # rank-2 with edge padding across many leaves
+    c = (np.arange(99 * 13, dtype=np.float64) * 0.5).reshape(99, 13)
+    blob = m.write_hdf5(
+        None,
+        {
+            "g": {
+                "a": {"data": a, "chunks": (16,), "gzip": 6},
+                "b": {"data": b, "chunks": (2,)},
+                "c": {"data": c, "chunks": (7, 4), "gzip": 1},
+                "d": a[:5],  # contiguous
+            }
+        },
+    )
+    back = m.read_hdf5(blob)
+    assert np.array_equal(back["g"]["a"], a)
+    assert np.array_equal(back["g"]["b"], b)
+    assert np.array_equal(back["g"]["c"], c)
+    # every returned array is writable regardless of layout
+    for name in ("a", "b", "c", "d"):
+        arr = back["g"][name]
+        assert arr.flags.writeable, name
+        arr[tuple(0 for _ in arr.shape)] = 0  # must not raise
+
+
 def test_hdf5_reader_roundtrip(spark, tmp_path):
     """HDF5 event files decode through the binaryFile + mapInArrow
     plumbing in EVERY container: fixtures written by the in-repo
@@ -187,13 +226,21 @@ def test_hdf5_h5py_cross_codec(tmp_path):
     got = m.read_hdf5(lib_blob)["events"]
     assert np.array_equal(got["event_id"], ids)
     assert np.array_equal(got["chunky"], big)
+    many = np.arange(10_000, dtype=np.int64)  # 625 chunks: multi-leaf
     mini_blob = m.write_hdf5(
         str(tmp_path / "mini.hdf5"),
-        {"events": {"event_id": ids, "chunky": {"data": big, "chunks": (128,), "gzip": 6}}},
+        {
+            "events": {
+                "event_id": ids,
+                "chunky": {"data": big, "chunks": (128,), "gzip": 6},
+                "many": {"data": many, "chunks": (16,)},
+            }
+        },
     )
     with h5py.File(tmp_path / "mini.hdf5", "r") as f:
         assert np.array_equal(np.asarray(f["events"]["event_id"]), ids)
         assert np.array_equal(np.asarray(f["events"]["chunky"]), big)
+        assert np.array_equal(np.asarray(f["events"]["many"]), many)
 
 
 def test_jsonl_quarantine_split(spark, tmp_path):
