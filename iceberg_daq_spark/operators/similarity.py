@@ -675,18 +675,21 @@ def _ivf_centroids(vecs: DataFrame) -> np.ndarray:
 
 
 def _ivf_centroids_from(Vn: np.ndarray, order: np.ndarray, n: int) -> np.ndarray:
-    """Lloyd's spherical k-means on an already-collected sample."""
+    """Lloyd's spherical k-means on an already-collected sample.
+    Centroid updates run as one assignment-matrix matmul (BLAS)
+    instead of a per-cluster mask loop - the k boolean scans made
+    driver training the dominant GROWING term of the PQ path's stress
+    profile once the sample cap engages."""
     k = min(_n_cells(n), len(Vn))
     C = Vn[order[:k]].copy()
     for _ in range(_IVF_ITERS):
         cells = (Vn @ C.T).argmax(axis=1)
-        for c in range(k):
-            members = Vn[cells == c]
-            if len(members):
-                m = members.sum(axis=0)
-                n2 = np.linalg.norm(m)
-                if n2 > 0:
-                    C[c] = m / n2
+        onehot = np.zeros((len(Vn), k))
+        onehot[np.arange(len(Vn)), cells] = 1.0
+        sums = onehot.T @ Vn
+        norms = np.linalg.norm(sums, axis=1)
+        upd = norms > 0
+        C[upd] = sums[upd] / norms[upd, None]
     return C
 
 
@@ -935,10 +938,15 @@ def _pq_codebooks_from(Vn: np.ndarray, order: np.ndarray) -> np.ndarray:
         for _ in range(_PQ_ITERS):
             d2 = s2 - 2.0 * (S @ C.T) + (C * C).sum(axis=1)[None, :]
             asg = d2.argmin(axis=1)
-            for c in range(k):
-                mem = S[asg == c]
-                if len(mem):
-                    C[c] = mem.mean(axis=0)
+            # one assignment-matrix matmul instead of k mask scans
+            # (same reason as _ivf_centroids_from: driver fit must not
+            # grow with cluster count x sample size)
+            onehot = np.zeros((len(S), k))
+            onehot[np.arange(len(S)), asg] = 1.0
+            sums = onehot.T @ S
+            counts = np.bincount(asg, minlength=k)
+            upd = counts > 0
+            C[upd] = sums[upd] / counts[upd, None]
         books[m] = C
     return books
 
@@ -984,18 +992,20 @@ def pq_ann_topk(emb: DataFrame, k: int = 5) -> DataFrame:
     scored by ASYMMETRIC DISTANCE - the query builds an (M, K) lookup
     table against the broadcast codebooks, and a candidate costs M
     table gathers on its PQ code instead of a dim-float dot; each
-    query's k*_PQ_REFINE ADC shortlist is then re-ranked EXACTLY by
-    :func:`_score_pairs`, so reported scores are true cosines.
+    query's k*_PQ_REFINE ADC shortlist is then re-ranked EXACTLY
+    in-kernel (the cell already holds the raw vectors, so the re-rank
+    is s*dim flops per query and the vectors never shuffle again), so
+    reported scores are true cosines.
 
     The 100 TB posture this adds over :func:`ivf_ann_topk` is memory:
     a stored posting list is (vec_id, cell, codes) - ~(12 + PQ_M)
     bytes/vector vs 4*dim - so the candidate join shuffles ~3% of the
     raw vector bytes and whole shards of the index fit in executor
-    memory; full vectors resurface only for the bounded shortlist
-    (k*_PQ_REFINE rows per query; in this self-join benchmark each
-    vector additionally rides along once per probe as the query side -
-    a pure search workload ships codes only for the corpus).  Recall
-    vs brute force asserted in tests."""
+    memory; full vectors resurface only as the per-probe query side
+    (a pure search workload ships codes only for the corpus), and the
+    only post-kernel traffic is the (qid, cid, cos_sim) shortlist -
+    k*_PQ_REFINE rows per query per probed cell, never vectors.
+    Recall vs brute force asserted in tests."""
     from pyspark.sql import Window
 
     vecs = _spread(
@@ -1018,48 +1028,61 @@ def pq_ann_topk(emb: DataFrame, k: int = 5) -> DataFrame:
         .select("cell", "vec_id", "codes", "v", "posted")
     )
     shortlist_k = k * _PQ_REFINE
+    empty = pd.DataFrame({"qid": [], "cid": [], "cos_sim": []})
 
     def adc(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:
-            return pd.DataFrame({"qid": [], "cid": [], "approx_sim": []})
+            return empty
         B_ = bc_books.value
         M, _, dsub = B_.shape
         V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
         Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-        C = np.stack([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])
-        n = len(Vn)
-        approx = np.zeros((n, n))
-        for m in range(M):
-            lut = Vn[:, m * dsub : (m + 1) * dsub] @ B_[m].T  # (n, K)
-            approx += lut[:, C[:, m]]  # gather codeword dots per candidate
         ids = pdf["vec_id"].to_numpy()
-        posted = pdf["posted"].to_numpy()
-        qi, ci = np.nonzero(posted[None, :] & (ids[:, None] != ids[None, :]))
-        res = pd.DataFrame(
-            {"qid": ids[qi], "cid": ids[ci], "approx_sim": approx[qi, ci]}
-        )
-        return (
-            res.sort_values(["qid", "approx_sim", "cid"], ascending=[True, False, True])
-            .groupby("qid", sort=False)
-            .head(shortlist_k)
+        # candidates = POSTED members only (multi-probed visitors query
+        # but don't serve), columns cid-ascending so the stable argsort
+        # below tie-breaks (approx desc, cid asc) deterministically
+        pidx = np.nonzero(pdf["posted"].to_numpy())[0]
+        pidx = pidx[np.argsort(ids[pidx], kind="stable")]
+        if len(pidx) == 0:
+            return empty
+        C_ = np.stack([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])[pidx]
+        # the ADC scan is gather-bandwidth-bound and approximate by
+        # nature: float32 halves the bytes moved; the re-rank below
+        # restores float64 exactness on the shortlist
+        Vn32 = Vn.astype(np.float32)
+        A = np.zeros((len(Vn), len(pidx)), dtype=np.float32)
+        for m in range(M):
+            lut = Vn32[:, m * dsub : (m + 1) * dsub] @ B_[m].astype(np.float32).T
+            A += lut[:, C_[:, m]]  # gather codeword dots per candidate
+        cids = ids[pidx]
+        A[ids[:, None] == cids[None, :]] = -np.inf  # no self-matches
+        s = min(shortlist_k, len(pidx))
+        sel = np.argsort(-A, axis=1, kind="stable")[:, :s]  # (n, s)
+        # exact re-rank IN-KERNEL: the shortlist's true cosines cost
+        # s*dim flops per query against vectors already in memory -
+        # no second vector shuffle, no driver round trip
+        exact = np.einsum("id,isd->is", Vn, Vn[pidx][sel])
+        rows = np.arange(len(Vn))[:, None]
+        keep = ~np.isinf(A[rows, sel]).ravel()  # self slots past the pool
+        return pd.DataFrame(
+            {
+                "qid": np.repeat(ids, s)[keep],
+                "cid": cids[sel].ravel()[keep],
+                "cos_sim": exact.ravel()[keep],
+            }
         )
 
     shortlist = (
         members.groupBy("cell")
-        .applyInPandas(adc, "qid bigint, cid bigint, approx_sim double")
+        .applyInPandas(adc, "qid bigint, cid bigint, cos_sim double")
+        # a pair met in several shared cells scores identically; max()
+        # is just the dedup
         .groupBy("qid", "cid")
-        .agg(F.max("approx_sim").alias("approx_sim"))
+        .agg(F.max("cos_sim").alias("cos_sim"))
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("approx_sim"), F.asc("cid"))
-    cand = (
-        shortlist.withColumn("srk", F.row_number().over(w))
-        .filter(F.col("srk") <= shortlist_k)
-        .select("qid", "cid")
-    )
-    exact = _score_pairs(cand, emb)
     w2 = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
     return (
-        exact.withColumn("rk", F.row_number().over(w2))
+        shortlist.withColumn("rk", F.row_number().over(w2))
         .filter(F.col("rk") <= k)
         .select(
             "qid",

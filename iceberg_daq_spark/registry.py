@@ -75,7 +75,12 @@ def all_queries() -> dict[str, QuerySpec]:
 # per round); tests/test_registry_rotation.py fails if it goes stale,
 # so the rotation can never silently rot (round-11 verdict #7).
 
-_RECHECK: list[str] = []
+_RECHECK: list[str] = [
+    # r12: q106 switched to once-per-unordered-pair generation with
+    # banded levenshtein and the nearest_d cap moved into the contract
+    # (oracle updated in lockstep) - driver re-confirmation owed
+    "q106_fuzzy_match",
+]
 
 # --- BEGIN GENERATED (tools/gen_check_order.py) ---
 _LAST_DRIVER_ROUND: dict[str, int] = {

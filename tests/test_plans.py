@@ -2312,33 +2312,28 @@ def test_q229_bootstrap_single_scan(spark, sf_dir):
 
 
 def test_driver_window_composition():
-    """The driver hash-checks only the FIRST 50 entries of
-    queries(): the round-11 window must hold exactly the 25
-    never-checked q217-q241, the six re-verifying oracle fixes, the
-    stale-r6 contract rows, and the re-confirmation-owed backlog -
-    a silent registration reorder would quietly burn window slots."""
-    from iceberg_daq_spark.registry import driver_ordered
+    """The driver hash-checks only the FIRST 50 entries of queries().
+    Since round 12 the window is DERIVED (never-checked registrations
+    first, then stalest driver rows - see registry._LAST_DRIVER_ROUND
+    and tests/test_registry_rotation.py for the full invariants); here
+    we pin the consequence that matters to the driver contract: every
+    registered query missing a driver CORRECTNESS row sits in the
+    window, and _RECHECK entries (implementation changed, oracle
+    unchanged) sit right behind them."""
+    from iceberg_daq_spark.registry import (
+        _LAST_DRIVER_ROUND,
+        _RECHECK,
+        all_queries,
+        driver_ordered,
+    )
 
     window = list(driver_ordered())[:50]
-    never_checked = [n for n in window if n.startswith(tuple(f"q2{i}" for i in range(17, 42)))]
-    assert [n for n in window[:25]] == sorted(
-        never_checked, key=window.index
-    ), "q217-q241 must take the window head"
-    fixed = {
-        "q137_largest_remainder_prorate",
-        "q142_kaplan_meier_churn",
-        "q143_gini_concentration",
-        "q155_cohort_ltv",
-        "q156_mix_shift_bridge",
-        "q161_ks_two_sample",
-    }
-    assert fixed <= set(window), "the six oracle re-verifications must be in-window"
-    stale_r6 = {
-        "q03_inner_join_agg", "q04_broadcast_join", "q05_multiway_join",
-        "q06_left_outer_join", "q07_left_semi_join", "q11_cross_join",
-        "q13_distinct_agg", "q21_sort_limit_topk",
-    }
-    assert stale_r6 <= set(window), "stale r6 contract rows must re-confirm"
+    unchecked = {n for n in all_queries() if n not in _LAST_DRIVER_ROUND}
+    assert unchecked <= set(window), "never-checked queries must be in-window"
+    assert set(_RECHECK) <= set(window), "re-confirmation-owed queries in-window"
+    assert window[: len(unchecked)] == [n for n in window if n in unchecked], (
+        "never-checked queries must take the window head"
+    )
 
 
 def test_q242_span_dedup_plan(spark, sf_dir):
