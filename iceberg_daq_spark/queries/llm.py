@@ -2245,3 +2245,104 @@ def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "q248_label_medoids",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+    ), nrm AS (
+      SELECT vec_id, label, e,
+             sqrt(list_reduce(list_prepend(0.0, list_transform(e, x -> x * x)),
+                              (a, b) -> a + b)) AS nn
+      FROM v
+    ), u AS (
+      SELECT vec_id, label, i AS pos, e[i] / nn AS val
+      FROM nrm, UNNEST(generate_series(1, len(e))) AS t(i)
+    ), s AS (
+      SELECT label, pos, sum(val) AS sv FROM u GROUP BY label, pos
+    ), d AS (
+      SELECT u.vec_id, u.label, sum(u.val * s.sv) AS score
+      FROM u JOIN s ON u.label = s.label AND u.pos = s.pos
+      GROUP BY u.vec_id, u.label
+    ), m AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n_members FROM v GROUP BY label
+    ), r AS (
+      SELECT label, vec_id, score,
+             row_number() OVER (
+               PARTITION BY label ORDER BY round(score, 6) DESC, vec_id
+             ) AS rk
+      FROM d
+    )
+    SELECT r.label, r.vec_id AS medoid_id, m.n_members,
+           round(r.score / m.n_members, 4) AS mean_cos
+    FROM r JOIN m ON r.label = m.label
+    WHERE r.rk = 1
+    ORDER BY r.label
+    """,
+)
+def q248(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT cosine medoid per label cluster: the member vector with
+    the highest mean cosine similarity to all members of its label -
+    the robust prototype-selection step of a curation pipeline (q77's
+    centroid is a synthetic point; the medoid is a REAL example you
+    can ship as the cluster's exemplar).
+
+    The naive medoid is all-pairs (m^2 dot products per label); the
+    cosine identity argmin_j sum_i (1 - v_j.v_i) = argmax_j v_j.S
+    with S = sum of normalized members makes it EXACT in O(m*dim):
+
+      1. one partial-agg shuffle sums normalized coordinates per
+         (label, pos) - map-side combinable at any scale,
+      2. scores re-aggregate per vector from the exploded stream
+         joined against the (bounded: labels x dim rows) direction
+         table, again a partial agg,
+      3. the winner per label is a max(struct(...)) partial aggregate
+         (no window over data-sized partitions); score rounds to 6
+         decimals BEFORE the argmax on both engines so float summation
+         order cannot flip the pick, and ties break on lowest vec_id
+         via the negated-id struct field.
+
+    mean_cos includes the medoid's self-similarity term (score/m),
+    matching the oracle exactly."""
+    e = load(spark, sf_dir, "embeddings")
+    nn = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    ex = e.select(
+        "vec_id", "label", nn.alias("nn"), F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "vec_id", "label", "pos", (F.col("val").cast("double") / F.col("nn")).alias("val")
+    )
+    s = ex.groupBy("label", "pos").agg(F.sum("val").alias("sv"))
+    d = (
+        ex.join(s, ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum(F.col("val") * F.col("sv")).alias("score"))
+    )
+    m = e.groupBy("label").agg(F.count("*").cast("bigint").alias("n_members"))
+    best = d.groupBy("label").agg(
+        F.max(
+            F.struct(
+                F.round("score", 6).alias("sr"),
+                (-F.col("vec_id")).alias("ni"),
+                F.col("score").alias("score"),
+                F.col("vec_id").alias("vec_id"),
+            )
+        ).alias("w")
+    )
+    return (
+        best.join(m, "label")
+        .select(
+            "label",
+            F.col("w.vec_id").alias("medoid_id"),
+            "n_members",
+            F.round(F.col("w.score") / F.col("n_members"), 4).alias("mean_cos"),
+        )
+        .orderBy("label")
+    )

@@ -253,3 +253,27 @@ def q224(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("false_negatives"),
     )
+
+
+@register("q249_quantile_sketch", oracle=None)
+def q249(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (deterministic MRL/KLL compaction)
+    over lineitem extended prices: the deciles of a fact-table measure
+    from FIXED-size per-partition summaries - the fourth sketch next
+    to HLL (q104), count-min (q223), and Bloom (q224), and the only
+    way a quantile survives 100 TB without a global sort (the exact
+    twins are q74/q217 via the two-pass rank layout; this is the
+    streaming/monitoring path: kilobytes of state, one scan).
+
+    Rows-only for the driver (a sketch estimate has no SQL-exact
+    oracle); tests/test_operators.py asserts the rank-error envelope
+    vs DuckDB's exact quantiles (<=1% at sf0.01), merge associativity
+    across different partitionings, and determinism across runs.  The
+    plan shape: mapInPandas partial sketches (no raw-value shuffle),
+    one bounded final-merge task (input rows = partition count), rows
+    out."""
+    from iceberg_daq_spark.operators.quantile_sketch import sketch_quantiles
+
+    li = load(spark, sf_dir, "lineitem")
+    qs = [i / 10.0 for i in range(1, 10)]
+    return sketch_quantiles(li, "l_extendedprice", qs).orderBy("quantile")

@@ -1548,3 +1548,64 @@ def test_sequence_packing_sub_shards(spark, sf_dir):
     assert {s: r["n_sequences"] for s, r in sharded.items()} == {
         s: r["n_sequences"] for s, r in again.items()
     }
+
+
+def test_quantile_sketch_error_merge_determinism(spark, sf_dir):
+    """The MRL sketch's three contracts: (1) rank error of every
+    estimated decile stays under 1% of n vs the exact ranks, (2)
+    merging is partitioning-insensitive within the same envelope -
+    sketches built over 2 vs 16 partitions agree with each other to
+    <=2% rank distance, (3) repeated runs are byte-identical (the
+    deterministic alternating-offset compaction + content-sorted
+    merge order)."""
+    import numpy as np
+
+    from iceberg_daq_spark.operators.quantile_sketch import (
+        MRLSketch,
+        sketch_quantiles,
+    )
+    from iceberg_daq_spark.tables import load
+
+    li = load(spark, sf_dir, "lineitem").select("l_extendedprice")
+    vals = np.sort(np.array([r[0] for r in li.collect()], dtype=float))
+    n = len(vals)
+    qs = [i / 10.0 for i in range(1, 10)]
+
+    got = {r["quantile"]: r["estimate"] for r in sketch_quantiles(li, "l_extendedprice", qs).collect()}
+    assert len(got) == 9
+    for q, est in got.items():
+        rank = np.searchsorted(vals, est, side="right") / n
+        assert abs(rank - q) <= 0.01, (q, est, rank)
+
+    # partitioning-insensitive (merge correctness across layouts)
+    got2 = {
+        r["quantile"]: r["estimate"]
+        for r in sketch_quantiles(li.repartition(2), "l_extendedprice", qs).collect()
+    }
+    got16 = {
+        r["quantile"]: r["estimate"]
+        for r in sketch_quantiles(li.repartition(16), "l_extendedprice", qs).collect()
+    }
+    for q in qs:
+        r2 = np.searchsorted(vals, got2[q], side="right") / n
+        r16 = np.searchsorted(vals, got16[q], side="right") / n
+        assert abs(r2 - q) <= 0.02 and abs(r16 - q) <= 0.02
+
+    # determinism: same plan re-run -> identical estimates
+    rerun = {r["quantile"]: r["estimate"] for r in sketch_quantiles(li, "l_extendedprice", qs).collect()}
+    assert rerun == got
+
+    # pure-python unit: known uniform stream, exact weights bookkeeping
+    s = MRLSketch(k=64)
+    s.extend(np.arange(100_000, dtype=float))
+    assert s.n == 100_000
+    for q in qs:
+        assert abs(s.quantile(q) / 100_000 - q) <= 0.02
+    # merge == extend-all within the envelope
+    a, b = MRLSketch(k=64), MRLSketch(k=64)
+    a.extend(np.arange(0, 50_000, dtype=float))
+    b.extend(np.arange(50_000, 100_000, dtype=float))
+    a.merge(b)
+    assert a.n == 100_000
+    for q in qs:
+        assert abs(a.quantile(q) / 100_000 - q) <= 0.02
