@@ -450,13 +450,61 @@ def main() -> None:
     )
     print(f"# valve: {valve}", file=sys.stderr)
 
-    base_t = time_queries(spark, specs, names, base_dir, repeat)
-    stress_t = time_queries(spark, specs, names, stress_dir, repeat)
+    # Interleave each query's base and stress cells BACK-TO-BACK and
+    # keep per-cell minimums across passes.  This host shares CPUs
+    # with other tenants whose load arrives in multi-minute bursts:
+    # contiguous per-dir passes let a burst tax one dir's cells 2-3x
+    # (measured: an untouched query's stress cell tripled run-over-
+    # run), and min-of-passes alone BIASES ratios upward - the shorter
+    # base cells land fully inside quiet gaps more often than the
+    # longer stress cells.  With the pair timed in the same ~minute
+    # window a burst inflates numerator and denominator together, so
+    # the RATIO stays meaningful even when absolutes wobble.
+    # q57+q73 stay grouped per dir (q73 reads the dedup-groups stage
+    # the preceding q57 run of the SAME dir left behind).
+    passes = int(os.environ.get("STRESS_PASSES", "2"))
+    groups: list[list[str]] = []
+    i = 0
+    while i < len(names):
+        if names[i].startswith("q57") and i + 1 < len(names) and names[
+            i + 1
+        ].startswith("q73"):
+            groups.append([names[i], names[i + 1]])
+            i += 2
+        else:
+            groups.append([names[i]])
+            i += 1
+    base_passes: list[dict] = []
+    stress_passes: list[dict] = []
+    for p in range(passes):
+        print(f"# pass {p + 1}/{passes}", file=sys.stderr)
+        bp: dict = {}
+        sp: dict = {}
+        for grp in groups:
+            for acc, d in ((bp, base_dir), (sp, stress_dir)):
+                acc.update(time_queries(spark, specs, grp, d, repeat))
+        base_passes.append(bp)
+        stress_passes.append(sp)
+    base_t = {k: min(bp[k] for bp in base_passes) for k in base_passes[0]}
+    stress_t = {k: min(sp[k] for sp in stress_passes) for k in stress_passes[0]}
+    # ratio per query = MIN over passes of that pass's paired
+    # stress/base - both cells of a pair share one time window, so a
+    # steal burst inflates them together and the quotient stays
+    # meaningful; min-of-absolutes across passes would re-decouple
+    # them (the shorter base cells land fully inside quiet gaps more
+    # often, biasing every ratio upward)
+    paired_ratio = {
+        k: min(
+            sp[k] / max(bp[k], 1e-9)
+            for bp, sp in zip(base_passes, stress_passes)
+        )
+        for k in base_passes[0]
+    }
 
     queries = {}
     failed = []
     for n in names:
-        ratio = round(stress_t[n] / max(base_t[n], 1e-9), 2)
+        ratio = round(paired_ratio[n], 2)
         queries[n] = {
             "base_sec": base_t[n],
             "stress_sec": stress_t[n],
@@ -471,7 +519,7 @@ def main() -> None:
         queries[n] = {
             "base_sec": base_t[n],
             "stress_sec": stress_t[n],
-            "ratio": round(stress_t[n] / max(base_t[n], 1e-9), 2),
+            "ratio": round(paired_ratio[n], 2),
         }
     # a ratio's denominator is only meaningful when the base cell is
     # compute-bound: below ~0.5 s the base is mostly scheduler / job
@@ -497,7 +545,15 @@ def main() -> None:
         "valve": valve,
         "queries": queries,
         "note": (
-            "best-of-%d per cell (cache cleared between executions; q57 "
+            "best-of-%d per cell over %d passes; base_sec/stress_sec "
+            "are per-cell minimums, while ratio is the MIN over passes "
+            "of each pass's PAIRED stress/base (the two cells of a "
+            "pass run back-to-back in one time window, so shared-host "
+            "steal bursts - which run minutes long here - inflate both "
+            "sides together and cancel in the quotient; min-of-"
+            "absolute cells would re-decouple them and bias ratios up, "
+            "so ratio may differ from stress_sec/base_sec; cache "
+            "cleared between executions; q57 "
             "additionally rebuilds the shared stage every repeat); q73 "
             "reuses q57's dedup-groups stage within each dir (the "
             "stored-table pipeline shape); ratios are stress/base "
@@ -514,7 +570,7 @@ def main() -> None:
             "q57__stage_reused is the consumer-read cost of the "
             "already-built stage (never gated: pipeline shape, not "
             "algorithm)."
-            % (repeat, copies)
+            % (repeat, passes, copies)
         ),
     }
     repo = os.path.dirname(os.path.abspath(__file__))

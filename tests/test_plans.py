@@ -2367,3 +2367,53 @@ def test_q245_packing_shard_parallel(spark, sf_dir):
     plan = plan_of(all_queries()["q245_sequence_packing"].fn(spark, sf_dir))
     assert len(re.findall(r"Scan parquet\s+\(\d+\)", plan)) == 1
     assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsIn" in plan
+
+
+def test_q246_containment_count_test_plan(spark, sf_dir):
+    """Containment discovery: no cartesian, the extended-prefix count
+    test is a partial-aggregable count (HashAggregate with a count
+    over the posting join, NOT an ObjectHashAggregate of first()
+    buffers), and the verify joins stay equi-joins."""
+    from iceberg_daq_spark.registry import all_queries
+
+    plan = plan_of(all_queries()["q246_containment_pairs"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "ObjectHashAggregate" not in plan
+
+
+def test_q247_hdf5_pipeline_plan(spark, sf_dir):
+    """HDF5 e2e: the decode side is a binaryFile scan feeding
+    mapInArrow (ArrowEvalPython/MapInArrow, never a row-at-a-time
+    PythonUDF), and the per-file aggregation is a partial agg."""
+    from iceberg_daq_spark.registry import all_queries
+
+    plan = plan_of(all_queries()["q247_hdf5_event_files"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "MapInArrow" in plan or "ArrowEval" in plan
+    assert "BatchEvalPython" not in plan  # no pickled row UDF anywhere
+
+
+def test_q248_medoid_plan(spark, sf_dir):
+    """Medoids: partial-agg shuffles only - no window over data-sized
+    partitions (the argmax is a max(struct) aggregate), no cartesian."""
+    from iceberg_daq_spark.registry import all_queries
+
+    plan = plan_of(all_queries()["q248_label_medoids"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan  # argmax via max(struct), not row_number
+
+
+def test_q249_sketch_plan(spark, sf_dir):
+    """Quantile sketch: raw values never shuffle (the only exchange
+    after the scan carries the bounded per-partition sketch rows), and
+    the kernels are Arrow-batched (mapInPandas/applyInPandas), not
+    row-pickled UDFs."""
+    from iceberg_daq_spark.registry import all_queries
+
+    plan = plan_of(all_queries()["q249_quantile_sketch"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # one partial-sketch python map over the scan, one grouped merge
+    # (formatted plans print each node twice: tree + numbered details)
+    assert plan.count("FlatMapGroupsInPandas (") == 1
+    assert plan.count("MapInPandas (") == 1
