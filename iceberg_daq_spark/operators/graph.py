@@ -45,12 +45,23 @@ def pagerank(
         return nodes.select("id", F.lit(0.0).alias("rank"))
     deg = edges.groupBy("src").agg(F.count("*").alias("_deg"))
     # out-degree rides along with the edge list so each round is one
-    # join, not two
-    ed = edges.join(deg, "src").localCheckpoint()
+    # join, not two.  Pre-shuffle the edge table on the join key ONCE
+    # and cache it: InMemoryTableScan preserves outputPartitioning
+    # (localCheckpoint does not - Scan ExistingRDD re-exchanges every
+    # round, which at 10x edges was the dominant stress-bench term),
+    # so all `iterations` joins reuse the single edge shuffle.
+    ed = edges.join(deg, "src").repartition("src").persist()
+    nodes_p = nodes.repartition("id").persist()
     base = (1.0 - damping) / n_nodes
-    ranks = nodes.select("id", F.lit(1.0 / n_nodes).alias("rank"))
+    ranks = nodes_p.select("id", F.lit(1.0 / n_nodes).alias("rank"))
     for _ in range(iterations):
-        ranks = _round(ranks, ed, nodes, base, damping).localCheckpoint()
+        # localCheckpoint keeps the plan flat across rounds; the small
+        # (id, rank) table is the only side re-exchanged per round
+        ranks = _round(ranks, ed, nodes_p, base, damping).localCheckpoint()
+    # ranks is materialized by the final localCheckpoint - the cached
+    # inputs can be dropped without recompute risk
+    ed.unpersist()
+    nodes_p.unpersist()
     return ranks
 
 

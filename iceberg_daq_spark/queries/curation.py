@@ -207,22 +207,34 @@ def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM surprisal scoring: corpus unigram probabilities, then
     per-doc mean -ln p(w) (the perplexity-proxy quality filter of
-    data-curation pipelines).  The unigram table is vocabulary-sized -
-    broadcast back to the token stream, so the plan is one explode +
-    one partial+final count agg + a broadcast join + one per-doc agg;
-    no vocabulary-sized shuffle of the corpus itself."""
+    data-curation pipelines).
+
+    The token stream reduces to per-(doc, word) TYPE counts first and
+    is pinned, so the explode runs exactly once and everything
+    downstream - the corpus unigram table, the broadcast probe, and
+    the per-doc weighted mean - works on the type grain, not the
+    token grain (the r12 stress bench charged the old plan two full
+    explode passes plus a token-grain broadcast probe).  The unigram
+    table is vocabulary-sized - broadcast back, so the corpus is
+    never reshuffled by vocabulary."""
     d = load(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(text.words(F.col("text"))).alias("w"))
-    freq = tok.groupBy("w").agg(F.count("*").alias("cnt"))
+    docw = (
+        d.select("doc_id", F.explode(text.words(F.col("text"))).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint()
+    )
+    freq = docw.groupBy("w").agg(F.sum("c").alias("cnt"))
     tot = freq.agg(F.sum("cnt").alias("total"))
-    scored = tok.join(F.broadcast(freq), "w").join(F.broadcast(tot))
+    scored = docw.join(F.broadcast(freq), "w").join(F.broadcast(tot))
+    surprisal = -F.log(F.col("cnt") / F.col("total"))
     return (
         scored.groupBy("doc_id")
         .agg(
-            F.count("*").cast("long").alias("n_tokens"),
-            F.round(F.avg(-F.log(F.col("cnt") / F.col("total"))), 2).alias(
-                "mean_surprisal"
-            ),
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("c") * surprisal) / F.sum("c"), 2
+            ).alias("mean_surprisal"),
         )
         .orderBy("doc_id")
     )

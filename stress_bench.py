@@ -118,6 +118,14 @@ STRESS_QUERIES = [
     # pairs for a ~2.7x wall ratio) - read its ratio against that
     # denominator, like q44's quadratic-by-definition note.
     "q242", "q243", "q246",
+    # r13: the most expensive driver-bench queries previously had no
+    # stress cell (round-12 verdict #7).  q230's backtest joins are
+    # item-pair bounded (25 brands); q231/q236 are iterative Neumann /
+    # removal-effect chains over <=16-row transition matrices (deep
+    # plans, metadata-sized state: must be ~FLAT - their wall is
+    # scheduler overhead, not data); q239's survivorship rides the
+    # SNM-blocked edit-distance discovery (bounded candidates).
+    "q230", "q231", "q236", "q239",
 ]
 # superlinear-blowup tripwire: 10x rows may legitimately cost more than
 # 10x on the pair-counting queries (pair count itself grows with the
@@ -417,21 +425,70 @@ def time_queries(spark, specs, names, sf_dir, repeat):
     return out
 
 
+# Cells whose ratio is NOT a plan-quality signal, recorded as such in
+# the artifact itself (round-12 verdict: by-design labels belong in
+# the JSON, not commit prose).  These are never gated and never
+# re-estimated by the controlled loop.
+BY_DESIGN = {
+    "q44_sim_topk_cosine": (
+        "exact all-pairs cosine baseline: quadratic by definition - the "
+        "calibration twin the ANN family (q45/q56/q97) is measured "
+        "against; the ANN paths are the 100 TB shape"
+    ),
+    "q57_dedup_components__stage_reused": (
+        "diagnostic consumer-read of the already-built dedup-groups "
+        "stage (pipeline shape, not a query plan); never gated"
+    ),
+}
+
+# ANN cross-queries (every vector queries the index): with the
+# sqrt-scaled nlist/banding the TOTAL candidate work grows ~n^1.5
+# (per-query candidates ~ sqrt(n) - the standard faiss tradeoff), so
+# 10x rows is ~31.6x flops by geometry; a low single-digit wall ratio
+# means the cell rides fixed overhead + BLAS throughput, not a plan
+# regression.  Recorded per cell so the artifact carries its own
+# denominator.
+ANN_GEOMETRY = {
+    "q45_sim_ann_lsh",
+    "q56_sim_ann_ivf",
+    "q97_sim_ann_pq",
+}
+ANN_GEOMETRY_NOTE = (
+    "all-queries ANN top-k: total work ~n^1.5 with sqrt-scaled "
+    "cells/bands (per-query candidates ~sqrt(n)); 10x rows = ~31.6x "
+    "flops by geometry, so the wall ratio is overhead/BLAS-bound"
+)
+
+# screen ratio above which a cell is re-measured with the controlled
+# warm-JIT paired loop before being recorded (kept slightly under the
+# 2.5x review threshold so borderline cells get adjudicated too)
+CONTROLLED_TRIGGER = 2.4
+CONTROLLED_PASSES = 5
+
+
 def main() -> None:
     base_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     copies = int(os.environ.get("STRESS_COPIES", "10"))
-    repeat = int(os.environ.get("STRESS_REPEAT", "2"))
+    repeat = max(1, int(os.environ.get("STRESS_REPEAT", "2")))
     stress_dir = os.environ.get("STRESS_DIR", "/tmp/stress_sf1")
 
     spark = get_spark(app_name="iceberg_daq_stress")
     specs = all_queries()
+    prefixes = STRESS_QUERIES
+    only = os.environ.get("STRESS_ONLY")
+    if only:  # debugging aid: comma-separated query prefixes
+        keep = {p.strip() for p in only.split(",")}
+        prefixes = [p for p in prefixes if p in keep]
     names = [
         next(n for n in sorted(specs) if n.startswith(prefix))
-        for prefix in STRESS_QUERIES
+        for prefix in prefixes
     ]
 
     t0 = time.perf_counter()
-    build_stress_dir(spark, base_dir, stress_dir, copies)
+    if os.environ.get("STRESS_REUSE") and os.path.isdir(stress_dir):
+        print(f"# reusing existing stress corpus at {stress_dir}", file=sys.stderr)
+    else:
+        build_stress_dir(spark, base_dir, stress_dir, copies)
     build_sec = round(time.perf_counter() - t0, 1)
     n_docs = spark.read.parquet(os.path.join(stress_dir, "documents.parquet")).count()
     n_vecs = spark.read.parquet(os.path.join(stress_dir, "embeddings.parquet")).count()
@@ -462,7 +519,7 @@ def main() -> None:
     # the RATIO stays meaningful even when absolutes wobble.
     # q57+q73 stay grouped per dir (q73 reads the dedup-groups stage
     # the preceding q57 run of the SAME dir left behind).
-    passes = int(os.environ.get("STRESS_PASSES", "2"))
+    passes = max(1, int(os.environ.get("STRESS_PASSES", "2")))
     groups: list[list[str]] = []
     i = 0
     while i < len(names):
@@ -492,35 +549,78 @@ def main() -> None:
     # steal burst inflates them together and the quotient stays
     # meaningful; min-of-absolutes across passes would re-decouple
     # them (the shorter base cells land fully inside quiet gaps more
-    # often, biasing every ratio upward)
-    paired_ratio = {
-        k: min(
-            sp[k] / max(bp[k], 1e-9)
+    # often, biasing every ratio upward).  The per-pass pairs are
+    # recorded verbatim so a consumer can re-derive every ratio.
+    pass_pairs = {
+        k: [
+            [bp[k], sp[k]]
             for bp, sp in zip(base_passes, stress_passes)
-        )
+        ]
         for k in base_passes[0]
+    }
+    paired_ratio = {
+        k: min(s / max(b, 1e-9) for b, s in pairs)
+        for k, pairs in pass_pairs.items()
     }
 
     queries = {}
-    failed = []
-    for n in names:
+    for n in sorted(base_t):
         ratio = round(paired_ratio[n], 2)
+        pairs = pass_pairs[n]
+        ratios = [s / max(b, 1e-9) for b, s in pairs]
         queries[n] = {
             "base_sec": base_t[n],
             "stress_sec": stress_t[n],
             "ratio": ratio,
+            "estimator": f"screen-{passes}x-paired",
+            # auditability (round-12 advice): the exact per-pass
+            # [base_sec, stress_sec] pairs the ratio came from, and
+            # which pass won - ratio == pairs[ratio_pass] quotient
+            "pass_pairs": pairs,
+            "ratio_pass": ratios.index(min(ratios)),
         }
-        if ratio > MAX_RATIO:
-            failed.append(n)
-    # supplementary timings (q57's shared-stage consumer read): report
-    # base/stress/ratio but never gate on them - the rebuild number is
-    # the honest algorithmic cost, this one is the pipeline-shape cost
-    for n in set(base_t) - set(names):
-        queries[n] = {
-            "base_sec": base_t[n],
-            "stress_sec": stress_t[n],
-            "ratio": round(paired_ratio[n], 2),
-        }
+        if n in BY_DESIGN:
+            queries[n]["by_design"] = BY_DESIGN[n]
+        if n in ANN_GEOMETRY:
+            queries[n]["geometry_note"] = ANN_GEOMETRY_NOTE
+
+    # Controlled re-measure (round-12 verdict #2): cells whose screen
+    # ratio clears CONTROLLED_TRIGGER get the warm-JIT paired loop -
+    # CONTROLLED_PASSES additional base/stress pairs, each pair timed
+    # back-to-back with GC between - and THAT becomes the recorded
+    # estimator.  The screen passes interleave 50+ cells over ~an
+    # hour, so a multi-minute steal burst can still land on one pass
+    # of one pair; the controlled loop compresses a cell's entire
+    # measurement into a few minutes of warmed JIT.  Never applied to
+    # by-design cells or the supplementary __stage_reused diagnostics.
+    offenders = [
+        n
+        for n in names
+        if queries[n]["ratio"] > CONTROLLED_TRIGGER and n not in BY_DESIGN
+    ]
+    for n in offenders:
+        print(f"# controlled re-measure: {n}", file=sys.stderr)
+        cpairs = []
+        for _ in range(CONTROLLED_PASSES):
+            b = time_queries(spark, specs, [n], base_dir, 1)[n]
+            s = time_queries(spark, specs, [n], stress_dir, 1)[n]
+            cpairs.append([b, s])
+        cratios = [s / max(b, 1e-9) for b, s in cpairs]
+        cell = queries[n]
+        cell["screen_ratio"] = cell["ratio"]
+        cell["estimator"] = f"controlled-{CONTROLLED_PASSES}x-paired-warm"
+        cell["pass_pairs"] = cpairs
+        cell["ratio_pass"] = cratios.index(min(cratios))
+        cell["ratio"] = round(min(cratios), 2)
+        cell["base_sec"] = min(b for b, _ in cpairs)
+        cell["stress_sec"] = min(s for _, s in cpairs)
+        print(
+            f"# {n}: screen {cell['screen_ratio']} -> controlled "
+            f"{cell['ratio']}",
+            file=sys.stderr,
+        )
+
+    failed = [n for n in names if queries[n]["ratio"] > MAX_RATIO]
     # a ratio's denominator is only meaningful when the base cell is
     # compute-bound: below ~0.5 s the base is mostly scheduler / job
     # fixed overhead, so a healthy linear operator can show a 4-6x
@@ -545,15 +645,26 @@ def main() -> None:
         "valve": valve,
         "queries": queries,
         "note": (
-            "best-of-%d per cell over %d passes; base_sec/stress_sec "
-            "are per-cell minimums, while ratio is the MIN over passes "
-            "of each pass's PAIRED stress/base (the two cells of a "
-            "pass run back-to-back in one time window, so shared-host "
-            "steal bursts - which run minutes long here - inflate both "
-            "sides together and cancel in the quotient; min-of-"
-            "absolute cells would re-decouple them and bias ratios up, "
-            "so ratio may differ from stress_sec/base_sec; cache "
-            "cleared between executions; q57 "
+            "TWO-STAGE ESTIMATOR: stage 1 screens every cell "
+            "best-of-%d over %d interleaved passes; any cell whose "
+            "screen ratio exceeds 2.4 (and is not by_design) is then "
+            "RE-MEASURED with the controlled warm-JIT paired loop - 5 "
+            "back-to-back base/stress pairs with GC between - and the "
+            "controlled numbers replace the screen numbers (the "
+            "screen_ratio field preserves stage 1; the estimator "
+            "field names which stage a cell's numbers came from). "
+            "Each cell's exact per-pass [base_sec, stress_sec] pairs "
+            "are in pass_pairs and ratio_pass is the winning index, "
+            "so ratio is always reproducible as "
+            "pass_pairs[ratio_pass][1]/pass_pairs[ratio_pass][0]; "
+            "base_sec/stress_sec are per-cell minimums and may come "
+            "from different passes, so ratio != stress_sec/base_sec "
+            "in general. Paired-quotient rationale: the two cells of "
+            "a pass run back-to-back in one time window, so "
+            "shared-host steal bursts - which run minutes long here - "
+            "inflate both sides together and cancel in the quotient; "
+            "min-of-absolute cells would re-decouple them and bias "
+            "ratios up; cache cleared between executions; q57 "
             "additionally rebuilds the shared stage every repeat); q73 "
             "reuses q57's dedup-groups stage within each dir (the "
             "stored-table pipeline shape); ratios are stress/base "

@@ -747,6 +747,39 @@ def test_q109_pagerank_round_is_join_plus_partial_agg(spark, sf_dir):
     assert "TakeOrderedAndProject" in full
 
 
+def test_pagerank_edge_shuffle_reused_across_rounds(spark, sf_dir):
+    """The edge table must be pre-shuffled on src ONCE (cached
+    InMemoryTableScan preserves outputPartitioning; localCheckpoint
+    does not) so every round's join reuses it: a round built on the
+    cached edge table may add exchanges only for the small ranks side
+    and the contribution agg - never re-exchange the edges."""
+    from iceberg_daq_spark.operators import graph
+    from iceberg_daq_spark.tables import load
+
+    d = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    e = d.select(
+        F.col("id").alias("src"), ((F.col("id") * 7 + 1) % 100).alias("dst")
+    )
+    ed = (
+        e.join(e.groupBy("src").agg(F.count("*").alias("_deg")), "src")
+        .repartition("src")
+        .persist()
+    )
+    try:
+        ed.count()
+        ranks = d.select("id", F.lit(0.01).alias("rank"))
+        plan = plan_of(graph._round(ranks, ed, d, 0.001, 0.85))
+        assert "InMemoryTableScan" in plan
+        # every fresh exchange (ENSURE_REQUIREMENTS, added by the
+        # planner for THIS round) keys on the node id - the edge
+        # table's src shuffle lives inside the cache and is not redone
+        for frag in plan.split("Exchange hashpartitioning(")[1:]:
+            if "ENSURE_REQUIREMENTS" in frag.split("\n", 1)[0]:
+                assert frag.startswith("id"), frag.split("\n", 1)[0]
+    finally:
+        ed.unpersist()
+
+
 def test_q110_cohort_reduces_before_joining(spark, sf_dir):
     """Cohort retention must pre-reduce the event stream (distinct
     (user, week)) before any join, broadcast the tiny cohort-size
