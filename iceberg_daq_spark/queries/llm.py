@@ -2346,3 +2346,116 @@ def q248(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "q251_embedding_anisotropy",
+    oracle="""
+    WITH v AS (
+      SELECT label, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), pd AS (
+      SELECT label, pos, avg(x) AS m, avg(x * x) AS s,
+             CAST(count(*) AS BIGINT) AS c
+      FROM v GROUP BY label, pos
+    )
+    SELECT label,
+           CAST(max(c) AS BIGINT) AS n_vecs,
+           round(sum(m * m), 4) AS mean_norm_sq,
+           round(sum(s), 4) AS mean_sq_norm,
+           round(sum(m * m) / sum(s), 4) AS anisotropy
+    FROM pd GROUP BY label ORDER BY label
+    """,
+)
+def q251(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding anisotropy: ||E[v]||^2 / E[||v||^2] - the
+    "common direction" diagnostic of representation quality
+    (Ethayarajh 2019: contextual embeddings collapse toward a shared
+    mean direction; a healthy retrieval/clustering space scores near
+    0, a collapsed one near 1).  Run per label so a single source /
+    class with degenerate vectors is visible instead of averaged away.
+
+    100 TB shape: one posexplode + one (label, dim) partial+final agg
+    (the moment table is labels x dims rows - tiny), then a
+    labels-sized rollup; no joins, no windows, nothing vector-count
+    sized ever shuffles.  Both engines compute per-dim means then sum
+    the 64 per-dim terms; round(4) absorbs float summation-order
+    divergence (the per-term magnitudes are O(1))."""
+    e = load(spark, sf_dir, "embeddings")
+    v = e.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+    )
+    pd_ = v.groupBy("label", "pos").agg(
+        F.avg("x").alias("m"),
+        F.avg(F.col("x") * F.col("x")).alias("s"),
+        F.count("*").cast("bigint").alias("c"),
+    )
+    return (
+        pd_.groupBy("label")
+        .agg(
+            F.max("c").cast("bigint").alias("n_vecs"),
+            F.round(F.sum(F.col("m") * F.col("m")), 4).alias("mean_norm_sq"),
+            F.round(F.sum("s"), 4).alias("mean_sq_norm"),
+            F.round(
+                F.sum(F.col("m") * F.col("m")) / F.sum("s"), 4
+            ).alias("anisotropy"),
+        )
+        .orderBy("label")
+    )
+
+
+@register("q252_tokenizer_fertility", oracle=None)
+def q252(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit: train BPE merges on the corpus, then
+    measure per-source encode quality - subword tokens per whitespace
+    word ("fertility", the standard tokenizer-fit metric: ~1 means
+    words survive whole, >>1 means the vocabulary shreds this source)
+    and characters per token.  A curation stack runs this before
+    committing a tokenizer: a source with outlier fertility (code,
+    another language, OCR noise) either needs vocab budget or gets
+    re-weighted.
+
+    Rows-only by design (BPE's merge loop is iterative and the greedy
+    encode is not SQL-expressible); exactness of the underlying
+    trainer/encoder vs a reference implementation and this query's
+    per-source accounting identities (tokens >= words, fertility/
+    chars-per-token consistency) are asserted in
+    tests/test_operators.py.
+
+    100 TB shape: training is vocab-sized with one corpus pass
+    (operators/bpe.py), the merge table broadcasts, encoding is
+    Arrow-batched map-only, and the audit is one per-source partial
+    agg - no new shuffle class.  Fertility rounds to 4 decimals from
+    BIGINT token/word totals, so the output is order-insensitive."""
+    from iceberg_daq_spark.operators import bpe
+
+    d = load(spark, sf_dir, "documents")
+    merges = bpe.train_bpe(d, n_merges=24)
+    enc = bpe.bpe_encode(d, merges).select("doc_id", "n_tokens")
+    toks = F.split(F.col("text"), " ")
+    words = d.select(
+        "doc_id",
+        "source",
+        F.size(F.filter(toks, lambda w: w != F.lit(""))).cast("bigint").alias(
+            "n_words"
+        ),
+        F.length(F.regexp_replace("text", " ", "")).cast("bigint").alias(
+            "n_chars"
+        ),
+    )
+    return (
+        enc.join(words, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_words"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round(F.sum("n_tokens") / F.sum("n_words"), 4).alias("fertility"),
+            F.round(F.sum("n_chars") / F.sum("n_tokens"), 4).alias(
+                "chars_per_token"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -525,11 +525,14 @@ def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(copresence_edges(load(spark, sf_dir, "events")))
 
 
-def copresence_edges(e: DataFrame) -> DataFrame:
+def copresence_edges(e: DataFrame, pin: bool = True) -> DataFrame:
     """The valved user co-presence edge list (u < v, deduplicated) -
-    the shared graph substrate of q117 (triangles) and q128 (degree
-    distribution).  See the CELL_MEMBER_MAX note above for the valve
-    contract; the oracle SQL of every consumer mirrors it verbatim."""
+    the shared graph substrate of q117 (triangles), q128 (degree
+    distribution), q133 (BFS) and q157 (k-core).  See the
+    CELL_MEMBER_MAX note above for the valve contract; the oracle SQL
+    of every consumer mirrors it verbatim.  ``pin=False`` returns the
+    un-materialized plan (tests assert the valve/join shape on it;
+    consumers take the default pinned stage)."""
     cells = e.select(
         "event_type",
         F.floor(F.col("ts").cast("double") / 86400).cast("bigint").alias("d"),
@@ -544,7 +547,7 @@ def copresence_edges(e: DataFrame) -> DataFrame:
         .drop("_rn")
     )
     a, b = kept.alias("a"), kept.alias("b")
-    return (
+    edges = (
         a.join(
             b,
             (F.col("a.event_type") == F.col("b.event_type"))
@@ -554,6 +557,15 @@ def copresence_edges(e: DataFrame) -> DataFrame:
         .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
         .distinct()
     )
+    if not pin:
+        return edges
+    # pin the substrate ONCE (the q162 pattern): the consumers
+    # reference the edge list many times (triangle_count alone seven
+    # times - degrees, orientation, wedge closure, counts), and
+    # without the pin every reference re-derives the events scan +
+    # valve + pair join (the r12 plan audit charged q117 28 scans /
+    # 82 exchanges for what is one bounded edge list)
+    return edges.localCheckpoint()
 
 
 @register(

@@ -408,3 +408,114 @@ def q190(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q250_kneser_ney_bigram",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS w
+      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+    ), dtri AS (
+      SELECT a.doc_id, a.w AS prev, b.w AS cur,
+             CAST(count(*) AS BIGINT) AS m
+      FROM tok a JOIN tok b
+        ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      GROUP BY 1, 2, 3
+    ), big AS (
+      SELECT prev, cur, CAST(sum(m) AS BIGINT) AS c2
+      FROM dtri GROUP BY 1, 2
+    ), ctx AS (
+      SELECT prev, CAST(sum(c2) AS BIGINT) AS c1,
+             CAST(count(*) AS BIGINT) AS n_post
+      FROM big GROUP BY 1
+    ), cont AS (
+      SELECT cur, CAST(count(*) AS BIGINT) AS n_pre FROM big GROUP BY 1
+    ), tt AS (
+      SELECT CAST(count(*) AS BIGINT) AS t FROM big
+    ), scored AS (
+      SELECT d.doc_id, d.m,
+             CAST(round(ln(
+               ((b.c2 - 0.75) / x.c1)
+               + (((0.75 * x.n_post) / x.c1) * (co.n_pre / tt.t))
+             ) * 1000000) AS BIGINT) AS micronats
+      FROM dtri d
+      JOIN big b ON b.prev = d.prev AND b.cur = d.cur
+      JOIN ctx x ON x.prev = d.prev
+      JOIN cont co ON co.cur = d.cur
+      CROSS JOIN tt
+    )
+    SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+           round(-sum(m * micronats) / (1000000.0 * sum(m)), 3) AS kn_nll_nats
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q250(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney smoothed bigram LM scoring (absolute discount
+    d=0.75, continuation-probability backoff): the production-grade
+    upgrade of q190's add-one smoothing - KN is what real LM-based
+    quality filters use, because continuation counts ("how many
+    distinct contexts does this word follow?") rank function words
+    correctly where raw frequency overweights them.
+
+    Same engine-parity discipline as q190: every bigram TYPE's
+    log-probability quantizes to BIGINT micro-nats and multiplies by
+    its integer multiplicity before the per-doc reduction (all
+    order-insensitive integer sums), and the probability expression
+    is parenthesized IDENTICALLY in Spark and the oracle so both
+    engines evaluate the same double-op sequence.  Every scored
+    bigram was observed in training (the corpus scores itself), so
+    max(c2-d, 0) = c2-d > 0 and no zero-probability branch exists.
+
+    100 TB shape: the token stream reduces ONCE to the pinned per-doc
+    bigram-type table (dtri, multiplicity m); the model tables - c2
+    per bigram, (c1, n_post distinct continuations) per context,
+    n_pre distinct-context counts per word, and the scalar type
+    total - all re-aggregate from dtri and broadcast back onto it;
+    the corpus is never reshuffled by vocabulary."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    dtri = (
+        tok.select(
+            "doc_id", F.lag("w").over(wdoc).alias("prev"), F.col("w").alias("cur")
+        )
+        .filter(F.col("prev").isNotNull())
+        .groupBy("doc_id", "prev", "cur")
+        .agg(F.count("*").cast("bigint").alias("m"))
+        .localCheckpoint()
+    )
+    big = dtri.groupBy("prev", "cur").agg(F.sum("m").cast("bigint").alias("c2"))
+    ctx = big.groupBy("prev").agg(
+        F.sum("c2").cast("bigint").alias("c1"),
+        F.count("*").cast("bigint").alias("n_post"),
+    )
+    cont = big.groupBy("cur").agg(F.count("*").cast("bigint").alias("n_pre"))
+    tt = big.agg(F.count("*").cast("bigint").alias("t"))
+    p_kn = ((F.col("c2") - 0.75) / F.col("c1")) + (
+        ((0.75 * F.col("n_post")) / F.col("c1")) * (F.col("n_pre") / F.col("t"))
+    )
+    micronats = (
+        F.round(F.log(p_kn) * 1_000_000).cast("bigint").alias("micronats")
+    )
+    scored = (
+        dtri.join(F.broadcast(big), ["prev", "cur"])
+        .join(F.broadcast(ctx), "prev")
+        .join(F.broadcast(cont), "cur")
+        .crossJoin(F.broadcast(tt))
+        .select("doc_id", "m", micronats)
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("m").cast("bigint").alias("n_bigrams"),
+            F.round(
+                -F.sum(F.col("m") * F.col("micronats"))
+                / (1_000_000.0 * F.sum("m")),
+                3,
+            ).alias("kn_nll_nats"),
+        )
+        .orderBy("doc_id")
+    )

@@ -334,34 +334,36 @@ def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: the raw stream first collapses to DISTINCT (user,
     day) cells - one partial-agg shuffle, output bounded by users x
-    days, orders of magnitude below event count.  The dense day grid
-    is GENERATED from the min/max span (sequence + explode - days
-    rows, trivially broadcast), and each cell joins at most 7 grid
-    days, so the range-join fan-out is a constant 7x over the cell
-    table, never quadratic.  The final count distinct shuffles on
-    day - the grid cardinality.  Day indexes are epoch-day integer
-    division on both sides; no calendar truncation."""
+    days, orders of magnitude below event count.  Each cell then
+    EMITS the <= 7 trailing grid days it is active for (explode of a
+    7-element sequence, capped at the span's last day - a map-side
+    constant fan-out), so the whole window is one equi-keyed count
+    distinct on day; the former grid range join planned as a
+    BroadcastNestedLoopJoin whose predicate evaluated every cell
+    against every grid day (cells x days work - the term behind the
+    r13 stress screen).  A day appears iff some user was active in
+    its trailing window - exactly the oracle's inner grid join.  Day
+    indexes are epoch-day integer division on both sides; no calendar
+    truncation."""
     e = load(spark, sf_dir, "events")
     cells = e.select(
         "user_id",
         F.floor(F.col("ts").cast("double") / 86400).cast("bigint").alias("d"),
     ).distinct()
-    grid = (
-        cells.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
-        .select(F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("d"))
-    )
+    span = cells.agg(F.max("d").alias("hi"))
     daily = cells.groupBy("d").agg(
         F.count("*").cast("bigint").alias("n_active_1d")
     )
-    g = F.broadcast(grid).alias("g")
-    c = cells.alias("c")
     trailing = (
-        g.join(
-            c,
-            (F.col("c.d") >= F.col("g.d") - 6) & (F.col("c.d") <= F.col("g.d")),
+        cells.crossJoin(F.broadcast(span))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("d"), F.least(F.col("d") + 6, F.col("hi")))
+            ).alias("d"),
         )
-        .groupBy(F.col("g.d").alias("d"))
-        .agg(F.countDistinct("c.user_id").cast("bigint").alias("n_active_7d"))
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_active_7d"))
     )
     return (
         trailing.join(daily, "d", "left")

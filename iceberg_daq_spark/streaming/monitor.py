@@ -162,14 +162,22 @@ class _KafkaEmitter:
             rows, self._rows = self._rows, []
         if not rows:
             return 0
+        self._write(self.payload_df(rows))
+        return len(rows)
+
+    def _write(self, payload) -> None:
+        """The terminal connector call - the ONLY line of this class
+        that needs the Kafka jar + a broker.  Everything else (buffer
+        drain semantics, key framing, JSON serialization) runs and is
+        tested in this container through this seam
+        (tests/test_streaming.py patches it to capture the payload);
+        on a cluster this is the one write call."""
         (
-            self.payload_df(rows)
-            .write.format("kafka")
+            payload.write.format("kafka")
             .option("kafka.bootstrap.servers", self.brokers)
             .option("topic", self.topic)
             .save()
         )
-        return len(rows)
 
     def close(self) -> None:
         pass

@@ -459,6 +459,27 @@ ANN_GEOMETRY_NOTE = (
     "flops by geometry, so the wall ratio is overhead/BLAS-bound"
 )
 
+# Cells whose TRUE OUTPUT grows superlinearly on this corpus by
+# construction (the 10x near-dup clone families are mutually matching
+# /containing), so rows-scaled wall ratios carry the wrong
+# denominator.  The note records the measured output growth so the
+# artifact reads against it.
+OUTPUT_BOUND = {
+    "q239_survivorship": (
+        "output-bound: the ' v{c}' clone suffixes are mutually within "
+        "edit distance 2, so TRUE match pairs grow ~copies^2 per "
+        "family - measured 113,377 -> 1,825,377 edges (16.1x) for 10x "
+        "rows; the closure also crosses CC_DRIVER_EDGE_MAX and runs "
+        "the distributed min-label branch at stress scale"
+    ),
+    "q246_containment_pairs": (
+        "output-bound: clone families are mutually containing, so "
+        "TRUE pairs grow ~copies^2 per family (measured 512 -> "
+        "149,963 = 293x verified pairs in r11); the wall ratio rides "
+        "a ~300x output"
+    ),
+}
+
 # screen ratio above which a cell is re-measured with the controlled
 # warm-JIT paired loop before being recorded (kept slightly under the
 # 2.5x review threshold so borderline cells get adjudicated too)
@@ -583,6 +604,8 @@ def main() -> None:
             queries[n]["by_design"] = BY_DESIGN[n]
         if n in ANN_GEOMETRY:
             queries[n]["geometry_note"] = ANN_GEOMETRY_NOTE
+        if n in OUTPUT_BOUND:
+            queries[n]["output_bound_note"] = OUTPUT_BOUND[n]
 
     # Controlled re-measure (round-12 verdict #2): cells whose screen
     # ratio clears CONTROLLED_TRIGGER get the warm-JIT paired loop -
@@ -685,7 +708,23 @@ def main() -> None:
         ),
     }
     repo = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(repo, "BENCH_STRESS.json"), "w") as fh:
+    artifact = os.path.join(repo, "BENCH_STRESS.json")
+    if only and os.path.exists(artifact):
+        # targeted re-measure: merge the re-timed cells into the full
+        # artifact of record instead of replacing it (static note
+        # fields refresh alongside), and re-derive the suite total
+        prev = json.load(open(artifact))
+        merged = dict(prev.get("queries", {}))
+        merged.update(queries)
+        for n, note in OUTPUT_BOUND.items():
+            if n in merged:
+                merged[n]["output_bound_note"] = note
+        out["queries"] = merged
+        out["value"] = round(
+            sum(c["stress_sec"] for c in merged.values()), 3
+        )
+        out["valve"] = prev.get("valve", out["valve"])
+    with open(artifact, "w") as fh:
         json.dump(out, fh, indent=1)
         fh.write("\n")
     print(json.dumps(out, separators=(",", ":")))

@@ -1609,3 +1609,25 @@ def test_quantile_sketch_error_merge_determinism(spark, sf_dir):
     assert a.n == 100_000
     for q in qs:
         assert abs(a.quantile(q) / 100_000 - q) <= 0.02
+
+
+def test_q252_fertility_accounting(spark, sf_dir):
+    """Tokenizer-fertility audit invariants: BPE never merges across
+    words, so per-source n_tokens >= n_words (a word is >= 1 token),
+    fertility is exactly n_tokens/n_words, every corpus source
+    appears, and doc counts add up to the corpus."""
+    from iceberg_daq_spark.queries.llm import q252
+    from iceberg_daq_spark.tables import load
+
+    rows = {r["source"]: r for r in q252(spark, sf_dir).collect()}
+    d = load(spark, sf_dir, "documents")
+    want = {
+        r["source"]: r["n"]
+        for r in d.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(rows) == set(want)
+    for src, r in rows.items():
+        assert r["n_docs"] == want[src]
+        assert r["n_tokens"] >= r["n_words"] > 0
+        assert abs(r["fertility"] - round(r["n_tokens"] / r["n_words"], 4)) < 1e-9
+        assert r["chars_per_token"] > 0

@@ -823,8 +823,22 @@ def test_q116_gapfill_window_partitioned_not_global(spark, sf_dir):
 def test_q117_triangle_joins_all_equi(spark, sf_dir):
     """Degree orientation, wedge generation, and closure must all be
     hash/sort-merge EQUI joins - a nested-loop anywhere here is the
-    deg^2 blowup the orientation exists to prevent."""
-    from iceberg_daq_spark.queries.matching import q117
+    deg^2 blowup the orientation exists to prevent.  Since r13 the
+    valved edge list is PINNED once (copresence_edges localCheckpoint)
+    so the valve shape is asserted on the un-pinned substrate plan and
+    the consumer assertions on the final plan (which reads the pinned
+    RDD - zero parquet re-scans)."""
+    from iceberg_daq_spark.operators.graph import triangle_count
+    from iceberg_daq_spark.queries.matching import copresence_edges, q117
+    from iceberg_daq_spark.tables import load
+
+    sub = plan_of(copresence_edges(load(spark, sf_dir, "events"), pin=False))
+    # the CELL_MEMBER_MAX valve must compile to a per-partition
+    # group limit (row_number + <= k), not a full per-cell sort of
+    # unbounded occupancy; the pair build is an equi join
+    assert "WindowGroupLimit" in sub
+    assert "CartesianProduct" not in sub
+    assert "BroadcastNestedLoopJoin" not in sub
 
     plan = plan_of(q117(spark, sf_dir))
     assert "CartesianProduct" not in plan
@@ -832,11 +846,16 @@ def test_q117_triangle_joins_all_equi(spark, sf_dir):
     # rows (tree + details = up to 4 mentions); the data-plane wedge
     # machinery must contribute none
     assert plan.count("BroadcastNestedLoopJoin") <= 4
-    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
-    # the CELL_MEMBER_MAX valve must compile to a per-partition
-    # group limit (row_number + <= k), not a full per-cell sort of
-    # unbounded occupancy
-    assert "WindowGroupLimit" in plan
+    # wedge machinery on the unpinned edge list stays equi-join only
+    wedge = plan_of(
+        triangle_count(copresence_edges(load(spark, sf_dir, "events"), pin=False))
+    )
+    assert "SortMergeJoin" in wedge or "ShuffledHashJoin" in wedge or (
+        "BroadcastHashJoin" in wedge
+    )
+    assert "CartesianProduct" not in wedge
+    # consumers re-read the pinned stage, never the parquet scan
+    assert "Scan parquet" not in plan and "FileScan" not in plan
 
 
 def test_q117_valve_bounds_edge_and_wedge_fanout(spark):
@@ -1023,13 +1042,17 @@ def test_q103_giant_group_switches_to_rolling_substrate(spark):
 def test_q128_degree_histogram_two_partial_aggs(spark, sf_dir):
     """Degrees and the histogram must both plan as partial+final agg
     pairs; the percent-of-total window runs over the histogram (at
-    most max-degree rows), never the edge list."""
-    from iceberg_daq_spark.queries.matching import q128
+    most max-degree rows), never the edge list.  The valve's top-k
+    (WindowGroupLimit) lives in the pinned substrate since r13, so it
+    is asserted on the un-pinned plan."""
+    from iceberg_daq_spark.queries.matching import copresence_edges, q128
+    from iceberg_daq_spark.tables import load
 
     plan = plan_of(q128(spark, sf_dir))
     assert plan.count("HashAggregate") >= 4
-    assert "WindowGroupLimit" in plan  # the valve's top-k survives
     assert "CartesianProduct" not in plan
+    sub = plan_of(copresence_edges(load(spark, sf_dir, "events"), pin=False))
+    assert "WindowGroupLimit" in sub  # the valve's top-k survives
 
 
 def test_q129_cusum_windows_partition_by_type_day(spark, sf_dir):
@@ -1148,16 +1171,21 @@ def test_q136_pattern_regex_jvm_side_windows_per_user(spark, sf_dir):
         assert not lines or "SinglePartition" not in lines[-1]
 
 
-def test_q138_day_grid_broadcasts(spark, sf_dir):
-    """The dense day grid must broadcast into the range join (the
-    cell table never re-shuffles for it), the (user, day) collapse
-    must plan as a partial+final distinct agg, and no cartesian
-    product may appear."""
+def test_q138_trailing_window_is_explode_not_nlj(spark, sf_dir):
+    """The trailing 7-day window must be the map-side explode of each
+    cell's <= 7 grid days followed by an equi-keyed distinct agg -
+    never a nested-loop range join of cells against the day grid (the
+    former BNLJ evaluated cells x days predicates; only the 1-row
+    span max may broadcast-nest), and the (user, day) collapse must
+    plan as a partial+final distinct agg."""
     from iceberg_daq_spark.queries.timeseries import q138
 
     plan = plan_of(q138(spark, sf_dir))
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Generate" in plan and "explode" in plan
+    # the only BNLJ allowed is the scalar span (1-row) cross join
+    # (formatted plans print each operator twice: tree + details)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
     assert plan.count("HashAggregate") >= 2
 
 
@@ -1444,7 +1472,7 @@ def test_q157_kcore_valve_survives(spark, sf_dir):
     from iceberg_daq_spark.queries.matching import copresence_edges
     from iceberg_daq_spark.tables import load
 
-    plan = plan_of(copresence_edges(load(spark, sf_dir, "events")))
+    plan = plan_of(copresence_edges(load(spark, sf_dir, "events"), pin=False))
     assert "WindowGroupLimit" in plan
 
 

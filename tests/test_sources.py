@@ -216,17 +216,23 @@ def test_hdf5_h5py_cross_codec(tmp_path):
 
     ids = np.arange(5, dtype=np.int64)
     big = np.arange(1000, dtype=np.int64)
+    deep_lib = np.arange(9_000, dtype=np.int32)  # 4500 chunks at (2,)
     with h5py.File(tmp_path / "lib.hdf5", "w", libver="earliest") as f:
         g = f.create_group("events")
         g.create_dataset("event_id", data=ids)
         g.create_dataset(
             "chunky", data=big, chunks=(128,), compression="gzip", shuffle=True
         )
+        # >4096 chunks: libhdf5 stacks a second internal B-tree level -
+        # the mini reader must walk internal-node keys, not just leaves
+        g.create_dataset("deep", data=deep_lib, chunks=(2,))
     lib_blob = (tmp_path / "lib.hdf5").read_bytes()
     got = m.read_hdf5(lib_blob)["events"]
     assert np.array_equal(got["event_id"], ids)
     assert np.array_equal(got["chunky"], big)
+    assert np.array_equal(got["deep"], deep_lib)
     many = np.arange(10_000, dtype=np.int64)  # 625 chunks: multi-leaf
+    deep = np.arange(8_202, dtype=np.int32)  # 4101 chunks: level-2 tree
     mini_blob = m.write_hdf5(
         str(tmp_path / "mini.hdf5"),
         {
@@ -234,6 +240,10 @@ def test_hdf5_h5py_cross_codec(tmp_path):
                 "event_id": ids,
                 "chunky": {"data": big, "chunks": (128,), "gzip": 6},
                 "many": {"data": many, "chunks": (16,)},
+                # the level-2 internal-node writer path: libhdf5 must
+                # accept our internal keys + sibling links, not just
+                # the in-repo reader (round-12 advice)
+                "deep": {"data": deep, "chunks": (2,)},
             }
         },
     )
@@ -241,6 +251,7 @@ def test_hdf5_h5py_cross_codec(tmp_path):
         assert np.array_equal(np.asarray(f["events"]["event_id"]), ids)
         assert np.array_equal(np.asarray(f["events"]["chunky"]), big)
         assert np.array_equal(np.asarray(f["events"]["many"]), many)
+        assert np.array_equal(np.asarray(f["events"]["deep"]), deep)
 
 
 def test_jsonl_quarantine_split(spark, tmp_path):

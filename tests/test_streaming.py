@@ -538,6 +538,64 @@ def test_opmon_kafka_payload_shape(spark, tmp_path):
     assert set(decoded) == set(row)
 
 
+def test_opmon_kafka_ship_drains_through_write_seam(spark, tmp_path):
+    """The emitter's full code path - concurrent emit() buffering,
+    ship()'s lock-guarded drain, payload framing - executes here by
+    capturing the terminal connector call at the _write seam (the one
+    line that needs the Kafka jar + broker, absent in this
+    container).  Redelivery semantics: ship() drains exactly once;
+    rows emitted DURING a ship land in the next batch, never lost."""
+    import json
+    import threading
+
+    from iceberg_daq_spark.streaming.monitor import OpmonMonitor, _KafkaEmitter
+
+    mon = OpmonMonitor(
+        spark, str(tmp_path / "op_k3"), kafka_brokers="broker1:9092"
+    )
+    em = mon._emitter
+    assert isinstance(em, _KafkaEmitter)
+    shipped = []
+    em._write = lambda payload: shipped.append(payload.collect())
+
+    def row(i: int) -> dict:
+        return {
+            "query_id": f"q{i % 3}",
+            "run_id": "r",
+            "query_name": "tp_stream",
+            "batch_id": i,
+            "event_ts": "2026-08-14T00:00:00.000Z",
+            "num_input_rows": i,
+            "input_rows_per_sec": 1.0,
+            "processed_rows_per_sec": 1.0,
+            "watermark": "2026-08-14T00:00:00.000Z",
+            "state_rows": 0,
+            "batch_duration_ms": 10,
+        }
+
+    # emit from several threads (the listener bus is not the owning
+    # thread): the lock must keep every row
+    threads = [
+        threading.Thread(target=lambda lo: [em.emit(row(i)) for i in range(lo, lo + 8)], args=(lo,))
+        for lo in (0, 8, 16)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert em.ship() == 24
+    assert em.ship() == 0  # drained: nothing redelivers
+    assert len(shipped) == 1 and len(shipped[0]) == 24
+    keys = {r["key"] for r in shipped[0]}
+    assert "q0/r/0" in keys and "q2/r/23" in keys
+    payload = json.loads(next(r for r in shipped[0] if r["key"] == "q1/r/1")["value"])
+    assert payload["num_input_rows"] == 1
+    # a row emitted after the drain ships in the NEXT batch
+    em.emit(row(99))
+    assert em.ship() == 1
+    assert len(shipped) == 2
+
+
 def test_streaming_jsonl_ingest_quarantine_merge(spark, tmp_path):
     """The document-feed ingestion leg end to end: a JSONL drop dir
     streams through the quarantine split, good rows MERGE into a
