@@ -51,17 +51,19 @@ def pagerank(
     # round, which at 10x edges was the dominant stress-bench term),
     # so all `iterations` joins reuse the single edge shuffle.
     ed = edges.join(deg, "src").repartition("src").persist()
-    nodes_p = nodes.repartition("id").persist()
     base = (1.0 - damping) / n_nodes
-    ranks = nodes_p.select("id", F.lit(1.0 / n_nodes).alias("rank"))
+    ranks = nodes.select("id", F.lit(1.0 / n_nodes).alias("rank"))
     for _ in range(iterations):
-        # localCheckpoint keeps the plan flat across rounds; the small
-        # (id, rank) table is the only side re-exchanged per round
-        ranks = _round(ranks, ed, nodes_p, base, damping).localCheckpoint()
+        # localCheckpoint keeps the plan flat across rounds; the
+        # node-sized tables (ranks in, nodes in the dangling left
+        # join, contributions out) are the only per-round exchanges -
+        # all one row per node, the SMALL class next to the edge
+        # table, so re-exchanging them is linear while pinning them
+        # (measured) only adds cache-write fixed cost
+        ranks = _round(ranks, ed, nodes, base, damping).localCheckpoint()
     # ranks is materialized by the final localCheckpoint - the cached
-    # inputs can be dropped without recompute risk
+    # edge table can be dropped without recompute risk
     ed.unpersist()
-    nodes_p.unpersist()
     return ranks
 
 

@@ -226,7 +226,11 @@ def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     freq = docw.groupBy("w").agg(F.sum("c").alias("cnt"))
     tot = freq.agg(F.sum("cnt").alias("total"))
-    scored = docw.join(F.broadcast(freq), "w").join(F.broadcast(tot))
+    # no broadcast hint on freq: the unigram table grows with corpus
+    # vocabulary (Heaps's law - unbounded at 100 TB), so the join
+    # strategy is left to AQE (runtime-small -> broadcast, else SMJ
+    # keyed on the word); the 1-row total stays an explicit broadcast
+    scored = docw.join(freq, "w").join(F.broadcast(tot))
     surprisal = -F.log(F.col("cnt") / F.col("total"))
     return (
         scored.groupBy("doc_id")

@@ -390,9 +390,14 @@ def q190(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("micronats")
     )
+    # model tables re-aggregate from dtri and grow with the corpus's
+    # bigram-type vocabulary - unbounded at 100 TB, so no broadcast
+    # hints: AQE broadcasts while they are runtime-small and falls
+    # back to SMJ keyed on the context when they are not; only the
+    # 1-row vocabulary count is an explicit broadcast
     scored = (
-        dtri.join(F.broadcast(big), ["prev", "cur"])
-        .join(F.broadcast(ctx), "prev")
+        dtri.join(big, ["prev", "cur"])
+        .join(ctx, "prev")
         .crossJoin(F.broadcast(vocab))
         .select("doc_id", "m", micronats)
     )
@@ -500,10 +505,13 @@ def q250(spark: SparkSession, sf_dir: str) -> DataFrame:
     micronats = (
         F.round(F.log(p_kn) * 1_000_000).cast("bigint").alias("micronats")
     )
+    # same hint discipline as q190: the KN model tables grow with the
+    # bigram-type vocabulary, so join strategy is AQE's call; only the
+    # scalar type total broadcasts explicitly
     scored = (
-        dtri.join(F.broadcast(big), ["prev", "cur"])
-        .join(F.broadcast(ctx), "prev")
-        .join(F.broadcast(cont), "cur")
+        dtri.join(big, ["prev", "cur"])
+        .join(ctx, "prev")
+        .join(cont, "cur")
         .crossJoin(F.broadcast(tt))
         .select("doc_id", "m", micronats)
     )

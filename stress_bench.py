@@ -126,6 +126,9 @@ STRESS_QUERIES = [
     # scheduler overhead, not data); q239's survivorship rides the
     # SNM-blocked edit-distance discovery (bounded candidates).
     "q230", "q231", "q236", "q239",
+    # r13: Kneser-Ney bigram LM - same pinned bigram-type reduction as
+    # q190 plus two more model joins; must track q190's ~linear ratio
+    "q250",
 ]
 # superlinear-blowup tripwire: 10x rows may legitimately cost more than
 # 10x on the pair-counting queries (pair count itself grows with the
