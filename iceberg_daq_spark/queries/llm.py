@@ -2459,3 +2459,84 @@ def q252(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register("q253_embedding_spectrum", oracle=None)
+def q253(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding covariance spectrum: top-eigenvalue
+    variance share, effective rank (exp of spectral entropy), and
+    participation ratio - the dimensionality-collapse diagnostics run
+    next to q251's anisotropy before trusting a representation for
+    retrieval/clustering (a space whose effective rank is far below
+    dim wastes its dimensions; a top-1 share near 1 is rank collapse).
+
+    Rows-only by design (eigendecomposition is not SQL-expressible);
+    exactness vs a single-node numpy computation and the spectral
+    invariants (effective_rank <= dim, shares in [0, 1]) are asserted
+    in tests/test_operators.py.
+
+    100 TB shape: the mergeable-summary pattern (same class as q249's
+    sketch) - each Arrow batch folds its vectors into per-label
+    (n, sum, sum-of-outer-products) moments, a dim^2-sized constant
+    per label; partials combine with one label-keyed shuffle of those
+    constants and the 64x64 eigensolve runs once per label inside the
+    final task.  No vector ever leaves its scan task; adding data
+    grows only the map-side fold, never the shuffled state."""
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    part_schema = "label bigint, n long, s array<double>, ss array<double>"
+
+    def partials(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for lab, g in pdf.groupby("label"):
+                V = np.stack([np.asarray(x, dtype=np.float64) for x in g["v"]])
+                yield pd.DataFrame(
+                    {
+                        "label": [lab],
+                        "n": [len(V)],
+                        "s": [V.sum(axis=0).tolist()],
+                        "ss": [(V.T @ V).reshape(-1).tolist()],
+                    }
+                )
+
+    p = e.mapInPandas(partials, part_schema)
+    out_schema = (
+        "label bigint, n_vecs long, dim long, top1_var_share double, "
+        "effective_rank double, participation_ratio double"
+    )
+
+    def finalize(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        n = int(pdf["n"].sum())
+        s = np.sum(np.stack([np.asarray(x) for x in pdf["s"]]), axis=0)
+        ss = np.sum(np.stack([np.asarray(x) for x in pdf["ss"]]), axis=0)
+        d = len(s)
+        mu = s / n
+        C = ss.reshape(d, d) / n - np.outer(mu, mu)
+        lam = np.clip(np.linalg.eigvalsh(C), 0.0, None)
+        tot = float(lam.sum())
+        if tot <= 0.0:
+            top1, eff, pr = 0.0, 0.0, 0.0
+        else:
+            share = lam / tot
+            nz = share[share > 0]
+            eff = float(np.exp(-(nz * np.log(nz)).sum()))
+            top1 = float(share[-1])  # eigvalsh returns ascending
+            pr = float(tot * tot / (lam @ lam))
+        return pd.DataFrame(
+            {
+                "label": [key[0]],
+                "n_vecs": [n],
+                "dim": [d],
+                "top1_var_share": [round(top1, 4)],
+                "effective_rank": [round(eff, 4)],
+                "participation_ratio": [round(pr, 4)],
+            }
+        )
+
+    return p.groupBy("label").applyInPandas(finalize, out_schema).orderBy("label")

@@ -390,14 +390,17 @@ def q190(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("micronats")
     )
-    # model tables re-aggregate from dtri and grow with the corpus's
-    # bigram-type vocabulary - unbounded at 100 TB, so no broadcast
-    # hints: AQE broadcasts while they are runtime-small and falls
-    # back to SMJ keyed on the context when they are not; only the
-    # 1-row vocabulary count is an explicit broadcast
+    # the model tables are VOCABULARY-sized (Heaps's law: bigram
+    # types grow ~sublinearly - measured 931 types at sf0.1 and 6,310
+    # at 10x, well under a MB) so the broadcast hint is load-bearing:
+    # without it Catalyst's static estimate of the checkpoint-derived
+    # aggregates plans SMJ and the PINNED TYPE TABLE itself gets
+    # shuffle-written before AQE can convert (measured 2x the stress
+    # wall).  A corpus whose bigram vocabulary genuinely outgrows
+    # broadcast would drop the hints and take the context-keyed SMJ.
     scored = (
-        dtri.join(big, ["prev", "cur"])
-        .join(ctx, "prev")
+        dtri.join(F.broadcast(big), ["prev", "cur"])
+        .join(F.broadcast(ctx), "prev")
         .crossJoin(F.broadcast(vocab))
         .select("doc_id", "m", micronats)
     )
@@ -505,13 +508,14 @@ def q250(spark: SparkSession, sf_dir: str) -> DataFrame:
     micronats = (
         F.round(F.log(p_kn) * 1_000_000).cast("bigint").alias("micronats")
     )
-    # same hint discipline as q190: the KN model tables grow with the
-    # bigram-type vocabulary, so join strategy is AQE's call; only the
-    # scalar type total broadcasts explicitly
+    # same hint discipline as q190 (see the measured note there): the
+    # KN model tables are vocabulary-bounded, so they broadcast
+    # explicitly - the hint keeps the pinned type table from being
+    # shuffle-written for an SMJ that AQE would only partly undo
     scored = (
-        dtri.join(big, ["prev", "cur"])
-        .join(ctx, "prev")
-        .join(cont, "cur")
+        dtri.join(F.broadcast(big), ["prev", "cur"])
+        .join(F.broadcast(ctx), "prev")
+        .join(F.broadcast(cont), "cur")
         .crossJoin(F.broadcast(tt))
         .select("doc_id", "m", micronats)
     )

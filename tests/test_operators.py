@@ -1631,3 +1631,41 @@ def test_q252_fertility_accounting(spark, sf_dir):
         assert r["n_tokens"] >= r["n_words"] > 0
         assert abs(r["fertility"] - round(r["n_tokens"] / r["n_words"], 4)) < 1e-9
         assert r["chars_per_token"] > 0
+
+
+def test_q253_spectrum_matches_numpy(spark, sf_dir):
+    """The distributed moment fold + per-label eigensolve must equal a
+    single-node numpy computation over the collected vectors, and the
+    spectral invariants must hold (effective rank <= dim, top-1 share
+    in (0, 1], participation ratio in [1, dim])."""
+    import numpy as np
+
+    from iceberg_daq_spark.queries.llm import q253
+    from iceberg_daq_spark.tables import load
+
+    got = {r["label"]: r for r in q253(spark, sf_dir).collect()}
+    e = load(spark, sf_dir, "embeddings").collect()
+    by_label: dict = {}
+    for r in e:
+        by_label.setdefault(r["label"], []).append(
+            np.asarray(r["embedding"], dtype=np.float64)
+        )
+    assert set(got) == set(by_label)
+    for lab, vecs in by_label.items():
+        V = np.stack(vecs)
+        C = np.cov(V, rowvar=False, bias=True)
+        lam = np.clip(np.linalg.eigvalsh(np.atleast_2d(C)), 0.0, None)
+        tot = lam.sum()
+        share = lam / tot
+        nz = share[share > 0]
+        eff = float(np.exp(-(nz * np.log(nz)).sum()))
+        r = got[lab]
+        assert r["n_vecs"] == len(vecs)
+        assert abs(r["top1_var_share"] - round(float(share[-1]), 4)) <= 2e-4
+        assert abs(r["effective_rank"] - round(eff, 4)) <= 2e-3
+        assert abs(
+            r["participation_ratio"] - round(float(tot * tot / (lam @ lam)), 4)
+        ) <= 2e-3
+        assert 0 < r["top1_var_share"] <= 1
+        assert 0 < r["effective_rank"] <= r["dim"]
+        assert 1 <= r["participation_ratio"] <= r["dim"]
