@@ -59,4 +59,5 @@ from iceberg_daq_spark.queries import (  # noqa: F401
     anomaly_forest,
     substring,
     splits,
+    datamix,
 )
