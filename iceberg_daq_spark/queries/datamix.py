@@ -109,6 +109,30 @@ def q254(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiplicity); the model is a 256-row broadcast (hashing bounds it
     regardless of vocabulary - the point of DSIR's hashed features);
     the top-64 is a TakeOrderedAndProject, never a global sort."""
+    scored = dsir_scores(spark, sf_dir)
+    u = (
+        _md5_bucket(F.col("doc_id"), "dsirg:", 4294967296) + 0.5
+    ) / F.lit(4294967296.0)
+    return (
+        scored.select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.round(F.col("lw_micro") / 1_000_000.0, 3).alias("lw_nats"),
+            F.round(
+                F.col("lw_micro") / 1_000_000.0 - F.log(-F.log(u)), 6
+            ).alias("skey"),
+        )
+        .orderBy(F.desc("skey"), "doc_id")
+        .limit(64)
+    )
+
+
+def dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document's DSIR importance log-weight (micro-nats,
+    BIGINT) plus lang and token count - the pre-selection stage of
+    q254, exposed so tests can compare the selected sample's mean
+    weight against the corpus mean."""
     d = load(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
@@ -157,7 +181,7 @@ def q254(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(tots), "_j")
         .select("b", lr_micro)
     )
-    scored = (
+    return (
         dt.join(F.broadcast(lr), "b")
         .groupBy("doc_id")
         .agg(
@@ -165,22 +189,6 @@ def q254(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("m").cast("bigint").alias("n_tokens"),
             F.sum(F.col("m") * F.col("lr_micro")).cast("bigint").alias("lw_micro"),
         )
-    )
-    u = (
-        _md5_bucket(F.col("doc_id"), "dsirg:", 4294967296) + 0.5
-    ) / F.lit(4294967296.0)
-    return (
-        scored.select(
-            "doc_id",
-            "lang",
-            "n_tokens",
-            F.round(F.col("lw_micro") / 1_000_000.0, 3).alias("lw_nats"),
-            F.round(
-                F.col("lw_micro") / 1_000_000.0 - F.log(-F.log(u)), 6
-            ).alias("skey"),
-        )
-        .orderBy(F.desc("skey"), "doc_id")
-        .limit(64)
     )
 
 

@@ -1,0 +1,119 @@
+"""Plan + invariant tests for the q254-q257 data-mixing battery.
+
+Plan checks follow tests/test_plans.py's contract style (the shapes
+that survive 100x scale-up); the semantic checks assert the
+properties the papers promise - DSIR selects toward the target
+domain, CCNet tertiles are ordered and balanced, Gopher's
+conjunction equals the product of its rules, and temperature
+scaling flattens the mixture.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from iceberg_daq_spark.queries.datamix import (
+    dsir_scores,
+    q254,
+    q255,
+    q256,
+    q257,
+)
+from iceberg_daq_spark.tables import load
+from tests.test_plans import plan_of
+
+
+def test_q254_topk_and_broadcast_model(spark, sf_dir):
+    """The 256-bucket model broadcasts and the cut is top-k, never a
+    global sort; nothing quadratic anywhere."""
+    plan = plan_of(q254(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q254_selects_toward_target_domain(spark, sf_dir):
+    """DSIR's whole point: the selected sample is enriched in the
+    target domain (lang='en') relative to the raw corpus."""
+    sel = q254(spark, sf_dir)
+    n_sel = sel.count()
+    en_sel = sel.filter(F.col("lang") == "en").count()
+    d = load(spark, sf_dir, "documents")
+    n_all = d.count()
+    en_all = d.filter(F.col("lang") == "en").count()
+    assert en_sel / n_sel > en_all / n_all
+    # and the importance weights actually separate: the selected
+    # sample's mean log-weight must beat the corpus mean (the corpus
+    # mean itself is -KL(raw||target) <= 0, so "positive" is not the
+    # invariant - "shifted up by selection" is)
+    sel_mean = sel.agg(F.avg("lw_nats")).first()[0]
+    corpus_mean = (
+        dsir_scores(spark, sf_dir)
+        .agg(F.avg(F.col("lw_micro") / 1_000_000.0))
+        .first()[0]
+    )
+    assert sel_mean > corpus_mean
+
+
+def test_q255_tertiles_balanced_and_ordered(spark, sf_dir):
+    """Per language: head/middle/tail counts are the integer-rank
+    tertile split of n, and the nll ranges are non-overlapping in
+    order (head = lowest perplexity, CCNet's definition)."""
+    rows = q255(spark, sf_dir).collect()
+    by_lang: dict[str, dict[str, object]] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], {})[r["bucket"]] = r
+    for lang, buckets in by_lang.items():
+        assert set(buckets) == {"head", "middle", "tail"}, lang
+        n = sum(b["n_docs"] for b in buckets.values())
+        assert buckets["head"]["n_docs"] == n // 3
+        assert buckets["middle"]["n_docs"] == (2 * n) // 3 - n // 3
+        assert buckets["tail"]["n_docs"] == n - (2 * n) // 3
+        assert buckets["head"]["max_nll"] <= buckets["middle"]["min_nll"]
+        assert buckets["middle"]["max_nll"] <= buckets["tail"]["min_nll"]
+
+
+def test_q256_map_only_plan(spark, sf_dir):
+    """The rule battery is a single map-only projection: no shuffle,
+    no UDF - it pipelines at parquet-read speed."""
+    plan = plan_of(q256(spark, sf_dir))
+    assert "Exchange" not in plan.split("TakeOrdered")[0].split("Sort")[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q256_conjunction_and_discrimination(spark, sf_dir):
+    """gopher_pass is exactly the AND of the five rules, and the
+    word-count rule actually discriminates on this corpus (docs are
+    10-99 words, Gopher's floor is 50)."""
+    rows = q256(spark, sf_dir).collect()
+    for r in rows:
+        expected = (
+            r["r_wordcount"]
+            * r["r_meanlen"]
+            * r["r_alpha"]
+            * r["r_stop"]
+            * r["r_symbol"]
+        )
+        assert r["gopher_pass"] == expected, r["doc_id"]
+    n_pass = sum(r["gopher_pass"] for r in rows)
+    assert 0 < n_pass < len(rows)
+
+
+def test_q257_shares_and_flattening(spark, sf_dir):
+    """Integer shares sum to ~1 (within integer-div slack), boost is
+    monotone-decreasing in source size, and the scaled mixture is
+    strictly flatter than the natural one (the point of T<1)."""
+    rows = q257(spark, sf_dir).collect()
+    k = len(rows)
+    assert sum(r["temp_share_x1e4"] for r in rows) >= 10000 - k
+    assert sum(r["temp_share_x1e4"] for r in rows) <= 10000
+    by_size = sorted(rows, key=lambda r: r["n_tokens"])
+    boosts = [r["boost"] for r in by_size]
+    assert boosts == sorted(boosts, reverse=True)
+    raw = [r["share_x1e6"] for r in rows]
+    scaled = [r["temp_share_x1e4"] * 100 for r in rows]
+
+    def spread(xs):
+        return max(xs) - min(xs)
+
+    assert spread(scaled) < spread(raw)
