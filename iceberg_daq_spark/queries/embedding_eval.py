@@ -1,4 +1,4 @@
-"""Q203-Q204: the embedding-quality evaluation battery.
+"""Q203-Q204 + Q258: the embedding-quality evaluation battery.
 
 Label separation (robust median prototypes, intra-vs-nearest-other
 cosine margins) and 1-NN label agreement - the "is this embedding
@@ -296,4 +296,170 @@ def q204(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(agree) * 1.0 / F.count("*"), 4).alias("agreement"),
         )
         .orderBy("label")
+    )
+
+
+@register(
+    "q258_jl_projection_audit",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            v -> CAST(round(v * 100000) AS BIGINT)) AS qv
+      FROM embeddings
+    ), signs AS (
+      SELECT t.i, s.j,
+             CASE WHEN CAST(concat('0x', substr(md5(concat('jl:',
+                       CAST(t.i AS VARCHAR), ':', CAST(s.j AS VARCHAR))),
+                       1, 8)) AS BIGINT) % 2 = 0
+                  THEN 1 ELSE -1 END AS s
+      FROM range(1, 65) t(i), range(0, 16) s(j)
+    ), qd AS (
+      SELECT vec_id, generate_subscripts(qv, 1) AS i, unnest(qv) AS qi
+      FROM q
+    ), proj AS (
+      SELECT qd.vec_id, signs.j,
+             CAST(sum(qd.qi * signs.s) AS BIGINT) AS p
+      FROM qd JOIN signs ON signs.i = qd.i
+      GROUP BY 1, 2
+    ), dproj AS (
+      SELECT a.vec_id AS pair_id,
+             CAST(sum((a.p - b.p) * (a.p - b.p)) AS BIGINT) AS dp2
+      FROM proj a JOIN proj b
+        ON b.vec_id = a.vec_id + 1 AND b.j = a.j
+      GROUP BY 1
+    ), dfull AS (
+      SELECT a.vec_id AS pair_id,
+             CAST(sum((a.qi - b.qi) * (a.qi - b.qi)) AS BIGINT) AS df2
+      FROM qd a JOIN qd b
+        ON b.vec_id = a.vec_id + 1 AND b.i = a.i
+      GROUP BY 1
+    ), rat AS (
+      SELECT dproj.pair_id,
+             dproj.dp2 * 1000000 // (16 * dfull.df2) AS r_micro,
+             dproj.dp2 * 10 // (16 * dfull.df2) AS bucket
+      FROM dproj JOIN dfull ON dfull.pair_id = dproj.pair_id
+      WHERE dfull.df2 > 0
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs,
+           round(min(r_micro) / 1000000.0, 4) AS min_ratio,
+           round(max(r_micro) / 1000000.0, 4) AS max_ratio,
+           round(sum(r_micro) / (1000000.0 * count(*)), 4) AS mean_ratio
+    FROM rat GROUP BY 1 ORDER BY 1
+    """,
+)
+def q258(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss projection audit: project every embedding
+    from 64 to 16 dims with a deterministic random-sign matrix
+    (Achlioptas 2003 - database-friendly +/-1 projections, the
+    standard dimension cut run before ANN indexing at corpus scale),
+    then audit pairwise-distance distortion over the consecutive-id
+    pair chain: ratio = ||p_a - p_b||^2 / (16 * ||v_a - v_b||^2),
+    expectation 1 when the projection is sound.  Output is the
+    distortion histogram (ratio deciles) - the go/no-go read before
+    trusting a reduced-dim index.
+
+    Engine parity: embeddings quantize PER DIMENSION to BIGINT
+    1e-5 units (the q203 pattern), the sign matrix derives from
+    salted md5 parity, so projections, squared distances, and the
+    decile bucket (integer div) are exact integer arithmetic end to
+    end; the per-pair ratio quantizes to integer micro-units before
+    the histogram means.
+
+    100 TB shape: the sign matrix is 64x16 BY CONSTRUCTION and
+    broadcasts; projection is one explode + partial-agg shuffle keyed
+    (vec_id, j); the pair chain is an equi self-join on vec_id + 1
+    (linear, n-1 pairs - an audit never needs all pairs); the full-dim
+    distances are a map-only zip_with fold on the same join.  The
+    projected table is pinned once (both distance legs re-read it)."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda v: F.round(v * 100000).cast("bigint")
+        ).alias("qv"),
+    )
+    i = F.col("i")
+    j = F.col("j")
+    sign = (
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("jl:"),
+                            i.cast("string"),
+                            F.lit(":"),
+                            j.cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+            == 0,
+            1,
+        )
+        .otherwise(-1)
+        .alias("s")
+    )
+    signs = (
+        spark.range(1, 65)
+        .select(F.col("id").alias("i"))
+        .crossJoin(F.broadcast(spark.range(0, 16).select(F.col("id").alias("j"))))
+        .select("i", "j", sign)
+    )
+    qd = q.select("vec_id", F.posexplode("qv").alias("i0", "qi")).select(
+        "vec_id", (F.col("i0") + 1).alias("i"), "qi"
+    )
+    # pinned: both sides of the pair join re-read the projection
+    proj = (
+        qd.join(F.broadcast(signs), "i")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("qi") * F.col("s")).cast("bigint").alias("p"))
+        .localCheckpoint()
+    )
+    pa = proj.select(F.col("vec_id").alias("pair_id"), "j", F.col("p").alias("p_a"))
+    pb = proj.select(
+        (F.col("vec_id") - 1).alias("pair_id"), "j", F.col("p").alias("p_b")
+    )
+    dproj = (
+        pa.join(pb, ["pair_id", "j"])
+        .groupBy("pair_id")
+        .agg(
+            F.sum((F.col("p_a") - F.col("p_b")) * (F.col("p_a") - F.col("p_b")))
+            .cast("bigint")
+            .alias("dp2")
+        )
+    )
+    qa = q.select(F.col("vec_id").alias("pair_id"), F.col("qv").alias("qa"))
+    qb = q.select((F.col("vec_id") - 1).alias("pair_id"), F.col("qv").alias("qb"))
+    df2 = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    ).alias("df2")
+    dfull = qa.join(qb, "pair_id").select("pair_id", df2)
+    rat = (
+        dproj.join(dfull, "pair_id")
+        .filter(F.col("df2") > 0)
+        .select(
+            F.expr("dp2 * 1000000 div (16 * df2)").alias("r_micro"),
+            F.expr("dp2 * 10 div (16 * df2)").alias("bucket"),
+        )
+    )
+    return (
+        rat.groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.round(F.min("r_micro") / 1_000_000.0, 4).alias("min_ratio"),
+            F.round(F.max("r_micro") / 1_000_000.0, 4).alias("max_ratio"),
+            F.round(F.sum("r_micro") / (1_000_000.0 * F.count("*")), 4).alias(
+                "mean_ratio"
+            ),
+        )
+        .orderBy("bucket")
     )

@@ -117,3 +117,25 @@ def test_q257_shares_and_flattening(spark, sf_dir):
         return max(xs) - min(xs)
 
     assert spread(scaled) < spread(raw)
+
+
+def test_q258_pair_accounting_and_plan(spark, sf_dir):
+    """Every consecutive-id pair with a nonzero full-dim distance
+    lands in exactly one bucket, buckets are contiguous-positive, and
+    the plan broadcasts the sign matrix instead of shuffling the
+    corpus against it."""
+    from iceberg_daq_spark.queries.embedding_eval import q258
+
+    df = q258(spark, sf_dir)
+    rows = df.collect()
+    n_vecs = load(spark, sf_dir, "embeddings").count()
+    assert sum(r["n_pairs"] for r in rows) == n_vecs - 1
+    for r in rows:
+        assert r["bucket"] >= 0
+        assert 0 < r["min_ratio"] <= r["mean_ratio"] <= r["max_ratio"]
+        # bucket b holds ratios in [b/10, (b+1)/10)
+        assert r["bucket"] <= r["min_ratio"] * 10 < r["bucket"] + 1
+        assert r["bucket"] <= r["max_ratio"] * 10 < r["bucket"] + 1
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
