@@ -497,8 +497,15 @@ def q257(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalizing totals are broadcast-joined scalars, never an
     unpartitioned window (q70's note)."""
     d = load(spark, sf_dir, "documents")
-    src = d.groupBy("source").agg(
-        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens")
+    # pin the source-cardinality reduction: tot, pw and the final
+    # select all re-read it, and without the pin each consumer
+    # re-derives it FROM THE CORPUS SCAN (4 parquet scans of the fact
+    # table for a 20-row result - the one shape that cannot ship at
+    # 100 TB)
+    src = (
+        d.groupBy("source")
+        .agg(F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"))
+        .localCheckpoint()
     )
     tot = src.agg(F.sum("n_tokens").cast("bigint").alias("total")).withColumn(
         "_j", F.lit(0)

@@ -129,6 +129,12 @@ STRESS_QUERIES = [
     # r13: Kneser-Ney bigram LM - same pinned bigram-type reduction as
     # q190 plus two more model joins; must track q190's ~linear ratio
     "q250",
+    # r13 wave 2: the data-mixing battery's scan-heavy members.
+    # q254's model is 256 rows BY CONSTRUCTION (hashed features), so
+    # only the token scan grows (~linear); q255 is the q190 shape with
+    # a per-language model (~linear); q258's sign matrix is 64x16
+    # fixed and the pair chain is n-1 rows (~linear in vectors)
+    "q254", "q255", "q258",
 ]
 # superlinear-blowup tripwire: 10x rows may legitimately cost more than
 # 10x on the pair-counting queries (pair count itself grows with the
