@@ -28,9 +28,10 @@ from iceberg_daq_spark.registry import register
 from iceberg_daq_spark.tables import load
 
 
-def _md5_bucket(col, salt: str, mod: int):
+def md5_bucket(col, salt: str, mod: int):
     """First 32 md5 bits of (salt || col) mod ``mod`` - the hashed
-    feature map shared by q254's buckets and its Gumbel uniform;
+    feature map shared by q254's buckets, its Gumbel uniform, and
+    q258's sign matrix (embedding_eval imports it);
     identical expression in the DuckDB oracles (q70's pattern)."""
     return (
         F.conv(
@@ -111,7 +112,7 @@ def q254(spark: SparkSession, sf_dir: str) -> DataFrame:
     the top-64 is a TakeOrderedAndProject, never a global sort."""
     scored = dsir_scores(spark, sf_dir)
     u = (
-        _md5_bucket(F.col("doc_id"), "dsirg:", 4294967296) + 0.5
+        md5_bucket(F.col("doc_id"), "dsirg:", 4294967296) + 0.5
     ) / F.lit(4294967296.0)
     return (
         scored.select(
@@ -141,7 +142,7 @@ def dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tgt and the per-doc score all re-read it, so without the pin the
     # token stream is exploded three times
     dt = (
-        tok.groupBy("doc_id", "lang", _md5_bucket(F.col("w"), "dsir:", 256).alias("b"))
+        tok.groupBy("doc_id", "lang", md5_bucket(F.col("w"), "dsir:", 256).alias("b"))
         .agg(F.count("*").cast("bigint").alias("m"))
         .localCheckpoint()
     )

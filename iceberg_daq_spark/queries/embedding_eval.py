@@ -305,7 +305,7 @@ def q204(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH q AS (
       SELECT vec_id,
              list_transform(embedding,
-                            v -> CAST(round(v * 100000) AS BIGINT)) AS qv
+                            v -> CAST(round(v * 10000) AS BIGINT)) AS qv
       FROM embeddings
     ), signs AS (
       SELECT t.i, s.j,
@@ -336,15 +336,15 @@ def q204(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1
     ), rat AS (
       SELECT dproj.pair_id,
-             dproj.dp2 * 1000000 // (16 * dfull.df2) AS r_micro,
+             dproj.dp2 * 100000 // (16 * dfull.df2) AS r_e5,
              dproj.dp2 * 10 // (16 * dfull.df2) AS bucket
       FROM dproj JOIN dfull ON dfull.pair_id = dproj.pair_id
       WHERE dfull.df2 > 0
     )
     SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs,
-           round(min(r_micro) / 1000000.0, 4) AS min_ratio,
-           round(max(r_micro) / 1000000.0, 4) AS max_ratio,
-           round(sum(r_micro) / (1000000.0 * count(*)), 4) AS mean_ratio
+           round(min(r_e5) / 100000.0, 4) AS min_ratio,
+           round(max(r_e5) / 100000.0, 4) AS max_ratio,
+           round(sum(r_e5) / (100000.0 * count(*)), 4) AS mean_ratio
     FROM rat GROUP BY 1 ORDER BY 1
     """,
 )
@@ -357,49 +357,43 @@ def q258(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair chain: ratio = ||p_a - p_b||^2 / (16 * ||v_a - v_b||^2),
     expectation 1 when the projection is sound.  Output is the
     distortion histogram (ratio deciles) - the go/no-go read before
-    trusting a reduced-dim index.
+    trusting a reduced-dim index (on this corpus it reads ~1.7: the
+    anisotropic embeddings' dominant direction interacts with the
+    single fixed sign matrix, exactly what the audit exists to catch).
 
-    Engine parity: embeddings quantize PER DIMENSION to BIGINT
-    1e-5 units (the q203 pattern), the sign matrix derives from
-    salted md5 parity, so projections, squared distances, and the
-    decile bucket (integer div) are exact integer arithmetic end to
-    end; the per-pair ratio quantizes to integer micro-units before
-    the histogram means.
+    Engine parity AND overflow headroom: embeddings quantize PER
+    DIMENSION to BIGINT 1e-4 units and the per-pair ratio to integer
+    1e-5 units, so projections, squared distances, and the decile
+    bucket (integer div) are exact integer arithmetic end to end;
+    with |v| <= 1 the analytic worst case is dp2 <= 16*(2*64*1e4)^2
+    = 2.6e13, and dp2 * 1e5 <= 2.6e18 < 2^62 - no input this schema
+    admits can overflow the ratio in either engine (Spark would wrap
+    silently where DuckDB errors, so the bound is load-bearing).  The
+    sign matrix derives from salted md5 parity (datamix.md5_bucket).
 
     100 TB shape: the sign matrix is 64x16 BY CONSTRUCTION and
-    broadcasts; projection is one explode + partial-agg shuffle keyed
-    (vec_id, j); the pair chain is an equi self-join on vec_id + 1
-    (linear, n-1 pairs - an audit never needs all pairs); the full-dim
-    distances are a map-only zip_with fold on the same join.  The
-    projected table is pinned once (both distance legs re-read it)."""
+    broadcasts; the quantized table is pinned once (the projection AND
+    both full-distance legs read it - one parquet scan total);
+    projection is one explode + partial-agg shuffle keyed (vec_id, j);
+    the pair chain is an equi self-join on vec_id + 1 (linear, n-1
+    pairs - an audit never needs all pairs)."""
+    from iceberg_daq_spark.queries.datamix import md5_bucket
+
     emb = load(spark, sf_dir, "embeddings")
+    # pinned: qd (via the projection) and BOTH dfull legs read it
     q = emb.select(
         "vec_id",
         F.transform(
-            "embedding", lambda v: F.round(v * 100000).cast("bigint")
+            "embedding", lambda v: F.round(v * 10000).cast("bigint")
         ).alias("qv"),
-    )
-    i = F.col("i")
-    j = F.col("j")
+    ).localCheckpoint()
     sign = (
         F.when(
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.lit("jl:"),
-                            i.cast("string"),
-                            F.lit(":"),
-                            j.cast("string"),
-                        )
-                    ),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("bigint")
-            % 2
+            md5_bucket(
+                F.concat(F.col("i").cast("string"), F.lit(":"), F.col("j").cast("string")),
+                "jl:",
+                2,
+            )
             == 0,
             1,
         )
@@ -415,12 +409,11 @@ def q258(spark: SparkSession, sf_dir: str) -> DataFrame:
     qd = q.select("vec_id", F.posexplode("qv").alias("i0", "qi")).select(
         "vec_id", (F.col("i0") + 1).alias("i"), "qi"
     )
-    # pinned: both sides of the pair join re-read the projection
     proj = (
         qd.join(F.broadcast(signs), "i")
         .groupBy("vec_id", "j")
         .agg(F.sum(F.col("qi") * F.col("s")).cast("bigint").alias("p"))
-        .localCheckpoint()
+        .localCheckpoint()  # both sides of the pair join re-read it
     )
     pa = proj.select(F.col("vec_id").alias("pair_id"), "j", F.col("p").alias("p_a"))
     pb = proj.select(
@@ -447,7 +440,7 @@ def q258(spark: SparkSession, sf_dir: str) -> DataFrame:
         dproj.join(dfull, "pair_id")
         .filter(F.col("df2") > 0)
         .select(
-            F.expr("dp2 * 1000000 div (16 * df2)").alias("r_micro"),
+            F.expr("dp2 * 100000 div (16 * df2)").alias("r_e5"),
             F.expr("dp2 * 10 div (16 * df2)").alias("bucket"),
         )
     )
@@ -455,9 +448,9 @@ def q258(spark: SparkSession, sf_dir: str) -> DataFrame:
         rat.groupBy("bucket")
         .agg(
             F.count("*").cast("bigint").alias("n_pairs"),
-            F.round(F.min("r_micro") / 1_000_000.0, 4).alias("min_ratio"),
-            F.round(F.max("r_micro") / 1_000_000.0, 4).alias("max_ratio"),
-            F.round(F.sum("r_micro") / (1_000_000.0 * F.count("*")), 4).alias(
+            F.round(F.min("r_e5") / 100_000.0, 4).alias("min_ratio"),
+            F.round(F.max("r_e5") / 100_000.0, 4).alias("max_ratio"),
+            F.round(F.sum("r_e5") / (100_000.0 * F.count("*")), 4).alias(
                 "mean_ratio"
             ),
         )
