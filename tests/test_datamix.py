@@ -143,3 +143,65 @@ def test_q258_pair_accounting_and_plan(spark, sf_dir):
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_q258_numpy_parity(spark, sf_dir):
+    """Independent full replication of q258 in numpy (quantize, md5
+    sign matrix, projection, pair distances, integer ratio/bucket):
+    bucket membership and pair counts must match EXACTLY; the
+    ratio views match within one ulp of the 4th decimal (numpy
+    display-rounds half-even where Spark/DuckDB round half-up - the
+    underlying 1e-5-unit integers are identical)."""
+    import hashlib
+
+    import numpy as np
+
+    from iceberg_daq_spark.queries.embedding_eval import q258
+
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    V = np.array([r["embedding"] for r in emb])
+    Q = np.round(V * 10000).astype(np.int64)
+    S = np.array(
+        [
+            [
+                1
+                if int(hashlib.md5(f"jl:{i}:{j}".encode()).hexdigest()[:8], 16) % 2
+                == 0
+                else -1
+                for j in range(16)
+            ]
+            for i in range(1, 65)
+        ],
+        dtype=np.int64,
+    )
+    P = Q @ S
+    dp2 = ((P[:-1] - P[1:]) ** 2).sum(axis=1)
+    df2 = ((Q[:-1] - Q[1:]) ** 2).sum(axis=1)
+    mask = df2 > 0
+    r_e5 = dp2[mask] * 100000 // (16 * df2[mask])
+    bucket = dp2[mask] * 10 // (16 * df2[mask])
+    expected = {}
+    for b in sorted(set(bucket.tolist())):
+        sel = r_e5[bucket == b]
+        expected[int(b)] = (
+            len(sel),
+            sel.min() / 1e5,
+            sel.max() / 1e5,
+            sel.sum() / (1e5 * len(sel)),
+        )
+    got = {
+        r["bucket"]: (r["n_pairs"], r["min_ratio"], r["max_ratio"], r["mean_ratio"])
+        for r in q258(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    for b, (n, mn, mx, mean) in expected.items():
+        gn, gmn, gmx, gmean = got[b]
+        assert gn == n, b
+        assert abs(gmn - mn) < 1.5e-4, b
+        assert abs(gmx - mx) < 1.5e-4, b
+        assert abs(gmean - mean) < 1.5e-4, b
