@@ -100,6 +100,7 @@ import shutil
 import urllib.parse
 from contextlib import contextmanager
 from dataclasses import dataclass
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -153,6 +154,21 @@ def _zorder_layout(df: DataFrame, cols: list[str], target_files: int) -> DataFra
     missing = [c for c in cols if c not in df.columns]
     if missing:
         raise ValueError(f"zorder references unknown columns {missing}")
+    # the rank is a quantile bucket over cast('double'): anything that
+    # casts to NULL (strings, binary, ...) would silently rank every
+    # row 0 and collapse the range shuffle to ONE partition - gate
+    # loudly instead (the docstring's numeric/timestamp contract)
+    _ok = ("byte", "short", "int", "bigint", "float", "double", "decimal",
+           "date", "timestamp")
+    bad = [
+        f"{f.name}:{f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name in cols and not f.dataType.simpleString().startswith(_ok)
+    ]
+    if bad:
+        raise ValueError(
+            f"zorder supports numeric/date/timestamp columns only, got {bad}"
+        )
     n_buckets = 1 << _Z_BITS
     probs = [i / n_buckets for i in range(1, n_buckets)]
     tmp_names = [f"_z_{i}" for i in range(len(cols))]
@@ -444,7 +460,6 @@ def _partition_predicate(
     or None when nothing projects.  Sound superset by transform
     monotonicity: every row satisfying the filter lives in a kept
     directory; the row filter still applies after."""
-    from functools import reduce
 
     fields = parse_partition_spec(spec)
     preds = []
@@ -884,7 +899,6 @@ class MergeTable:
         (the zone commit timestamps are written in).  Raises if every
         retained ancestor is newer - same contract as Iceberg when the
         timestamp predates the oldest retained snapshot."""
-        import datetime as _dt
 
         if isinstance(ts, str):
             ts = _dt.datetime.fromisoformat(ts)
@@ -999,7 +1013,6 @@ class MergeTable:
             # anti-join each group against its deletes, union groups.
             # The delete side is small by construction, so each
             # anti-join broadcasts; the data plane is never rewritten.
-            from functools import reduce
 
             groups: dict[frozenset, list[str]] = {}
             for n in names:
@@ -1084,7 +1097,6 @@ class MergeTable:
                 if with_pos:
                     df = df.select("*", *raw_pos)
             else:
-                from functools import reduce
 
                 phys = [
                     f["physical"] for f in m["schema"] if f["physical"] is not None
@@ -1103,7 +1115,6 @@ class MergeTable:
             # per-dir scans - each dir self-describes its layout and
             # keeps its own PartitionFilters pruning - unioned by the
             # shared physical column set
-            from functools import reduce
 
             type_of = {f["name"]: f["type"] for f in m["schema"]}
             phys = [f["physical"] for f in m["schema"] if f["physical"] is not None]
@@ -1136,12 +1147,21 @@ class MergeTable:
                 )
         if with_pos:
             # table-relative path: stable across table relocation,
-            # matches the delete files' stored identity
-            prefix = "file:" + os.path.abspath(self.path) + "/"
+            # matches the delete files' stored identity.  Spark's
+            # _metadata.file_path is a URI whose scheme spelling varies
+            # ("file:///abs" vs "file:/abs"), so normalize the scheme
+            # to a bare "/abs/..." BEFORE stripping the table prefix -
+            # a fixed-length substring against the raw URI would keep
+            # stray scheme characters and the stored identity would
+            # only match while the abspath length never changed
+            prefix = os.path.abspath(self.path) + "/"
+            normalized = F.regexp_replace(
+                F.col("_raw_pos_file"), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"
+            )
             cols.append(
-                F.substring(
-                    F.col("_raw_pos_file"), len(prefix) + 1, 1_000_000
-                ).alias("_pos_file")
+                F.substring(normalized, len(prefix) + 1, 1_000_000).alias(
+                    "_pos_file"
+                )
             )
             cols.append(F.col("_pos_row"))
         return df.select(*cols)
@@ -1367,8 +1387,16 @@ class MergeTable:
                 continue  # base expired under a concurrent commit: rebase
             man = self._load_manifest(base)
             new_df = build(current, man)
-            spec = list((man or {}).get("partition_spec") or self.partition_spec)
-            sort = list((man or {}).get("sort_order") or self.sort_order)
+            # manifest-wins, INCLUDING a legitimately-empty spec/sort
+            # (spec evolution can DROP partitioning: `or` on the falsy
+            # [] would resurrect the constructor seed - _current_spec's
+            # distinction applied here)
+            if man is not None:
+                spec = list(man.get("partition_spec") or [])
+                sort = list(man.get("sort_order") or [])
+            else:
+                spec = list(self.partition_spec)
+                sort = list(self.sort_order)
             try:
                 staged: str | None = self._stage(new_df, spec, sort, sort_partitions)
             except Exception:
@@ -1518,18 +1546,22 @@ class MergeTable:
     def _ancestors(self, v: int | None, n: int) -> list[int]:
         """Up to ``n`` versions of a ref's own history, newest first,
         following each manifest's ``parent`` link (pre-lineage legacy
-        manifests fall back to the numeric predecessor, which IS their
-        parent - they predate branching)."""
+        manifests - which EXIST but predate the ``parent`` field -
+        fall back to the numeric predecessor, which IS their parent;
+        they predate branching).  A MISSING manifest means snapshot
+        expiry truncated this ref's chain: stop there - guessing
+        ``v - 1`` would walk into a numerically-adjacent version that
+        may belong to ANOTHER branch's retained history (time travel
+        would then read unpublished branch data)."""
         out: list[int] = []
         seen: set[int] = set()
         while v and len(out) < n and v not in seen:
+            m = self._load_manifest(v)
+            if m is None:
+                break  # expired ancestor: chain truncated, never guess
             seen.add(v)
             out.append(v)
-            m = self._load_manifest(v)
-            if m is None or "parent" not in m:
-                v = v - 1
-            else:
-                v = m["parent"]
+            v = v - 1 if "parent" not in m else m["parent"]
         return out
 
     def _expire_and_gc_locked(self, cur: int) -> list[str]:
@@ -1646,7 +1678,6 @@ class MergeTable:
                     # per-dir scans unioned (same as read()): a single
                     # multi-path scan cannot discover partition columns
                     # when the delta dirs are partitionBy layouts
-                    from functools import reduce
 
                     phys = [
                         f["physical"]
@@ -1671,7 +1702,6 @@ class MergeTable:
         # default-NULL values merge(evolve_schema=True)/add_column
         # produce), which would re-report identical rows as changes on
         # every incremental read
-        from functools import reduce
 
         before_s = before.select(*shared)
         cond = reduce(
@@ -1715,7 +1745,6 @@ class MergeTable:
         after = self.read(spark, to_v)
         before = self.read(spark, from_version)
         shared = [c for c in before.columns if c in after.columns]
-        from functools import reduce
 
         after_s = after.select(*shared)
         cond = reduce(
@@ -2090,6 +2119,12 @@ class MergeTable:
                 return f"{pf.transform}({arg}{new})"
 
             spec = [_ren(c) for c in (m.get("partition_spec") or [])]
+            # sort order and bloom columns name LOGICAL columns too:
+            # left un-renamed they would silently stop clustering /
+            # filtering (the `c in df.columns` guard drops them) while
+            # still blocking zorder compaction on the stale name
+            sort = [new if c == old else c for c in (m.get("sort_order") or [])]
+            bloom = [new if c == old else c for c in (m.get("bloom_cols") or [])]
             # pending equality deletes reference the keys by LOGICAL
             # name; the delete files keep the old physical column (the
             # same field-id trick as the data files)
@@ -2114,6 +2149,8 @@ class MergeTable:
                 spec,
                 m.get("dir_specs") or {},
                 key_cols=keys,
+                sort_order=sort,
+                bloom_cols=bloom,
                 op="rename-column",
                 deletes=dels,
             )
@@ -2379,15 +2416,26 @@ class MergeTable:
                     "evolve_schema=True to add them (Iceberg mergeSchema)"
                 )
             missing = [c for c in table_cols if c not in ups.columns]
+            types = {f.name: f.dataType for f in current.schema.fields}
             if missing:
                 defaults = (
                     {f["name"]: f.get("default") for f in man["schema"]}
                     if man
                     else {}
                 )
-                types = {f.name: f.dataType for f in current.schema.fields}
                 for c in missing:
                     ups = ups.withColumn(c, F.lit(defaults.get(c)).cast(types[c]))
+            # coerce shared columns to the table's recorded types (the
+            # append() discipline): without the cast, unionByName's
+            # type coercion - or the `= delete` path's verbatim select -
+            # silently rewrites the persisted column types in the new
+            # manifest for every future reader
+            ups = ups.select(
+                *[
+                    F.col(c).cast(types[c]).alias(c) if c in types else F.col(c)
+                    for c in ups.columns
+                ]
+            )
             for c in extra:
                 current = current.withColumn(
                     c, F.lit(None).cast(ups.schema[c].dataType)
@@ -2649,7 +2697,13 @@ class MergeTable:
         def build(df: DataFrame, man: dict | None) -> DataFrame:
             if (man or {}).get("sort_order"):
                 return df  # the clustered write performs the layout
-            return df.coalesce(target_files)
+            # repartition, not coalesce: coalesce can only MERGE input
+            # partitions, so it silently under-produces files when the
+            # snapshot reads as fewer partitions than requested, and at
+            # target_files=1 it collapses the whole rewrite scan into a
+            # single task (the shuffle keeps the scan parallel and
+            # shrinks at the end)
+            return df.repartition(target_files)
 
         return self._optimistic_rewrite(
             spark, build, "compact", sort_partitions=target_files
@@ -2783,9 +2837,9 @@ class MergeTable:
                         ]
                     )
                 )
-            from functools import reduce
 
-            new_df = reduce(DataFrame.unionByName, parts).coalesce(target_files)
+            # repartition, not coalesce (see compact()'s build note)
+            new_df = reduce(DataFrame.unionByName, parts).repartition(target_files)
             sort = list(m.get("sort_order") or [])
             try:
                 staged = self._stage(new_df, spec, sort, target_files)
@@ -2795,23 +2849,35 @@ class MergeTable:
                 raise
             committed = False
             try:
-                # carry side: hardlink untouched leaves into the stage
-                for n, leaf in carry:
-                    src = os.path.join(self.path, n, leaf)
-                    dst = os.path.join(self.path, staged, leaf)
-                    os.makedirs(dst, exist_ok=True)
-                    for fn in os.listdir(src):
-                        sp = os.path.join(src, fn)
-                        if not (os.path.isfile(sp) and fn.endswith(".parquet")):
-                            continue
-                        dp = os.path.join(dst, fn)
-                        if os.path.exists(dp):  # same leaf from two dirs
-                            stem, ext = os.path.splitext(fn)
-                            dp = os.path.join(dst, f"{stem}-{n}{ext}")
-                        try:
-                            os.link(sp, dp)
-                        except OSError:
-                            shutil.copy2(sp, dp)  # cross-device fallback
+                # carry side: hardlink untouched leaves into the stage.
+                # Runs lock-free like the staging scan above, so a
+                # concurrent commit can GC the base snapshot's dirs
+                # mid-carry - FileNotFoundError then means "base moved:
+                # rebase", the same recovery as the staging step (the
+                # finally discards the stage on the way out)
+                try:
+                    for n, leaf in carry:
+                        src = os.path.join(self.path, n, leaf)
+                        dst = os.path.join(self.path, staged, leaf)
+                        os.makedirs(dst, exist_ok=True)
+                        for fn in os.listdir(src):
+                            sp = os.path.join(src, fn)
+                            if not (
+                                os.path.isfile(sp) and fn.endswith(".parquet")
+                            ):
+                                continue
+                            dp = os.path.join(dst, fn)
+                            if os.path.exists(dp):  # same leaf from two dirs
+                                stem, ext = os.path.splitext(fn)
+                                dp = os.path.join(dst, f"{stem}-{n}{ext}")
+                            try:
+                                os.link(sp, dp)
+                            except OSError:
+                                shutil.copy2(sp, dp)  # cross-device fallback
+                except FileNotFoundError:
+                    if self.current_version() != base:
+                        continue  # base GC'd mid-carry: rebase and retry
+                    raise
                 with _commit_lock(self.path):
                     if self.current_version() == base:
                         v = self._next_version()

@@ -1843,3 +1843,121 @@ def test_scoped_compact_partition_filter(spark, tmp_path):
     u.merge(spark.createDataFrame([(1, 1)], "k int, v int"))
     with pytest.raises(ValueError):
         u.compact(spark, where="k = 1")
+
+
+def test_spec_drop_survives_merge(spark, tmp_path):
+    """Regression: a merge after set_partition_spec() (drop) must NOT
+    resurrect the constructor-seed spec - the rewrite path used a
+    falsy `or` fallback that treated the legitimately-empty manifest
+    spec as "no spec recorded"."""
+    from iceberg_daq_spark.tablestore import MergeTable
+
+    t = MergeTable(str(tmp_path / "t"), key_cols=("k",), partition_spec=("p",))
+    df = spark.createDataFrame([(1, "a", 10), (2, "b", 20)], "k int, p string, v int")
+    t.overwrite(df)
+    t.set_partition_spec()  # drop partitioning (metadata-only, spec [])
+    ups = spark.createDataFrame([(2, "b", 21), (3, "c", 30)], "k int, p string, v int")
+    t.merge(ups)
+    m = t._load_manifest(t.current_version())
+    assert m["partition_spec"] == [], m["partition_spec"]
+    got = sorted((r["k"], r["v"]) for r in t.read(spark).collect())
+    assert got == [(1, 10), (2, 21), (3, 30)]
+
+
+def test_rename_column_follows_sort_and_bloom(spark, tmp_path):
+    """Regression: rename_column must rename sort_order and bloom_cols
+    too - left stale they silently stopped clustering new writes and
+    blocked zorder compaction on a ghost name."""
+    from iceberg_daq_spark.tablestore import MergeTable
+
+    t = MergeTable(str(tmp_path / "t"), key_cols=("k",), sort_order=("ts",))
+    df = spark.createDataFrame([(1, 100, 5), (2, 50, 6)], "k int, ts long, v int")
+    t.overwrite(df)
+    t.set_bloom_cols("ts") if hasattr(t, "set_bloom_cols") else None
+    t.rename_column("ts", "event_ts")
+    m = t._load_manifest(t.current_version())
+    assert m["sort_order"] == ["event_ts"], m["sort_order"]
+    if m.get("bloom_cols"):
+        assert m["bloom_cols"] == ["event_ts"], m["bloom_cols"]
+    # the renamed order still engages (write path finds the column)
+    ups = spark.createDataFrame([(3, 75, 7)], "k int, event_ts long, v int")
+    t.merge(ups)
+    got = sorted(r["k"] for r in t.read(spark).collect())
+    assert got == [1, 2, 3]
+
+
+def test_merge_casts_updates_to_table_types(spark, tmp_path):
+    """Regression: merge() must coerce the updates' shared columns to
+    the table's recorded types (append() already did) - otherwise
+    unionByName coercion silently rewrote the persisted schema."""
+    from iceberg_daq_spark.tablestore import MergeTable
+
+    t = MergeTable(str(tmp_path / "t"), key_cols=("k",))
+    t.overwrite(spark.createDataFrame([(1, 10)], "k int, n bigint"))
+    # updates carry n as INT (narrower) - must not narrow the table
+    t.merge(spark.createDataFrame([(2, 20)], "k int, n int"))
+    m = t._load_manifest(t.current_version())
+    types = {f["name"]: f["type"] for f in m["schema"]}
+    assert types["n"] == "bigint", types
+    got = dict((r["k"], r["n"]) for r in t.read(spark).collect())
+    assert got == {1: 10, 2: 20}
+
+
+def test_zorder_rejects_string_columns(spark, tmp_path):
+    """Regression: a string zorder column casts to all-NULL doubles
+    and silently collapsed the range shuffle to one partition - it
+    must gate loudly instead."""
+    from iceberg_daq_spark.tablestore import MergeTable
+
+    t = MergeTable(str(tmp_path / "t"), key_cols=("k",))
+    t.overwrite(
+        spark.createDataFrame([(1, "x", 1.0), (2, "y", 2.0)], "k int, s string, v double")
+    )
+    with pytest.raises(ValueError, match="zorder supports"):
+        t.compact(spark, target_files=2, zorder=("s", "v"))
+    # numeric columns still work
+    assert t.compact(spark, target_files=2, zorder=("k", "v")) > 0
+
+
+def test_position_deletes_survive_table_relocation(spark, tmp_path):
+    """Regression: the stored position-delete identity must be truly
+    table-relative - the old fixed-length URI substring kept stray
+    scheme characters, so pending deletes stopped applying whenever
+    the table's abspath length changed (the docstring's relocation
+    claim)."""
+    import shutil as _sh
+
+    from iceberg_daq_spark.tablestore import MergeTable
+
+    src = str(tmp_path / "t")
+    t = MergeTable(src, key_cols=("k",))
+    t.overwrite(
+        spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "k int, v int")
+    )
+    t.delete_where(spark, "k = 2", mode="merge-on-read", form="position")
+    assert sorted(r["k"] for r in t.read(spark).collect()) == [1, 3]
+    # relocate to a DIFFERENT-LENGTH path and reopen
+    dst = str(tmp_path / "relocated_much_longer_name" / "t2")
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    _sh.move(src, dst)
+    t2 = MergeTable(dst, key_cols=("k",))
+    assert sorted(r["k"] for r in t2.read(spark).collect()) == [1, 3]
+
+
+def test_ancestors_stop_at_expired_manifest(tmp_path, spark):
+    """Regression: _ancestors must STOP at a missing (expired)
+    manifest instead of falling back to v-1, which could walk into a
+    numerically-adjacent version of another branch's history."""
+    from iceberg_daq_spark.tablestore import MergeTable
+
+    t = MergeTable(str(tmp_path / "t"), key_cols=("k",), keep_versions=100)
+    for i in range(4):
+        t.merge(spark.createDataFrame([(i, i)], "k int, v int"))
+    head = t.current_version()
+    chain = t._ancestors(head, 10)
+    assert len(chain) == 4
+    # simulate expiry of a mid-chain manifest
+    victim = chain[2]
+    os.remove(t._manifest_path(victim))
+    truncated = t._ancestors(head, 10)
+    assert truncated == chain[:2], (truncated, chain)
