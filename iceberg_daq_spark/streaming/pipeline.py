@@ -77,12 +77,25 @@ _td_state_schema = T.StructType(
 )
 
 
-def _merge_td_func(max_gap_ticks: int, flush_horizon_ticks: int):
+def _merge_td_func(
+    max_gap_ticks: int,
+    flush_horizon_ticks: int,
+    max_td_ticks: int = MLT_MAX_TD_TICKS,
+):
     """State machine per src_id: extend the open decision while TAs
     overlap (within gap), emit it when a gap appears or the max-TD-length
     cap is hit (A27); the open decision flushes when the event-time
     watermark passes its end + flush horizon (no TA can extend it any
-    more - the deterministic analog of the mlt buffer timeout)."""
+    more - the deterministic analog of the mlt buffer timeout).
+
+    Cross-batch disorder: rows are sorted per micro-batch, so an
+    in-watermark straggler TA can only arrive relative to the OPEN
+    island.  One that still belongs to it (within gap of either end)
+    extends it - including DOWNWARD (min start), matching the batch
+    merge while the island is unemitted.  One entirely before the open
+    island belongs to an ALREADY-EMITTED decision: append mode cannot
+    retract, so it is dropped rather than corrupting the open island
+    (flush_tail's batch complement is the documented repair)."""
 
     def fn(
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -107,10 +120,14 @@ def _merge_td_func(max_gap_ticks: int, flush_horizon_ticks: int):
         for r in rows.itertuples(index=False):
             if cur is None:
                 cur = [r.first_tick, r.last_tick, r.n_tps, 1]
+            elif r.last_tick < cur[0] - max_gap_ticks:
+                continue  # straggler for an emitted decision: drop
             elif (
                 r.first_tick <= cur[1] + max_gap_ticks
-                and r.last_tick - cur[0] <= MLT_MAX_TD_TICKS
+                and max(cur[1], r.last_tick) - min(cur[0], r.first_tick)
+                <= max_td_ticks
             ):
+                cur[0] = min(cur[0], r.first_tick)
                 cur[1] = max(cur[1], r.last_tick)
                 cur[2] += r.n_tps
                 cur[3] += 1
@@ -137,6 +154,7 @@ def merge_decisions_stream(
     window_ticks: int = plan.TA_WINDOW_TICKS,
     watermark: str = WATERMARK,
     time_col: str = "window_end",
+    max_td_ticks: int = MLT_MAX_TD_TICKS,
 ) -> DataFrame:
     """Streaming trigger-decision merge: applyInPandasWithState keyed
     by src_id with an EVENT-time timeout.
@@ -156,7 +174,9 @@ def merge_decisions_stream(
         tas.withWatermark(time_col, watermark)
         .groupBy("src_id")
         .applyInPandasWithState(
-            _merge_td_func(max_gap_ticks, max_gap_ticks + window_ticks),
+            _merge_td_func(
+                max_gap_ticks, max_gap_ticks + window_ticks, max_td_ticks
+            ),
             outputStructType=_td_out_schema,
             stateStructType=_td_state_schema,
             outputMode="append",
@@ -247,12 +267,22 @@ def run_to_parquet(
         .option("checkpointLocation", checkpoint_dir)
         .foreachBatch(write_batch)
     )
-    q = writer.trigger(availableNow=True).start() if available_now else writer.start()
-    q.awaitTermination()
-    return q
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()  # bounded drain: returns when caught up
+        return q
+    # continuous trigger: the query is unbounded - awaiting here would
+    # block the caller forever with the handle unreachable; hand the
+    # live query back (caller stops/awaits it)
+    return writer.start()
 
 
-def flush_tail(out_dir: str, batch_twin: DataFrame, key_cols: list[str]) -> int:
+def flush_tail(
+    out_dir: str,
+    batch_twin: DataFrame,
+    key_cols: list[str],
+    strict: bool = False,
+) -> int:
     """Emit the residual state an availableNow drain leaves behind.
 
     Append-mode windowed aggregations and event-time-timeout state
@@ -263,7 +293,14 @@ def flush_tail(out_dir: str, batch_twin: DataFrame, key_cols: list[str]) -> int:
     (plan.py is shared), the missing rows are exactly the batch twin's
     rows whose keys the stream never wrote.  This computes that
     left-anti complement and lands it as the ``batch_id=-1`` partition
-    of the same sink, so run outputs equal the batch plan end to end.
+    of the same sink, so run outputs equal the batch plan end to end
+    PROVIDED the replay was in-watermark lossless: a key the stream
+    wrote with watermark-dropped late data keeps its streamed value
+    (the complement is key-granular; it repairs MISSING keys, not
+    diverged ones).  ``strict=True`` additionally full-row-compares
+    the intersecting keys against the batch twin and raises if any
+    streamed row diverged - the assertion to run when the replay is
+    supposed to be lossless.
 
     Returns the number of tail rows flushed.  One bounded batch job per
     run stop - the "final batch merge over the unflushed tail" shape,
@@ -281,10 +318,23 @@ def flush_tail(out_dir: str, batch_twin: DataFrame, key_cols: list[str]) -> int:
         if not p.endswith("batch_id=-1")
     )
     if parts:
-        streamed = (
-            spark.read.option("basePath", out_dir).parquet(*parts).select(*key_cols)
-        )
+        streamed_full = spark.read.option("basePath", out_dir).parquet(*parts)
+        streamed = streamed_full.select(*key_cols)
         tail = batch_twin.join(streamed, key_cols, "left_anti")
+        if strict:
+            cols = [c for c in batch_twin.columns]
+            diverged = (
+                streamed_full.select(*cols)
+                .join(batch_twin, key_cols, "left_semi")
+                .exceptAll(batch_twin)
+                .count()
+            )
+            if diverged:
+                raise ValueError(
+                    f"flush_tail(strict): {diverged} streamed row(s) "
+                    "diverge from the batch twin - the replay was not "
+                    "in-watermark lossless"
+                )
     else:
         tail = batch_twin
     tail.write.mode("overwrite").parquet(os.path.join(out_dir, "batch_id=-1"))

@@ -111,6 +111,21 @@ def decode_hits(
             )
             offsets = np.frombuffer(pay.buffers()[1], dtype=off_dtype)
             lo, hi = offsets[pay.offset], offsets[pay.offset + n]
+            # the zero-copy reshape assumes every payload is present
+            # and identically sized; a NULL or short payload would
+            # either crash the reshape or - if widths happen to offset -
+            # silently shift every later frame's samples to the wrong
+            # channels.  Guard loudly (numpy-cheap, once per batch).
+            if pay.null_count:
+                raise ValueError(
+                    f"decode_hits: {pay.null_count} NULL payload(s) in batch"
+                )
+            widths = np.diff(offsets[pay.offset : pay.offset + n + 1])
+            if n and widths.min() != widths.max():
+                raise ValueError(
+                    "decode_hits: variable payload widths "
+                    f"[{widths.min()}, {widths.max()}] - frame format violated"
+                )
             adc = np.frombuffer(
                 pay.buffers()[2], dtype=">u2", count=(hi - lo) // 2, offset=lo
             ).reshape(n, -1)
@@ -156,7 +171,16 @@ def ta_windows(hits: DataFrame, window_ticks: int = TA_WINDOW_TICKS) -> DataFram
     threshold.  Window key is tick-exact (window_start_ticks =
     floor(ts_ticks / W) * W); the timestamp twin is carried for
     streaming watermarks."""
-    win_us = int(window_ticks / 62.5)
+    # lossless tick->microsecond conversion only (62.5 ticks/us): a
+    # truncated window length would silently desynchronize the time
+    # windows from the tick-exact semantics AND understate the flush
+    # horizon merge_decisions_stream derives from window_ticks
+    if (window_ticks * 2) % 125:
+        raise ValueError(
+            f"window_ticks={window_ticks} is not a whole number of "
+            "microseconds (must be a multiple of 62.5 ticks)"
+        )
+    win_us = (window_ticks * 2) // 125
     w = F.window("ts", f"{win_us} microseconds")
     return (
         hits.groupBy(F.col("src_id"), w.alias("w"))

@@ -652,3 +652,115 @@ def test_streaming_jsonl_ingest_quarantine_merge(spark, tmp_path):
     assert docs[2] in ("beta", "beta-redelivered")  # one row, either version
     q = sorted(r["raw_line"] for r in spark.read.parquet(str(tmp_path / "quar")).collect())
     assert q == sorted(["{broken line", '"just a string"'])
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving _merge_td_func
+    directly: just the attributes/methods the state fn touches."""
+
+    def __init__(self, value=None, watermark_ms=0):
+        self._v = value
+        self.hasTimedOut = False
+        self._wm = watermark_ms
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_set = ms
+
+    def getCurrentWatermarkMs(self):
+        return self._wm
+
+
+def _drive_merge(fn, state, rows):
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["first_tick", "last_tick", "n_tps"])
+    return [
+        r
+        for out in fn((7,), iter([pdf]), state)
+        for r in out.to_dict("records")
+    ]
+
+
+def test_merge_td_cross_batch_straggler_semantics():
+    """Regression: an in-watermark straggler TA (a) extends the OPEN
+    island downward when it belongs to it (batch parity while
+    unemitted), and (b) is DROPPED - never merged or island-split -
+    when it precedes the open island by more than the gap (it belongs
+    to an already-emitted decision)."""
+    from iceberg_daq_spark.streaming.pipeline import _merge_td_func
+
+    fn = _merge_td_func(max_gap_ticks=100, flush_horizon_ticks=200)
+    # batch 1: open island [1000, 1100]
+    st = _FakeState()
+    out = _drive_merge(fn, st, [(1000, 1100, 5)])
+    assert out == [] and st.get == (1000, 1100, 5, 1)
+    # batch 2a: straggler overlapping the open island's start-side gap
+    # -> downward extension, batch-equivalent while unemitted
+    out = _drive_merge(fn, st, [(950, 990, 2)])
+    assert out == [] and st.get == (950, 1100, 7, 2)
+    # batch 2b: straggler entirely before (island - gap) -> dropped,
+    # the open island is untouched and NOT prematurely emitted
+    out = _drive_merge(fn, st, [(100, 200, 9)])
+    assert out == [] and st.get == (950, 1100, 7, 2)
+
+
+def test_merge_td_cap_parameter_threads():
+    """Regression: the max-TD-length cap is a parameter (it was a
+    hardcoded constant the batch twin could diverge from)."""
+    from iceberg_daq_spark.streaming.pipeline import _merge_td_func
+
+    fn = _merge_td_func(max_gap_ticks=100, flush_horizon_ticks=200, max_td_ticks=500)
+    st = _FakeState()
+    # second TA is within gap but would stretch the island past the cap
+    out = _drive_merge(fn, st, [(0, 400, 1), (450, 600, 1)])
+    assert [(r["td_start_tick"], r["td_end_tick"]) for r in out] == [(0, 400)]
+    assert st.get == (450, 600, 1, 1)
+
+
+def test_ta_windows_rejects_lossy_tick_conversion(spark):
+    """Regression: a window_ticks that is not a whole number of
+    microseconds silently truncated the time window (int(100/62.5) =
+    1 us for a 1.6 us window); it must gate loudly."""
+    from iceberg_daq_spark.streaming import plan
+
+    hits = spark.createDataFrame(
+        [(0, 1, 10, 100)], "src_id int, channel int, adc int, ts_ticks long"
+    ).withColumn("ts", F.timestamp_micros((F.col("ts_ticks") / 62.5).cast("long")))
+    with pytest.raises(ValueError, match="62.5"):
+        plan.ta_windows(hits, window_ticks=100)
+
+
+def test_flush_tail_strict_detects_divergence(spark, tmp_path):
+    """Regression: flush_tail's key-granular complement silently kept
+    streamed rows that diverged from the batch twin; strict=True must
+    surface them (and default stays repair-only)."""
+    import os
+
+    from iceberg_daq_spark.streaming.pipeline import flush_tail
+
+    out = str(tmp_path / "sink")
+    streamed = spark.createDataFrame([(1, 10), (2, 99)], "k int, v int")
+    streamed.write.parquet(os.path.join(out, "batch_id=0"))
+    batch_twin = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "k int, v int"
+    )
+    # default: repairs the missing key only, diverged k=2 kept as-is
+    n = flush_tail(out, batch_twin, ["k"])
+    assert n == 1
+    with pytest.raises(ValueError, match="diverge"):
+        flush_tail(out, batch_twin, ["k"], strict=True)
