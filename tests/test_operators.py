@@ -430,6 +430,53 @@ def test_connected_components_valve_branches_agree(spark):
     assert via_driver == via_spark and len(via_driver) == 41
 
 
+def test_connected_components_driver_random_parity(spark):
+    """The numpy star-contraction driver branch vs a reference
+    union-find on seeded random graphs, including the clone-family
+    geometry the 10x stress corpus produces (dense near-cliques with
+    id offsets) plus self-loops and duplicate edges."""
+    import numpy as np
+
+    rng = np.random.default_rng(1234)
+    cases = []
+    for _ in range(4):  # sparse random
+        n, m = int(rng.integers(5, 300)), int(rng.integers(4, 900))
+        u = rng.integers(0, n, m) * 11 + 5
+        v = rng.integers(0, n, m) * 11 + 5
+        cases.append((u.astype("int64"), v.astype("int64")))
+    fam = rng.integers(0, 120, 2500).astype("int64") * 10_000_019
+    cases.append((fam + rng.integers(0, 9, 2500), fam + rng.integers(0, 9, 2500)))
+    for eu, ev in cases:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in zip(eu.tolist(), ev.tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        want = {
+            n: find(n) for n in set(eu.tolist()) | set(ev.tolist())
+        }
+        pairs = spark.createDataFrame(
+            list(zip(eu.tolist(), ev.tolist())), "doc_a long, doc_b long"
+        )
+        got = {
+            r["node"]: r["component"]
+            for r in dedup.connected_components(pairs).collect()
+        }
+        assert dedup.connected_components.last_rounds == 0  # driver valve
+        assert got == want
+
+
 def test_multimodal_image_roundtrip(spark, sf_dir):
     """q51's decode path vs the closed form: pixel i of doc d is
     (d*31 + i*7) % 251, so mean/max/min are computable exactly in
