@@ -11,10 +11,12 @@ causal-flavored credit; shares normalize over channels.
 
 The engineering trick: all five scenarios (baseline + 4 removals)
 run in ONE iteration chain - the transition matrix carries an `excl`
-scenario column and every Neumann step is a join-agg grouped by
-(excl, state), so adding scenarios widens a metadata-sized table
-instead of multiplying passes.  Same determinism discipline as q231:
-micro-unit quantization after every matrix-vector product.
+scenario column, so adding scenarios widens a metadata-sized table
+instead of multiplying passes; the chain itself iterates on the
+driver over the collected (scenarios x states) integer object
+(bounded by schema cardinality, never rows).  Same determinism
+discipline as q231: micro-unit quantization after every
+matrix-vector product.
 """
 
 from __future__ import annotations
@@ -129,8 +131,10 @@ def q236(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: one window pass to per-user ordered journeys, one
     partial agg to the <=7x7 transition matrix; everything after -
-    scenarios included - is metadata-sized joins.  Shares divide by
-    the window-sum over the 4 fixed channel rows (order-stable)."""
+    scenarios included - is a (scenarios x states) integer object
+    bounded by schema cardinality that iterates on the driver.
+    Shares divide by the window-sum over the 4 fixed channel rows
+    (order-stable)."""
     e = load(spark, sf_dir, "events")
     word = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ordd = e.select(
@@ -207,32 +211,39 @@ def q236(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("i") != F.col("excl")) & (F.col("j") != F.col("excl")))
         .select("excl", "i", "j", "v")
     )
-    v = sc.select("excl", "i", F.col("r_u").cast("bigint").alias("v"))
+    # The {_TERMS}-round iteration runs ON THE DRIVER over the collected
+    # scenario tables: they are bounded by (scenarios x event-type
+    # states) - schema cardinality, never rows - so at ANY data scale
+    # this is a <=5x7 integer object, and iterating it as Spark joins
+    # only buys ~24 stages of scheduler overhead (measured ~3 s of
+    # q236's wall at sf0.1).  The distributed part ends at `trans`
+    # (the one pass over events).  Integer arithmetic mirrors the
+    # engine/oracle chain exactly: round(s/SCALE) on non-negative
+    # bigint sums == (s + SCALE//2) // SCALE (sums stay < 2^53, so the
+    # engines' double division is exact too).
+    from collections import defaultdict
+
+    r_u = {(r["excl"], r["i"]): r["r_u"] for r in sc.collect()}
+    q_by = defaultdict(list)
+    for r in qe.collect():
+        q_by[(r["excl"], r["i"])].append((r["j"], r["v"]))
+    v_cur = dict(r_u)
     for _ in range(_TERMS):
-        prod = (
-            qe.alias("q")
-            .join(
-                v.alias("p"),
-                (F.col("p.excl") == F.col("q.excl"))
-                & (F.col("p.i") == F.col("q.j")),
-            )
-            .groupBy(F.col("q.excl").alias("excl"), F.col("q.i").alias("i"))
-            .agg(
-                F.round(F.sum(F.col("q.v") * F.col("p.v")) / _SCALE)
-                .cast("bigint")
-                .alias("qv")
-            )
-        )
-        v = (
-            sc.join(prod, ["excl", "i"], "left")
-            .select(
-                "excl",
-                "i",
-                (F.col("r_u") + F.coalesce("qv", F.lit(0)))
-                .cast("bigint")
-                .alias("v"),
-            )
-        )
+        nxt = {}
+        for key, ru in r_u.items():
+            s = 0
+            hit = False
+            for j, qv in q_by.get(key, ()):
+                pv = v_cur.get((key[0], j))
+                if pv is not None:
+                    s += qv * pv
+                    hit = True
+            nxt[key] = ru + ((s + _SCALE // 2) // _SCALE if hit else 0)
+        v_cur = nxt
+    v = spark.createDataFrame(
+        [(e, i, int(val)) for (e, i), val in sorted(v_cur.items())],
+        "excl string, i string, v bigint",
+    )
     pconv = v.filter(F.col("i") == "START").select(
         "excl", (F.col("v") / float(_SCALE)).alias("p")
     )

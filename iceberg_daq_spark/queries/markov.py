@@ -10,11 +10,13 @@ verifies the same 8-term series, not an engine's matrix inverse).
 
 The 100 TB shape this demonstrates: ITERATIVE LINEAR ALGEBRA WITH
 METADATA-SIZED STATE.  One full-data pass reduces the stream to the
-|types|^2 transition matrix; every subsequent multiply is a join-agg
-over <= 16-row tables that would broadcast at any corpus size.  Each
-matrix product re-quantizes entries to micro-units (round after
-multiply), so both engines iterate through IDENTICAL integer
-matrices - float drift cannot accumulate across rounds.
+|types|^2 transition matrix; the 8 chained multiplies then run on the
+driver over that <=16x16 integer object (bounded by schema
+cardinality, never rows - iterating it as Spark joins would only buy
+deep-plan scheduler overhead at any corpus size).  Each matrix
+product re-quantizes entries to micro-units (round after multiply),
+so both engines iterate through IDENTICAL integer matrices - float
+drift cannot accumulate across rounds.
 """
 
 from __future__ import annotations
@@ -98,8 +100,8 @@ def q231(spark: SparkSession, sf_dir: str) -> DataFrame:
     One window pass builds per-user consecutive transitions; the
     transition matrix quantizes to micro-units and every one of the 8
     chained matrix products re-rounds, so the series is an exact
-    integer object on both engines.  All post-reduction tables are
-    <= 16 rows."""
+    integer object on both engines.  All post-reduction state is
+    <= 16x16 and iterates on the driver."""
     e = load(spark, sf_dir, "events")
     from pyspark.sql.window import Window
 
@@ -126,28 +128,42 @@ def q231(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
-    ident = q.select("i").distinct().select(
-        "i", F.col("i").alias("j"), F.lit(_SCALE).cast("bigint").alias("v")
-    )
-    powers = [q]
-    for _ in range(2, _TERMS + 1):
-        prev = powers[-1]
-        nxt = (
-            prev.alias("a")
-            .join(F.broadcast(q.alias("b")), F.col("a.j") == F.col("b.i"))
-            .groupBy(F.col("a.i").alias("i"), F.col("b.j").alias("j"))
-            .agg(
-                F.round(
-                    F.sum(F.col("a.v").cast("double") * F.col("b.v")) / _SCALE
-                )
-                .cast("bigint")
-                .alias("v")
-            )
+    # The 8 chained matrix powers run ON THE DRIVER over the collected
+    # transient block: it is bounded by |event types|^2 - schema
+    # cardinality, never rows - so at ANY data scale this is a <=16x16
+    # integer object, and chaining it as Spark join-aggs only buys
+    # deep-plan scheduler overhead.  The distributed part ends at `q`
+    # (the one window+agg pass over events).  The dict product mirrors
+    # the join-agg EXACTLY, including zero-valued structural entries
+    # (a group exists iff some a.j == b.i match fired) - those rows
+    # count toward n_reachable; round(s/SCALE) on the non-negative
+    # bigint sum == (s + SCALE//2) // SCALE (sums < 2^53, so the
+    # engines' double division is exact too).
+    from collections import defaultdict
+
+    p1 = {(r["i"], r["j"]): r["v"] for r in q.collect()}
+    q_by_i = defaultdict(list)
+    for (i, j), v in p1.items():
+        q_by_i[i].append((j, v))
+    series_rows = [
+        (i, i, _SCALE) for i in sorted({i for i, _ in p1})
+    ]  # ident
+    cur = p1
+    for term in range(1, _TERMS + 1):
+        if term > 1:
+            acc: dict = defaultdict(int)
+            for (ai, aj), av in cur.items():
+                for bj, bv in q_by_i.get(aj, ()):
+                    acc[(ai, bj)] += av * bv
+            cur = {
+                k: (s + _SCALE // 2) // _SCALE for k, s in acc.items()
+            }
+        series_rows.extend(
+            (i, j, int(v)) for (i, j), v in sorted(cur.items())
         )
-        powers.append(nxt)
-    series = ident
-    for p in powers:
-        series = series.unionByName(p)
+    series = spark.createDataFrame(
+        series_rows, "i string, j string, v bigint"
+    )
     return (
         series.groupBy(F.col("i").alias("event_type"))
         .agg(

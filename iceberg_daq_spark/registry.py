@@ -98,6 +98,19 @@ _RECHECK: list[str] = [
     # and the _ROWSONLY_REFRESH quota's stalest-first order would not
     # reach an r9 row this round (round-12 verdict #3 names q97).
     "q97_sim_ann_pq",
+    # r13: connected_components' driver branch became numpy star
+    # contraction with a memory-sized edge cap (was dict union-find at
+    # 200k); q239 and q57 are the oracle-backed consumers whose
+    # closure path changed (q239 also had its pair stage factored out
+    # as survivorship.match_pairs) - driver re-confirmation owed.
+    "q239_survivorship",
+    "q57_dedup_components",
+    # r13: the q231/q236 Neumann chains moved from deep Spark join-agg
+    # plans to driver-side integer iteration over the collected
+    # schema-bounded matrices (oracles unchanged) - re-confirmation
+    # owed.
+    "q231_absorbing_markov",
+    "q236_markov_attribution",
 ]
 
 # Rows-only queries (oracle=None) sort last in the rotation, so once
