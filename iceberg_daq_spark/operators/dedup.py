@@ -736,6 +736,11 @@ def connected_components(
                 lab = nxt
             keep = lab[cu] != lab[cv]  # contract: settled edges leave
             cu, cv = cu[keep], cv[keep]
+        if len(cu):  # guard must be loud: partial contraction would
+            raise RuntimeError(  # silently split dedup groups
+                f"connected_components driver closure did not converge "
+                f"in {rounds} rounds ({len(cu)} live edges)"
+            )
         out = pd.DataFrame({"node": uniq, "component": uniq[lab]})
         connected_components.last_rounds = 0
         spark = pairs.sparkSession

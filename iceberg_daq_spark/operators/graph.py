@@ -51,19 +51,23 @@ def pagerank(
     # round, which at 10x edges was the dominant stress-bench term),
     # so all `iterations` joins reuse the single edge shuffle.
     ed = edges.join(deg, "src").repartition("src").persist()
-    base = (1.0 - damping) / n_nodes
-    ranks = nodes.select("id", F.lit(1.0 / n_nodes).alias("rank"))
-    for _ in range(iterations):
-        # localCheckpoint keeps the plan flat across rounds; the
-        # node-sized tables (ranks in, nodes in the dangling left
-        # join, contributions out) are the only per-round exchanges -
-        # all one row per node, the SMALL class next to the edge
-        # table, so re-exchanging them is linear while pinning them
-        # (measured) only adds cache-write fixed cost
-        ranks = _round(ranks, ed, nodes, base, damping).localCheckpoint()
-    # ranks is materialized by the final localCheckpoint - the cached
-    # edge table can be dropped without recompute risk
-    ed.unpersist()
+    try:
+        base = (1.0 - damping) / n_nodes
+        ranks = nodes.select("id", F.lit(1.0 / n_nodes).alias("rank"))
+        for _ in range(iterations):
+            # localCheckpoint keeps the plan flat across rounds; the
+            # node-sized tables (ranks in, nodes in the dangling left
+            # join, contributions out) are the only per-round exchanges -
+            # all one row per node, the SMALL class next to the edge
+            # table, so re-exchanging them is linear while pinning them
+            # (measured) only adds cache-write fixed cost
+            ranks = _round(ranks, ed, nodes, base, damping).localCheckpoint()
+    finally:
+        # ranks is materialized by the final localCheckpoint - the
+        # cached edge table can be dropped without recompute risk; the
+        # finally keeps a mid-iteration failure from pinning the
+        # largest object in the job for the session lifetime
+        ed.unpersist()
     return ranks
 
 

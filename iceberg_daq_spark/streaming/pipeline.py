@@ -88,14 +88,21 @@ def _merge_td_func(
     watermark passes its end + flush horizon (no TA can extend it any
     more - the deterministic analog of the mlt buffer timeout).
 
-    Cross-batch disorder: rows are sorted per micro-batch, so an
-    in-watermark straggler TA can only arrive relative to the OPEN
-    island.  One that still belongs to it (within gap of either end)
-    extends it - including DOWNWARD (min start), matching the batch
-    merge while the island is unemitted.  One entirely before the open
-    island belongs to an ALREADY-EMITTED decision: append mode cannot
-    retract, so it is dropped rather than corrupting the open island
-    (flush_tail's batch complement is the documented repair)."""
+    Cross-batch disorder: the batch's TAs and the OPEN island from
+    state fold together in ONE globally-sorted gaps-and-islands pass
+    (the open island participates at its sorted position, exactly
+    where the batch-twin fold would have its running island), so a
+    group of stragglers that only CONNECTS to the open island through
+    each other still merges - a row-by-row test against the island
+    would drop the early rows of the group before the connecting row
+    arrived (found in review).  Islands that complete entirely BEFORE
+    the fold reaches the open island belong to ALREADY-EMITTED
+    decisions: append mode cannot retract, so they are dropped rather
+    than emitted as overlapping fragments (flush_tail's batch
+    complement is the documented repair).  The max-TD cap is applied
+    inside the same fold, mirroring the batch twin's split points
+    (the cap makes merging non-associative, so folding the batch
+    separately first would diverge)."""
 
     def fn(
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -111,33 +118,49 @@ def _merge_td_func(
             return
 
         rows = pd.concat(list(pdfs), ignore_index=True)
-        rows = rows.sort_values(["first_tick", "last_tick"])
+        # items: (first, last, n_tps, n_tas, holds_state); the open
+        # island from state is one item folded at its sorted position
+        items = [
+            (r.first_tick, r.last_tick, r.n_tps, 1, False)
+            for r in rows.itertuples(index=False)
+        ]
+        had_state = state.exists
+        if had_state:
+            s, e, n_tps, n_tas = state.get
+            items.append((s, e, n_tps, n_tas, True))
+        items.sort(key=lambda t: (t[0], t[1]))
         out = []
-        if state.exists:
-            cur = list(state.get)
-        else:
-            cur = None
-        for r in rows.itertuples(index=False):
+        cur = None  # [first, last, n_tps, n_tas, holds_state]
+        seen_state = not had_state  # no state -> nothing to drop
+        for first, last, tps, tas, is_state in items:
             if cur is None:
-                cur = [r.first_tick, r.last_tick, r.n_tps, 1]
-            elif r.last_tick < cur[0] - max_gap_ticks:
-                continue  # straggler for an emitted decision: drop
+                cur = [first, last, tps, tas, is_state]
             elif (
-                r.first_tick <= cur[1] + max_gap_ticks
-                and max(cur[1], r.last_tick) - min(cur[0], r.first_tick)
-                <= max_td_ticks
+                first <= cur[1] + max_gap_ticks
+                and max(cur[1], last) - min(cur[0], first) <= max_td_ticks
             ):
-                cur[0] = min(cur[0], r.first_tick)
-                cur[1] = max(cur[1], r.last_tick)
-                cur[2] += r.n_tps
-                cur[3] += 1
+                cur[0] = min(cur[0], first)
+                cur[1] = max(cur[1], last)
+                cur[2] += tps
+                cur[3] += tas
+                cur[4] = cur[4] or is_state
             else:
-                out.append(
-                    {"src_id": src_id, "td_start_tick": cur[0], "td_end_tick": cur[1], "n_tps": cur[2], "n_tas": cur[3]}
-                )
-                cur = [r.first_tick, r.last_tick, r.n_tps, 1]
+                if cur[4] or seen_state:
+                    # the open island just closed, or a later island
+                    # did: emit.  (Pre-state islands fall through to
+                    # the drop below.)
+                    seen_state = True
+                    out.append(
+                        {"src_id": src_id, "td_start_tick": cur[0], "td_end_tick": cur[1], "n_tps": cur[2], "n_tas": cur[3]}
+                    )
+                # else: island completed before the open island -
+                # straggler fragment of an emitted decision: drop
+                cur = [first, last, tps, tas, is_state]
         if cur is not None:
-            state.update(tuple(cur))
+            # the final island is always the new open decision: the
+            # state item is consumed by the fold, so it either sits in
+            # cur (cur[4]) or closed earlier and was emitted
+            state.update(tuple(cur[:4]))
             # flush once the watermark proves no TA can extend this
             # decision; ticks are epoch-based (T0_TICKS), /62500 -> ms
             timeout_ms = (cur[1] + flush_horizon_ticks) // 62_500 + 1
@@ -298,9 +321,11 @@ def flush_tail(
     wrote with watermark-dropped late data keeps its streamed value
     (the complement is key-granular; it repairs MISSING keys, not
     diverged ones).  ``strict=True`` additionally full-row-compares
-    the intersecting keys against the batch twin and raises if any
-    streamed row diverged - the assertion to run when the replay is
-    supposed to be lossless.
+    EVERY streamed row against the batch twin (multiset semantics) and
+    raises if any streamed row is absent from it - value divergence,
+    phantom/shifted keys the twin never produced, and double emission
+    all fail - the assertion to run when the replay is supposed to be
+    lossless.
 
     Returns the number of tail rows flushed.  One bounded batch job per
     run stop - the "final batch merge over the unflushed tail" shape,
@@ -322,12 +347,12 @@ def flush_tail(
         streamed = streamed_full.select(*key_cols)
         tail = batch_twin.join(streamed, key_cols, "left_anti")
         if strict:
+            # every streamed row must appear in the twin (multiset):
+            # a key-intersected compare would let phantom keys the
+            # twin never produced pass the "lossless" assertion
             cols = [c for c in batch_twin.columns]
             diverged = (
-                streamed_full.select(*cols)
-                .join(batch_twin, key_cols, "left_semi")
-                .exceptAll(batch_twin)
-                .count()
+                streamed_full.select(*cols).exceptAll(batch_twin).count()
             )
             if diverged:
                 raise ValueError(

@@ -157,13 +157,19 @@ def _zorder_layout(df: DataFrame, cols: list[str], target_files: int) -> DataFra
     # the rank is a quantile bucket over cast('double'): anything that
     # casts to NULL (strings, binary, ...) would silently rank every
     # row 0 and collapse the range shuffle to ONE partition - gate
-    # loudly instead (the docstring's numeric/timestamp contract)
-    _ok = ("byte", "short", "int", "bigint", "float", "double", "decimal",
-           "date", "timestamp")
+    # loudly instead (the docstring's numeric/timestamp contract).
+    # isinstance, not simpleString prefixes: 'interval day to second'
+    # startswith 'int' and would sneak past a prefix tuple.
+    from pyspark.sql.types import DateType, NumericType, TimestampNTZType, TimestampType
+
     bad = [
         f"{f.name}:{f.dataType.simpleString()}"
         for f in df.schema.fields
-        if f.name in cols and not f.dataType.simpleString().startswith(_ok)
+        if f.name in cols
+        and not isinstance(
+            f.dataType,
+            (NumericType, DateType, TimestampType, TimestampNTZType),
+        )
     ]
     if bad:
         raise ValueError(
@@ -2974,9 +2980,14 @@ def run_stream_to_table(
         .option("checkpointLocation", checkpoint_dir)
         .foreachBatch(upsert)
     )
-    q = writer.trigger(availableNow=True).start() if available_now else writer.start()
-    q.awaitTermination()
-    return q
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()  # bounded drain: returns when caught up
+        return q
+    # continuous trigger: the query is unbounded - awaiting here would
+    # block the caller forever with the handle unreachable; hand the
+    # live query back (caller stops/awaits it)
+    return writer.start()
 
 
 def apply_changes_stream(
@@ -3043,6 +3054,11 @@ def apply_changes_stream(
         .option("checkpointLocation", checkpoint_dir)
         .foreachBatch(apply_batch)
     )
-    q = writer.trigger(availableNow=True).start() if available_now else writer.start()
-    q.awaitTermination()
-    return q
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()  # bounded drain: returns when caught up
+        return q
+    # continuous trigger: the query is unbounded - awaiting here would
+    # block the caller forever with the handle unreachable; hand the
+    # live query back (caller stops/awaits it)
+    return writer.start()

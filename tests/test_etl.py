@@ -137,6 +137,38 @@ def test_stream_sink_merge_idempotent(spark, tmp_path):
     assert out.agg(F.sum("v")).collect()[0][0] == sum(2 * i for i in range(100))
 
 
+def test_stream_sink_continuous_trigger_returns_live_query(spark, tmp_path):
+    """Regression (review): with available_now=False the query is
+    unbounded, so run_stream_to_table must hand the live handle back
+    instead of awaitTermination()-blocking the caller forever; the
+    caller drains and stops it."""
+    import time
+
+    from iceberg_daq_spark.tablestore import run_stream_to_table
+
+    src = str(tmp_path / "src")
+    spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    ).write.parquet(src)
+    t = MergeTable(str(tmp_path / "sink"), key_cols=("k",))
+    stream = spark.readStream.schema("k long, v long").parquet(src)
+    q = run_stream_to_table(
+        stream, t, str(tmp_path / "ckpt"), available_now=False
+    )
+    try:
+        # returning at all IS the regression assertion; then prove the
+        # handle is live and the sink fills
+        assert q.isActive
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if t.current_version() is not None and t.read(spark).count() == 10:
+                break
+            time.sleep(0.5)
+        assert t.read(spark).count() == 10
+    finally:
+        q.stop()
+
+
 def test_merge_table_time_travel_and_compaction(spark, tmp_path):
     """Snapshot reads (VERSION AS OF analog) within the retention
     window; compaction rewrites the layout without changing contents."""

@@ -719,6 +719,52 @@ def test_merge_td_cross_batch_straggler_semantics():
     assert out == [] and st.get == (950, 1100, 7, 2)
 
 
+def test_merge_td_straggler_group_reconnects_open_island():
+    """Regression (review): stragglers that connect to the open island
+    only THROUGH EACH OTHER must merge - a row-by-row test against the
+    island dropped (700,750) before the bridging (740,950) arrived,
+    emitting a shifted island with lost counts."""
+    from iceberg_daq_spark.streaming.pipeline import _merge_td_func
+
+    fn = _merge_td_func(max_gap_ticks=100, flush_horizon_ticks=200)
+    st = _FakeState(value=(1000, 1100, 5, 1))
+    out = _drive_merge(fn, st, [(700, 750, 2), (740, 950, 3)])
+    assert out == []  # the island is still open (nothing emitted)
+    assert st.get == (700, 1100, 10, 3)  # = the batch twin's island
+
+
+def test_merge_td_pre_island_group_drops_whole():
+    """Stragglers that merge with each other but stay before the open
+    island belong to an already-emitted decision: the GROUP is dropped
+    (append mode cannot retract), never emitted as an overlapping
+    fragment, and the open island is untouched."""
+    from iceberg_daq_spark.streaming.pipeline import _merge_td_func
+
+    fn = _merge_td_func(max_gap_ticks=100, flush_horizon_ticks=200)
+    st = _FakeState(value=(1000, 1100, 5, 1))
+    out = _drive_merge(fn, st, [(100, 150, 2), (180, 220, 3)])
+    assert out == [] and st.get == (1000, 1100, 5, 1)
+
+
+def test_merge_td_cap_split_matches_batch_fold_with_state():
+    """The max-TD cap must split at the same point the batch twin's
+    global fold would: the open island folds at its sorted position,
+    so (0,100)+(150,200) merge first and the cap then splits before
+    (250,300) - folding the batch rows separately would split
+    differently (the cap makes merging non-associative)."""
+    from iceberg_daq_spark.streaming.pipeline import _merge_td_func
+
+    fn = _merge_td_func(
+        max_gap_ticks=60, flush_horizon_ticks=200, max_td_ticks=250
+    )
+    st = _FakeState(value=(0, 100, 1, 1))
+    out = _drive_merge(fn, st, [(150, 200, 1), (250, 300, 1)])
+    assert [(r["td_start_tick"], r["td_end_tick"], r["n_tps"]) for r in out] == [
+        (0, 200, 2)
+    ]
+    assert st.get == (250, 300, 1, 1)
+
+
 def test_merge_td_cap_parameter_threads():
     """Regression: the max-TD-length cap is a parameter (it was a
     hardcoded constant the batch twin could diverge from)."""
@@ -764,3 +810,22 @@ def test_flush_tail_strict_detects_divergence(spark, tmp_path):
     assert n == 1
     with pytest.raises(ValueError, match="diverge"):
         flush_tail(out, batch_twin, ["k"], strict=True)
+
+
+def test_flush_tail_strict_detects_phantom_keys(spark, tmp_path):
+    """Regression (review): a streamed key ABSENT from the batch twin
+    (e.g. a shifted island the twin never produced) passed the old
+    key-intersected strict check; the multiset compare must raise."""
+    import os
+
+    from iceberg_daq_spark.streaming.pipeline import flush_tail
+
+    out = str(tmp_path / "sink")
+    # k=9 is a phantom: value-correct rows otherwise
+    streamed = spark.createDataFrame([(1, 10), (9, 90)], "k int, v int")
+    streamed.write.parquet(os.path.join(out, "batch_id=0"))
+    batch_twin = spark.createDataFrame([(1, 10), (2, 20)], "k int, v int")
+    with pytest.raises(ValueError, match="diverge"):
+        flush_tail(out, batch_twin, ["k"], strict=True)
+    # repair-only mode still lands the missing k=2 complement
+    assert flush_tail(out, batch_twin, ["k"]) == 1

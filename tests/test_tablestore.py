@@ -1873,12 +1873,11 @@ def test_rename_column_follows_sort_and_bloom(spark, tmp_path):
     t = MergeTable(str(tmp_path / "t"), key_cols=("k",), sort_order=("ts",))
     df = spark.createDataFrame([(1, 100, 5), (2, 50, 6)], "k int, ts long, v int")
     t.overwrite(df)
-    t.set_bloom_cols("ts") if hasattr(t, "set_bloom_cols") else None
+    t.set_bloom_filters("ts")
     t.rename_column("ts", "event_ts")
     m = t._load_manifest(t.current_version())
     assert m["sort_order"] == ["event_ts"], m["sort_order"]
-    if m.get("bloom_cols"):
-        assert m["bloom_cols"] == ["event_ts"], m["bloom_cols"]
+    assert m["bloom_cols"] == ["event_ts"], m["bloom_cols"]
     # the renamed order still engages (write path finds the column)
     ups = spark.createDataFrame([(3, 75, 7)], "k int, event_ts long, v int")
     t.merge(ups)
