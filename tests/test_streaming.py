@@ -765,6 +765,69 @@ def test_merge_td_cap_split_matches_batch_fold_with_state():
     assert st.get == (250, 300, 1, 1)
 
 
+def test_merge_td_property_streamed_equals_batch_fold():
+    """Property: over random TA interval sets delivered across random
+    micro-batch boundaries (globally ordered delivery, arbitrary
+    shuffle WITHIN each batch - the in-watermark contract), streamed
+    emissions + the final open state must equal the batch twin's
+    sequential gaps-and-islands fold exactly, including max-TD cap
+    split points and n_tps/n_tas counts."""
+    import random
+
+    from iceberg_daq_spark.streaming.pipeline import _merge_td_func
+
+    def batch_fold(rows, gap, cap):
+        islands, cur = [], None
+        for f, l, t in sorted(rows, key=lambda r: (r[0], r[1])):
+            if cur is None:
+                cur = [f, l, t, 1]
+            elif f <= cur[1] + gap and max(cur[1], l) - min(cur[0], f) <= cap:
+                cur[0] = min(cur[0], f)
+                cur[1] = max(cur[1], l)
+                cur[2] += t
+                cur[3] += 1
+            else:
+                islands.append(tuple(cur))
+                cur = [f, l, t, 1]
+        if cur is not None:
+            islands.append(tuple(cur))
+        return islands
+
+    rng = random.Random(20260816)
+    for trial in range(25):
+        gap = rng.choice([1, 10, 100])
+        cap = rng.choice([50, 300, 10**9])
+        n = rng.randrange(1, 60)
+        rows, tick = [], 0
+        for _ in range(n):
+            tick += rng.randrange(0, 3 * gap + 2)
+            length = rng.randrange(0, 2 * gap + 2)
+            rows.append((tick, tick + length, rng.randrange(1, 5)))
+        want = batch_fold(rows, gap, cap)
+
+        fn = _merge_td_func(
+            max_gap_ticks=gap, flush_horizon_ticks=10, max_td_ticks=cap
+        )
+        st = _FakeState()
+        got = []
+        i = 0
+        ordered = sorted(rows, key=lambda r: (r[0], r[1]))
+        while i < len(ordered):
+            j = rng.randrange(i + 1, len(ordered) + 1)
+            batch = ordered[i:j]
+            rng.shuffle(batch)  # disorder inside the batch only
+            got.extend(
+                (r["td_start_tick"], r["td_end_tick"], r["n_tps"], r["n_tas"])
+                for r in _drive_merge(fn, st, batch)
+            )
+            i = j
+        assert st.exists, trial
+        got.append(tuple(int(x) for x in st.get))
+        assert got == [tuple(map(int, w)) for w in want], (
+            trial, gap, cap, rows,
+        )
+
+
 def test_merge_td_cap_parameter_threads():
     """Regression: the max-TD-length cap is a parameter (it was a
     hardcoded constant the batch twin could diverge from)."""
