@@ -173,15 +173,6 @@ def _exact_fold_cos(
     return dots / (nq[qi] * nc[ci])
 
 
-_TOPK_SCHEMA = T.StructType(
-    [
-        T.StructField("qid", T.LongType()),
-        T.StructField("cid", T.LongType()),
-        T.StructField("rk", T.LongType()),
-        T.StructField("cos_sim", T.DoubleType()),
-    ]
-)
-
 _RAW_SCHEMA = T.StructType(
     [
         T.StructField("qid", T.LongType()),
@@ -416,7 +407,13 @@ def _bucket_rows(emb: DataFrame, with_vec: bool = False) -> DataFrame:
     bucket) groups anyway, so emitting them here removes a whole
     vec_id join stage at the same final shuffle volume.
     """
-    dim = len(emb.select("embedding").first()["embedding"])
+    head = emb.select("embedding").first()
+    if head is None:  # empty table: every LSH entry point yields empty
+        schema = "vec_id bigint, tbl int, bucket bigint"
+        if with_vec:
+            schema += ", v array<double>"
+        return emb.sparkSession.createDataFrame([], schema)
+    dim = len(head["embedding"])
     bc_h = emb.sparkSession.sparkContext.broadcast(_hyperplane_matrix(dim))
 
     def buckets(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -462,6 +459,13 @@ def _bucket_rows(emb: DataFrame, with_vec: bool = False) -> DataFrame:
 # scale (occupancy ~31 per cell at sf0.1); load-tested by stress_bench.
 LSH_BUCKET_MAX = 1024
 
+# query-row tile for the in-cell GEMM kernels (_group_matrix_scores
+# and the PQ ADC scan): per-task matrices are (tile x occupancy)
+# instead of occupancy^2, so an unvalved IVF cell whose occupancy
+# grows ~sqrt(n) costs bounded memory at any corpus size.  At the
+# LSH valve's 1024 cap a bucket is a single tile (no extra passes).
+_SCORE_TILE = 1024
+
 
 def _group_matrix_scores(
     members: DataFrame,
@@ -471,10 +475,15 @@ def _group_matrix_scores(
     per_query_k: int | None = None,
 ) -> DataFrame:
     """Score every id-distinct pair CO-GROUPED by ``group_cols`` as
-    one normalized matrix product per group (numpy GEMM inside
+    normalized matrix products per group (numpy GEMM inside
     applyInPandas) - the approximate paths' scoring kernel, orders of
-    magnitude cheaper than per-pair folds because group occupancy is
-    already bounded by the LSH/IVF valves.
+    magnitude cheaper than per-pair folds.  The GEMM runs in QUERY-ROW
+    TILES of ``_SCORE_TILE``, so task memory is O(tile x occupancy)
+    regardless of cell size: the LSH path also has the
+    LSH_BUCKET_MAX occupancy valve, but IVF cells are unvalved (their
+    occupancy grows ~sqrt(n) by the _n_cells geometry) and the tiling
+    is what bounds them (review finding: the old full-occupancy^2
+    matrix grew linearly with corpus size).
 
     ``members``: group_cols + (vec_id, v, posted); a pair is emitted
     only if at least one side is POSTED in the group (posted=True
@@ -500,40 +509,68 @@ def _group_matrix_scores(
             return pd.DataFrame({"qid": [], "cid": [], "cos_sim": []})
         V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
         Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-        cos = Vn @ Vn.T
         ids = pdf["vec_id"].to_numpy()
         posted = pdf["posted"].to_numpy()
-        iu, ju = np.triu_indices(len(ids), k=1)
-        keep = ids[iu] != ids[ju]
-        if thr is not None:
-            keep &= cos[iu, ju] >= thr
-        qs, cs, vals = [], [], []
+        n = len(ids)
+        frames = []
         if directed:
-            m = keep & posted[ju]
-            qs.append(ids[iu[m]]); cs.append(ids[ju[m]]); vals.append(cos[iu[m], ju[m]])
-            m = keep & posted[iu]
-            qs.append(ids[ju[m]]); cs.append(ids[iu[m]]); vals.append(cos[iu[m], ju[m]])
-        else:
-            m = keep & (posted[iu] | posted[ju])
-            a, b = ids[iu[m]], ids[ju[m]]
-            qs.append(np.minimum(a, b)); cs.append(np.maximum(a, b))
-            vals.append(cos[iu[m], ju[m]])
-        res = pd.DataFrame(
-            {
-                "qid": np.concatenate(qs),
-                "cid": np.concatenate(cs),
-                "cos_sim": np.concatenate(vals),
-            }
-        )
-        if per_query_k is not None and len(res):
-            res = (
-                res.sort_values(
-                    ["qid", "cos_sim", "cid"], ascending=[True, False, True]
+            # an ordered pair (q, c) is emitted iff c is POSTED and
+            # the ids differ - each query row's FULL candidate set
+            # lives in its own tile, so the per-query-k prune is
+            # exact per tile (ids are unique within a group: one
+            # bucket/probe row per vector per table/cell)
+            cols = np.flatnonzero(posted)
+            cids_all = ids[cols]
+            for s in range(0, n, _SCORE_TILE):
+                e = min(s + _SCORE_TILE, n)
+                if not len(cols):
+                    break
+                cos_t = Vn[s:e] @ Vn[cols].T  # (t, n_posted)
+                qid_t = np.repeat(ids[s:e], len(cols))
+                cid_t = np.tile(cids_all, e - s)
+                val_t = cos_t.ravel()
+                m = qid_t != cid_t
+                if thr is not None:
+                    m &= val_t >= thr
+                res_t = pd.DataFrame(
+                    {"qid": qid_t[m], "cid": cid_t[m], "cos_sim": val_t[m]}
                 )
-                .groupby("qid", sort=False)
-                .head(per_query_k)
-            )
-        return res
+                if per_query_k is not None and len(res_t):
+                    res_t = (
+                        res_t.sort_values(
+                            ["qid", "cos_sim", "cid"],
+                            ascending=[True, False, True],
+                        )
+                        .groupby("qid", sort=False)
+                        .head(per_query_k)
+                    )
+                frames.append(res_t)
+        else:
+            # unordered: emit (min_id, max_id) once per POSITION pair
+            # i < j with an endpoint posted; tiles partition the i axis
+            all_j = np.arange(n)
+            for s in range(0, n, _SCORE_TILE):
+                e = min(s + _SCORE_TILE, n)
+                cos_t = Vn[s:e] @ Vn.T  # (t, n)
+                mask = all_j[None, :] > np.arange(s, e)[:, None]
+                mask &= posted[None, :] | posted[s:e, None]
+                mask &= ids[None, :] != ids[s:e, None]
+                if thr is not None:
+                    mask &= cos_t >= thr
+                r, c = np.nonzero(mask)
+                a, b = ids[s + r], ids[c]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "qid": np.minimum(a, b),
+                            "cid": np.maximum(a, b),
+                            "cos_sim": cos_t[r, c],
+                        }
+                    )
+                )
+        if not frames:
+            return pd.DataFrame({"qid": [], "cid": [], "cos_sim": []})
+        return pd.concat(frames, ignore_index=True)
 
     out = members.groupBy(*group_cols).applyInPandas(
         score, "qid bigint, cid bigint, cos_sim double"
@@ -565,8 +602,13 @@ def _valved_bucket_rows(
     n = _bucket_rows(emb, with_vec=with_vec)
     if bucket_max is None:
         return n
+    # the occupancy count really must use the VECTOR-FREE projection:
+    # column pruning cannot push through mapInPandas, so counting over
+    # the with_vec rows would ship every vector through Arrow a second
+    # time just to be discarded (review finding)
+    occ_src = _bucket_rows(emb, with_vec=False) if with_vec else n
     hot = (
-        n.select("tbl", "bucket")
+        occ_src.select("tbl", "bucket")
         .groupBy("tbl", "bucket")
         .agg(F.count("*").alias("_occ"))
         .filter(F.col("_occ") > bucket_max)
@@ -651,7 +693,20 @@ def _train_sample(vecs: DataFrame) -> tuple[np.ndarray, np.ndarray, int]:
         denom = 1 << 20
         cut = int(denom * _IVF_TRAIN_CAP / n)
         vecs = vecs.filter(F.pmod(F.xxhash64("vec_id"), F.lit(denom)) < cut)
+        # the hash filter keeps ~cap rows in EXPECTATION; a bare
+        # limit() would then take whichever partitions finish first,
+        # making the training sample (hence centroids/codebooks)
+        # nondeterministic across runs.  Rank by the same hash and
+        # tie-break on vec_id: one TakeOrdered over the ~cap-row
+        # filtered set, replay-stable at any scale (review finding).
+        vecs = vecs.orderBy(
+            F.pmod(F.xxhash64("vec_id"), F.lit(denom)), "vec_id"
+        )
     sample = vecs.limit(_IVF_TRAIN_CAP).collect()
+    if not sample:
+        raise ValueError(
+            "cannot train a quantizer on an empty embeddings table"
+        )
     V = np.stack([np.asarray(r["v"], dtype=np.float64) for r in sample])
     order = np.argsort([r["vec_id"] for r in sample])  # seed deterministically
     Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
@@ -684,9 +739,13 @@ def _ivf_centroids_from(Vn: np.ndarray, order: np.ndarray, n: int) -> np.ndarray
     C = Vn[order[:k]].copy()
     for _ in range(_IVF_ITERS):
         cells = (Vn @ C.T).argmax(axis=1)
-        onehot = np.zeros((len(Vn), k))
-        onehot[np.arange(len(Vn)), cells] = 1.0
-        sums = onehot.T @ Vn
+        # scatter-add the assigned vectors per cell: O(sample * dim)
+        # memory/time.  The previous one-hot matmul allocated a dense
+        # (sample, k) float64 per iteration - O(sample * k) grows with
+        # the corpus through _n_cells and reaches tens of GB on the
+        # driver at the scales this path advertises (review finding).
+        sums = np.zeros((k, Vn.shape[1]))
+        np.add.at(sums, cells, Vn)
         norms = np.linalg.norm(sums, axis=1)
         upd = norms > 0
         C[upd] = sums[upd] / norms[upd, None]
@@ -767,20 +826,24 @@ def _ivf_probes(
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         Cb = bc_c.value
+        # a degenerate corpus/sample can train fewer centroids than
+        # nprobe; clamp so the repeat/tile/reshape lengths agree
+        # instead of raising a pandas length-mismatch (review finding)
+        npro = min(nprobe, Cb.shape[0])
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
             Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
             sims = Vn @ Cb.T
-            top = np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int32)
+            top = np.argsort(-sims, axis=1)[:, :npro].astype(np.int32)
             ids = pdf["vec_id"].to_numpy()
             yield pd.DataFrame(
                 {
-                    "vec_id": np.repeat(ids, nprobe),
+                    "vec_id": np.repeat(ids, npro),
                     "cell": top.reshape(-1),
                     "probe_rank": np.tile(
-                        np.arange(nprobe, dtype=np.int32), len(ids)
+                        np.arange(npro, dtype=np.int32), len(ids)
                     ),
                 }
             )
@@ -857,13 +920,14 @@ def semantic_dedup(
         vectors (SemDeDup used k=50k for 100M embeddings) - the
         within-cell pair space is then bounded by cell occupancy,
         never corpus^2;
-      * candidate pairs are an id-only equi-join on the cell key with
-        N_PROBE multi-probe on the query side (no vectors shuffle
-        until scoring; boundary-split near-dups are recovered the same
-        way the IVF ANN recovers boundary-split neighbors);
-      * exact cosine runs over candidates only via the id-join fold
-        (:func:`_score_pairs` - precision 1, same fold order as the
-        oracles);
+      * vectors shuffle ONCE keyed by probed cell, with N_PROBE
+        multi-probe on the query side (boundary-split near-dups are
+        recovered the same way the IVF ANN recovers boundary-split
+        neighbors);
+      * exact cosine runs within each cell as the row-tiled matrix
+        kernel (:func:`_group_matrix_scores` - precision 1 relative to
+        GEMM arithmetic; cross-engine fold-order parity is NOT claimed
+        on this rows-only path, the recall test is the contract);
       * the transitive closure is the dedup CC operator
         (:func:`~iceberg_daq_spark.operators.dedup.connected_components`,
         equi-join + partial-agg rounds with pointer halving).
@@ -928,6 +992,14 @@ def _pq_codebooks(vecs: DataFrame) -> np.ndarray:
 def _pq_codebooks_from(Vn: np.ndarray, order: np.ndarray) -> np.ndarray:
     """Per-subspace L2 k-means on an already-collected sample."""
     dim = Vn.shape[1]
+    if dim % PQ_M:
+        # silent truncation would drop the trailing dim % PQ_M
+        # dimensions from every code and ADC score - recall degrades
+        # with no error (the exact re-rank hides it from score
+        # correctness).  Fail fast instead.
+        raise ValueError(
+            f"embedding dim {dim} is not divisible by PQ_M={PQ_M}"
+        )
     dsub = dim // PQ_M
     k = min(PQ_K, len(Vn))
     books = np.empty((PQ_M, k, dsub))
@@ -1048,29 +1120,42 @@ def pq_ann_topk(emb: DataFrame, k: int = 5) -> DataFrame:
         C_ = np.stack([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])[pidx]
         # the ADC scan is gather-bandwidth-bound and approximate by
         # nature: float32 halves the bytes moved; the re-rank below
-        # restores float64 exactness on the shortlist
+        # restores float64 exactness on the shortlist.  Query rows run
+        # in _SCORE_TILE tiles so the ADC matrix is (tile x posted)
+        # instead of occupancy^2 - IVF cells are unvalved and their
+        # occupancy grows with the corpus (review finding); every
+        # query's full candidate set lives inside its own tile, so
+        # tiling cannot change any shortlist.
         Vn32 = Vn.astype(np.float32)
-        A = np.zeros((len(Vn), len(pidx)), dtype=np.float32)
-        for m in range(M):
-            lut = Vn32[:, m * dsub : (m + 1) * dsub] @ B_[m].astype(np.float32).T
-            A += lut[:, C_[:, m]]  # gather codeword dots per candidate
+        B32 = B_.astype(np.float32)
         cids = ids[pidx]
-        A[ids[:, None] == cids[None, :]] = -np.inf  # no self-matches
+        Vp = Vn[pidx]
         s = min(shortlist_k, len(pidx))
-        sel = np.argsort(-A, axis=1, kind="stable")[:, :s]  # (n, s)
-        # exact re-rank IN-KERNEL: the shortlist's true cosines cost
-        # s*dim flops per query against vectors already in memory -
-        # no second vector shuffle, no driver round trip
-        exact = np.einsum("id,isd->is", Vn, Vn[pidx][sel])
-        rows = np.arange(len(Vn))[:, None]
-        keep = ~np.isinf(A[rows, sel]).ravel()  # self slots past the pool
-        return pd.DataFrame(
-            {
-                "qid": np.repeat(ids, s)[keep],
-                "cid": cids[sel].ravel()[keep],
-                "cos_sim": exact.ravel()[keep],
-            }
-        )
+        frames = []
+        for ts in range(0, len(Vn), _SCORE_TILE):
+            te = min(ts + _SCORE_TILE, len(Vn))
+            A = np.zeros((te - ts, len(pidx)), dtype=np.float32)
+            for m in range(M):
+                lut = Vn32[ts:te, m * dsub : (m + 1) * dsub] @ B32[m].T
+                A += lut[:, C_[:, m]]  # gather codeword dots per candidate
+            A[ids[ts:te, None] == cids[None, :]] = -np.inf  # no self-matches
+            sel = np.argsort(-A, axis=1, kind="stable")[:, :s]  # (t, s)
+            # exact re-rank IN-KERNEL: the shortlist's true cosines
+            # cost s*dim flops per query against vectors already in
+            # memory - no second vector shuffle, no driver round trip
+            exact = np.einsum("id,isd->is", Vn[ts:te], Vp[sel])
+            rows = np.arange(te - ts)[:, None]
+            keep = ~np.isinf(A[rows, sel]).ravel()  # self slots past the pool
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "qid": np.repeat(ids[ts:te], s)[keep],
+                        "cid": cids[sel].ravel()[keep],
+                        "cos_sim": exact.ravel()[keep],
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True) if frames else empty
 
     shortlist = (
         members.groupBy("cell")
