@@ -60,4 +60,5 @@ from iceberg_daq_spark.queries import (  # noqa: F401
     substring,
     splits,
     datamix,
+    corpus_tuning,
 )

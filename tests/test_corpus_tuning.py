@@ -1,0 +1,90 @@
+"""Semantic invariants for the q259-q262 corpus-tuning battery
+(cross-engine value parity is covered by tests/test_oracle.py; these
+pin the properties parity alone can't state)."""
+
+from __future__ import annotations
+
+import math
+
+from iceberg_daq_spark.queries import corpus_tuning
+from iceberg_daq_spark.registry import all_queries
+
+
+def test_q259_curve_accounting(spark, sf_dir):
+    """Pair accounting closes: the decile counts sum to m*(m-1)/2 over
+    sampled docs-with-shingles, collisions never exceed pairs, and the
+    theoretical S-curve is strictly increasing in the decile."""
+    rows = (
+        all_queries()["q259_lsh_band_calibration"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    assert rows, "calibration produced no deciles"
+    from iceberg_daq_spark.operators import dedup
+    from iceberg_daq_spark.tables import load
+    from pyspark.sql import functions as F
+
+    d = load(spark, sf_dir, "documents")
+    n_docs = d.count()
+    md = max(1, n_docs // corpus_tuning._SAMPLE_TARGET)
+    samp = d.filter(F.pmod("doc_id", F.lit(md)) == 0).select("doc_id", "text")
+    m = (
+        dedup.shingles(samp, "text", k=3)
+        .select("doc_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_pairs for r in rows) == m * (m - 1) // 2
+    for r in rows:
+        assert 0 <= r.n_collide <= r.n_pairs
+        expect = round(
+            1
+            - (1 - (r.jbin / 10.0 + 0.05) ** corpus_tuning._ROWS)
+            ** corpus_tuning._BANDS,
+            4,
+        )
+        assert math.isclose(r.theory_p, expect, abs_tol=1e-9)
+    theory = [r.theory_p for r in sorted(rows, key=lambda r: r.jbin)]
+    assert theory == sorted(theory)
+
+
+def test_q261_waterfill_feasible_and_exact(spark, sf_dir):
+    """The allocation is feasible (alloc <= cap everywhere), spends
+    the whole budget up to per-source floor() slack, and caps exactly
+    the sources the breakpoint scan said it would."""
+    rows = all_queries()["q261_token_waterfill"].fn(spark, sf_dir).collect()
+    total = sum(r.n_tokens for r in rows)
+    budget = corpus_tuning._BUDGET_X * total
+    spent = sum(r.alloc_tokens for r in rows)
+    for r in rows:
+        assert r.alloc_tokens <= r.cap_tokens
+        if r.capped:
+            # a capped source takes its whole cap (floor slack <= 1)
+            assert r.cap_tokens - r.alloc_tokens <= 1
+    assert budget - len(rows) <= spent <= budget
+
+
+def test_q262_sweep_monotone(spark, sf_dir):
+    """Tightening the threshold can only drop FEWER docs/tokens, and
+    the loosest cell agrees with the q41 pair table's doc_b count."""
+    rows = sorted(
+        all_queries()["q262_dedup_threshold_sweep"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.threshold,
+    )
+    drops = [r.n_dropped_docs for r in rows]
+    toks = [r.dropped_tokens for r in rows]
+    assert drops == sorted(drops, reverse=True)
+    assert toks == sorted(toks, reverse=True)
+    from iceberg_daq_spark.operators import dedup
+    from iceberg_daq_spark.tables import load
+
+    d = load(spark, sf_dir, "documents")
+    expect = (
+        dedup.ngram_jaccard_prefix_pairs(
+            d.select("doc_id", "text"), threshold=min(corpus_tuning._SWEEP)
+        )
+        .select("doc_b")
+        .distinct()
+        .count()
+    )
+    assert rows[0].n_dropped_docs == expect

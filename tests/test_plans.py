@@ -2478,3 +2478,54 @@ def test_q249_sketch_plan(spark, sf_dir):
     # (formatted plans print each node twice: tree + numbered details)
     assert plan.count("FlatMapGroupsInPandas (") == 1
     assert plan.count("MapInPandas (") == 1
+
+
+def test_q259_calibration_sample_pinned(spark, sf_dir):
+    """LSH band calibration: the ~1000-doc sample and its shingle
+    table are pinned, so the final plan reads NO parquet at all (one
+    eager scan happened at pin time) - the all-branches-rescan shape
+    (44 full scans unpinned) never reaches the cluster.  The only
+    nested-loop joins are 1-row broadcast scalars."""
+    from iceberg_daq_spark.registry import all_queries
+
+    plan = plan_of(all_queries()["q259_lsh_band_calibration"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") == 0
+    assert "BatchEvalPython" not in plan
+
+
+def test_q260_blocklist_map_only(spark, sf_dir):
+    """Blocklist filter: no explode, no join - per-doc hit counts are
+    array expressions on the unsplit row, then ONE source-keyed
+    partial+final agg.  Exactly one scan, no generator."""
+    from iceberg_daq_spark.registry import all_queries
+
+    plan = plan_of(all_queries()["q260_blocklist_filter"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan
+    assert "Generate" not in plan  # no explode
+    # formatted plans print each node twice (tree + numbered details)
+    assert plan.count("Scan parquet") == 2
+    assert plan.count("HashAggregate") >= 4  # partial + final
+
+
+def test_q261_waterfill_single_scan(spark, sf_dir):
+    """Token waterfill: corpus reduces to one pinned #sources-row
+    table; the closed-form breakpoint scan (windows, candidate union,
+    lambda broadcast) never touches parquet again."""
+    from iceberg_daq_spark.registry import all_queries
+
+    plan = plan_of(all_queries()["q261_token_waterfill"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") == 0
+
+
+def test_q262_sweep_no_new_pair_term(spark, sf_dir):
+    """Threshold sweep: discovery is q41's lossless prefix filter run
+    once at the loosest threshold; the grid expansion is a 3-row
+    broadcast against the verified pair table - no cartesian, no
+    per-threshold re-discovery."""
+    from iceberg_daq_spark.registry import all_queries
+
+    plan = plan_of(all_queries()["q262_dedup_threshold_sweep"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
