@@ -946,3 +946,150 @@ def _decode_external_video(blobs: DataFrame, every_k: int = 5) -> DataFrame:
             )
 
     return blobs.select("doc_id", "payload").mapInPandas(sample, _FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash near-dup: the dedup family extended to the image
+# column (near-identical images that BYTE hashing misses - recompressed
+# or slightly-edited copies at corpus scale).
+# ---------------------------------------------------------------------------
+
+_PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def _dct8() -> "np.ndarray":
+    """Orthonormal 8-point DCT-II basis matrix."""
+    k = np.arange(8, dtype=np.float64)
+    d = np.cos(np.pi * (2.0 * k[None, :] + 1.0) * k[:, None] / 16.0) * 0.5
+    d[0, :] *= 1.0 / np.sqrt(2.0)
+    return d
+
+
+def phash64(blobs: DataFrame) -> DataFrame:
+    """64-bit perceptual hash per FIMG payload (pHash: grayscale ->
+    8x8 nearest-neighbor downsample -> 2-D DCT-II -> bit = coefficient
+    above the per-image median).
+
+    Same ragged-batch vectorization as :func:`decode_image_stats`: one
+    contiguous buffer per Arrow batch, the 64 grid samples gather with
+    a single fancy index per channel, and the DCT runs as one batched
+    einsum over the (n, 8, 8) stack - no per-image Python loop, map
+    only, nothing shuffles.  The per-image median threshold makes the
+    hash invariant to global brightness/contrast changes (any monotone
+    pixel remap), which is the property that catches re-encoded
+    copies."""
+
+    def hashes(batches):
+        import pyarrow as pa
+
+        d8 = _dct8()
+        shifts = np.arange(64, dtype=np.uint64)
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            pay = rb.column(rb.schema.names.index("payload"))
+            off_dtype = np.int64 if pa.types.is_large_binary(pay.type) else np.int32
+            offsets = np.frombuffer(pay.buffers()[1], dtype=off_dtype)[
+                pay.offset : pay.offset + n + 1
+            ].astype(np.int64)
+            buf = np.frombuffer(pay.buffers()[2], dtype=np.uint8)
+            starts = offsets[:-1]
+            magic = np.frombuffer(_IMG_MAGIC, dtype=np.uint8)
+            for j in range(4):
+                assert np.array_equal(
+                    buf[starts + j], np.full(n, magic[j])
+                ), "not FIMG payloads"
+
+            def u16(at: np.ndarray) -> np.ndarray:
+                return buf[at].astype(np.int64) | (buf[at + 1].astype(np.int64) << 8)
+
+            w, h, c = u16(starts + 4), u16(starts + 6), u16(starts + 8)
+            base = starts + 10
+            grid = np.arange(8, dtype=np.int64)
+            ys = (grid[None, :] * h[:, None]) // 8  # (n, 8)
+            xs = (grid[None, :] * w[:, None]) // 8  # (n, 8)
+            # flat offset of sample (y, x) channel 0: (y*w + x) * c
+            pix = (
+                ys[:, :, None] * w[:, None, None] + xs[:, None, :]
+            ) * c[:, None, None] + base[:, None, None]  # (n, 8, 8)
+            gray = np.zeros((n, 8, 8), dtype=np.float64)
+            for ch in range(int(c.max())):
+                has = c > ch
+                gray[has] += buf[pix[has] + ch]
+            gray /= c[:, None, None].astype(np.float64)
+            coef = np.einsum("ij,njk,lk->nil", d8, gray, d8)
+            # quantize to integer micro-units and threshold on the
+            # exact LOWER median: float medians interpolate the two
+            # middle values, and the symmetric synthetic images
+            # produce exactly-tied coefficients, so sub-ulp
+            # differences in contraction order (batched einsum vs a
+            # per-image matmul) would flip bits at the tie - integer
+            # compare against an actual element is order-independent
+            flat = np.rint(coef.reshape(n, 64) * 1e6).astype(np.int64)
+            med = np.partition(flat, 31, axis=1)[:, 31]
+            bits = (flat > med[:, None]).astype(np.uint64)
+            ph = (bits << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(rb.schema.names.index("doc_id")),
+                    pa.array(ph.view(np.int64), type=pa.int64()),
+                ],
+                names=["doc_id", "phash"],
+            )
+
+    return blobs.select("doc_id", "payload").mapInArrow(hashes, _PHASH_SCHEMA)
+
+
+def phash_neardup_pairs(blobs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate image pairs by pHash Hamming distance, found via
+    16-bit chunk banding (pigeonhole: distance <= 3 over 4 chunks
+    guarantees a shared chunk, so recall is EXACT for the default
+    radius; candidates verify with one xor+popcount).
+
+    Same shuffle shape as :func:`dedup.simhash_pairs`: the corpus
+    reduces to one 64-bit hash per image map-side, the band join
+    shuffles (chunk, value)-keyed hash rows only (never payloads), and
+    fanout is bucket occupancy, not corpus size."""
+    ph = phash64(blobs).cache()
+    chunks = ph.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(ci).alias("chunk"),
+                        F.shiftright("phash", ci * 16)
+                        .bitwiseAND(0xFFFF)
+                        .alias("val"),
+                    )
+                    for ci in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("doc_id", "phash", "cc.chunk", "cc.val")
+    cand = (
+        chunks.alias("x")
+        .join(chunks.alias("y"), ["chunk", "val"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.phash").alias("ph_a"),
+            F.col("y.phash").alias("ph_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -142,3 +142,23 @@ def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rms", 3).alias("rms"),
         "peak",
     ).orderBy("doc_id")
+
+
+@register("q263_image_phash_neardup", oracle=None)
+def q263(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup image pairs: 64-bit pHash (grayscale ->
+    8x8 DCT -> median-threshold bits) over the synthetic FIMG blobs,
+    paired via 16-bit chunk banding with exact xor/popcount
+    verification at Hamming radius 3 - exact dedup (q40) extended to
+    the image column, where byte equality misses re-encoded copies.
+
+    Rows-only by design (DCT + median thresholding is not
+    SQL-expressible); exactness vs the brute-force all-pairs Hamming
+    scan and the banding recall guarantee are asserted in
+    tests/test_multimodal.py.  Scale shape: hash is map-only over
+    payloads (one 64-bit row per image leaves the scan), the band
+    join shuffles hash rows keyed (chunk, value), fanout is bucket
+    occupancy - the simhash/q43 posture on the binary column."""
+    d = load(spark, sf_dir, "documents")
+    blobs = mm.synth_image_blobs(d)
+    return mm.phash_neardup_pairs(blobs).orderBy("doc_a", "doc_b")

@@ -135,6 +135,23 @@ STRESS_QUERIES = [
     # a per-language model (~linear); q258's sign matrix is 64x16
     # fixed and the pair chain is n-1 rows (~linear in vectors)
     "q254", "q255", "q258",
+    # r13 wave 3: the corpus-tuning battery.  q259 pins a fixed
+    # ~1000-doc sample via the in-plan doc_id % max(1, n/1000) gate,
+    # so 10x rows means a BIGGER stride over the SAME sample size -
+    # its ratio must be ~FLAT (the whole point of the calibration
+    # design); q260 is a map-only single-scan agg (~linear); q261
+    # reduces to one row per source before the waterfill (~linear in
+    # the scan, flat after); q262 rides q41's lossless prefix
+    # discovery, so read its ratio against q41's (clone families make
+    # the verified pair table output-bound, same as q246's note).
+    "q259", "q260", "q261", "q262",
+    # r13 wave 4: pHash image near-dup.  One 64-bit hash row per image
+    # leaves the Arrow-batched map stage; the (chunk, value) band join
+    # shuffles hash rows only.  Cloned docs get key-shifted doc_ids,
+    # so their pixel patterns (doc_id-seeded) differ from the
+    # originals - bucket occupancy stays ~flat while the scan grows
+    # 10x (~linear).
+    "q263",
 ]
 # superlinear-blowup tripwire: 10x rows may legitimately cost more than
 # 10x on the pair-counting queries (pair count itself grows with the

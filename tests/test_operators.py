@@ -1716,3 +1716,62 @@ def test_q253_spectrum_matches_numpy(spark, sf_dir):
         assert 0 < r["top1_var_share"] <= 1
         assert 0 < r["effective_rank"] <= r["dim"]
         assert 1 <= r["participation_ratio"] <= r["dim"]
+
+
+def test_phash_matches_reference_formula(spark, sf_dir):
+    """The vectorized pHash kernel equals a straightforward per-image
+    numpy reimplementation (grayscale -> 8x8 nearest-neighbor grid ->
+    orthonormal DCT-II -> median-threshold bits), and identical
+    payloads hash identically."""
+    import numpy as np
+
+    from iceberg_daq_spark.operators import multimodal as mm
+
+    d = load(spark, sf_dir, "documents").limit(40)
+    blobs = mm.synth_image_blobs(d)
+    got = {r["doc_id"]: r["phash"] for r in mm.phash64(blobs).collect()}
+    d8 = mm._dct8()
+    # orthonormality of the basis (DCT-II scaling is easy to get wrong)
+    assert np.allclose(d8 @ d8.T, np.eye(8))
+    for r in blobs.collect():
+        doc_id, blob = r["doc_id"], bytes(r["payload"])
+        import struct
+
+        w, h, c = struct.unpack("<HHH", blob[4:10])
+        px = np.frombuffer(blob, dtype=np.uint8, offset=10).reshape(h, w, c)
+        gray = px.mean(axis=2, dtype=np.float64)
+        yi = (np.arange(8) * h // 8)[:, None]
+        xi = (np.arange(8) * w // 8)[None, :]
+        g = gray[yi, xi]
+        coef = np.rint((d8 @ g @ d8.T).reshape(64) * 1e6).astype(np.int64)
+        bits = (coef > np.partition(coef, 31)[31]).astype(np.uint64)
+        expect = int((bits << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
+        assert got[doc_id] == np.int64(np.uint64(expect)), doc_id
+
+
+def test_phash_neardup_equals_bruteforce(spark, sf_dir):
+    """Banding + verification returns EXACTLY the all-pairs Hamming
+    <= 3 set (pigeonhole over 4 chunks makes radius-3 recall exact;
+    verification makes precision exact)."""
+    import numpy as np
+
+    from iceberg_daq_spark.operators import multimodal as mm
+
+    d = load(spark, sf_dir, "documents")
+    blobs = mm.synth_image_blobs(d)
+    hashes = sorted(
+        (r["doc_id"], np.uint64(np.int64(r["phash"])))
+        for r in mm.phash64(blobs).collect()
+    )
+    expect = set()
+    for i in range(len(hashes)):
+        for j in range(i + 1, len(hashes)):
+            dist = bin(int(hashes[i][1] ^ hashes[j][1])).count("1")
+            if dist <= 3:
+                expect.add((hashes[i][0], hashes[j][0], dist))
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in mm.phash_neardup_pairs(blobs).collect()
+    }
+    assert got == expect
+    assert expect, "fixture should contain at least one near-dup image pair"

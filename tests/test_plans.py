@@ -2529,3 +2529,16 @@ def test_q262_sweep_no_new_pair_term(spark, sf_dir):
 
     plan = plan_of(all_queries()["q262_dedup_threshold_sweep"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_q263_phash_band_join_shape(spark, sf_dir):
+    """pHash near-dup: hashes leave the scan as one 64-bit row per
+    image (Arrow-batched mapInArrow, never a row-pickled UDF), and the
+    pair discovery is the (chunk, value)-keyed equi band join - no
+    cartesian."""
+    from iceberg_daq_spark.registry import all_queries
+
+    plan = plan_of(all_queries()["q263_image_phash_neardup"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan or "MapInArrow" in plan
