@@ -50,6 +50,27 @@ _BANDS = 8
 _ROWS = _PERMS // _BANDS
 _SAMPLE_TARGET = 1000
 
+def _bounded_sample(d: DataFrame) -> DataFrame:
+    """~_SAMPLE_TARGET-doc calibration sample via the in-plan
+    ``doc_id % max(1, n/target) = 0`` gate, pinned so the full
+    documents scan happens ONCE - without the checkpoint every
+    downstream branch re-derives the sample from a fresh full-table
+    scan (44 scans in q259's unpinned plan).  Mirrored by the ``md``/
+    ``samp`` CTEs in the q259/q264 oracles."""
+    md = d.agg(
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.floor(F.count("*") / F.lit(_SAMPLE_TARGET)).cast("long"),
+        ).alias("md")
+    )
+    return (
+        d.join(F.broadcast(md))
+        .filter(F.pmod(F.col("doc_id"), F.col("md")) == 0)
+        .select("doc_id", "text")
+        .localCheckpoint()
+    )
+
+
 _Q259_ORACLE = f"""
 WITH md AS (
   SELECT greatest(1, count(*) // {_SAMPLE_TARGET}) AS md FROM documents
@@ -145,23 +166,7 @@ def q259(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs at ANY corpus size: the common-shingle join and the band
     join both live inside the sample."""
     d = load(spark, sf_dir, "documents")
-    md = d.agg(
-        F.greatest(
-            F.lit(1).cast("long"),
-            F.floor(F.count("*") / F.lit(_SAMPLE_TARGET)).cast("long"),
-        ).alias("md")
-    )
-    # The sample is ~_SAMPLE_TARGET docs by construction; pin it (and
-    # its shingle table, read by three branches) so the full documents
-    # scan happens ONCE - without the checkpoint every downstream
-    # branch re-derives the sample from a fresh full-table scan (44
-    # scans in the unpinned plan).
-    samp = (
-        d.join(F.broadcast(md))
-        .filter(F.pmod(F.col("doc_id"), F.col("md")) == 0)
-        .select("doc_id", "text")
-        .localCheckpoint()
-    )
+    samp = _bounded_sample(d)
     sh = dedup.shingles(samp, "text", k=3).localCheckpoint()
     minh = (
         sh.select(
@@ -576,4 +581,189 @@ def q262(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dropped_frac"),
         )
         .orderBy("threshold")
+    )
+
+
+# q264: SimHash distance calibration - the q259 move for the OTHER
+# near-dup signature family.  md5-derived 64-bit simhash so both
+# engines build identical bits; strict s > 0 makes the tie (sign sum
+# exactly zero) deterministic.
+_Q264_ORACLE = f"""
+WITH md AS (
+  SELECT greatest(1, count(*) // {_SAMPLE_TARGET}) AS md FROM documents
+), samp AS (
+  SELECT doc_id, text FROM documents, md WHERE doc_id % md.md = 0
+), tokc AS (
+  SELECT doc_id, term, count(*) AS cnt
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM samp)
+  GROUP BY doc_id, term
+), tokh AS (
+  SELECT doc_id, cnt, substr(md5(term), 1, 16) AS h16 FROM tokc
+), sig AS (
+  SELECT doc_id, j,
+         CASE WHEN sum(cnt * (2 * (
+           (strpos('0123456789abcdef', substr(h16, CAST(j // 4 AS INT) + 1, 1))
+             - 1) // CASE j % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+                                WHEN 2 THEN 2 ELSE 1 END % 2
+         ) - 1)) > 0 THEN 1 ELSE 0 END AS bit
+  FROM tokh, LATERAL UNNEST(generate_series(0, 63)) AS b(j)
+  GROUP BY doc_id, j
+), tok3 AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM samp
+), sh AS (
+  SELECT DISTINCT doc_id, s
+  FROM tok3, LATERAL UNNEST(
+    list_transform(
+      generate_series(1, greatest(len(w) - 2, 0)),
+      i -> concat_ws(' ', w[i], w[i+1], w[i+2])
+    )
+  ) AS t(s)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         least(CAST(floor(
+           count(*) * 10.0 / (min(sa.n) + min(sb.n) - count(*))) AS BIGINT),
+           9) AS jbin
+  FROM sh a
+  JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  JOIN sizes sa ON a.doc_id = sa.doc_id
+  JOIN sizes sb ON b.doc_id = sb.doc_id
+  GROUP BY 1, 2
+), ham AS (
+  SELECT p.doc_a, p.doc_b, p.jbin,
+         sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS hamming
+  FROM pairs p
+  JOIN sig x ON x.doc_id = p.doc_a
+  JOIN sig y ON y.doc_id = p.doc_b AND y.j = x.j
+  GROUP BY 1, 2, 3
+)
+SELECT CAST(jbin AS INT) AS jbin,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(hamming) * 100 // count(*) AS BIGINT) AS mean_hamming_x100,
+       CAST(min(hamming) AS BIGINT) AS min_hamming,
+       CAST(max(hamming) AS BIGINT) AS max_hamming
+FROM ham
+GROUP BY jbin
+ORDER BY jbin
+"""
+
+
+@register("q264_simhash_hamming_calibration", oracle=_Q264_ORACLE)
+def q264(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash distance calibration: Hamming-distance statistics
+    (mean/min/max per true-Jaccard decile) between md5-derived 64-bit
+    simhash signatures on the bounded calibration sample - the
+    measurement that picks q43's production Hamming radius before a
+    corpus-scale run, and the SimHash family's oracle-matched twin
+    (the production kernel is numpy-fused and rows-only; any uniform
+    hash gives the same distance-vs-similarity mapping, so the md5
+    formulation calibrates it exactly).
+
+    Bits are sign sums of count-weighted +-1 contributions per bit
+    position, built from the md5 hex nibbles CHARACTER-wise so DuckDB
+    reproduces them byte-for-byte; the tie (sign sum exactly 0) maps
+    to bit 0 under strict > in both engines.  Pairs come from the
+    common-shingle join inside the sample (deciles with no shingle-
+    sharing pair carry no distance signal), and the Hamming sum runs
+    on the 64-row-per-pair bit join - every term sample-bounded, same
+    scale posture as q259."""
+    d = load(spark, sf_dir, "documents")
+    samp = _bounded_sample(d)
+    tokc = (
+        samp.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "doc_id",
+            "cnt",
+            F.substring(F.md5(F.col("term")), 1, 16).alias("h16"),
+        )
+    )
+    nib = (
+        F.conv(
+            F.expr("substring(h16, CAST(j div 4 AS INT) + 1, 1)"), 16, 10
+        ).cast("int")
+    )
+    bit_in = (
+        F.floor(
+            nib
+            / F.when(F.pmod("j", F.lit(4)) == 0, 8)
+            .when(F.pmod("j", F.lit(4)) == 1, 4)
+            .when(F.pmod("j", F.lit(4)) == 2, 2)
+            .otherwise(1)
+        ).cast("long")
+        % 2
+    )
+    sig = (
+        tokc.select(
+            "doc_id",
+            "cnt",
+            "h16",
+            F.explode(F.sequence(F.lit(0), F.lit(63))).alias("j"),
+        )
+        .select(
+            "doc_id",
+            "j",
+            (F.col("cnt") * (2 * bit_in - 1)).alias("contrib"),
+        )
+        .groupBy("doc_id", "j")
+        .agg(
+            F.when(F.sum("contrib") > 0, 1).otherwise(0).alias("bit")
+        )
+        .localCheckpoint()
+    )
+    sh = dedup.shingles(samp, "text", k=3).localCheckpoint()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    s2 = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle"))
+    jac = (
+        F.count("*") * 10.0 / (F.min("na") + F.min("nb") - F.count("*"))
+    )
+    pairs = (
+        sh.alias("a")
+        .join(s2.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_b"))
+        .join(
+            sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na")),
+            F.col("a.doc_id") == F.col("da"),
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb")),
+            F.col("doc_b") == F.col("db"),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("doc_b"))
+        .agg(
+            F.least(F.floor(jac).cast("long"), F.lit(9).cast("long")).alias("jbin")
+        )
+    )
+    sx = sig.select(F.col("doc_id").alias("doc_a"), "j", F.col("bit").alias("bx"))
+    sy = sig.select(F.col("doc_id").alias("doc_b"), "j", F.col("bit").alias("by"))
+    ham = (
+        pairs.join(sx, "doc_a")
+        .join(sy, ["doc_b", "j"])
+        .groupBy("doc_a", "doc_b", "jbin")
+        .agg(
+            F.sum(
+                F.when(F.col("bx") != F.col("by"), 1).otherwise(0)
+            ).alias("hamming")
+        )
+    )
+    return (
+        ham.groupBy("jbin")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.floor(F.sum("hamming") * 100 / F.count("*"))
+            .cast("long")
+            .alias("mean_hamming_x100"),
+            F.min("hamming").cast("long").alias("min_hamming"),
+            F.max("hamming").cast("long").alias("max_hamming"),
+        )
+        .select(
+            F.col("jbin").cast("int").alias("jbin"),
+            "n_pairs",
+            "mean_hamming_x100",
+            "min_hamming",
+            "max_hamming",
+        )
+        .orderBy("jbin")
     )

@@ -152,6 +152,9 @@ STRESS_QUERIES = [
     # originals - bucket occupancy stays ~flat while the scan grows
     # 10x (~linear).
     "q263",
+    # r13 wave 5: q264 SimHash calibration shares q259's fixed-sample
+    # design (doc_id % max(1, n/1000) gate) - ~FLAT expected.
+    "q264",
 ]
 # superlinear-blowup tripwire: 10x rows may legitimately cost more than
 # 10x on the pair-counting queries (pair count itself grows with the

@@ -2542,3 +2542,16 @@ def test_q263_phash_band_join_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan or "MapInArrow" in plan
+
+
+def test_q264_simhash_calibration_pinned(spark, sf_dir):
+    """SimHash calibration: sample, signature bits, and shingles are
+    pinned, so the final plan reads no parquet and every join term is
+    sample-bounded; no cartesian."""
+    from iceberg_daq_spark.registry import all_queries
+
+    plan = plan_of(
+        all_queries()["q264_simhash_hamming_calibration"].fn(spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") == 0
