@@ -125,8 +125,8 @@ _ROWSONLY_REFRESH: list[str] = [
     "q42_dedup_minhash_lsh",
     "q43_dedup_simhash",
     "q45_sim_ann_lsh",
+    "q51_image_decode_stats",
     "q55_embed_near_dup_lsh",
-    "q56_sim_ann_ivf",
 ]
 # --- END GENERATED ROWSONLY ---
 
