@@ -1093,3 +1093,76 @@ def phash_neardup_pairs(blobs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def incremental_phash_dedup(
+    spark,
+    new_blobs: DataFrame,
+    index,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Incremental image near-dup detection against a PERSISTED pHash
+    index - the ingest shape of :func:`phash_neardup_pairs`, mirroring
+    ``dedup.incremental_minhash_dedup``: a new blob batch dedups
+    against the whole corpus at O(new) hash work, because the stored
+    corpus contributes only its 8-byte hash rows (payloads are never
+    re-read, never shuffled).
+
+    ``index`` is a MergeTable keyed (doc_id) holding (doc_id, phash).
+    New hashes band-join (chunk, value) against new+stored, verify by
+    xor/popcount, then commit to the index (an O(new) append).
+    Deterministic hashing means incremental batches produce EXACTLY
+    the pairs the one-shot batch run produces (test-asserted)."""
+    hashes_new = phash64(new_blobs).localCheckpoint()
+    stored = index.read(spark) if index.exists() else None
+    hashes_all = (
+        hashes_new
+        if stored is None
+        else hashes_new.unionByName(stored.select("doc_id", "phash"))
+    )
+
+    def chunked(ph: DataFrame) -> DataFrame:
+        return ph.select(
+            "doc_id",
+            "phash",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(ci).alias("chunk"),
+                            F.shiftright("phash", ci * 16)
+                            .bitwiseAND(0xFFFF)
+                            .alias("val"),
+                        )
+                        for ci in range(4)
+                    ]
+                )
+            ).alias("cc"),
+        ).select("doc_id", "phash", "cc.chunk", "cc.val")
+
+    cand = (
+        chunked(hashes_new)
+        .alias("x")
+        .join(chunked(hashes_all).alias("y"), ["chunk", "val"])
+        .filter(F.col("x.doc_id") != F.col("y.doc_id"))
+        .select(
+            F.least("x.doc_id", "y.doc_id").alias("doc_a"),
+            F.greatest("x.doc_id", "y.doc_id").alias("doc_b"),
+            F.least("x.phash", "y.phash").alias("_pha"),
+            F.greatest("x.phash", "y.phash").alias("_phb"),
+        )
+        .distinct()
+    )
+    pairs = (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("_pha").bitwiseXOR(F.col("_phb")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .localCheckpoint()
+    )
+    if stored is None:
+        index.overwrite(hashes_new)
+    else:
+        index.append(hashes_new)
+    return pairs

@@ -1775,3 +1775,40 @@ def test_phash_neardup_equals_bruteforce(spark, sf_dir):
     }
     assert got == expect
     assert expect, "fixture should contain at least one near-dup image pair"
+
+
+def test_incremental_phash_dedup_equals_batch(spark, sf_dir, tmp_path):
+    """Two image-ingest batches against a persisted pHash index
+    produce EXACTLY the pairs the one-shot batch run produces
+    (deterministic hashing), and the stored index holds one hash row
+    per image - payloads never enter the index."""
+    import numpy as np
+
+    from iceberg_daq_spark.operators import multimodal as mm
+    from iceberg_daq_spark.tablestore import MergeTable
+
+    docs = load(spark, sf_dir, "documents")
+    blobs1 = mm.synth_image_blobs(docs.filter(F.col("doc_id") % 2 == 0))
+    blobs2 = mm.synth_image_blobs(docs.filter(F.col("doc_id") % 2 == 1))
+    idx = MergeTable(str(tmp_path / "phash"), key_cols=("doc_id",), keep_versions=3)
+
+    p1 = mm.incremental_phash_dedup(spark, blobs1, idx)
+    p2 = mm.incremental_phash_dedup(spark, blobs2, idx)
+    incremental = {(r.doc_a, r.doc_b, r.hamming) for r in p1.collect()} | {
+        (r.doc_a, r.doc_b, r.hamming) for r in p2.collect()
+    }
+
+    batch = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in mm.phash_neardup_pairs(mm.synth_image_blobs(docs)).collect()
+    }
+    assert incremental == batch and len(batch) > 0
+    stored = idx.read(spark)
+    assert stored.count() == docs.count()
+    assert set(stored.columns) == {"doc_id", "phash"}
+    # index rows really are the hashes (spot-check one doc)
+    one = stored.orderBy("doc_id").first()
+    expect = mm.phash64(
+        mm.synth_image_blobs(docs.filter(F.col("doc_id") == one["doc_id"]))
+    ).first()
+    assert np.int64(one["phash"]) == np.int64(expect["phash"])
