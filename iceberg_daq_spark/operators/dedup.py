@@ -885,31 +885,51 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance, found via 16-bit
-    chunk banding (pigeonhole: distance<=8 over 4 chunks guarantees
-    at most... a shared chunk is not guaranteed at 8; banding on 4
-    chunks guarantees recall for distance<=3 and is a candidate
-    heuristic beyond - the standard scalable trade, verified exactly
-    afterwards)."""
-    # one row per doc - cache so the bucket self-join below reads the
-    # tiny hash table twice instead of re-running the 64-measure agg
-    sim = simhash(docs).cache()
-    chunks = sim.select(
-        "doc_id",
-        "simhash",
+#: 64-bit Hamming banding scheme shared by SimHash and pHash pair
+#: discovery: HAMMING_CHUNKS chunks of HAMMING_CHUNK_BITS bits.
+#: Pigeonhole: any pair at distance <= HAMMING_CHUNKS - 1 shares at
+#: least one unchanged chunk, so recall is EXACT up to that radius;
+#: beyond it banding is a candidate heuristic (callers that allow a
+#: larger radius must say so - simhash_pairs documents the trade,
+#: the pHash paths refuse).
+HAMMING_CHUNKS = 4
+HAMMING_CHUNK_BITS = 16
+
+
+def hamming_chunks(hashes: DataFrame, hash_col: str) -> DataFrame:
+    """Explode a 64-bit hash column into (.., chunk, val) banding rows
+    - the shared discovery substrate for simhash_pairs,
+    multimodal.phash_neardup_pairs, and incremental_phash_dedup."""
+    mask = (1 << HAMMING_CHUNK_BITS) - 1
+    return hashes.select(
+        "*",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftright("simhash", c * 16).bitwiseAND(0xFFFF).alias("val"),
+                        F.shiftright(hash_col, c * HAMMING_CHUNK_BITS)
+                        .bitwiseAND(mask)
+                        .alias("val"),
                     )
-                    for c in range(4)
+                    for c in range(HAMMING_CHUNKS)
                 ]
             )
         ).alias("cc"),
-    ).select("doc_id", "simhash", "cc.chunk", "cc.val")
+    ).select(*hashes.columns, "cc.chunk", "cc.val")
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, found via 16-bit
+    chunk banding.  Banding on 4 chunks guarantees recall for
+    distance <= 3 (pigeonhole) and is a candidate HEURISTIC beyond -
+    the default radius 8 accepts that standard scalable trade;
+    candidates are verified exactly afterwards, so precision is
+    always exact."""
+    # one row per doc - cache so the bucket self-join below reads the
+    # tiny hash table twice instead of re-running the 64-measure agg
+    sim = simhash(docs).cache()
+    chunks = hamming_chunks(sim, "simhash")
     cand = (
         chunks.alias("x")
         .join(chunks.alias("y"), ["chunk", "val"])

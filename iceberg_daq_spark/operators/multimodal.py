@@ -1046,34 +1046,38 @@ def phash64(blobs: DataFrame) -> DataFrame:
     return blobs.select("doc_id", "payload").mapInArrow(hashes, _PHASH_SCHEMA)
 
 
+def _check_phash_radius(max_hamming: int) -> None:
+    """The pHash paths advertise EXACT recall, so they refuse radii
+    the 4-chunk banding cannot guarantee (unlike simhash_pairs, which
+    documents the beyond-radius heuristic trade)."""
+    from iceberg_daq_spark.operators.dedup import HAMMING_CHUNKS
+
+    if max_hamming >= HAMMING_CHUNKS:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the exact-recall bound "
+            f"{HAMMING_CHUNKS - 1} of {HAMMING_CHUNKS}-chunk banding; "
+            "use dedup.simhash_pairs-style heuristic discovery if a "
+            "larger radius is acceptable"
+        )
+
+
 def phash_neardup_pairs(blobs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-duplicate image pairs by pHash Hamming distance, found via
     16-bit chunk banding (pigeonhole: distance <= 3 over 4 chunks
-    guarantees a shared chunk, so recall is EXACT for the default
-    radius; candidates verify with one xor+popcount).
+    guarantees a shared chunk, so recall is EXACT for every accepted
+    radius - larger radii are refused; candidates verify with one
+    xor+popcount).
 
-    Same shuffle shape as :func:`dedup.simhash_pairs`: the corpus
-    reduces to one 64-bit hash per image map-side, the band join
-    shuffles (chunk, value)-keyed hash rows only (never payloads), and
-    fanout is bucket occupancy, not corpus size."""
+    Same shuffle shape as :func:`dedup.simhash_pairs` (shared
+    :func:`dedup.hamming_chunks` substrate): the corpus reduces to one
+    64-bit hash per image map-side, the band join shuffles
+    (chunk, value)-keyed hash rows only (never payloads), and fanout
+    is bucket occupancy, not corpus size."""
+    from iceberg_daq_spark.operators.dedup import hamming_chunks
+
+    _check_phash_radius(max_hamming)
     ph = phash64(blobs).cache()
-    chunks = ph.select(
-        "doc_id",
-        "phash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(ci).alias("chunk"),
-                        F.shiftright("phash", ci * 16)
-                        .bitwiseAND(0xFFFF)
-                        .alias("val"),
-                    )
-                    for ci in range(4)
-                ]
-            )
-        ).alias("cc"),
-    ).select("doc_id", "phash", "cc.chunk", "cc.val")
+    chunks = hamming_chunks(ph, "phash")
     cand = (
         chunks.alias("x")
         .join(chunks.alias("y"), ["chunk", "val"])
@@ -1113,6 +1117,9 @@ def incremental_phash_dedup(
     xor/popcount, then commit to the index (an O(new) append).
     Deterministic hashing means incremental batches produce EXACTLY
     the pairs the one-shot batch run produces (test-asserted)."""
+    from iceberg_daq_spark.operators.dedup import hamming_chunks
+
+    _check_phash_radius(max_hamming)
     hashes_new = phash64(new_blobs).localCheckpoint()
     stored = index.read(spark) if index.exists() else None
     hashes_all = (
@@ -1120,30 +1127,10 @@ def incremental_phash_dedup(
         if stored is None
         else hashes_new.unionByName(stored.select("doc_id", "phash"))
     )
-
-    def chunked(ph: DataFrame) -> DataFrame:
-        return ph.select(
-            "doc_id",
-            "phash",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(ci).alias("chunk"),
-                            F.shiftright("phash", ci * 16)
-                            .bitwiseAND(0xFFFF)
-                            .alias("val"),
-                        )
-                        for ci in range(4)
-                    ]
-                )
-            ).alias("cc"),
-        ).select("doc_id", "phash", "cc.chunk", "cc.val")
-
     cand = (
-        chunked(hashes_new)
+        hamming_chunks(hashes_new, "phash")
         .alias("x")
-        .join(chunked(hashes_all).alias("y"), ["chunk", "val"])
+        .join(hamming_chunks(hashes_all, "phash").alias("y"), ["chunk", "val"])
         .filter(F.col("x.doc_id") != F.col("y.doc_id"))
         .select(
             F.least("x.doc_id", "y.doc_id").alias("doc_a"),

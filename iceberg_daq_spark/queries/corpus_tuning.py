@@ -1,8 +1,9 @@
-"""Q259-Q262: the pre-flight corpus-tuning battery.
+"""Q259-Q262 + Q264: the pre-flight corpus-tuning battery.
 
 The ops a practitioner runs BEFORE committing a 100 TB curation
 config: calibrate the MinHash-LSH band scheme against the true
-Jaccard S-curve on a bounded sample (q259), sweep the near-dup
+Jaccard S-curve on a bounded sample (q259), calibrate the SimHash
+Hamming radius against the same sample (q264), sweep the near-dup
 threshold to see what each setting would actually delete (q262),
 apply the classic C4-style token-blocklist filter (q260), and solve
 the data-constrained token budget allocation (epoch caps + exact
@@ -121,14 +122,23 @@ WITH md AS (
   GROUP BY jbin
 ), m AS (
   SELECT count(*) AS m FROM sizes
+), zero_rest AS (
+  -- pairs sharing NO shingle: Jaccard exactly 0 and (by the
+  -- shared-min argument) never colliding; reconstructed
+  -- arithmetically and UNIONed so decile 0 survives even when no
+  -- shingle-sharing pair lands in it
+  SELECT 0 AS jbin,
+         (SELECT m * (m - 1) // 2 FROM m)
+           - (SELECT coalesce(sum(n_pairs), 0) FROM grouped) AS n_pairs,
+         0 AS n_collide
 ), filled AS (
-  SELECT jbin,
-         CASE WHEN jbin = 0
-              THEN n_pairs + (SELECT m * (m - 1) // 2 FROM m)
-                   - (SELECT sum(n_pairs) FROM grouped)
-              ELSE n_pairs END AS n_pairs,
-         n_collide
-  FROM grouped
+  SELECT jbin, sum(n_pairs) AS n_pairs, sum(n_collide) AS n_collide
+  FROM (
+    SELECT * FROM grouped
+    UNION ALL
+    SELECT * FROM zero_rest WHERE n_pairs > 0
+  )
+  GROUP BY jbin
 )
 SELECT CAST(jbin AS INT) AS jbin,
        CAST(n_pairs AS BIGINT) AS n_pairs,
@@ -145,8 +155,8 @@ ORDER BY jbin
 def q259(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH band-scheme calibration: empirical band-collision
     probability vs true 3-gram Jaccard, bucketed by Jaccard decile,
-    against the theoretical S-curve 1-(1-s^r)^b for b={_BANDS} bands
-    of r={_ROWS} rows - the pre-flight measurement that tunes (b, r)
+    against the theoretical S-curve 1-(1-s^r)^b for b=8 bands
+    of r=2 rows - the pre-flight measurement that tunes (b, r)
     before committing a corpus-scale near-dup run (q42's production
     path is the thing being calibrated).
 
@@ -162,7 +172,7 @@ def q259(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair count is reconstructed arithmetically from the sample size
     (m*(m-1)/2 minus the joined pairs) - the all-pairs denominator is
     never materialized.  The in-plan sample gate (doc_id % max(1,
-    n/{_SAMPLE_TARGET}) = 0) bounds every downstream term to ~1000
+    n/1000) = 0) bounds every downstream term to ~1000
     docs at ANY corpus size: the common-shingle join and the band
     join both live inside the sample."""
     d = load(spark, sf_dir, "documents")
@@ -236,20 +246,31 @@ def q259(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = sizes.agg(
         (F.count("*") * (F.count("*") - 1) / 2).cast("long").alias("all_pairs")
     )
-    tot = grouped.agg(F.sum("n_pairs").alias("joined_pairs"))
-    filled = (
-        grouped.join(F.broadcast(m))
-        .join(F.broadcast(tot))
+    tot = grouped.agg(
+        F.coalesce(F.sum("n_pairs"), F.lit(0)).alias("joined_pairs")
+    )
+    # pairs sharing NO shingle: Jaccard exactly 0, never colliding
+    # (shared-min argument); UNIONed as an explicit remainder row so
+    # decile 0 survives even when no shingle-sharing pair lands in it
+    zero_rest = (
+        m.join(F.broadcast(tot))
         .select(
-            F.col("jbin").cast("int").alias("jbin"),
-            F.when(
-                F.col("jbin") == 0,
-                F.col("n_pairs") + F.col("all_pairs") - F.col("joined_pairs"),
-            )
-            .otherwise(F.col("n_pairs"))
-            .cast("long")
-            .alias("n_pairs"),
-            F.col("n_collide").cast("long").alias("n_collide"),
+            F.lit(0).cast("long").alias("jbin"),
+            (F.col("all_pairs") - F.col("joined_pairs")).alias("n_pairs"),
+            F.lit(0).cast("long").alias("n_collide"),
+        )
+        .filter(F.col("n_pairs") > 0)
+    )
+    filled = (
+        grouped.select("jbin", "n_pairs", F.col("n_collide").cast("long"))
+        .unionByName(zero_rest)
+        .groupBy("jbin")
+        .agg(
+            F.sum("n_pairs").cast("long").alias("n_pairs"),
+            F.sum("n_collide").cast("long").alias("n_collide"),
+        )
+        .select(
+            F.col("jbin").cast("int").alias("jbin"), "n_pairs", "n_collide"
         )
     )
     theory = F.round(
@@ -300,9 +321,9 @@ ORDER BY source
 @register("q260_blocklist_filter", oracle=_Q260_ORACLE)
 def q260(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style blocklist filter report: per-source document counts,
-    docs whose blocklisted-token share exceeds {_FLAG_BP} basis
+    docs whose blocklisted-token share exceeds 400 basis
     points, and total blocklist hits.  The flag compares integers
-    (n_bad * 10000 > {_FLAG_BP} * n_tok) so both engines agree at the
+    (n_bad * 10000 > 400 * n_tok) so both engines agree at the
     boundary.
 
     Plan: the per-doc token/hit counts come from array expressions on
@@ -350,10 +371,6 @@ WITH src AS (
          sqrt(CAST(n_tok AS DOUBLE)) AS w,
          {_EPOCH_CAP} * n_tok / sqrt(CAST(n_tok AS DOUBLE)) AS rho
   FROM src
-), tot AS (
-  SELECT CAST({_BUDGET_X} AS DOUBLE) * sum(n_tok) AS budget,
-         sum(w) AS w_all, count(*) AS n_src
-  FROM base
 ), ordered AS (
   SELECT *,
          row_number() OVER (ORDER BY rho, source) AS k,
@@ -363,6 +380,15 @@ WITH src AS (
                       ROWS UNBOUNDED PRECEDING) AS cum_w,
          lead(rho, 1, 1e308) OVER (ORDER BY rho, source) AS rho_next
   FROM base
+), tot AS (
+  -- budget from the exact integer token sum; w_all as the LAST value
+  -- of the ORDERED prefix sum (max of an increasing sequence), so
+  -- both engines accumulate the sqrt doubles in the identical
+  -- (rho, source) order - an unordered sum(w) aggregate could differ
+  -- in the last ulp between engines and shift lambda
+  SELECT CAST({_BUDGET_X} AS DOUBLE) * sum(n_tok) AS budget,
+         max(cum_w) AS w_all
+  FROM ordered
 ), cand AS (
   SELECT k, (budget - cum_cap) / (w_all - cum_w) AS lam, rho, rho_next
   FROM ordered, tot WHERE cum_w < w_all
@@ -392,8 +418,8 @@ ORDER BY b.source
 def q261(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-constrained token-budget allocation (Muennighoff et al.
     2023): give each source tokens proportional to sqrt(n_s) (the
-    flattened target mixture) under a {_EPOCH_CAP}-epoch repetition
-    cap, spending a {_BUDGET_X}x-corpus budget exactly.
+    flattened target mixture) under a 4-epoch repetition
+    cap, spending a 3x-corpus budget exactly.
 
     min(cap_s, lambda*w_s) summed over sources is increasing and
     piecewise-linear in lambda with breakpoints rho_s = cap_s/w_s, so
@@ -424,10 +450,6 @@ def q261(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt(F.col("n_tok").cast("double"))
         ).alias("rho"),
     )
-    tot = base.agg(
-        (F.lit(float(_BUDGET_X)) * F.sum("n_tok")).alias("budget"),
-        F.sum("w").alias("w_all"),
-    )
     ow = Window.orderBy("rho", "source")
     cum = Window.orderBy("rho", "source").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -438,6 +460,14 @@ def q261(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cap").over(cum).alias("cum_cap"),
         F.sum("w").over(cum).alias("cum_w"),
         F.lead("rho", 1, 1e308).over(ow).alias("rho_next"),
+    )
+    # budget from the exact integer token sum; w_all as the LAST value
+    # of the ORDERED prefix sum, so both engines accumulate the sqrt
+    # doubles in the identical (rho, source) order (an unordered
+    # sum("w") aggregate could differ in the last ulp and shift lam)
+    tot = ordered.agg(
+        (F.lit(float(_BUDGET_X)) * F.sum("n_tok")).alias("budget"),
+        F.max("cum_w").alias("w_all"),
     )
     min_rho = base.agg(F.min("rho").alias("min_rho"))
     cand = (
@@ -472,7 +502,17 @@ def q261(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_tok").alias("n_tokens"),
             F.col("cap").cast("long").alias("cap_tokens"),
             alloc.alias("alloc_tokens"),
-            F.floor(alloc * 100 / F.col("n_tok")).cast("long").alias("epochs_x100"),
+            "rho",
+            "lam",
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "cap_tokens",
+            "alloc_tokens",
+            # exact BIGINT division like the oracle's `//`: routing
+            # alloc*100 through doubles would lose integers past 2^53
+            F.expr("alloc_tokens * 100 div n_tokens").alias("epochs_x100"),
             (F.col("rho") <= F.col("lam")).alias("capped"),
         )
         .orderBy("source")
@@ -535,7 +575,7 @@ ORDER BY g.t
 @register("q262_dedup_threshold_sweep", oracle=_Q262_ORACLE)
 def q262(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup threshold sweep: for each candidate Jaccard threshold
-    in {_SWEEP}, how many documents the keep-lowest-doc_id dedup rule
+    in (0.5, 0.6, 0.8), how many documents the keep-lowest-doc_id dedup rule
     would drop and how many tokens that deletes - the what-if report
     that picks the production threshold before a corpus-scale run.
 

@@ -88,3 +88,33 @@ def test_q262_sweep_monotone(spark, sf_dir):
         .count()
     )
     assert rows[0].n_dropped_docs == expect
+
+
+def test_q259_zero_decile_survives_without_sharing_pairs(spark, tmp_path):
+    """Adversarial corpus for the decile-0 reconstruction: every
+    shingle-sharing pair is identical (Jaccard 1.0), every other pair
+    shares nothing - decile 0 must still carry the full arithmetic
+    remainder with zero collisions (the unioned zero_rest row), and
+    decile 9 must show the identical pair colliding."""
+    docs = [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),
+        (4, "one two three four five six"),
+        (6, "red green blue cyan magenta yellow"),
+        (8, "cat dog bird fish mouse horse"),
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        r.jbin: r
+        for r in all_queries()["q259_lsh_band_calibration"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    m = len(docs)
+    assert set(rows) == {0, 9}
+    assert rows[9].n_pairs == 1 and rows[9].n_collide == 1
+    assert rows[0].n_pairs == m * (m - 1) // 2 - 1
+    assert rows[0].n_collide == 0

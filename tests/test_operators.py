@@ -1812,3 +1812,14 @@ def test_incremental_phash_dedup_equals_batch(spark, sf_dir, tmp_path):
         mm.synth_image_blobs(docs.filter(F.col("doc_id") == one["doc_id"]))
     ).first()
     assert np.int64(one["phash"]) == np.int64(expect["phash"])
+
+
+def test_phash_pairs_refuse_unguaranteed_radius(spark, sf_dir):
+    """The pHash discovery paths advertise exact recall, so a radius
+    the 4-chunk banding cannot guarantee must raise, not silently
+    lose pairs."""
+    from iceberg_daq_spark.operators import multimodal as mm
+
+    blobs = mm.synth_image_blobs(load(spark, sf_dir, "documents").limit(3))
+    with pytest.raises(ValueError, match="exact-recall bound"):
+        mm.phash_neardup_pairs(blobs, max_hamming=4)
