@@ -511,6 +511,14 @@ OUTPUT_BOUND = {
         "(output_growth measures it); the wall ratio rides that "
         "output"
     ),
+    "q65_contamination_check": (
+        "output-bound: every eval-side clone shares >= 5 shingles "
+        "with every train-side clone of its family, so TRUE "
+        "contaminated (eval_doc, train_doc) pairs grow ~copies^2 per "
+        "family (output_growth measures it); the >= 5-shared count "
+        "must see every shared shingle to stay exact, so the join "
+        "fanout rides the same growth"
+    ),
 }
 
 
@@ -529,9 +537,37 @@ def _count_q246_output(spark, d: str) -> int:
     return all_queries()["q246_containment_pairs"].fn(spark, d).count()
 
 
+def _count_q65_output(spark, d: str) -> int:
+    """True-output driver for q65: contaminated (eval, train) pairs
+    BEFORE the per-eval rollup (the quantity the shingle join must
+    produce, counted through the same >= 5-shared gate)."""
+    from pyspark.sql import functions as F
+
+    from iceberg_daq_spark.operators.dedup import shingles
+    from iceberg_daq_spark.tables import load
+
+    sh = shingles(load(spark, d, "documents")).select(
+        "doc_id", F.xxhash64("shingle").alias("h")
+    )
+    ev = sh.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("eval_doc"), "h"
+    )
+    tr = sh.filter(F.col("doc_id") % 10 != 0).select(
+        F.col("doc_id").alias("train_doc"), "h"
+    )
+    return (
+        ev.join(tr, "h")
+        .groupBy("eval_doc", "train_doc")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 5)
+        .count()
+    )
+
+
 OUTPUT_COUNTERS = {
     "q239_survivorship": _count_q239_output,
     "q246_containment_pairs": _count_q246_output,
+    "q65_contamination_check": _count_q65_output,
 }
 
 # screen ratio above which a cell is re-measured with the controlled
