@@ -807,3 +807,204 @@ def q264(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("jbin")
     )
+
+
+# q265: retrieval-quality eval over the BM25 ranker (the measurement
+# loop of a RAG stack: is the lexical leg actually ranking relevant
+# docs first?).  Relevance comes from a channel the bag-of-words
+# ranker cannot see: graded EXACT-PHRASE matches (the query's
+# consecutive bigrams, space-padded so matches are word-aligned), so
+# the metrics measure how well BM25 proxies phrase relevance instead
+# of trivially saturating on a small vocabulary.  Ranking = q84's
+# rounded-BM25 with doc_id tiebreak.
+_EVAL_QUERIES = (
+    ("q1", ("scan", "merge", "hash")),
+    ("q2", ("join", "filter", "sort")),
+    ("q3", ("window", "stream", "batch")),
+    ("q4", ("vector", "spark", "query")),
+)
+_EVAL_K = 10
+
+def _eval_phrases(terms):
+    return [f"{a} {b}" for a, b in zip(terms, terms[1:])]
+
+_Q265_QT_SQL = " UNION ALL ".join(
+    f"SELECT '{qid}' AS qid, '{t}' AS term"
+    for qid, terms in _EVAL_QUERIES
+    for t in terms
+)
+_Q265_REL_SQL = " UNION ALL ".join(
+    "SELECT doc_id, '{qid}' AS qid, {expr} AS rel FROM documents".format(
+        qid=qid,
+        expr=" + ".join(
+            f"CAST(contains(' ' || text || ' ', ' {p} ') AS INT)"
+            for p in _eval_phrases(terms)
+        ),
+    )
+    for qid, terms in _EVAL_QUERIES
+)
+_ALL_EVAL_TERMS = tuple(sorted({t for _, ts in _EVAL_QUERIES for t in ts}))
+
+_Q265_ORACLE = f"""
+WITH qt AS (
+  {_Q265_QT_SQL}
+), rel AS (
+  {_Q265_REL_SQL}
+), t AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+  FROM documents
+), tf AS (
+  SELECT doc_id, dl, w AS term, CAST(count(*) AS BIGINT) AS tf
+  FROM t, UNNEST(ws) AS u(w)
+  WHERE w IN {_ALL_EVAL_TERMS!r}
+  GROUP BY doc_id, dl, w
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM t
+), df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT qt.qid, tf.doc_id,
+         round(sum(
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * tf.tf * 2.2
+           / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))
+         ), 3) AS bm25
+  FROM tf
+  JOIN qt USING (term)
+  JOIN df USING (term)
+  CROSS JOIN stats
+  GROUP BY qt.qid, tf.doc_id
+), ranked AS (
+  SELECT s.qid, s.doc_id, s.bm25, r.rel,
+         row_number() OVER (PARTITION BY s.qid
+                            ORDER BY s.bm25 DESC, s.doc_id) AS rk,
+         row_number() OVER (PARTITION BY s.qid
+                            ORDER BY r.rel DESC, s.doc_id) AS irk
+  FROM scored s JOIN rel r ON s.qid = r.qid AND s.doc_id = r.doc_id
+)
+SELECT qid,
+       CAST(count(*) AS BIGINT) AS n_ranked,
+       CAST(sum(CASE WHEN rel >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_relevant,
+       round(coalesce(
+         sum(CASE WHEN rk <= {_EVAL_K}
+                  THEN (pow(2, rel) - 1) / log2(rk + 1) ELSE 0 END)
+         / nullif(sum(CASE WHEN irk <= {_EVAL_K}
+                    THEN (pow(2, rel) - 1) / log2(irk + 1) ELSE 0 END), 0),
+         0), 4) AS ndcg10,
+       round(coalesce(max(CASE WHEN rk <= {_EVAL_K} AND rel >= 1
+                               THEN 1.0 / rk END), 0), 4) AS mrr10,
+       round(sum(CASE WHEN rk <= {_EVAL_K} AND rel >= 1
+                      THEN 1 ELSE 0 END) / {_EVAL_K}.0, 4) AS p10
+FROM ranked
+GROUP BY qid
+ORDER BY qid
+"""
+
+
+@register("q265_retrieval_ndcg", oracle=_Q265_ORACLE)
+def q265(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation of the BM25 lexical ranker (q84's
+    scorer) over a fixed 4-query probe set: nDCG@10 / MRR@10 / P@10
+    against graded exact-phrase relevance (count of the query's
+    consecutive bigrams present word-aligned in the doc) - the eval
+    harness that guards a RAG stack's retrieval leg, judged from a
+    channel the bag-of-words ranker cannot see.
+
+    ONE token-stream pass serves all queries: the exploded stream
+    filters to the union of probe terms map-side, the (qid, term)
+    probe table and df/corpus stats broadcast back, and the phrase-
+    relevance labels come from a second map-only pass (substring
+    probes on the padded text, no explode) joined to candidates on
+    (qid, doc_id).  Ranking ties break on (rounded bm25, doc_id) so
+    both engines rank identically; DCG/IDCG are sums of <= 10 smooth
+    terms rounded to 4, far outside accumulation-order noise, with
+    nDCG defined 0 when no candidate carries any phrase."""
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, terms in _EVAL_QUERIES for t in terms],
+        "qid string, term string",
+    )
+    d = load(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    rel = d.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(qid).alias("qid"),
+                        sum(
+                            (F.instr(padded, f" {p} ") > 0).cast("int")
+                            for p in _eval_phrases(terms)
+                        ).alias("rel"),
+                    )
+                    for qid, terms in _EVAL_QUERIES
+                ]
+            )
+        ).alias("qr"),
+    ).select("doc_id", "qr.qid", "qr.rel")
+    toks = F.split(F.col("text"), " ")
+    t = d.select(
+        "doc_id", toks.alias("ws"), F.size(toks).cast("bigint").alias("dl")
+    )
+    tf = (
+        t.select("doc_id", "dl", F.explode("ws").alias("term"))
+        .filter(F.col("term").isin(*_ALL_EVAL_TERMS))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    stats = t.agg(
+        F.count("*").cast("bigint").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    contrib = idf * F.col("tf") * 2.2 / (
+        F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(qt), "term")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("qid", "doc_id")
+        .agg(F.round(F.sum(contrib), 3).alias("bm25"))
+    )
+    wr = Window.partitionBy("qid").orderBy(F.desc("bm25"), F.asc("doc_id"))
+    wi = Window.partitionBy("qid").orderBy(F.desc("rel"), F.asc("doc_id"))
+    ranked = scored.join(rel, ["qid", "doc_id"]).select(
+        "*",
+        F.row_number().over(wr).alias("rk"),
+        F.row_number().over(wi).alias("irk"),
+    )
+    gain = F.pow(F.lit(2.0), F.col("rel")) - 1
+    in_k = F.col("rk") <= _EVAL_K
+    hit = F.col("rel") >= 1
+    dcg = F.sum(F.when(in_k, gain / F.log2(F.col("rk") + 1)).otherwise(0.0))
+    idcg = F.sum(
+        F.when(F.col("irk") <= _EVAL_K, gain / F.log2(F.col("irk") + 1)).otherwise(
+            0.0
+        )
+    )
+    return (
+        ranked.groupBy("qid")
+        .agg(
+            F.count("*").cast("long").alias("n_ranked"),
+            F.sum(hit.cast("int")).cast("long").alias("n_relevant"),
+            F.round(
+                F.coalesce(dcg / F.nullif(idcg, F.lit(0.0)), F.lit(0.0)), 4
+            ).alias("ndcg10"),
+            F.round(
+                F.coalesce(
+                    F.max(F.when(in_k & hit, 1.0 / F.col("rk"))), F.lit(0.0)
+                ),
+                4,
+            ).alias("mrr10"),
+            F.round(
+                F.sum(F.when(in_k & hit, 1).otherwise(0)) / F.lit(float(_EVAL_K)),
+                4,
+            ).alias("p10"),
+        )
+        .orderBy("qid")
+    )

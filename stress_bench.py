@@ -155,6 +155,9 @@ STRESS_QUERIES = [
     # r13 wave 5: q264 SimHash calibration shares q259's fixed-sample
     # design (doc_id % max(1, n/1000) gate) - ~FLAT expected.
     "q264",
+    # r13 wave 6: q265 retrieval eval - probe-term-filtered token
+    # stream + broadcast model tables, same posture as q84 (~linear).
+    "q265",
 ]
 # superlinear-blowup tripwire: 10x rows may legitimately cost more than
 # 10x on the pair-counting queries (pair count itself grows with the

@@ -2555,3 +2555,15 @@ def test_q264_simhash_calibration_pinned(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan
     assert plan.count("Scan parquet") == 0
+
+
+def test_q265_retrieval_eval_shape(spark, sf_dir):
+    """Retrieval eval: probe terms filter the token stream map-side
+    (df/stats/probe tables broadcast - no corpus reshuffle), phrase
+    labels are a second map-only substring pass, windows run per qid
+    over candidates only; no cartesian."""
+    from iceberg_daq_spark.registry import all_queries
+
+    plan = plan_of(all_queries()["q265_retrieval_ndcg"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
