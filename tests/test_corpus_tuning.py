@@ -118,3 +118,32 @@ def test_q259_zero_decile_survives_without_sharing_pairs(spark, tmp_path):
     assert rows[9].n_pairs == 1 and rows[9].n_collide == 1
     assert rows[0].n_pairs == m * (m - 1) // 2 - 1
     assert rows[0].n_collide == 0
+
+
+def test_q264_identical_docs_hamming_zero(spark, tmp_path):
+    """Engineered corpus: an identical doc pair must land in the top
+    Jaccard decile with Hamming distance exactly 0, and every decile's
+    mean/min/max must be consistent (0 <= min <= mean/100 <= max <= 64)."""
+    docs = [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),
+        (4, "one two three four five six seven"),
+        (6, "red green blue cyan magenta yellow"),
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        r.jbin: r
+        for r in all_queries()["q264_simhash_hamming_calibration"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert 9 in rows
+    assert rows[9].n_pairs == 1
+    assert rows[9].min_hamming == 0 and rows[9].max_hamming == 0
+    assert rows[9].mean_hamming_x100 == 0
+    for r in rows.values():
+        assert 0 <= r.min_hamming <= r.max_hamming <= 64
+        assert r.min_hamming * 100 <= r.mean_hamming_x100 <= r.max_hamming * 100
