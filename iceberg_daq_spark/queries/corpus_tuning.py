@@ -828,6 +828,9 @@ _EVAL_K = 10
 def _eval_phrases(terms):
     return [f"{a} {b}" for a, b in zip(terms, terms[1:])]
 
+from iceberg_daq_spark.queries.llm import BM25_B as _BM25_B
+from iceberg_daq_spark.queries.llm import BM25_K1 as _BM25_K1
+
 _Q265_QT_SQL = " UNION ALL ".join(
     f"SELECT '{qid}' AS qid, '{t}' AS term"
     for qid, terms in _EVAL_QUERIES
@@ -867,8 +870,8 @@ WITH qt AS (
   SELECT qt.qid, tf.doc_id,
          round(sum(
            ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
-           * tf.tf * 2.2
-           / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))
+           * tf.tf * {_BM25_K1 + 1}
+           / (tf.tf + {_BM25_K1} * ({round(1 - _BM25_B, 10)} + {_BM25_B} * tf.dl / stats.avgdl))
          ), 3) AS bm25
   FROM tf
   JOIN qt USING (term)
@@ -927,42 +930,55 @@ def q265(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = load(spark, sf_dir, "documents")
     padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
-    rel = d.select(
+    toks = F.split(F.col("text"), " ")
+    # ONE narrow per-doc pass (doc_id, dl, one rel int per query)
+    # pinned so the fat text column is scanned twice in total (here
+    # and in the token explode below) instead of once per branch -
+    # the stats and relevance branches read this tiny table
+    per_doc = d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("dl"),
+        *[
+            sum(
+                (F.instr(padded, f" {p} ") > 0).cast("int")
+                for p in _eval_phrases(terms)
+            ).alias(f"rel_{qid}")
+            for qid, terms in _EVAL_QUERIES
+        ],
+    ).localCheckpoint()
+    rel = per_doc.select(
         "doc_id",
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(qid).alias("qid"),
-                        sum(
-                            (F.instr(padded, f" {p} ") > 0).cast("int")
-                            for p in _eval_phrases(terms)
-                        ).alias("rel"),
+                        F.lit(qid).alias("qid"), F.col(f"rel_{qid}").alias("rel")
                     )
-                    for qid, terms in _EVAL_QUERIES
+                    for qid, _ in _EVAL_QUERIES
                 ]
             )
         ).alias("qr"),
     ).select("doc_id", "qr.qid", "qr.rel")
-    toks = F.split(F.col("text"), " ")
-    t = d.select(
-        "doc_id", toks.alias("ws"), F.size(toks).cast("bigint").alias("dl")
-    )
     tf = (
-        t.select("doc_id", "dl", F.explode("ws").alias("term"))
+        d.select(
+            "doc_id",
+            F.size(toks).cast("bigint").alias("dl"),
+            F.explode(toks).alias("term"),
+        )
         .filter(F.col("term").isin(*_ALL_EVAL_TERMS))
         .groupBy("doc_id", "dl", "term")
         .agg(F.count("*").cast("bigint").alias("tf"))
     )
-    stats = t.agg(
+    stats = per_doc.agg(
         F.count("*").cast("bigint").alias("n_docs"), F.avg("dl").alias("avgdl")
     )
     dfreq = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
     idf = F.log(
         (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
     )
-    contrib = idf * F.col("tf") * 2.2 / (
-        F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+    contrib = idf * F.col("tf") * (_BM25_K1 + 1) / (
+        F.col("tf")
+        + _BM25_K1 * ((1 - _BM25_B) + _BM25_B * F.col("dl") / F.col("avgdl"))
     )
     scored = (
         tf.join(F.broadcast(qt), "term")

@@ -515,7 +515,26 @@ def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles carry no contamination signal; calibrate the cap from
     q75's df table).  Unvalved here: the >= 5-shared-shingles count
     must see every shingle to stay exact, and the 10x stress ratio
-    (2.4x) shows the corpus-scale posture holds without it."""
+    (stress artifact, output-normalized) shows the corpus-scale
+    posture holds without it."""
+    return (
+        contamination_pairs(spark, sf_dir)
+        .groupBy("eval_doc")
+        .agg(
+            F.count("*").alias("n_sources"),
+            F.max("n_shared").alias("max_shared"),
+        )
+        .orderBy("eval_doc")
+    )
+
+
+def contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q65's pair-discovery stage, factored so the stress bench's
+    true-output counter measures EXACTLY the quantity the query
+    computes (any tuning of the split rule / shingle hash / shared
+    gate changes both in lockstep): (eval_doc, train_doc, n_shared)
+    for held-out docs (doc_id % 10 == 0) sharing >= 5 distinct 3-gram
+    shingles with a training doc."""
     from iceberg_daq_spark.operators.dedup import shingles
 
     d = load(spark, sf_dir, "documents")
@@ -529,19 +548,11 @@ def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
     tr = sh.filter(F.col("doc_id") % 10 != 0).select(
         F.col("doc_id").alias("train_doc"), "h"
     )
-    shared = (
+    return (
         ev.join(tr, "h")
         .groupBy("eval_doc", "train_doc")
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= 5)
-    )
-    return (
-        shared.groupBy("eval_doc")
-        .agg(
-            F.count("*").alias("n_sources"),
-            F.max("n_shared").alias("max_shared"),
-        )
-        .orderBy("eval_doc")
     )
 
 
@@ -1364,8 +1375,20 @@ def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Okapi BM25 parameters shared by q84/q108 (bm25_scores) and the
+#: q265 retrieval eval's multi-query scorer - one source of truth so
+#: the eval always measures the ranker the search queries actually
+#: run (test-asserted lockstep in tests/test_corpus_tuning.py).
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
 def bm25_scores(
-    spark: SparkSession, sf_dir: str, terms: list[str], k1: float = 1.2, b: float = 0.75
+    spark: SparkSession,
+    sf_dir: str,
+    terms: list[str],
+    k1: float = BM25_K1,
+    b: float = BM25_B,
 ) -> DataFrame:
     """Okapi BM25 scores per matching document (the shared lexical leg
     of q84 and the q108 hybrid-retrieval fusion): (doc_id, n_terms,

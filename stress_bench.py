@@ -515,12 +515,14 @@ OUTPUT_BOUND = {
         "output"
     ),
     "q65_contamination_check": (
-        "output-bound: every eval-side clone shares >= 5 shingles "
-        "with every train-side clone of its family, so TRUE "
-        "contaminated (eval_doc, train_doc) pairs grow ~copies^2 per "
-        "family (output_growth measures it); the >= 5-shared count "
-        "must see every shared shingle to stay exact, so the join "
-        "fanout rides the same growth"
+        "output-bound: clone ids preserve doc_id % 10 (base + "
+        "c*10,000,000), so a family stays wholly eval- or train-side; "
+        "the growth comes from CROSS-family products - every "
+        "(eval original, train original) pair that already shared "
+        ">= 5 shingles expands to ~copies x copies near-dup clone "
+        "pairs that still share them (output_growth measures the "
+        "realized count); the >= 5-shared gate must see every shared "
+        "shingle to stay exact, so the join fanout rides that growth"
     ),
 }
 
@@ -542,29 +544,11 @@ def _count_q246_output(spark, d: str) -> int:
 
 def _count_q65_output(spark, d: str) -> int:
     """True-output driver for q65: contaminated (eval, train) pairs
-    BEFORE the per-eval rollup (the quantity the shingle join must
-    produce, counted through the same >= 5-shared gate)."""
-    from pyspark.sql import functions as F
+    BEFORE the per-eval rollup, counted through q65's own factored
+    pair stage so the gate can never drift from the query."""
+    from iceberg_daq_spark.queries.llm import contamination_pairs
 
-    from iceberg_daq_spark.operators.dedup import shingles
-    from iceberg_daq_spark.tables import load
-
-    sh = shingles(load(spark, d, "documents")).select(
-        "doc_id", F.xxhash64("shingle").alias("h")
-    )
-    ev = sh.filter(F.col("doc_id") % 10 == 0).select(
-        F.col("doc_id").alias("eval_doc"), "h"
-    )
-    tr = sh.filter(F.col("doc_id") % 10 != 0).select(
-        F.col("doc_id").alias("train_doc"), "h"
-    )
-    return (
-        ev.join(tr, "h")
-        .groupBy("eval_doc", "train_doc")
-        .agg(F.count("*").alias("n_shared"))
-        .filter(F.col("n_shared") >= 5)
-        .count()
-    )
+    return contamination_pairs(spark, d).count()
 
 
 OUTPUT_COUNTERS = {
@@ -782,7 +766,12 @@ def main() -> None:
 
     out = {
         "metric": "dedup_similarity_stress_suite",
-        "value": round(sum(stress_t.values()), 3),
+        # derive the headline from the FINAL per-cell stress times -
+        # the controlled re-measure loop replaces stress_sec for
+        # flagged cells, and summing the stale screen times here left
+        # the committed artifact internally inconsistent (headline !=
+        # sum of its own cells)
+        "value": round(sum(c["stress_sec"] for c in queries.values()), 3),
         "unit": "sec",
         "sf": 0.1,
         "rows_factor": copies,

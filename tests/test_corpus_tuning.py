@@ -147,3 +147,23 @@ def test_q264_identical_docs_hamming_zero(spark, tmp_path):
     for r in rows.values():
         assert 0 <= r.min_hamming <= r.max_hamming <= 64
         assert r.min_hamming * 100 <= r.mean_hamming_x100 <= r.max_hamming * 100
+
+
+def test_q265_scorer_locked_to_q84():
+    """q265's eval must measure the ranker q84 actually runs: the
+    shared BM25 constants interpolate into q265's oracle, and q84's
+    (static) oracle hard-codes the same values - changing one without
+    the other breaks this tripwire."""
+    from iceberg_daq_spark.queries import corpus_tuning as ct
+    from iceberg_daq_spark.queries.llm import BM25_B, BM25_K1
+
+    k1p1, k1, omb, b = (
+        f"{BM25_K1 + 1}",
+        f"{BM25_K1}",
+        f"{round(1 - BM25_B, 10)}",
+        f"{BM25_B}",
+    )
+    q84_oracle = all_queries()["q84_bm25_search"].oracle
+    for frag in (f"* {k1p1}", f"{k1} * ({omb} + {b} *"):
+        assert frag in q84_oracle, frag
+        assert frag in ct._Q265_ORACLE, frag
