@@ -195,20 +195,29 @@ def q237(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
 
     pos = F.when(F.col("y") == 1, 1).otherwise(0)
-    c1_parts = []
-    for feat in ("f1", "f2"):
-        c1_parts.append(
-            li.groupBy(F.col(feat).alias("v"))
-            .agg(
-                F.count("*").cast("bigint").alias("n"),
-                F.sum(pos).cast("bigint").alias("p"),
-            )
-            .select(F.lit(feat).alias("feature"), "v", "n", "p")
+    # Both features' contingency cells in ONE pass: explode each row
+    # into its (feature, value) pairs map-side and run a single
+    # combinable groupBy - the partial agg reduces the doubled rows to
+    # the ~61 cells before the exchange (was: one full groupBy pass
+    # per feature, unioned).  Pinned: splits1 and tot both read it.
+    feat_map = F.create_map(
+        F.lit("f1"), F.col("f1"), F.lit("f2"), F.col("f2")
+    )
+    cells1 = (
+        li.select(F.explode(feat_map).alias("feature", "v"), "y")
+        .groupBy("feature", "v")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(pos).cast("bigint").alias("p"),
         )
-    cells1 = c1_parts[0].unionByName(c1_parts[1])
-    tot = li.agg(
-        F.count("*").cast("bigint").alias("nn"),
-        F.sum(pos).cast("bigint").alias("pp"),
+        .localCheckpoint()
+    )
+    # round-1 totals fold from the pinned f1 cells (sum of per-value
+    # counts == global counts, exact integers) - no second full scan;
+    # the same move tot2 makes from cells2 below
+    tot = cells1.filter(F.col("feature") == "f1").agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("p").cast("bigint").alias("pp"),
     )
     wcum = (
         Window.partitionBy("feature")
@@ -279,7 +288,9 @@ def q237(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("ww_u"),
-    )
+    ).localCheckpoint()  # 1-row model state; read by stump-2 scoring,
+    # splits2 and alphas - without the pin each reference re-derives
+    # the full cells1 + window + argmax subtree
     xf = F.when(F.col("feature") == "f1", F.col("f1")).otherwise(
         F.col("f2")
     )
@@ -288,19 +299,20 @@ def q237(spark: SparkSession, sf_dir: str) -> DataFrame:
         "f1", "f2", "y", (h1 == F.col("y")).alias("c1")
     )
     cnt = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
-    c2_parts = []
-    for feat in ("f1", "f2"):
-        c2_parts.append(
-            x1.groupBy(F.col(feat).alias("v"))
-            .agg(
-                cnt((F.col("y") == 1) & F.col("c1")).alias("pc"),
-                cnt((F.col("y") == 1) & ~F.col("c1")).alias("pw"),
-                cnt((F.col("y") == -1) & F.col("c1")).alias("nc"),
-                cnt((F.col("y") == -1) & ~F.col("c1")).alias("nw"),
-            )
-            .select(F.lit(feat).alias("feature"), "v", "pc", "pw", "nc", "nw")
+    # same one-pass explode as cells1; pinned because tot2 AND splits2
+    # consume it (each re-derivation re-ran the full 600k-row stump-1
+    # scoring pass)
+    cells2 = (
+        x1.select(F.explode(feat_map).alias("feature", "v"), "y", "c1")
+        .groupBy("feature", "v")
+        .agg(
+            cnt((F.col("y") == 1) & F.col("c1")).alias("pc"),
+            cnt((F.col("y") == 1) & ~F.col("c1")).alias("pw"),
+            cnt((F.col("y") == -1) & F.col("c1")).alias("nc"),
+            cnt((F.col("y") == -1) & ~F.col("c1")).alias("nw"),
         )
-    cells2 = c2_parts[0].unionByName(c2_parts[1])
+        .localCheckpoint()
+    )
     tot2 = cells2.filter(F.col("feature") == "f1").agg(
         F.sum("pc").cast("bigint").alias("tpc"),
         F.sum("pw").cast("bigint").alias("tpw"),
@@ -380,7 +392,7 @@ def q237(spark: SparkSession, sf_dir: str) -> DataFrame:
                 0.5 * F.log((1.0 - F.col("err2")) / F.col("err2")), 4
             ).alias("alpha2"),
         )
-    )
+    ).localCheckpoint()  # 1-row ensemble; read by ens and the final row
     xa1 = F.when(F.col("feature1") == "f1", F.col("f1")).otherwise(
         F.col("f2")
     )

@@ -222,8 +222,12 @@ def q230(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
-    train = cb.filter("is_train").select("cust", "brand").distinct()
-    test = cb.filter(~F.col("is_train")).select("cust", "brand").distinct()
+    # cb is already distinct on (cust, brand, is_train); filtering to
+    # ONE is_train value leaves (cust, brand) provably unique, so the
+    # oracle's DISTINCT is a no-op here - re-shuffling for it cost one
+    # exchange per branch (and train feeds five consumers)
+    train = cb.filter("is_train").select("cust", "brand")
+    test = cb.filter(~F.col("is_train")).select("cust", "brand")
     bc = train.groupBy("brand").agg(F.count("*").cast("bigint").alias("nb"))
     a = train.select("cust", F.col("brand").alias("brand_a"))
     b = train.select("cust", F.col("brand").alias("brand_b"))

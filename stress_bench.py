@@ -126,6 +126,10 @@ STRESS_QUERIES = [
     # scheduler overhead, not data); q239's survivorship rides the
     # SNM-blocked edit-distance discovery (bounded candidates).
     "q230", "q231", "q236", "q239",
+    # r13 (optimization round): AdaBoost after the model-state pinning -
+    # three combinable contingency passes over 10x rows plus ~61-row
+    # pinned cells/1-row model tables (fixed): must be ~linear
+    "q237",
     # r13: Kneser-Ney bigram LM - same pinned bigram-type reduction as
     # q190 plus two more model joins; must track q190's ~linear ratio
     "q250",
