@@ -2567,3 +2567,36 @@ def test_q265_retrieval_eval_shape(spark, sf_dir):
     plan = plan_of(all_queries()["q265_retrieval_ndcg"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_q237_model_state_pinned(spark, sf_dir):
+    """AdaBoost: the ~61-row contingency tables and 1-row model tables
+    (w1, alphas) pin via localCheckpoint, so the FINAL plan reads only
+    pinned RDDs - the r12 shape re-executed the full upstream subtree
+    at every model-table reference (51 exchanges, 74 passes over the
+    pinned feature table, zero ReusedExchange).  A regression back to
+    subtree re-derivation trips the exchange bound loudly."""
+    from iceberg_daq_spark.registry import all_queries
+
+    plan = plan_of(all_queries()["q237_adaboost_stumps"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") == 0  # feature table pinned
+    # final plan: one single-row agg exchange + broadcasts of the
+    # pinned 1-row tables; the 51-exchange rederivation shape is gone
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3, plan[:2000]
+
+
+def test_q230_no_redundant_distinct(spark, sf_dir):
+    """Recsys backtest: cb is distinct on (cust, brand, is_train), so
+    the train/test branches must NOT re-shuffle for a DISTINCT over an
+    already-unique projection - the r12 plan paid one extra exchange
+    per branch times five train consumers (18 exchanges; now 13)."""
+    from iceberg_daq_spark.registry import all_queries
+
+    plan = plan_of(all_queries()["q230_recsys_backtest"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 13, plan[:2000]
