@@ -111,6 +111,12 @@ _RECHECK: list[str] = [
     # owed.
     "q231_absorbing_markov",
     "q236_markov_attribution",
+    # r13 optimization session: q237's model state now pins (explode-
+    # keyed one-pass contingency cells, localCheckpoint'd w1/alphas)
+    # and q230 dropped the redundant train/test distincts - oracles
+    # unchanged, driver re-confirmation owed.
+    "q237_adaboost_stumps",
+    "q230_recsys_backtest",
 ]
 
 # Rows-only queries (oracle=None) sort last in the rotation, so once
