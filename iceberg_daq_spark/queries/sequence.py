@@ -314,6 +314,29 @@ def q189(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bucket")
 
 
+def doc_bigram_types(spark: SparkSession, sf_dir: str):
+    """``(tok, dtri)``: the posexploded token stream and the per-doc
+    bigram-TYPE reduction (multiplicity ``m``) that q190 and q250 pin
+    and every LM model table re-aggregates from.  Factored so the
+    stress harness measures the bigram-vocabulary growth (the model-
+    table size driving those cells' 10x ratios) through the queries'
+    own stage - the counter can never drift from the plan it gates."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    dtri = (
+        tok.select(
+            "doc_id", F.lag("w").over(wdoc).alias("prev"), F.col("w").alias("cur")
+        )
+        .filter(F.col("prev").isNotNull())
+        .groupBy("doc_id", "prev", "cur")
+        .agg(F.count("*").cast("bigint").alias("m"))
+    )
+    return tok, dtri
+
+
 @register(
     "q190_bigram_perplexity",
     oracle="""
@@ -366,20 +389,8 @@ def q190(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-aggregates from it and broadcasts back onto it, so the token
     stream is materialized exactly once (one more pruned scan counts
     the vocabulary)."""
-    d = load(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
-    )
-    wdoc = Window.partitionBy("doc_id").orderBy("pos")
-    dtri = (
-        tok.select(
-            "doc_id", F.lag("w").over(wdoc).alias("prev"), F.col("w").alias("cur")
-        )
-        .filter(F.col("prev").isNotNull())
-        .groupBy("doc_id", "prev", "cur")
-        .agg(F.count("*").cast("bigint").alias("m"))
-        .localCheckpoint()
-    )
+    tok, dtri_plan = doc_bigram_types(spark, sf_dir)
+    dtri = dtri_plan.localCheckpoint()
     big = dtri.groupBy("prev", "cur").agg(F.sum("m").cast("bigint").alias("c2"))
     ctx = big.groupBy("prev").agg(F.sum("c2").cast("bigint").alias("c1"))
     vocab = tok.agg(F.countDistinct("w").cast("bigint").alias("v"))
@@ -481,20 +492,7 @@ def q250(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_pre distinct-context counts per word, and the scalar type
     total - all re-aggregate from dtri and broadcast back onto it;
     the corpus is never reshuffled by vocabulary."""
-    d = load(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
-    )
-    wdoc = Window.partitionBy("doc_id").orderBy("pos")
-    dtri = (
-        tok.select(
-            "doc_id", F.lag("w").over(wdoc).alias("prev"), F.col("w").alias("cur")
-        )
-        .filter(F.col("prev").isNotNull())
-        .groupBy("doc_id", "prev", "cur")
-        .agg(F.count("*").cast("bigint").alias("m"))
-        .localCheckpoint()
-    )
+    dtri = doc_bigram_types(spark, sf_dir)[1].localCheckpoint()
     big = dtri.groupBy("prev", "cur").agg(F.sum("m").cast("bigint").alias("c2"))
     ctx = big.groupBy("prev").agg(
         F.sum("c2").cast("bigint").alias("c1"),

@@ -528,6 +528,16 @@ OUTPUT_BOUND = {
         "realized count); the >= 5-shared gate must see every shared "
         "shingle to stay exact, so the join fanout rides that growth"
     ),
+    "q250_kneser_ney_bigram": (
+        "model-growth-bound: the growth-driving quantity counted here "
+        "is the bigram-TYPE vocabulary (the KN model tables big/ctx/"
+        "cont that broadcast onto every scored row and whose build is "
+        "the cell's superlinear term).  The c{c}w{i} perturbation "
+        "tokens each clone copy injects mint NEW types at every "
+        "perturbed position, so the synthetic corpus grows bigram "
+        "vocabulary far faster than Heaps's law would on real text - "
+        "the wall ratio must be read against that measured growth"
+    ),
 }
 
 
@@ -555,10 +565,21 @@ def _count_q65_output(spark, d: str) -> int:
     return contamination_pairs(spark, d).count()
 
 
+def _count_q250_model(spark, d: str) -> int:
+    """Growth driver for q250: bigram-TYPE count (the KN model-table
+    size), measured through the query's own factored stage."""
+    from iceberg_daq_spark.queries.sequence import doc_bigram_types
+
+    return (
+        doc_bigram_types(spark, d)[1].select("prev", "cur").distinct().count()
+    )
+
+
 OUTPUT_COUNTERS = {
     "q239_survivorship": _count_q239_output,
     "q246_containment_pairs": _count_q246_output,
     "q65_contamination_check": _count_q65_output,
+    "q250_kneser_ney_bigram": _count_q250_model,
 }
 
 # screen ratio above which a cell is re-measured with the controlled

@@ -19,6 +19,35 @@ import duckdb
 
 from iceberg_daq_spark.tables import TABLE_NAMES
 
+#: Test-profile switch (round-13 verdict item 1): the driver's verify
+#: window cannot fit the full ~900-test battery (the per-query DuckDB
+#: oracle sweep over 260+ queries, twice, is ~50 of the 62 minutes), so
+#: the DEFAULT profile runs a deterministic stratified sample of the
+#: oracle battery plus everything else, and the FULL battery - every
+#: oracle-backed query on both datasets - stays behind
+#: ``SPARK_GRAFT_FULL_TESTS=1`` for the builder's own loop.  The sample
+#: is stratified (every k-th name of the sorted inventory - every query
+#: family keeps coverage) and ALWAYS includes the registry's
+#: ``_RECHECK`` list, i.e. every query whose implementation changed in
+#: the current round, so a fast pass can never skip exactly the code
+#: that moved.
+FULL_TESTS = os.environ.get("SPARK_GRAFT_FULL_TESTS", "") not in ("", "0")
+
+
+def stratified_sample(
+    names: list[str], target: int, always: tuple[str, ...] = (), offset: int = 0
+) -> list[str]:
+    """Deterministic stratified sample of ``names`` (sorted order
+    assumed): every ``len/target``-th entry starting at ``offset``
+    (disjoint samples for different offsets while the stride allows),
+    unioned with ``always``.  Returns everything when FULL_TESTS."""
+    if FULL_TESTS or len(names) <= target:
+        return list(names)
+    stride = max(1, len(names) // target)
+    keep = {n for i, n in enumerate(names) if i % stride == offset % stride}
+    keep.update(n for n in always if n in names)
+    return sorted(keep)
+
 
 def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
