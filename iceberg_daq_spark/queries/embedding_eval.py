@@ -238,8 +238,14 @@ def q204(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpreted Catalyst HOF - ~64 ops/pair - so the audit rate, not
     the corpus, sets the cost; 13s -> ~1s at sf0.1 vs a 10% sample)
     (operators/similarity.py's blocked-GEMM topk/LSH/IVF paths are
-    the production variants for full-corpus k-NN); the top-1 window
-    partitions by query."""
+    the production variants for full-corpus k-NN).  The per-query
+    winner is a max_by PARTIAL AGGREGATION, not a ranked window (r14,
+    guide 2.3): the window shuffled and sorted every sample x corpus
+    scored pair; max_by on the orderable struct (cos_micro, -c)
+    reduces each map partition to <= n_sample rows before the
+    exchange - identical winner, since max over (cos_micro, -c) IS
+    the (cos_micro DESC, c ASC) rank-1 row (c is a non-negative id,
+    so negation exactly inverts its order)."""
     emb = load(spark, sf_dir, "embeddings")
     nano_norm = F.aggregate(
         F.transform(
@@ -280,12 +286,10 @@ def q204(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cos_micro"),
         )
     )
-    wrk = Window.partitionBy("q").orderBy(F.col("cos_micro").desc(), "c")
-    nn1 = (
-        scored.select(
-            "qlabel", "clabel", F.row_number().over(wrk).alias("rk")
-        )
-        .filter(F.col("rk") == 1)
+    nn1 = scored.groupBy("q", "qlabel").agg(
+        F.max_by(
+            "clabel", F.struct(F.col("cos_micro"), (-F.col("c")).alias("negc"))
+        ).alias("clabel")
     )
     agree = F.when(F.col("clabel") == F.col("qlabel"), 1).otherwise(0)
     return (

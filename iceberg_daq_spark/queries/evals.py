@@ -199,17 +199,29 @@ def q230(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Cosines quantize to micro-units at the pair table, so per-
     (customer, candidate) scores fold as exact BIGINTs; top-3 breaks
-    ties by brand name.  100 TB shape: the pair join is bounded by
-    <= 25 brands per customer (q165's bound); the anti-join that
-    removes already-bought brands and the hit join both key on
-    (cust, brand) - co-partitioned with the incidence table; one
-    final two-measure fold."""
+    ties by brand name.
+
+    100 TB shape (r14, guide 2.3/2.4 - the r13 residual "restate the
+    pair-join/anti-join keys so one exchange serves the five train
+    consumers"): ONE partial-aggregating collect_set exchange keyed on
+    cust builds per-customer TRAIN and TEST brand sets (<= 25 brands
+    each, the q165 bound) and every former re-shuffle restates over
+    the cached, cust-partitioned sets: the pair join generates
+    MAP-SIDE by double explode; the NOT-EXISTS anti-join is a map-side
+    array_contains filter against the customer's own train set; the
+    active-customer semi-join and the hit left-join collapse into ONE
+    cust-keyed inner join against the non-empty test sets (membership
+    gives the hit flag).  The old plan paid 13 exchanges (r12: 18);
+    this one pays the sets exchange plus brand-cardinality-bounded
+    aggregations.  All downstream reads are order-insensitive set
+    membership / pair counts, so collect_set's element order cannot
+    affect results."""
     od = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderdate"
     )
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     pt = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    cb = (
+    sets = (
         od.join(li, od.o_orderkey == li.l_orderkey)
         .join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
         .select(
@@ -219,22 +231,23 @@ def q230(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "is_train"
             ),
         )
-        .distinct()
-        .localCheckpoint()
+        .groupBy("cust")
+        .agg(
+            F.collect_set(F.when(F.col("is_train"), F.col("brand"))).alias("tb"),
+            F.collect_set(F.when(~F.col("is_train"), F.col("brand"))).alias("eb"),
+        )
+        .persist()
     )
-    # cb is already distinct on (cust, brand, is_train); filtering to
-    # ONE is_train value leaves (cust, brand) provably unique, so the
-    # oracle's DISTINCT is a no-op here - re-shuffling for it cost one
-    # exchange per branch (and train feeds five consumers)
-    train = cb.filter("is_train").select("cust", "brand")
-    test = cb.filter(~F.col("is_train")).select("cust", "brand")
-    bc = train.groupBy("brand").agg(F.count("*").cast("bigint").alias("nb"))
-    a = train.select("cust", F.col("brand").alias("brand_a"))
-    b = train.select("cust", F.col("brand").alias("brand_b"))
+    bc = (
+        sets.select(F.explode("tb").alias("brand"))
+        .groupBy("brand")
+        .agg(F.count("*").cast("bigint").alias("nb"))
+    )
     ba = bc.select(F.col("brand").alias("brand_a"), F.col("nb").alias("nb_a"))
     bb = bc.select(F.col("brand").alias("brand_b"), F.col("nb").alias("nb_b"))
     sim = (
-        a.join(b, "cust")
+        sets.select(F.explode("tb").alias("brand_a"), "tb")
+        .select("brand_a", F.explode("tb").alias("brand_b"))
         .filter(F.col("brand_a") != F.col("brand_b"))
         .groupBy("brand_a", "brand_b")
         .agg(F.count("*").cast("bigint").alias("nab"))
@@ -253,13 +266,9 @@ def q230(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scores = (
-        train.withColumnRenamed("brand", "brand_a")
+        sets.select("cust", "tb", F.explode("tb").alias("brand_a"))
         .join(F.broadcast(sim), "brand_a")
-        .join(
-            train.select("cust", F.col("brand").alias("brand_b")),
-            ["cust", "brand_b"],
-            "left_anti",
-        )
+        .filter(~F.array_contains("tb", F.col("brand_b")))
         .groupBy("cust", F.col("brand_b").alias("rec"))
         .agg(F.sum("cos_u").cast("bigint").alias("score"))
     )
@@ -269,18 +278,15 @@ def q230(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("cust", "rec")
     )
-    active = test.select("cust").distinct()
+    esets = sets.filter(F.size("eb") > 0).select("cust", "eb")
     hits = (
-        top3.join(active, "cust", "left_semi")
-        .join(
-            test.select("cust", F.col("brand").alias("rec")).withColumn(
-                "bought", F.lit(1)
-            ),
-            ["cust", "rec"],
-            "left",
-        )
+        top3.join(esets, "cust")
         .groupBy("cust")
-        .agg(F.max(F.coalesce("bought", F.lit(0))).cast("bigint").alias("hit"))
+        .agg(
+            F.max(F.when(F.array_contains("eb", F.col("rec")), 1).otherwise(0))
+            .cast("bigint")
+            .alias("hit")
+        )
     )
     return hits.agg(
         F.count("*").cast("bigint").alias("n_customers"),

@@ -15,11 +15,35 @@ a distance cross-join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from iceberg_daq_spark.registry import register
 from iceberg_daq_spark.tables import load
+
+
+def brand_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q199's weighted brand co-purchase edge list: one partial-
+    aggregating collect_set exchange keyed on the order (basket-
+    bounded sets), map-side double-explode pair generation, one
+    brand-pair fold.  Bounded by brand cardinality (<= 25 x 24 rows)
+    whatever the corpus size - which is what licenses q199's driver-
+    side LPA iteration over the collected result.  Factored so the
+    plan test asserts this stage's shape (the collect happens at
+    query-build time, so the final plan no longer shows it)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pt = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .groupBy("okey")
+        .agg(F.collect_set("brand").alias("bs"))
+        .select(F.explode("bs").alias("src"), "bs")
+        .select("src", F.explode("bs").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("bigint").alias("w"))
+    )
 
 
 @register(
@@ -68,48 +92,37 @@ def q199(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Synchronous rounds with a total argmax order (wsum DESC, label)
     are fully deterministic - the classic async LPA is not, which is
-    why this is the oracle-checkable formulation.  100 TB shape: the
-    edge list reduces from the order-keyed incidence join (fan-out
-    bounded by basket size, q162's argument) and is PINNED; each
-    round is one join + one ranked-window argmax over the edge table;
-    rounds unroll (2 here) exactly like operators/graph.py's
-    pagerank loop with its localCheckpoint-per-round discipline."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    pt = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ob = (
-        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
-        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
-        .distinct()
-        .localCheckpoint()
-    )
-    a = ob.select("okey", F.col("brand").alias("src"))
-    b = ob.select("okey", F.col("brand").alias("dst"))
-    edges = (
-        a.join(b, "okey")
-        .filter(F.col("src") != F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count("*").cast("bigint").alias("w"))
-        .localCheckpoint()
-    )
-    labels = edges.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
-    )
+    why this is the oracle-checkable formulation.
+
+    100 TB shape (r14, guide 2.3 + the q231/q236 bounded-collect
+    precedent): the incidence reduces in ONE partial-aggregating
+    collect_set exchange keyed on the ORDER (brand sets bounded by
+    basket size, q162's argument), the edge list generates MAP-SIDE by
+    double explode and folds to <= 25 x 24 weighted brand edges - a
+    table bounded by BRAND CARDINALITY, never by rows - and the two
+    LPA rounds iterate that collected edge object on the driver in
+    exact integer arithmetic (ties break on the same UTF8-ascending
+    label order Spark would use; brands are ASCII).  The former plan
+    paid a distinct pin + okey self-join + per-round join/window
+    shuffles (~7 exchanges, 12 window nodes of pure scheduler floor on
+    metadata-sized state); the final community fold stays in Spark."""
+    edges = brand_copurchase_edges(spark, sf_dir).collect()
+    labels = {r["src"]: r["src"] for r in edges}
     for _ in range(2):
-        votes = (
-            edges.join(
-                F.broadcast(labels.withColumnRenamed("node", "dst")), "dst"
-            )
-            .groupBy(F.col("src").alias("node"), "label")
-            .agg(F.sum("w").cast("bigint").alias("wsum"))
-        )
-        wrk = Window.partitionBy("node").orderBy(F.col("wsum").desc(), "label")
-        labels = (
-            votes.select("node", "label", F.row_number().over(wrk).alias("rk"))
-            .filter(F.col("rk") == 1)
-            .select("node", "label")
-        )
+        votes: dict[str, dict[str, int]] = {}
+        for r in edges:
+            v = votes.setdefault(r["src"], {})
+            lab = labels[r["dst"]]
+            v[lab] = v.get(lab, 0) + r["w"]
+        labels = {
+            node: min(v.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            for node, v in votes.items()
+        }
+    out = spark.createDataFrame(
+        sorted(labels.items()), "node string, label string"
+    )
     return (
-        labels.groupBy(F.col("label").alias("community"))
+        out.groupBy(F.col("label").alias("community"))
         .agg(
             F.count("*").cast("bigint").alias("n_nodes"),
             F.min("node").alias("exemplar"),

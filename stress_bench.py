@@ -162,6 +162,13 @@ STRESS_QUERIES = [
     # r13 wave 6: q265 retrieval eval - probe-term-filtered token
     # stream + broadcast model tables, same posture as q84 (~linear).
     "q265",
+    # r14: q204's 1-NN agreement audit - pair volume is sample x
+    # corpus (1% fixed-rate sample -> 10x rows = 100x pairs by
+    # design); the max_by partial agg keeps the shuffle sample-sized,
+    # so the wall must track the pair-fold compute, not a sort of the
+    # pair table.  Read the ratio against the 100x pair growth like
+    # q44's quadratic note.
+    "q204",
 ]
 # superlinear-blowup tripwire: 10x rows may legitimately cost more than
 # 10x on the pair-counting queries (pair count itself grows with the
@@ -528,6 +535,15 @@ OUTPUT_BOUND = {
         "realized count); the >= 5-shared gate must see every shared "
         "shingle to stay exact, so the join fanout rides that growth"
     ),
+    "q204_knn_label_agreement": (
+        "pair-growth-bound: the audit scores a FIXED-RATE 1% query "
+        "sample against the whole corpus, so 10x rows is 100x scored "
+        "pairs BY CONSTRUCTION (output_growth counts the exact "
+        "sample x (corpus-1) pair volume); the max_by partial agg "
+        "keeps the shuffle sample-sized, so the wall must track the "
+        "in-kernel pair fold - read the ratio against the measured "
+        "pair growth"
+    ),
     "q250_kneser_ney_bigram": (
         "model-growth-bound: the growth-driving quantity counted here "
         "is the bigram-TYPE vocabulary (the KN model tables big/ctx/"
@@ -575,11 +591,27 @@ def _count_q250_model(spark, d: str) -> int:
     )
 
 
+def _count_q204_pairs(spark, d: str) -> int:
+    """Growth driver for q204: the scored pair volume, exactly
+    n_sample x (n_corpus - 1) by the audit's join contract."""
+    from pyspark.sql import functions as F2
+
+    from iceberg_daq_spark.tables import load as _load
+
+    emb = _load(spark, d, "embeddings").select("vec_id")
+    row = emb.agg(
+        F2.count("*").alias("n"),
+        F2.sum(F2.when(F2.col("vec_id") % 100 == 0, 1).otherwise(0)).alias("s"),
+    ).collect()[0]
+    return int(row["s"]) * (int(row["n"]) - 1)
+
+
 OUTPUT_COUNTERS = {
     "q239_survivorship": _count_q239_output,
     "q246_containment_pairs": _count_q246_output,
     "q65_contamination_check": _count_q65_output,
     "q250_kneser_ney_bigram": _count_q250_model,
+    "q204_knn_label_agreement": _count_q204_pairs,
 }
 
 # screen ratio above which a cell is re-measured with the controlled

@@ -1515,17 +1515,19 @@ def test_q161_ks_grid_is_value_space_sized(spark, sf_dir):
 
 
 def test_q162_incidence_pinned_single_fact_scan(spark, sf_dir):
-    """The (order, brand) incidence table must be reduced once and
-    pinned (localCheckpoint), so the total / marginals / pair join all
-    read the checkpoint RDD - zero parquet re-scans of lineitem - and
-    the pair generation is an equi-join, never a cartesian."""
+    """r14 shape: ONE collect_set exchange reduces the incidence to
+    cached per-basket brand sets; total/marginals/pairs all read the
+    cache (pairs generate map-side by double explode - no self-join
+    of the incidence, so no SortMergeJoin), and pair generation is
+    never a cartesian."""
     import re
 
     from iceberg_daq_spark.queries.market import q162
 
     plan = plan_of(q162(spark, sf_dir))
-    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0
     assert "CartesianProduct" not in plan
+    assert "collect_set" in plan
+    assert len(re.findall(r"\(\d+\) SortMergeJoin", plan)) == 0
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
@@ -1557,17 +1559,22 @@ def test_q164_mwu_grid_sized_window(spark, sf_dir):
 
 
 def test_q165_copurchase_pinned_and_group_limited(spark, sf_dir):
-    """The (customer, brand) incidence is pinned (zero parquet
-    re-scans), pair generation is cust-keyed equi-join, and the
-    per-brand top-3 plans a WindowGroupLimit below the rank filter."""
+    """r14 shape: the incidence reduces in ONE collect_set exchange to
+    cached per-customer brand sets; pairs generate map-side by double
+    explode (NO self-join of the incidence - no SortMergeJoin and no
+    data-sized broadcast anywhere), and the per-brand top-3 still
+    plans a WindowGroupLimit below the rank filter."""
     import re
 
     from iceberg_daq_spark.queries.market import q165
 
     plan = plan_of(q165(spark, sf_dir))
-    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0
     assert "CartesianProduct" not in plan
+    assert "collect_set" in plan
+    assert len(re.findall(r"\(\d+\) SortMergeJoin", plan)) == 0
     assert "WindowGroupLimit" in plan
+    # the only joins left attach the broadcast <=25-row marginals
+    assert len(re.findall(r"\(\d+\) ShuffledHashJoin", plan)) == 0
 
 
 def test_q166_kl_user_grain_pinned(spark, sf_dir):
@@ -1998,18 +2005,27 @@ def test_q198_laspeyres_pinned_part_year_grain(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_q199_lpa_pinned_edges_broadcast_labels(spark, sf_dir):
-    """The incidence and edge tables are pinned (zero parquet
-    re-scans); each LPA round joins the small label table by
-    broadcast and resolves argmax via a ranked window."""
+def test_q199_lpa_edge_stage_and_final_fold(spark, sf_dir):
+    """r14 shape: the brand-cardinality-bounded edge stage is ONE
+    collect_set exchange + map-side double-explode pair fold (no join
+    of data-sized tables, no window), and the final plan - the LPA
+    rounds iterate the collected <=600-row edge object on the driver
+    (the q231/q236 bounded-collect pattern) - is a tiny community
+    fold over the label table with no window nodes left."""
     import re
 
-    from iceberg_daq_spark.queries.mining import q199
+    from iceberg_daq_spark.queries.mining import brand_copurchase_edges, q199
+
+    edges = plan_of(brand_copurchase_edges(spark, sf_dir))
+    assert "collect_set" in edges
+    assert len(re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)", edges)) == 0
+    assert len(re.findall(r"\(\d+\) Exchange", edges)) <= 2
+    assert len(re.findall(r"\(\d+\) Window", edges)) == 0
 
     plan = plan_of(q199(spark, sf_dir))
-    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0
     assert "CartesianProduct" not in plan
-    assert plan.count("Window") >= 2
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 0
+    assert len(plan.splitlines()) < 120, "final LPA plan regrew a per-round chain"
 
 
 def test_q200_wilson_single_pass(spark, sf_dir):
@@ -2068,8 +2084,9 @@ def test_q203_separation_one_explode_broadcast_protos(spark, sf_dir):
 
 def test_q204_knn_sample_broadcasts(spark, sf_dir):
     """The fixed-rate query sample broadcasts onto one corpus pass
-    (pair volume = sample x corpus, no corpus shuffle); the top-1 is
-    a per-query ranked window."""
+    (pair volume = sample x corpus, no corpus shuffle); the per-query
+    winner is a max_by PARTIAL AGGREGATION (r14) - no ranked window
+    shuffling/sorting every scored pair."""
     import re
 
     from iceberg_daq_spark.queries.embedding_eval import q204
@@ -2077,7 +2094,8 @@ def test_q204_knn_sample_broadcasts(spark, sf_dir):
     plan = plan_of(q204(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
-    assert "vec_id" in plan.split("PushedFilters")[1].split("]")[0] or True
+    assert "max_by" in plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 0
 
 
 def test_q205_attribution_no_self_join_for_journeys(spark, sf_dir):
@@ -2589,14 +2607,17 @@ def test_q237_model_state_pinned(spark, sf_dir):
 
 
 def test_q230_no_redundant_distinct(spark, sf_dir):
-    """Recsys backtest: cb is distinct on (cust, brand, is_train), so
-    the train/test branches must NOT re-shuffle for a DISTINCT over an
-    already-unique projection - the r12 plan paid one extra exchange
-    per branch times five train consumers (18 exchanges; now 13)."""
+    """Recsys backtest exchange budget: r12 paid 18 exchanges, r13
+    (redundant train/test distincts dropped) 13, r14 (ONE collect_set
+    exchange builds per-customer train/test brand sets; the pair join,
+    anti-join, semi-join and hit join restate over them) 8.  The bound
+    pins the r14 shape: a regression back to per-consumer re-shuffles
+    of the incidence trips it."""
     from iceberg_daq_spark.registry import all_queries
 
     plan = plan_of(all_queries()["q230_recsys_backtest"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
     import re
 
-    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 13, plan[:2000]
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 8, plan[:2000]
+    assert "collect_set" in plan
